@@ -1,0 +1,104 @@
+"""Minimal WKT codec (POINT / LINESTRING / POLYGON / MULTIPOLYGON).
+
+Replaces the reference's OGRGeometry WKT import/export
+(ogr/ogrgeometry.cpp importFromWkt/exportToWkt) for the subset of
+geometry types the engine carries.  Parsed form:
+
+    ("POINT",        [array([[x, y]])])
+    ("LINESTRING",   [array Nx2])
+    ("POLYGON",      [ring0 Nx2, ring1 Nx2, ...])      # ring0 = shell
+    ("MULTIPOLYGON", [poly0_rings, poly1_rings, ...])  # list of list of Nx2
+
+Hand-rolled split parser (no regex) — it runs inside pandas UDF batches,
+so per-call overhead matters.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["parse_wkt", "point_wkt", "polygon_wkt", "wkt_type"]
+
+
+def _coords(text: str) -> np.ndarray:
+    """'1 2, 1 3, 3 3' -> (N,2) float64 array."""
+    pts = []
+    for pair in text.split(","):
+        parts = pair.split()
+        pts.append((float(parts[0]), float(parts[1])))
+    return np.asarray(pts, dtype=np.float64)
+
+
+def _split_rings(body: str) -> list[np.ndarray]:
+    """'(r1),(r2)' -> [ring arrays]; body has outer parens stripped already."""
+    rings = []
+    depth = 0
+    start = 0
+    for i, ch in enumerate(body):
+        if ch == "(":
+            if depth == 0:
+                start = i + 1
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                rings.append(_coords(body[start:i]))
+    return rings
+
+
+def wkt_type(wkt: str) -> str:
+    head = wkt.lstrip()
+    i = head.find("(")
+    return (head[:i] if i >= 0 else head).strip().upper()
+
+
+def parse_wkt(wkt: str):
+    """Parse WKT -> (type, payload); see module docstring for payload shape."""
+    s = wkt.strip()
+    i = s.find("(")
+    if i < 0:
+        head = s.upper().split()
+        return (head[0] if head else "EMPTY", [])
+    typ = s[:i].strip().upper().replace(" Z", "")
+    body = s[i:]
+    if typ == "POINT":
+        return "POINT", [_coords(body.strip()[1:-1])]
+    if typ == "LINESTRING":
+        return "LINESTRING", [_coords(body.strip()[1:-1])]
+    if typ == "POLYGON":
+        return "POLYGON", _split_rings(body.strip()[1:-1])
+    if typ == "MULTIPOLYGON":
+        # strip one paren level, then each '(...)...(...)' group is a polygon
+        inner = body.strip()[1:-1]
+        polys = []
+        depth = 0
+        start = 0
+        for j, ch in enumerate(inner):
+            if ch == "(":
+                if depth == 0:
+                    start = j
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    polys.append(_split_rings(inner[start + 1 : j]))
+        return "MULTIPOLYGON", polys
+    raise ValueError(f"unsupported WKT type: {typ}")
+
+
+def _fmt(v: float) -> str:
+    if v == int(v) and abs(v) < 1e15:
+        return str(int(v))
+    return repr(v)
+
+
+def point_wkt(x: float, y: float) -> str:
+    return f"POINT ({_fmt(x)} {_fmt(y)})"
+
+
+def polygon_wkt(rings: list[np.ndarray]) -> str:
+    parts = []
+    for ring in rings:
+        coords = ",".join(f"{_fmt(x)} {_fmt(y)}" for x, y in ring)
+        parts.append(f"({coords})")
+    return "POLYGON (" + ",".join(parts) + ")"
