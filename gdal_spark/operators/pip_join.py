@@ -1,0 +1,188 @@
+"""Point-in-polygon spatial join — the engine's flagship operator.
+
+Re-answers ``OGRLayer::Intersection`` for point inputs
+(ogr/ogrsf_frmts/generic/ogrlayer.cpp:3345-3580) with a Spark-first plan
+replacing the reference's nested loop + prepared-geometry pretest:
+
+  1. **Cell index**: every zone polygon's envelope is covered with
+     GlobalMercator cells at ``zoom`` (numpy, one mapInPandas over the
+     small zone layer); every point gets its single cell JVM-side (pure
+     Spark SQL tile math — no Python in the big-side scan).
+  2. **Join**: hash join on (cell_tx, cell_ty).  ``broadcast`` strategy
+     (default, zones are a dim table) = map-side join, zero shuffle of
+     the doc corpus, immune to hot-cell skew.  ``shuffle`` strategy (for
+     huge zone layers) salts the point side SALT ways and replicates
+     zone-cells per salt, bounding any one reducer's share of a hot cell.
+  3. **Refine**: envelope prefilter JVM-side (the reference's bbox
+     short-circuit, ogrgeometry.cpp:586-593), then exact ray-cast PIP in
+     an Arrow-batched pandas UDF (port of ogrlinearring.cpp:453-532).
+
+Output = point columns ⊕ zone columns (ogrlayer.cpp:3550-3560 result
+schema), span sequence untouched.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from gdal_spark.geometry import mercator
+from gdal_spark.geometry.envelope import wkt_envelope
+from gdal_spark.geometry.wkt import parse_wkt
+
+DEFAULT_ZOOM = 6  # ~5.6° cells at equator; zone envelopes span O(10) cells
+
+
+def _cover_cells(env, zoom):
+    """All (tx, ty) mercator cells intersecting an envelope (lon/lat)."""
+    xmin, ymin, xmax, ymax = env
+    # clamp to mercator domain
+    ymin = max(ymin, -85.05)
+    ymax = min(ymax, 85.05)
+    xmin = max(xmin, -179.999999)
+    xmax = min(xmax, 179.999999)
+    tx0, ty0 = (int(v) for v in mercator.lat_lon_to_tile(ymin, xmin, zoom))
+    tx1, ty1 = (int(v) for v in mercator.lat_lon_to_tile(ymax, xmax, zoom))
+    n = 2**zoom
+    out = []
+    for tx in range(max(tx0, 0), min(tx1, n - 1) + 1):
+        for ty in range(max(ty0, 0), min(ty1, n - 1) + 1):
+            out.append((tx, ty))
+    return out
+
+
+def zone_cell_index(
+    zones: DataFrame, zoom: int = DEFAULT_ZOOM, wkt_col: str = "geom_wkt"
+) -> DataFrame:
+    """Explode a zone layer into one row per covered mercator cell, with
+    the zone envelope attached for the JVM-side prefilter."""
+    from pyspark.sql.types import DoubleType
+
+    in_schema = zones.schema
+    out_schema = StructType(
+        list(in_schema.fields)
+        + [
+            StructField("cell_tx", LongType()),
+            StructField("cell_ty", LongType()),
+            StructField("env_xmin", DoubleType()),
+            StructField("env_ymin", DoubleType()),
+            StructField("env_xmax", DoubleType()),
+            StructField("env_ymax", DoubleType()),
+        ]
+    )
+
+    def expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for idx, wkt in enumerate(pdf[wkt_col]):
+                env = wkt_envelope(wkt)
+                for tx, ty in _cover_cells(env, zoom):
+                    rows.append((idx, tx, ty, *env))
+            if not rows:
+                yield pd.DataFrame(columns=out_schema.names)
+                continue
+            expd = pd.DataFrame(
+                rows,
+                columns=["_i", "cell_tx", "cell_ty", "env_xmin", "env_ymin", "env_xmax", "env_ymax"],
+            )
+            base = pdf.reset_index(drop=True)
+            joined = base.iloc[expd["_i"]].reset_index(drop=True)
+            for c in ("cell_tx", "cell_ty", "env_xmin", "env_ymin", "env_xmax", "env_ymax"):
+                joined[c] = expd[c].values
+            yield joined[out_schema.names]
+
+    return zones.mapInPandas(expand, out_schema)
+
+
+def with_point_cell(points: DataFrame, zoom: int = DEFAULT_ZOOM) -> DataFrame:
+    """Attach (cell_tx, cell_ty) to a point DataFrame — pure JVM math."""
+    return points.withColumn(
+        "cell_tx", F.expr(mercator.sql_tx("lon", str(zoom)))
+    ).withColumn("cell_ty", F.expr(mercator.sql_ty("lat", str(zoom))))
+
+
+def _make_refine_udf(zone_geoms: dict):
+    """pandas UDF testing (lon, lat) against the polygon for zone_id.
+    ``zone_geoms``: zone_id -> list of ring-lists (multipolygon form),
+    captured in the closure → shipped once per executor, not per row."""
+    from gdal_spark.geometry.pip import points_in_polygon
+
+    @F.pandas_udf(BooleanType())
+    def refine(lon: pd.Series, lat: pd.Series, zone_id: pd.Series) -> pd.Series:
+        xs = lon.to_numpy(dtype=np.float64)
+        ys = lat.to_numpy(dtype=np.float64)
+        zid = zone_id.to_numpy()
+        out = np.zeros(len(xs), dtype=bool)
+        for z in pd.unique(zid):
+            mask = zid == z
+            polys = zone_geoms.get(z)
+            if polys is None:
+                continue
+            hit = np.zeros(int(mask.sum()), dtype=bool)
+            for rings in polys:
+                hit |= points_in_polygon(xs[mask], ys[mask], rings)
+            out[mask] = hit
+        return pd.Series(out)
+
+    return refine
+
+
+def collect_zone_geoms(zones: DataFrame, id_col="zone_id", wkt_col="geom_wkt") -> dict:
+    """Driver-side parse of the zone layer (small dim by contract —
+    the reference likewise materializes the method layer's spatial index)."""
+    out: dict = {}
+    for row in zones.select(id_col, wkt_col).collect():
+        typ, payload = parse_wkt(row[wkt_col])
+        out[row[id_col]] = payload if typ == "MULTIPOLYGON" else [payload]
+    return out
+
+
+def pip_join(
+    points: DataFrame,
+    zones: DataFrame,
+    zoom: int = DEFAULT_ZOOM,
+    strategy: str = "broadcast",
+    salt: int = 8,
+    zone_id_col: str = "zone_id",
+    wkt_col: str = "geom_wkt",
+) -> DataFrame:
+    """Spatial inner join: point docs x polygon zones.
+
+    Returns points.* ⊕ zones.* (minus helper columns) for every (point,
+    zone) pair where the point lies strictly inside the zone polygon.
+    """
+    cells = zone_cell_index(zones, zoom, wkt_col)
+    pts = with_point_cell(points, zoom)
+    if strategy == "broadcast":
+        cand = pts.join(F.broadcast(cells), ["cell_tx", "cell_ty"], "inner")
+    elif strategy == "shuffle":
+        # salt the hot cells: point side gets a deterministic salt,
+        # zone-cell side is replicated once per salt value
+        pts = pts.withColumn("_salt", F.pmod(F.xxhash64("doc_id"), F.lit(salt)))
+        salts = pts.sparkSession.range(salt).select(F.col("id").alias("_salt"))
+        cells = cells.crossJoin(salts)
+        cand = pts.join(cells, ["cell_tx", "cell_ty", "_salt"], "inner").drop("_salt")
+    else:
+        raise ValueError(f"unknown strategy: {strategy}")
+
+    cand = cand.filter(
+        (F.col("lon") >= F.col("env_xmin"))
+        & (F.col("lon") <= F.col("env_xmax"))
+        & (F.col("lat") >= F.col("env_ymin"))
+        & (F.col("lat") <= F.col("env_ymax"))
+    )
+    refine = _make_refine_udf(collect_zone_geoms(zones, zone_id_col, wkt_col))
+    out = cand.filter(refine(F.col("lon"), F.col("lat"), F.col(zone_id_col)))
+    return out.drop(
+        "cell_tx", "cell_ty", "env_xmin", "env_ymin", "env_xmax", "env_ymax"
+    )

@@ -1,0 +1,106 @@
+"""PIP join correctness: DuckDB oracle on rect zones, hand goldens on
+hole/concave/multipolygon zones, span-sequence invariant, strategy parity."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from gdal_spark import corpus, zones
+from gdal_spark.operators.pip_join import pip_join, zone_cell_index
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return corpus.load_docs(spark, sf_dir).cache()
+
+
+@pytest.fixture(scope="module")
+def rect_zones_df(spark):
+    return zones.rect_zones(spark).cache()
+
+
+def oracle_pairs(sf_dir):
+    con = duckdb.connect()
+    sql = f"""
+    WITH docs AS ({corpus.duckdb_docs_cte(f"read_parquet('{sf_dir}/documents.parquet')")}),
+         zones AS ({zones.duckdb_zones_cte()})
+    SELECT d.doc_id, z.zone_id
+    FROM docs d JOIN zones z
+      ON d.lon > z.zxmin AND d.lon < z.zxmax
+     AND d.lat > z.zymin AND d.lat < z.zymax
+    """
+    return sorted(con.execute(sql).fetchall())
+
+
+class TestPipJoinOracle:
+    def test_matches_duckdb(self, spark, sf_dir, docs, rect_zones_df):
+        out = pip_join(docs, rect_zones_df.drop("zxmin", "zymin", "zxmax", "zymax"))
+        got = sorted(
+            (r.doc_id, r.zone_id) for r in out.select("doc_id", "zone_id").collect()
+        )
+        expect = oracle_pairs(sf_dir)
+        assert len(expect) > 0, "oracle produced no pairs — fixture broken"
+        assert got == expect
+
+    def test_shuffle_strategy_same_result(self, spark, docs, rect_zones_df):
+        z = rect_zones_df.drop("zxmin", "zymin", "zxmax", "zymax")
+        b = sorted(
+            (r.doc_id, r.zone_id)
+            for r in pip_join(docs, z, strategy="broadcast")
+            .select("doc_id", "zone_id")
+            .collect()
+        )
+        s = sorted(
+            (r.doc_id, r.zone_id)
+            for r in pip_join(docs, z, strategy="shuffle", salt=4)
+            .select("doc_id", "zone_id")
+            .collect()
+        )
+        assert b == s
+
+    def test_output_schema_is_left_plus_right(self, docs, rect_zones_df):
+        z = rect_zones_df.drop("zxmin", "zymin", "zxmax", "zymax")
+        out = pip_join(docs, z)
+        cols = set(out.columns)
+        # point fields ⊕ zone fields (ogrlayer.cpp:3550-3560)
+        assert {"doc_id", "spans", "lon", "lat", "zone_id", "area", "prfedea"} <= cols
+        assert "cell_tx" not in cols and "env_xmin" not in cols
+
+    def test_span_sequence_invariant(self, docs, rect_zones_df):
+        z = rect_zones_df.drop("zxmin", "zymin", "zxmax", "zymax")
+        out = pip_join(docs, z)
+        joined = out.alias("o").join(
+            docs.alias("d"), F.col("o.doc_id") == F.col("d.doc_id")
+        )
+        mismatches = joined.filter(F.col("o.spans") != F.col("d.spans")).count()
+        assert mismatches == 0
+
+
+class TestPipJoinGoldens:
+    def test_fancy_polygons(self, spark):
+        pts = spark.createDataFrame(
+            [
+                # (doc_id, lon, lat, expected zone ids)
+                (1, 5.0, 5.0),     # donut body -> 9001
+                (2, 10.0, 10.0),   # donut hole -> none
+                (3, 32.0, 10.0),   # C spine -> 9002
+                (4, 40.0, 10.0),   # C notch -> none
+                (5, -35.0, -15.0), # left square -> 9003
+                (6, -25.0, -15.0), # right square -> 9004
+                (7, 61.0, 1.0),    # first part of multipolygon -> 9005
+                (8, 71.0, 1.0),    # second part -> 9005
+                (9, 65.0, 1.0),    # between parts -> none
+            ],
+            "doc_id long, lon double, lat double",
+        )
+        out = pip_join(pts, zones.fancy_zones(spark))
+        got = sorted((r.doc_id, r.zone_id) for r in out.select("doc_id", "zone_id").collect())
+        assert got == [(1, 9001), (3, 9002), (5, 9003), (6, 9004), (7, 9005), (8, 9005)]
+
+    def test_cell_index_covers_envelope(self, spark):
+        z = zones.fancy_zones(spark)
+        cells = zone_cell_index(z, zoom=4)
+        rows = cells.collect()
+        assert len(rows) >= z.count()  # at least one cell per zone
+        for r in rows:
+            assert r.env_xmax >= r.env_xmin and r.env_ymax >= r.env_ymin
