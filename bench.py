@@ -1,0 +1,184 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line.
+
+Headline suite runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS]; the doc corpus is replicated deterministically
+to bench scale (corpus.load_docs(replicate=...)).
+
+Scaling evidence for the north rule (efficiency >= 0.8 from N to 4N
+executors, measured here as local[8] vs local[32] per BASELINE.md §2
+sandbox protocol): the flagship PIP join runs in two fresh subprocesses
+(one JVM each — getOrCreate caches conf, so same-process re-runs would
+lie), shuffle partitions scaled with cores; reported as
+scaling.efficiency = (T_lo / T_hi) / (cpus_hi / cpus_lo).
+
+Set SPARK_GRAFT_SKIP_SCALING=1 to skip the probe (fast iteration).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# replication factors sized for ~1-2M docs at sf0.1 (5 000 base docs)
+PIP_REPL = int(os.environ.get("SPARK_GRAFT_PIP_REPL", "400"))
+KNN_REPL = int(os.environ.get("SPARK_GRAFT_KNN_REPL", "40"))
+TILE_REPL = int(os.environ.get("SPARK_GRAFT_TILE_REPL", "400"))
+CLIP_REPL = int(os.environ.get("SPARK_GRAFT_CLIP_REPL", "100"))
+TEXT_REPL = int(os.environ.get("SPARK_GRAFT_TEXT_REPL", "20"))
+
+
+def flagship_pip_count(spark, sf_dir: str, replicate: int) -> int:
+    """The scaling-probe job: replicated corpus -> cell join -> refine."""
+    from gdal_spark import corpus, zones
+    from gdal_spark.operators.pip_join import pip_join
+
+    docs = corpus.load_docs(spark, sf_dir, replicate=replicate)
+    z = zones.rect_zones(spark).drop("zxmin", "zymin", "zxmax", "zymax")
+    return pip_join(docs, z).count()
+
+
+def _probe_main(cpus: int) -> None:
+    """Subprocess entry: run the flagship job on local[cpus], print JSON."""
+    from gdal_spark.session import get_spark
+
+    spark = get_spark(app_name=f"bench-probe-{cpus}", cpus=cpus)
+    # warm the JVM + parquet footers so the timed run measures the job
+    flagship_pip_count(spark, SF_DIR, replicate=max(PIP_REPL // 20, 1))
+    t0 = time.monotonic()
+    n = flagship_pip_count(spark, SF_DIR, replicate=PIP_REPL)
+    dt = time.monotonic() - t0
+    print(json.dumps({"cpus": cpus, "seconds": dt, "rows": n}))
+    spark.stop()
+
+
+def run_scaling_probe() -> dict:
+    lo, hi = 8, 32
+    out = {}
+    for cpus in (lo, hi):
+        env = dict(os.environ)
+        env["SPARK_GRAFT_CPUS"] = str(cpus)
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--scale-probe", str(cpus)],
+            capture_output=True,
+            text=True,
+            env=env,
+            timeout=900,
+        )
+        line = [ln for ln in r.stdout.splitlines() if ln.startswith("{")][-1]
+        out[cpus] = json.loads(line)
+    n_docs = 5000 * PIP_REPL  # corpus rows processed
+    t_lo, t_hi = out[lo]["seconds"], out[hi]["seconds"]
+    return {
+        "cpus_lo": lo,
+        "cpus_hi": hi,
+        "seconds_lo": round(t_lo, 3),
+        "seconds_hi": round(t_hi, 3),
+        "docs_per_sec_lo": round(n_docs / t_lo, 1),
+        "docs_per_sec_hi": round(n_docs / t_hi, 1),
+        "efficiency": round((t_lo / t_hi) / (hi / lo), 3),
+    }
+
+
+def main() -> None:
+    if len(sys.argv) > 2 and sys.argv[1] == "--scale-probe":
+        _probe_main(int(sys.argv[2]))
+        return
+
+    from gdal_spark import corpus, zones
+    from gdal_spark.session import get_spark
+
+    spark = get_spark(app_name="gdal-spark-bench", cpus=CPUS)
+    timings: dict[str, float] = {}
+    meta: dict[str, int] = {}
+
+    def timed(name: str, fn):
+        t0 = time.monotonic()
+        n = fn()
+        timings[name] = round(time.monotonic() - t0, 3)
+        meta[name] = n
+
+    z = zones.rect_zones(spark).drop("zxmin", "zymin", "zxmax", "zymax")
+    cz = zones.clip_zones(spark).drop("zxmin", "zymin", "zxmax", "zymax")
+
+    def q_pip():
+        from gdal_spark.operators.pip_join import pip_join
+
+        docs = corpus.load_docs(spark, SF_DIR, replicate=PIP_REPL)
+        return pip_join(docs, z).count()
+
+    def q_knn():
+        from gdal_spark.operators.knn import knn_join, knn_targets
+
+        docs = corpus.load_docs(spark, SF_DIR, replicate=KNN_REPL).select(
+            "doc_id", "lon", "lat"
+        )
+        return knn_join(docs, knn_targets(spark), k=5).count()
+
+    def q_pyramid():
+        from gdal_spark.operators.tiling import tile_pyramid
+
+        docs = corpus.load_docs(spark, SF_DIR, replicate=TILE_REPL).select("lon", "lat")
+        return tile_pyramid(docs, 8).count()
+
+    def q_clip():
+        from gdal_spark.operators.overlay import intersection_join
+
+        pdocs = corpus.load_polydocs(spark, SF_DIR, replicate=CLIP_REPL)
+        return intersection_join(pdocs, cz).count()
+
+    def q_raster():
+        from gdal_spark.operators.raster import tile_pyramid_checksums
+
+        return tile_pyramid_checksums(spark, zmax=3).count()
+
+    def q_minhash():
+        from gdal_spark.operators.text import minhash_lsh_pairs
+
+        d = corpus.load_docs(spark, SF_DIR, replicate=TEXT_REPL).select(
+            "doc_id", F.col("text")
+        )
+        return minhash_lsh_pairs(d, threshold=0.5).count()
+
+    def q_ann():
+        from gdal_spark.operators.similarity import brute_force_topk
+
+        e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        return brute_force_topk(e, e, k=3).count()
+
+    from pyspark.sql import functions as F  # noqa: E402
+
+    timed("pip_join", q_pip)
+    timed("knn", q_knn)
+    timed("tile_pyramid", q_pyramid)
+    timed("clip", q_clip)
+    timed("raster_pyramid", q_raster)
+    timed("minhash_lsh", q_minhash)
+    timed("ann_topk", q_ann)
+    spark.stop()
+
+    total = round(sum(timings.values()), 3)
+    pip_docs = 5000 * PIP_REPL
+    result = {
+        "metric": "headline suite wall time (spatial join + tiling + dedup + ann)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+        "cpus": CPUS,
+        "rows": meta,
+        "pip_docs_per_sec": round(pip_docs / timings["pip_join"], 1),
+    }
+    if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
+        result["scaling"] = run_scaling_probe()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

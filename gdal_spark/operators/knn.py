@@ -143,7 +143,12 @@ def knn_join(
     tid = tpd["target_id"].to_numpy(np.int64)
     max_ring = int(np.ceil(360.0 / cell_deg))  # full-world fallback bound
 
-    out_schema = docs.schema.add("target_id", "long").add("rnk", "int")
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    out_schema = StructType(
+        list(docs.schema.fields)
+        + [StructField("target_id", LongType()), StructField("rnk", IntegerType())]
+    )
     doc_cols = [f.name for f in docs.schema.fields]
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

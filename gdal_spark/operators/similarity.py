@@ -1,0 +1,168 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — the target matrix is a dim table
+(like the reference's in-memory point quadtree in gdalgrid.cpp), shipped
+once per executor inside a mapInPandas closure; queries stream through
+in Arrow batches and the scoring is one f64 GEMM per batch.  Zero
+shuffle, partition-parallel.
+
+Scale path: LSH-bucketed variant — random-hyperplane signatures bucket
+both sides, candidates meet in an equi-join on (plane-prefix bucket),
+exact cosine re-scored only within buckets.  Trades recall for a join
+whose cost is data-proportional instead of N x M.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+
+def _matrix(df: DataFrame, id_col: str, vec_col: str):
+    pdf = df.select(id_col, vec_col).toPandas()
+    ids = pdf[id_col].to_numpy(np.int64)
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    return ids, mat / norms[:, None]
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    targets: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """(query id, neighbor id, rnk) — exact cosine top-k; ties by min
+    neighbor id."""
+    tids, tmat = _matrix(targets, id_col, vec_col)
+    schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("neighbor_id", LongType()),
+            StructField("rnk", IntegerType()),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qids = pdf[id_col].to_numpy(np.int64)
+            qmat = np.stack([np.asarray(v, np.float64) for v in pdf[vec_col]])
+            qn = np.linalg.norm(qmat, axis=1)
+            qn[qn == 0] = 1.0
+            sims = (qmat / qn[:, None]) @ tmat.T  # (B, N)
+            if exclude_self:
+                self_mask = qids[:, None] == tids[None, :]
+                sims = np.where(self_mask, -np.inf, sims)
+            order = np.lexsort((tids[None, :].repeat(len(qids), 0), -sims), axis=1)[
+                :, :k
+            ]
+            topk_sims = np.take_along_axis(sims, order, axis=1)
+            out = pd.DataFrame(
+                {
+                    "query_id": np.repeat(qids, k),
+                    "neighbor_id": tids[order].ravel(),
+                    "rnk": np.tile(np.arange(1, k + 1, dtype=np.int32), len(qids)),
+                    "cosine": topk_sims.ravel(),
+                }
+            )
+            yield out
+
+    return queries.select(id_col, vec_col).mapInPandas(kernel, schema)
+
+
+def lsh_topk(
+    queries: DataFrame,
+    targets: DataFrame,
+    k: int = 3,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k: random-hyperplane LSH bucket join, exact
+    re-score inside buckets. Recall < 1 by design (graded in tests)."""
+    # plane matrix generated deterministically; dim sniffed from one row
+    dim = len(queries.select(vec_col).first()[0])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, n_planes, dim))
+
+    sig_schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("table", IntegerType()),
+            StructField("bucket", LongType()),
+        ]
+    )
+
+    def signer(df: DataFrame) -> DataFrame:
+        def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                ids = pdf[id_col].to_numpy(np.int64)
+                mat = np.stack([np.asarray(v, np.float64) for v in pdf[vec_col]])
+                rows = []
+                for t in range(n_tables):
+                    bits = (mat @ planes[t].T) > 0  # (B, n_planes)
+                    bucket = (
+                        bits.astype(np.int64) * (1 << np.arange(n_planes))
+                    ).sum(axis=1)
+                    rows.append(
+                        pd.DataFrame(
+                            {"id": ids, "table": np.int32(t), "bucket": bucket}
+                        )
+                    )
+                yield pd.concat(rows)
+
+        return df.select(id_col, vec_col).mapInPandas(kernel, sig_schema)
+
+    qs = signer(queries).withColumnsRenamed({"id": "query_id"})
+    ts = signer(targets).withColumnsRenamed({"id": "neighbor_id"})
+    cand = (
+        qs.join(ts, ["table", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .dropDuplicates()
+    )
+    # exact re-score of candidates
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    tv = targets.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("tv"))
+    scored = cand.join(qv, "query_id").join(tv, "neighbor_id")
+
+    dot = F.aggregate(
+        F.zip_with("qv", "tv", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    scored = scored.withColumn("cosine", dot / (norm(F.col("qv")) * norm(F.col("tv"))))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", F.col("rnk").cast("int").alias("rnk"), "cosine")
+    )

@@ -1,0 +1,263 @@
+"""Text-analysis operators for the large-scale training-data pipeline:
+language ID, quality scoring, token counting, fingerprinting, and the
+dedup family (exact, MinHash+LSH, SimHash, n-gram Jaccard).
+
+All hot-path kernels are either JVM-side column expressions (quality,
+token counts, exact dedup) or Arrow-batched numpy (signatures); no
+per-row Python.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+# ------------------------------------------------------------ JVM-side ops
+
+def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / token / punctuation / stopword quality features —
+    pure column expressions (whole-stage codegen)."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    tokens = F.split(t, " ")
+    n_tokens = F.size(tokens)
+    stop = F.array([F.lit(w) for w in ("the", "a", "of", "and", "to")])
+    n_stop = F.size(F.array_intersect(tokens, stop))
+    n_punct = F.length(F.regexp_replace(t, "[^.,!?;]", ""))
+    return (
+        df.withColumn("n_chars_q", n_chars)
+        .withColumn("n_tokens", n_tokens)
+        .withColumn("n_punct", n_punct)
+        .withColumn("n_stop_kinds", n_stop)
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups by content hash; keeper = min id.
+    (hash-groupBy: one shuffle on the 32-hex key, partial agg map-side)."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.count("*").alias("n_dups"), F.min(id_col).alias("keeper_id"))
+    )
+
+
+# ------------------------------------------------------- numpy signatures
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _token_hashes(text: str, ngram: int) -> np.ndarray:
+    """Stable 64-bit hashes of word n-grams (md5-based — deterministic
+    across processes, unlike Python's salted hash())."""
+    words = text.split()
+    if len(words) < ngram:
+        grams = [" ".join(words)] if words else []
+    else:
+        grams = [" ".join(words[i : i + ngram]) for i in range(len(words) - ngram + 1)]
+    out = np.empty(len(grams), dtype=np.uint64)
+    for i, g in enumerate(grams):
+        out[i] = int.from_bytes(hashlib.md5(g.encode()).digest()[:8], "little")
+    return np.unique(out)
+
+
+def _minhash_params(num_perm: int, seed: int = 42):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    ngram: int = 3,
+) -> DataFrame:
+    """(id, sig:array<long>) MinHash signatures over word n-grams."""
+    a, b = _minhash_params(num_perm)
+    schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("sig", ArrayType(LongType())),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, sigs = [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                h = _token_hashes(text or "", ngram)
+                if h.size == 0:
+                    sig = np.zeros(num_perm, dtype=np.int64)
+                else:
+                    # universal hashing: (a*h + b) mod p, min per permutation
+                    vals = (
+                        a[:, None] * (h[None, :] % _MERSENNE) + b[:, None]
+                    ) % _MERSENNE
+                    sig = vals.min(axis=1).astype(np.int64)
+                ids.append(did)
+                sigs.append(sig.tolist())
+            yield pd.DataFrame({id_col: ids, "sig": sigs})
+
+    return df.select(id_col, text_col).mapInPandas(kernel, schema)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    ngram: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via banded LSH, verified by the
+    MinHash Jaccard estimate >= threshold.
+
+    Plan shape (the scale path): signatures -> explode to (band,
+    band-hash) keys -> self-equi-join on the band bucket (shuffle hash
+    join on a high-cardinality key — no O(n²) compare) -> estimate
+    filter.  Pairs emitted once (id_a < id_b), deduped across bands.
+    """
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_perm, ngram)
+    banded = sigs.select(
+        F.col(id_col),
+        F.col("sig"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            F.slice("sig", bi * rows_per_band + 1, rows_per_band)
+                        ).alias("bucket"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "sig", "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                lambda v: v,
+            )
+        )
+        / F.lit(num_perm)
+    )
+    return pairs.select("id_a", "id_b", est.alias("est_jaccard")).filter(
+        F.col("est_jaccard") >= threshold
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard for given (id_a, id_b) candidate pairs."""
+    texts = df.select(F.col(id_col), F.col(text_col))
+    joined = (
+        pairs.join(texts.withColumnsRenamed({id_col: "id_a", text_col: "text_a"}), "id_a")
+        .join(texts.withColumnsRenamed({id_col: "id_b", text_col: "text_b"}), "id_b")
+    )
+    schema = StructType(
+        [
+            StructField("id_a", LongType()),
+            StructField("id_b", LongType()),
+        ]
+    ).add("jaccard", "double")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ja = []
+            for ta, tb in zip(pdf["text_a"], pdf["text_b"]):
+                ha = _token_hashes(ta or "", ngram)
+                hb = _token_hashes(tb or "", ngram)
+                inter = np.intersect1d(ha, hb, assume_unique=True).size
+                union = ha.size + hb.size - inter
+                ja.append(inter / union if union else 0.0)
+            yield pd.DataFrame(
+                {"id_a": pdf["id_a"], "id_b": pdf["id_b"], "jaccard": ja}
+            )
+
+    return joined.mapInPandas(kernel, schema)
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash over word tokens (weighted bit-vote)."""
+    schema = StructType(
+        [StructField(id_col, LongType()), StructField("simhash", LongType())]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for text in pdf[text_col]:
+                h = _token_hashes(text or "", 1)
+                if h.size == 0:
+                    out.append(0)
+                    continue
+                shifts = np.arange(64, dtype=np.uint64)
+                bits = ((h[:, None] >> shifts[None, :]) & np.uint64(1)).astype(
+                    np.int64
+                )
+                votes = (2 * bits - 1).sum(axis=0)
+                val = int(((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+                out.append(val - (1 << 64) if val >= (1 << 63) else val)
+            yield pd.DataFrame({id_col: pdf[id_col], "simhash": out})
+
+    return df.select(id_col, text_col).mapInPandas(kernel, schema)
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Polynomial rolling-hash document fingerprint (mod 2^61-1)."""
+    schema = StructType(
+        [StructField(id_col, LongType()), StructField("fingerprint", LongType())]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for text in pdf[text_col]:
+                acc = 0
+                for ch in (text or "").encode():
+                    acc = (acc * 131 + ch) % _MERSENNE
+                out.append(acc)
+            yield pd.DataFrame({id_col: pdf[id_col], "fingerprint": out})
+
+    return df.select(id_col, text_col).mapInPandas(kernel, schema)

@@ -1,0 +1,56 @@
+"""Tile assignment + pyramid — the gdal2tiles workload.
+
+``tile_counts``: every doc -> its (tx, ty) mercator tile at a zoom, via
+pure Spark SQL tile math (gdal2tiles.py:422-530 port) — single
+whole-stage-codegen projection over the scan, no Python.
+
+``tile_pyramid``: base tiles at zmax, then overview levels z-1..0 by the
+reference's 4-child reduce — parent tile = (tx >> 1, ty >> 1), exactly
+create_overview_tile's parent derivation (gdal2tiles.py:1484-1486).
+``ceil(px/256)-1`` is dyadic, so floor-halving the child index equals
+recomputing the tile at the coarser zoom (proof: if t=ceil(p/256)-1 then
+ceil(p/512)-1 == t>>1 for t>=0) — the reduce is bit-identical to direct
+assignment while shuffling geometrically-shrinking aggregates instead of
+(zmax+1) x the corpus.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gdal_spark.geometry import mercator
+
+
+def tile_counts(docs: DataFrame, zoom: int, lon_col="lon", lat_col="lat") -> DataFrame:
+    """(zoom, tx, ty, n_docs) at a single zoom level."""
+    return (
+        docs.select(
+            F.expr(mercator.sql_tx(lon_col, str(zoom))).alias("tx"),
+            F.expr(mercator.sql_ty(lat_col, str(zoom))).alias("ty"),
+        )
+        .groupBy("tx", "ty")
+        .agg(F.count("*").alias("n_docs"))
+        .select(F.lit(zoom).alias("zoom"), "tx", "ty", "n_docs")
+    )
+
+
+def tile_pyramid(docs: DataFrame, zmax: int, lon_col="lon", lat_col="lat") -> DataFrame:
+    """(zoom, tx, ty, n_docs) for zoom in [0, zmax] via 4-child reduce."""
+    levels = [tile_counts(docs, zmax, lon_col, lat_col)]
+    for z in range(zmax, 0, -1):
+        child = levels[-1]
+        parent = (
+            child.select(
+                F.shiftright("tx", 1).alias("tx"),
+                F.shiftright("ty", 1).alias("ty"),
+                "n_docs",
+            )
+            .groupBy("tx", "ty")
+            .agg(F.sum("n_docs").alias("n_docs"))
+            .select(F.lit(z - 1).alias("zoom"), "tx", "ty", "n_docs")
+        )
+        levels.append(parent)
+    return reduce(DataFrame.unionByName, levels)

@@ -107,6 +107,482 @@ def q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# kNN lookup (gdalgrid.cpp:241-330 quadtree radius search analog)
+# --------------------------------------------------------------------------
+from gdal_spark.operators.knn import duckdb_targets_cte  # noqa: E402
+
+_KNN_K = 5
+_KNN_ORACLE = f"""
+WITH docs AS ({_DOCS_CTE}), t AS ({duckdb_targets_cte()}),
+d AS (
+  SELECT docs.doc_id, t.target_id,
+         (docs.lon - t.tlon) * (docs.lon - t.tlon)
+       + (docs.lat - t.tlat) * (docs.lat - t.tlat) AS d2
+  FROM docs, t
+),
+r AS (
+  SELECT doc_id, target_id,
+         row_number() OVER (PARTITION BY doc_id ORDER BY d2, target_id) AS rnk
+  FROM d
+)
+SELECT doc_id, target_id, CAST(rnk AS int) AS rnk FROM r WHERE rnk <= {_KNN_K}
+"""
+
+
+@register("knn", _KNN_ORACLE)
+def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k=5 nearest targets per doc via cell-ring expansion (map-side,
+    zero shuffle); ties by min target_id."""
+    from gdal_spark.operators.knn import knn_join, knn_targets
+
+    docs = corpus.load_docs(spark, sf_dir).select("doc_id", "lon", "lat")
+    out = knn_join(docs, knn_targets(spark), k=_KNN_K)
+    return out.select("doc_id", "target_id", "rnk")
+
+
+# --------------------------------------------------------------------------
+# Tile pyramid (gdal2tiles base + overview reduce)
+# --------------------------------------------------------------------------
+_PYR_ZMAX = 8
+_PYR_ORACLE = f"""
+WITH docs AS ({_DOCS_CTE}),
+zl AS (SELECT i AS zoom FROM range(0, {_PYR_ZMAX + 1}) t(i)),
+t AS (
+  SELECT CAST(zl.zoom AS int) AS zoom,
+         {mercator.sql_tx('lon', 'zl.zoom')} AS tx,
+         {mercator.sql_ty('lat', 'zl.zoom')} AS ty
+  FROM docs, zl
+)
+SELECT zoom, tx, ty, count(*) AS n_docs FROM t GROUP BY zoom, tx, ty
+"""
+
+
+@register("tile_pyramid", _PYR_ORACLE)
+def q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tile doc counts for zoom 0..8; overview levels produced by the
+    4-child reduce (gdal2tiles.py:1484-1486), bit-identical to direct
+    assignment (dyadic pyramid proof in tiling.py)."""
+    from gdal_spark.operators.tiling import tile_pyramid
+
+    docs = corpus.load_docs(spark, sf_dir).select("lon", "lat")
+    return tile_pyramid(docs, _PYR_ZMAX)
+
+
+# --------------------------------------------------------------------------
+# Overlay family (ogrlayer.cpp Intersection/Clip/Erase/Identity)
+# --------------------------------------------------------------------------
+_POLYDOCS_CTE = corpus.duckdb_polydocs_cte("documents")
+_CLIPZ_CTE = zones.duckdb_clip_zones_cte()
+
+_RECT_OVERLAP = (
+    "d.xmin < z.zxmax AND z.zxmin < d.xmax AND d.ymin < z.zymax AND z.zymin < d.ymax"
+)
+_RECT_AREA = (
+    "(least(d.xmax, z.zxmax) - greatest(d.xmin, z.zxmin))"
+    " * (least(d.ymax, z.zymax) - greatest(d.ymin, z.zymin))"
+)
+
+_CLIP_ORACLE = f"""
+WITH docs AS ({_POLYDOCS_CTE}), z AS ({_CLIPZ_CTE})
+SELECT d.doc_id, z.zone_id,
+       CAST(round({_RECT_AREA} * 1.0e6) AS bigint) AS micro_area
+FROM docs d JOIN z ON {_RECT_OVERLAP}
+"""
+
+
+@register("clip_pieces", _CLIP_ORACLE)
+def q_clip_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise intersection pieces of polygon docs x disjoint clip layer
+    (= Clip decomposition when B is disjoint), micro-area (1e-6 deg^2)."""
+    from gdal_spark.operators.overlay import intersection_join
+
+    pd_docs = corpus.load_polydocs(spark, sf_dir)
+    cz = zones.clip_zones(spark).drop("zxmin", "zymin", "zxmax", "zymax")
+    out = intersection_join(pd_docs, cz)
+    return out.select(
+        "doc_id",
+        "zone_id",
+        F.round(F.col("piece_area") * 1.0e6).cast("long").alias("micro_area"),
+    )
+
+
+_ERASE_ORACLE = f"""
+WITH docs AS ({_POLYDOCS_CTE}), z AS ({_CLIPZ_CTE}),
+cut AS (
+  SELECT d.doc_id, sum({_RECT_AREA}) AS c
+  FROM docs d JOIN z ON {_RECT_OVERLAP}
+  GROUP BY d.doc_id
+)
+SELECT d.doc_id,
+       CAST(round(((d.xmax - d.xmin) * (d.ymax - d.ymin) - COALESCE(cut.c, 0.0e0)) * 1.0e6) AS bigint) AS micro_area
+FROM docs d LEFT JOIN cut ON d.doc_id = cut.doc_id
+"""
+
+
+@register("erase_area", _ERASE_ORACLE)
+def q_erase_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Erase (A − union B): remaining micro-area per doc."""
+    from gdal_spark.operators.overlay import erase_area
+
+    pd_docs = corpus.load_polydocs(spark, sf_dir)
+    cz = zones.clip_zones(spark).drop("zxmin", "zymin", "zxmax", "zymax")
+    return erase_area(pd_docs, cz).select(
+        "doc_id", F.round(F.col("erase_area") * 1.0e6).cast("long").alias("micro_area")
+    )
+
+
+_IDENTITY_ORACLE = f"""
+WITH docs AS ({_POLYDOCS_CTE}), z AS ({_CLIPZ_CTE}),
+pieces AS (
+  SELECT d.doc_id, z.zone_id, {_RECT_AREA} AS a
+  FROM docs d JOIN z ON {_RECT_OVERLAP}
+),
+cut AS (SELECT doc_id, sum(a) AS c FROM pieces GROUP BY doc_id),
+remainder AS (
+  SELECT d.doc_id, CAST(NULL AS bigint) AS zone_id,
+         (d.xmax - d.xmin) * (d.ymax - d.ymin) - COALESCE(cut.c, 0.0e0) AS a
+  FROM docs d LEFT JOIN cut ON d.doc_id = cut.doc_id
+)
+SELECT doc_id, zone_id, CAST(round(a * 1.0e6) AS bigint) AS micro_area
+FROM (SELECT * FROM pieces UNION ALL SELECT * FROM remainder WHERE a > 0) u
+"""
+
+
+@register("identity_pieces", _IDENTITY_ORACLE)
+def q_identity_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identity (ogrlayer.cpp:4730): pieces ⊕ null-padded remainder."""
+    from gdal_spark.operators.overlay import identity_join
+
+    pd_docs = corpus.load_polydocs(spark, sf_dir)
+    cz = zones.clip_zones(spark).drop("zxmin", "zymin", "zxmax", "zymax")
+    return identity_join(pd_docs, cz).select(
+        "doc_id",
+        "zone_id",
+        F.round(F.col("piece_area") * 1.0e6).cast("long").alias("micro_area"),
+    )
+
+
+# --------------------------------------------------------------------------
+# OGR SQL surface (swq grammar subset) over the TPC-H-ish tables
+# --------------------------------------------------------------------------
+
+_SUMMARY_ORACLE = """
+SELECT count(*) AS cnt,
+       min(l_quantity) AS min_qty,
+       max(l_quantity) AS max_qty,
+       round(sum(l_extendedprice), 2) AS sum_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       round(stddev_samp(l_quantity), 6) AS sd_qty
+FROM lineitem
+"""
+
+
+@register("summary_agg", _SUMMARY_ORACLE)
+def q_summary_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OGR SQL summary mode (SWQM_SUMMARY_RECORD, ogr/ogr_swq.h:320):
+    MIN/MAX/AVG/SUM/COUNT/STDDEV registry ops (swq_op_registrar.cpp:53-59)
+    produce one row."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.agg(
+        F.count("*").alias("cnt"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+    )
+
+
+_DISTINCT_ORACLE = "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
+
+
+@register("distinct_list", _DISTINCT_ORACLE)
+def q_distinct_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT DISTINCT (SWQM_DISTINCT_LIST mode, ogr_swq.h:322)."""
+    return spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_returnflag", "l_linestatus"
+    ).distinct()
+
+
+_ORDER_LIMIT_ORACLE = """
+SELECT l_orderkey, l_linenumber, l_extendedprice
+FROM lineitem
+ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+LIMIT 10
+"""
+
+
+@register("order_limit", _ORDER_LIMIT_ORACLE)
+def q_order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY ... LIMIT — Catalyst's TakeOrderedAndProject replaces the
+    reference's materialize-sort-index (ogr_gensql.cpp:2185-2400)."""
+    return (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(
+            F.col("l_extendedprice").desc(), F.col("l_orderkey"), F.col("l_linenumber")
+        )
+        .limit(10)
+    )
+
+
+_FIRST_MATCH_ORACLE = """
+WITH j AS (
+  SELECT o.o_orderkey, o.o_totalprice, l.l_linenumber, l.l_quantity,
+         row_number() OVER (
+           PARTITION BY o.o_orderkey
+           ORDER BY l.l_linenumber NULLS LAST, l.l_partkey NULLS LAST,
+                    l.l_suppkey NULLS LAST, l.l_extendedprice NULLS LAST
+         ) AS rn
+  FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+)
+SELECT o_orderkey, o_totalprice, l_linenumber, l_quantity FROM j WHERE rn = 1
+"""
+
+
+@register("first_match_join", _FIRST_MATCH_ORACLE)
+def q_first_match_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OGR SQL first-match LEFT JOIN (ogr_gensql.cpp:1497-1527):
+    one secondary row per primary, deterministic min-order tiebreak."""
+    from gdal_spark.operators.sqlops import first_match_join
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("k"), "o_totalprice"
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_orderkey").alias("k"),
+        "l_linenumber",
+        "l_quantity",
+        "l_partkey",
+        "l_suppkey",
+        "l_extendedprice",
+    )
+    out = first_match_join(
+        o, li, ["k"], ["l_linenumber", "l_partkey", "l_suppkey", "l_extendedprice"]
+    )
+    return out.select(
+        F.col("k").alias("o_orderkey"), "o_totalprice", "l_linenumber", "l_quantity"
+    )
+
+
+_LIKE_ORACLE = """
+SELECT p_partkey, p_name FROM part
+WHERE p_name LIKE '%widget%' AND p_type IN ('ECONOMY', 'PROMO')
+"""
+
+
+@register("like_filter", _LIKE_ORACLE)
+def q_like_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE + IN predicates (swq_op_general.cpp:41-160 matcher,
+    registry ops swq_op_registrar.cpp:32-42)."""
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    return p.filter(
+        F.col("p_name").like("%widget%") & F.col("p_type").isin("ECONOMY", "PROMO")
+    ).select("p_partkey", "p_name")
+
+
+_EXPR_ORACLE = """
+SELECT o_orderkey,
+       concat(substr(o_orderpriority, 1, 3), '-', CAST(o_orderkey % 7 AS VARCHAR)) AS tag,
+       CAST(floor(o_totalprice) AS BIGINT) AS price_int
+FROM orders
+"""
+
+
+@register("expr_project", _EXPR_ORACLE)
+def q_expr_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONCAT/SUBSTR/CAST scalar surface (swq_op_registrar.cpp:43-61).
+    double->int goes through floor() because bare CAST rounds in DuckDB
+    but truncates in Spark."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return o.select(
+        "o_orderkey",
+        F.concat(
+            F.substring("o_orderpriority", 1, 3),
+            F.lit("-"),
+            (F.col("o_orderkey") % 7).cast("string"),
+        ).alias("tag"),
+        F.floor("o_totalprice").cast("long").alias("price_int"),
+    )
+
+
+_UNION_ORACLE = """
+SELECT o_orderkey AS key, 'orders' AS src FROM orders WHERE o_totalprice > 400000
+UNION ALL
+SELECT l_orderkey AS key, 'lineitem' AS src FROM lineitem WHERE l_extendedprice > 90000
+"""
+
+
+@register("union_all", _UNION_ORACLE)
+def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL of selects — OGRUnionLayer (gdaldataset.cpp:7131-7177)
+    as unionByName."""
+    o = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_totalprice") > 400000)
+        .select(F.col("o_orderkey").alias("key"), F.lit("orders").alias("src"))
+    )
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .filter(F.col("l_extendedprice") > 90000)
+        .select(F.col("l_orderkey").alias("key"), F.lit("lineitem").alias("src"))
+    )
+    return o.unionByName(li)
+
+
+_JSON_ORACLE = """
+SELECT event_id, CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS k_val
+FROM events WHERE event_type IS NOT NULL
+"""
+
+
+@register("json_extract", _JSON_ORACLE)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HSTORE_GET_VALUE analog (swq_op_registrar.cpp:50): key extraction
+    from the props payload via regexp (shared pattern both engines)."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return e.filter(F.col("event_type").isNotNull()).select(
+        "event_id",
+        F.regexp_extract("props", '"k": (\\d+)', 1).cast("long").alias("k_val"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Training-data pipeline ops over documents / embeddings
+# --------------------------------------------------------------------------
+
+_DEDUP_ORACLE = """
+SELECT md5(text) AS content_hash, count(*) AS n_dups, min(doc_id) AS keeper_id
+FROM documents GROUP BY md5(text)
+"""
+
+
+@register("dedup_exact", _DEDUP_ORACLE)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.operators.text import exact_dedup
+
+    return exact_dedup(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+_QUALITY_ORACLE = """
+SELECT doc_id,
+       length(text) AS n_chars_q,
+       len(string_split(text, ' ')) AS n_tokens,
+       length(regexp_replace(text, '[^.,!?;]', '', 'g')) AS n_punct
+FROM documents
+"""
+
+
+@register("text_quality", _QUALITY_ORACLE)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring features — JVM column expressions only."""
+    from gdal_spark.operators.text import with_quality
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return with_quality(d).select("doc_id", "n_chars_q", "n_tokens", "n_punct")
+
+
+_LANG_ORACLE = """
+SELECT doc_id,
+       CASE WHEN contains(text, ' der ') OR contains(text, ' und ') THEN 'de'
+            WHEN contains(text, ' el ') OR contains(text, ' los ') THEN 'es'
+            WHEN contains(text, ' le ') OR contains(text, ' les ') THEN 'fr'
+            WHEN contains(text, ' the ') OR contains(text, ' and ') THEN 'en'
+            ELSE 'und' END AS lang_guess
+FROM documents
+"""
+
+
+@register("lang_id", _LANG_ORACLE)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language ID heuristic (deterministic CASE cascade)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = F.col("text")
+    has = lambda w: t.contains(w)  # noqa: E731
+    return d.select(
+        "doc_id",
+        F.when(has(" der ") | has(" und "), "de")
+        .when(has(" el ") | has(" los "), "es")
+        .when(has(" le ") | has(" les "), "fr")
+        .when(has(" the ") | has(" and "), "en")
+        .otherwise("und")
+        .alias("lang_guess"),
+    )
+
+
+# non-SQL-expressible ops: rows-only driver check, exactness via pytest
+@register("minhash_lsh")
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.operators.text import minhash_lsh_pairs
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_lsh_pairs(d, threshold=0.4).select(
+        "id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard")
+    )
+
+
+@register("simhash")
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.operators.text import simhash
+
+    return simhash(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+@register("fingerprint")
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.operators.text import fingerprint
+
+    return fingerprint(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+_ANN_K = 3
+_ANN_ORACLE = f"""
+WITH s AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         list_cosine_similarity(a.embedding, b.embedding) AS cos
+  FROM embeddings a, embeddings b
+  WHERE a.vec_id <> b.vec_id
+),
+r AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+  FROM s
+)
+SELECT query_id, neighbor_id, CAST(rnk AS int) AS rnk FROM r WHERE rnk <= {_ANN_K}
+"""
+
+
+@register("ann_topk", _ANN_ORACLE)
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k over the embeddings table (map-side GEMM)."""
+    from gdal_spark.operators.similarity import brute_force_topk
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return brute_force_topk(e, e, k=_ANN_K).select("query_id", "neighbor_id", "rnk")
+
+
+@register("ann_lsh")
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate variant (recall graded in pytest)."""
+    from gdal_spark.operators.similarity import lsh_topk
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return lsh_topk(e, e, k=_ANN_K).select("query_id", "neighbor_id", "rnk")
+
+
+# --------------------------------------------------------------------------
+# Raster pyramid (gdalwarp + gdal2tiles + checksum oracle) — not
+# SQL-expressible; driver does the rows-only check, exact checksums are
+# pinned in pytest goldens.
+# --------------------------------------------------------------------------
+@register("raster_pyramid")
+def q_raster_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.operators.raster import tile_pyramid_checksums
+
+    return tile_pyramid_checksums(spark, zmax=2)
+
+
+# --------------------------------------------------------------------------
 # public surface used by __spark_entry__
 # --------------------------------------------------------------------------
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -66,6 +66,50 @@ def rect_zones(spark: SparkSession, n: int = NZONES) -> DataFrame:
     )
 
 
+# ------------------------------------------------------------- clip layer
+# Disjoint rectangle grid (12 cols x 5 rows, gaps between cells) for the
+# overlay operators whose union-of-B semantics (Clip/Erase,
+# ogrlayer.cpp:5497,5806) require non-overlapping method geometries for
+# an ANSI-SQL-expressible oracle: with disjoint B, A ∩ union(B) equals
+# the disjoint union of pairwise pieces.
+NCLIP = 60
+CXMIN_SQL = "(-1.8e2 + (i % 12) * 30 + 5.0e-4)"
+# integer row index: (i - i%12)/12 divides exactly, so the double->bigint
+# cast is identical in Spark (truncate) and DuckDB (round)
+CYMIN_SQL = "(-6.0e1 + cast(((i - (i % 12)) / 12) as bigint) * 24 + 5.0e-4)"
+CXMAX_SQL = f"({CXMIN_SQL} + 22)"
+CYMAX_SQL = f"({CYMIN_SQL} + 16)"
+CLIP_ID_SQL = "(500 + i)"
+
+
+def duckdb_clip_zones_cte(n: int = NCLIP) -> str:
+    return (
+        f"SELECT {CLIP_ID_SQL} AS zone_id, {CXMIN_SQL} AS zxmin, "
+        f"{CYMIN_SQL} AS zymin, {CXMAX_SQL} AS zxmax, {CYMAX_SQL} AS zymax "
+        f"FROM range(0, {n}) t(i)"
+    )
+
+
+def clip_zones(spark: SparkSession, n: int = NCLIP) -> DataFrame:
+    """Disjoint clip layer: zone_id, geom_wkt (+ envelope cols)."""
+    df = spark.range(n).select(F.col("id").alias("i"))
+    df = (
+        df.withColumn("zone_id", F.expr(CLIP_ID_SQL))
+        .withColumn("zxmin", F.expr(CXMIN_SQL))
+        .withColumn("zymin", F.expr(CYMIN_SQL))
+        .withColumn("zxmax", F.expr(CXMAX_SQL))
+        .withColumn("zymax", F.expr(CYMAX_SQL))
+    )
+    s, c = F.lit(" "), F.lit(",")
+    x0, y0, x1, y1 = (F.col(k) for k in ("zxmin", "zymin", "zxmax", "zymax"))
+    wkt = F.concat(
+        F.lit("POLYGON (("),
+        x0, s, y0, c, x1, s, y0, c, x1, s, y1, c, x0, s, y1, c, x0, s, y0,
+        F.lit("))"),
+    )
+    return df.select("zone_id", wkt.alias("geom_wkt"), "zxmin", "zymin", "zxmax", "zymax")
+
+
 # pytest-only polygons exercising the refine kernel beyond rectangles
 FANCY_ZONES: list[tuple[int, str]] = [
     # donut: hole in the middle

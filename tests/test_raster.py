@@ -1,0 +1,96 @@
+"""Raster pyramid tests: NN warp correctness by independent per-pixel
+recompute, checksum determinism, pyramid structure."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gdal_spark.geometry import mercator
+from gdal_spark.geometry.checksum import checksum_image
+from gdal_spark.operators import raster
+
+
+@pytest.fixture(scope="module")
+def base(spark):
+    return raster.base_tiles(spark, raster.source_grid(spark), zoom=2).cache()
+
+
+def expected_pixel(band, zoom, tx, ty, i, j):
+    """Independent recompute of one output pixel (i=col, j=row from top)."""
+    res = mercator.resolution(zoom)
+    mx = (tx * raster.TILE + i + 0.5) * res - mercator.ORIGIN_SHIFT
+    jj = raster.TILE - 1 - j  # row from top -> TMS pixel index
+    my = (ty * raster.TILE + jj + 0.5) * res - mercator.ORIGIN_SHIFT
+    lat, lon = (float(v) for v in mercator.meters_to_lat_lon(mx, my))
+    spx = int(np.floor((lon - raster.GT_X0) / raster.GT_DX))
+    spy = int(np.floor((lat - raster.GT_Y0) / raster.GT_DY))
+    if not (0 <= spx < raster.SRC_W and 0 <= spy < raster.SRC_H):
+        return 0
+    return (spx * 7 + spy * 13 + band * 29) % 256
+
+
+class TestBaseTiles:
+    def test_tile_count_and_coverage(self, base):
+        rows = base.select("band", "tx", "ty").collect()
+        # zoom 2: 4x4 grid; source spans all lon, lat in (-85, 85) → all 16
+        per_band = {}
+        for r in rows:
+            per_band.setdefault(r.band, set()).add((r.tx, r.ty))
+        assert set(per_band) == {1, 2, 3}
+        for tiles in per_band.values():
+            assert tiles == {(tx, ty) for tx in range(4) for ty in range(4)}
+
+    def test_nn_warp_matches_independent_recompute(self, base):
+        row = base.filter((F.col("band") == 2) & (F.col("tx") == 1) & (F.col("ty") == 2)).first()
+        img = np.frombuffer(row.data, dtype=np.uint8).reshape(256, 256)
+        rng = np.random.default_rng(0)
+        for _ in range(50):
+            i = int(rng.integers(0, 256))
+            j = int(rng.integers(0, 256))
+            assert img[j, i] == expected_pixel(2, 2, 1, 2, i, j), (i, j)
+
+    def test_interior_tile_nonzero(self, base):
+        row = base.filter((F.col("band") == 1) & (F.col("tx") == 2) & (F.col("ty") == 1)).first()
+        img = np.frombuffer(row.data, dtype=np.uint8).reshape(256, 256)
+        assert img.any()
+
+
+class TestPyramid:
+    def test_checksums_deterministic(self, spark):
+        a = {
+            (r.band, r.zoom, r.tx, r.ty): r.checksum
+            for r in raster.tile_pyramid_checksums(spark, zmax=2).collect()
+        }
+        b = {
+            (r.band, r.zoom, r.tx, r.ty): r.checksum
+            for r in raster.tile_pyramid_checksums(spark, zmax=2).collect()
+        }
+        assert a == b
+        assert len(a) == 3 * (16 + 4 + 1)
+
+    def test_overview_is_box_average(self, spark, base):
+        ov = raster.overview_tiles(base)
+        parent = ov.filter(
+            (F.col("band") == 1) & (F.col("tx") == 0) & (F.col("ty") == 0)
+        ).first()
+        pimg = np.frombuffer(parent.data, dtype=np.uint8).reshape(256, 256)
+        children = {
+            (r.tx, r.ty): np.frombuffer(r.data, dtype=np.uint8).reshape(256, 256)
+            for r in base.filter(
+                (F.col("band") == 1) & (F.col("tx") < 2) & (F.col("ty") < 2)
+            ).collect()
+        }
+        mosaic = np.zeros((512, 512))
+        for (tx, ty), img in children.items():
+            r0 = 0 if (ty & 1) == 1 else 256
+            mosaic[r0 : r0 + 256, tx * 256 : (tx + 1) * 256] = img
+        expect = np.floor(
+            mosaic.reshape(256, 2, 256, 2).mean(axis=(1, 3)) + 0.5
+        ).astype(np.uint8)
+        assert (pimg == expect).all()
+
+    def test_checksum_port_on_tile(self, base):
+        row = base.first()
+        img = np.frombuffer(row.data, dtype=np.uint8).reshape(256, 256)
+        c = checksum_image(img)
+        assert 0 <= c <= 0xFFFF

@@ -1,0 +1,121 @@
+"""Text/dedup/similarity operator semantics on planted fixtures."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gdal_spark.operators import text as text_ops
+from gdal_spark.operators.similarity import brute_force_topk, lsh_topk
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = "the quick brown fox jumps over the lazy cat again and again today"
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, near),  # near dup of 0
+        (3, "completely different text about spark shuffles and joins here"),
+        (4, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestExactDedup:
+    def test_groups(self, planted):
+        out = {
+            r.content_hash: (r.n_dups, r.keeper_id)
+            for r in text_ops.exact_dedup(planted).collect()
+        }
+        assert len(out) == 4  # 0/1 collapse
+        assert (2, 0) in out.values()
+
+
+class TestMinhash:
+    def test_exact_dups_identical_signature(self, planted):
+        sigs = {r.doc_id: r.sig for r in text_ops.minhash_signatures(planted).collect()}
+        assert sigs[0] == sigs[1]
+        assert sigs[0] != sigs[3]
+
+    def test_lsh_finds_planted_pairs(self, planted):
+        # 32 bands x 2 rows: P(candidate) = 1-(1-j^2)^32 — near-certain
+        # for the planted j≈0.6 pair while random texts stay out
+        pairs = {
+            (r.id_a, r.id_b): r.est_jaccard
+            for r in text_ops.minhash_lsh_pairs(
+                planted, threshold=0.3, bands=32
+            ).collect()
+        }
+        assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+        assert (0, 2) in pairs  # near dup caught
+        assert (0, 3) not in pairs and (1, 3) not in pairs
+
+    def test_estimate_tracks_exact_jaccard(self, spark, planted):
+        cand = spark.createDataFrame(
+            [(0, 1), (0, 2), (0, 3)], "id_a long, id_b long"
+        )
+        exact = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in text_ops.ngram_jaccard_pairs(planted, cand).collect()
+        }
+        assert exact[(0, 1)] == 1.0
+        assert 0.3 < exact[(0, 2)] < 1.0
+        assert exact[(0, 3)] == 0.0
+
+
+class TestSimhashFingerprint:
+    def test_simhash_properties(self, planted):
+        sh = {r.doc_id: r.simhash for r in text_ops.simhash(planted).collect()}
+        assert sh[0] == sh[1]
+        # near dup within small hamming distance; unrelated far
+        def ham(a, b):
+            return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+        assert ham(sh[0], sh[2]) < ham(sh[0], sh[3])
+        assert sh[4] == 0
+
+    def test_fingerprint_deterministic(self, planted):
+        a = {r.doc_id: r.fingerprint for r in text_ops.fingerprint(planted).collect()}
+        b = {r.doc_id: r.fingerprint for r in text_ops.fingerprint(planted).collect()}
+        assert a == b
+        assert a[0] == a[1] != a[3]
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((40, 16))
+    rows = [(int(i), [float(x) for x in base[i]]) for i in range(40)]
+    # vec 39 := near-copy of vec 0
+    rows[39] = (39, [float(x + 0.01) for x in base[0]])
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+class TestSimilarity:
+    def test_brute_force_planted_neighbor(self, vectors):
+        out = brute_force_topk(vectors, vectors, k=1)
+        top = {r.query_id: r.neighbor_id for r in out.collect()}
+        assert top[0] == 39 and top[39] == 0
+
+    def test_lsh_recall(self, vectors):
+        exact = {
+            (r.query_id, r.neighbor_id)
+            for r in brute_force_topk(vectors, vectors, k=3).collect()
+        }
+        approx = {
+            (r.query_id, r.neighbor_id)
+            for r in lsh_topk(vectors, vectors, k=3, n_planes=6, n_tables=8).collect()
+        }
+        recall = len(exact & approx) / len(exact)
+        assert recall > 0.5, f"LSH recall too low: {recall}"
+
+    def test_quality_features(self, spark):
+        df = spark.createDataFrame(
+            [(1, "the cat, and a dog!")], "doc_id long, text string"
+        )
+        row = text_ops.with_quality(df).first()
+        assert row.n_chars_q == 19
+        assert row.n_tokens == 5
+        assert row.n_punct == 2  # ',' and '!'
+        assert row.n_stop_kinds == 3  # the, and, a
