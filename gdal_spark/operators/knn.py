@@ -120,7 +120,7 @@ def _knn_group(qx, qy, qidx, cx, cy, buckets, tlon, tlat, tid, k, max_ring):
     valid = best_id >= 0
     ranks = np.broadcast_to(np.arange(1, k + 1), (m, k))
     rows = np.broadcast_to(qidx[:, None], (m, k))
-    return rows[valid], best_id[valid], ranks[valid]
+    return rows[valid], best_id[valid], ranks[valid], best_d2[valid]
 
 
 def knn_join(
@@ -143,11 +143,21 @@ def knn_join(
     tid = tpd["target_id"].to_numpy(np.int64)
     max_ring = int(np.ceil(360.0 / cell_deg))  # full-world fallback bound
 
-    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
 
     out_schema = StructType(
         list(docs.schema.fields)
-        + [StructField("target_id", LongType()), StructField("rnk", IntegerType())]
+        + [
+            StructField("target_id", LongType()),
+            StructField("rnk", IntegerType()),
+            StructField("d2", DoubleType()),
+        ]
     )
     doc_cols = [f.name for f in docs.schema.fields]
 
@@ -160,7 +170,7 @@ def knn_join(
             qy = pdf[lat_col].to_numpy(np.float64)
             cx = np.floor(qx / cell_deg).astype(np.int64)
             cy = np.floor(qy / cell_deg).astype(np.int64)
-            rows_l, ids_l, rnk_l = [], [], []
+            rows_l, ids_l, rnk_l, d2_l = [], [], [], []
             order = np.lexsort((cy, cx))
             cxs, cys = cx[order], cy[order]
             starts = np.flatnonzero(
@@ -169,18 +179,20 @@ def knn_join(
             ends = np.r_[starts[1:], len(order)]
             for s, e in zip(starts, ends):
                 gi = order[s:e]
-                r_rows, r_ids, r_rnk = _knn_group(
+                r_rows, r_ids, r_rnk, r_d2 = _knn_group(
                     qx[gi], qy[gi], gi, int(cxs[s]), int(cys[s]),
                     buckets, tlon, tlat, tid, k, max_ring,
                 )
                 rows_l.append(r_rows)
                 ids_l.append(r_ids)
                 rnk_l.append(r_rnk)
+                d2_l.append(r_d2)
             rows = np.concatenate(rows_l)
             out = pdf.iloc[rows].reset_index(drop=True)
             out = out[doc_cols].copy()
             out["target_id"] = np.concatenate(ids_l)
             out["rnk"] = np.concatenate(rnk_l).astype(np.int32)
+            out["d2"] = np.concatenate(d2_l)
             yield out
 
     return docs.mapInPandas(kernel, out_schema)

@@ -571,6 +571,316 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Update overlay (ogrlayer.cpp:5148): B patches over A — B's features
+# plus the A-remainder (A − union B). Disjoint B keeps the oracle exact.
+# --------------------------------------------------------------------------
+_UPDATE_ORACLE = f"""
+WITH docs AS ({_POLYDOCS_CTE}), z AS ({_CLIPZ_CTE}),
+cut AS (
+  SELECT d.doc_id, sum({_RECT_AREA}) AS c
+  FROM docs d JOIN z ON {_RECT_OVERLAP}
+  GROUP BY d.doc_id
+),
+a_rem AS (
+  SELECT d.doc_id, CAST(NULL AS bigint) AS zone_id,
+         (d.xmax - d.xmin) * (d.ymax - d.ymin) - COALESCE(cut.c, 0.0e0) AS a
+  FROM docs d LEFT JOIN cut ON d.doc_id = cut.doc_id
+),
+b_full AS (
+  SELECT CAST(NULL AS bigint) AS doc_id, z.zone_id,
+         (z.zxmax - z.zxmin) * (z.zymax - z.zymin) AS a
+  FROM z
+)
+SELECT doc_id, zone_id, CAST(round(a * 1.0e6) AS bigint) AS micro_area
+FROM (SELECT * FROM b_full UNION ALL SELECT * FROM a_rem WHERE a > 0) u
+"""
+
+
+@register("update_pieces", _UPDATE_ORACLE)
+def q_update_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.operators.overlay import erase_area
+
+    pd_docs = corpus.load_polydocs(spark, sf_dir)
+    cz_full = zones.clip_zones(spark)
+    b_rows = cz_full.select(
+        F.lit(None).cast("long").alias("doc_id"),
+        "zone_id",
+        (
+            (F.col("zxmax") - F.col("zxmin")) * (F.col("zymax") - F.col("zymin"))
+        ).alias("piece_area"),
+    )
+    cz = cz_full.drop("zxmin", "zymin", "zxmax", "zymax")
+    a_rem = (
+        erase_area(pd_docs, cz)
+        .filter(F.col("erase_area") > 0)
+        .select(
+            "doc_id",
+            F.lit(None).cast("long").alias("zone_id"),
+            F.col("erase_area").alias("piece_area"),
+        )
+    )
+    return b_rows.unionByName(a_rem).select(
+        "doc_id",
+        "zone_id",
+        F.round(F.col("piece_area") * 1.0e6).cast("long").alias("micro_area"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Raster: point probe, band statistics, pixel algebra
+# --------------------------------------------------------------------------
+from gdal_spark.operators.raster import (  # noqa: E402
+    GT_DX,
+    GT_DY,
+    GT_X0,
+    GT_Y0,
+    N_BANDS,
+    SRC_H,
+    SRC_W,
+)
+
+_SRC_GRID_CTE = f"""
+SELECT CAST((i % {SRC_W}) AS int) AS px,
+       CAST((CAST(((i - (i % {SRC_W})) / {SRC_W}) AS BIGINT) % {SRC_H}) AS int) AS py,
+       CAST((CAST(((i - (i % {SRC_W * SRC_H})) / {SRC_W * SRC_H}) AS BIGINT) + 1) AS int) AS band
+FROM range(0, {SRC_W * SRC_H * N_BANDS}) t(i)
+"""
+_SRC_VAL = "((px * 7 + py * 13 + band * 29) % 256)"
+
+_sd = mercator.sql_double
+_PROBE_ORACLE = f"""
+WITH docs AS ({_DOCS_CTE}),
+probe AS (
+  SELECT doc_id,
+         CAST(floor((lon - ({_sd(GT_X0)})) / ({_sd(GT_DX)})) AS BIGINT) AS px,
+         CAST(floor((lat - ({_sd(GT_Y0)})) / ({_sd(GT_DY)})) AS BIGINT) AS py
+  FROM docs
+),
+b AS (SELECT i + 1 AS band FROM range(0, {N_BANDS}) t(i))
+SELECT p.doc_id, CAST(b.band AS int) AS band,
+       CAST({_SRC_VAL} AS int) AS value
+FROM probe p, b
+WHERE px >= 0 AND px < {SRC_W} AND py >= 0 AND py < {SRC_H}
+"""
+
+
+@register("raster_probe", _PROBE_ORACLE)
+def q_raster_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdallocationinfo / GDALInterpolateAtPoint(nearest)
+    (apps/gdallocationinfo.cpp:286, alg/gdal_interpolateatpoint.cpp:165):
+    point -> source pixel equi-join against the pixel table."""
+    from gdal_spark.operators.raster import source_grid
+
+    docs = corpus.load_docs(spark, sf_dir).select("doc_id", "lon", "lat")
+    probe = docs.select(
+        "doc_id",
+        F.floor((F.col("lon") - F.lit(GT_X0)) / F.lit(GT_DX)).alias("px"),
+        F.floor((F.col("lat") - F.lit(GT_Y0)) / F.lit(GT_DY)).alias("py"),
+    )
+    src = source_grid(spark)
+    return probe.join(
+        src, (probe.px == src.px) & (probe.py == src.py), "inner"
+    ).select("doc_id", "band", "value")
+
+
+_BAND_STATS_ORACLE = f"""
+WITH g AS ({_SRC_GRID_CTE}), v AS (SELECT band, {_SRC_VAL} AS value FROM g)
+SELECT band, count(*) AS cnt, min(value) AS vmin, max(value) AS vmax,
+       round(avg(value), 6) AS vavg, round(stddev_samp(value), 6) AS vstd
+FROM v GROUP BY band
+"""
+
+
+@register("raster_band_stats", _BAND_STATS_ORACLE)
+def q_raster_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDALRasterBand::ComputeStatistics analog
+    (gcore/gdalrasterband.cpp) — per-band agg over the pixel table."""
+    from gdal_spark.operators.raster import source_grid
+
+    return (
+        source_grid(spark)
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+            F.round(F.avg("value"), 6).alias("vavg"),
+            F.round(F.stddev_samp("value"), 6).alias("vstd"),
+        )
+    )
+
+
+_PIXEL_ALGEBRA_ORACLE = f"""
+WITH g AS ({_SRC_GRID_CTE}), v AS (SELECT px, py, band, {_SRC_VAL} AS value FROM g),
+p AS (
+  SELECT px, py,
+         sum(CASE WHEN band = 1 THEN value END) AS b1,
+         sum(CASE WHEN band = 2 THEN value END) AS b2,
+         sum(CASE WHEN band = 3 THEN value END) AS b3
+  FROM v GROUP BY px, py
+)
+SELECT px, py, CAST((b1 + b2 + b3) AS bigint) % 256 AS calc
+FROM p
+"""
+
+
+@register("pixel_algebra", _PIXEL_ALGEBRA_ORACLE)
+def q_pixel_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal_calc / VRT pixel-function analog
+    (osgeo_utils/gdal_calc.py, frmts/vrt/pixelfunctions.cpp): cross-band
+    expression via pivot on the pixel key."""
+    from gdal_spark.operators.raster import source_grid
+
+    v = source_grid(spark)
+    p = (
+        v.groupBy("px", "py")
+        .pivot("band", [1, 2, 3])
+        .sum("value")
+        .withColumnsRenamed({"1": "b1", "2": "b2", "3": "b3"})
+    )
+    return p.select(
+        "px",
+        "py",
+        ((F.col("b1") + F.col("b2") + F.col("b3")).cast("long") % 256).alias("calc"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Tile index (gdaltindex partition catalog) + θ-join + COUNT DISTINCT
+# --------------------------------------------------------------------------
+_TINDEX_ZOOM = 6
+_TINDEX_ORACLE = f"""
+WITH docs AS ({_DOCS_CTE})
+SELECT {mercator.sql_tx('lon', str(_TINDEX_ZOOM))} AS tx,
+       {mercator.sql_ty('lat', str(_TINDEX_ZOOM))} AS ty,
+       count(*) AS n_docs,
+       round(min(lon), 6) AS xmin, round(max(lon), 6) AS xmax,
+       round(min(lat), 6) AS ymin, round(max(lat), 6) AS ymax
+FROM docs GROUP BY 1, 2
+"""
+
+
+@register("tile_index", _TINDEX_ORACLE)
+def q_tile_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdaltindex (apps/gdaltindex_lib.cpp) — the partition catalog: one
+    footprint row per occupied cell, the input to partition pruning."""
+    docs = corpus.load_docs(spark, sf_dir)
+    z = str(_TINDEX_ZOOM)
+    return (
+        docs.select(
+            F.expr(mercator.sql_tx("lon", z)).alias("tx"),
+            F.expr(mercator.sql_ty("lat", z)).alias("ty"),
+            "lon",
+            "lat",
+        )
+        .groupBy("tx", "ty")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.min("lon"), 6).alias("xmin"),
+            F.round(F.max("lon"), 6).alias("xmax"),
+            F.round(F.min("lat"), 6).alias("ymin"),
+            F.round(F.max("lat"), 6).alias("ymax"),
+        )
+    )
+
+
+_THETA_ORACLE = """
+SELECT o.o_orderkey, l.l_linenumber, l.l_extendedprice
+FROM orders o JOIN lineitem l
+  ON l.l_orderkey = o.o_orderkey AND l.l_extendedprice > o.o_totalprice * 2.0e-1
+"""
+
+
+@register("theta_join", _THETA_ORACLE)
+def q_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General-condition join — the SQLite-dialect path
+    (ogrsqliteexecutesql.cpp) where SQLite plans arbitrary θ-joins;
+    Catalyst plans it as hash join + residual filter."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return o.join(
+        li,
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_extendedprice > o.o_totalprice * 0.2),
+    ).select("o_orderkey", "l_linenumber", "l_extendedprice")
+
+
+_COUNT_DISTINCT_ORACLE = """
+SELECT count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT l_suppkey) AS n_supps,
+       count(DISTINCT l_returnflag) AS n_flags
+FROM lineitem
+"""
+
+
+@register("count_distinct", _COUNT_DISTINCT_ORACLE)
+def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT x) — the reference's std::set accumulation
+    (ogr/ogr_swq.h:381-382) as hash-distinct aggregation."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct("l_returnflag").alias("n_flags"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Grid interpolation (alg/gdalgrid.cpp invdistnn): scattered targets ->
+# regular grid via IDW over the 12 nearest (quadtree-search analog =
+# our cell-ring kNN), power=2.
+# --------------------------------------------------------------------------
+_GRID_W, _GRID_H = 90, 45  # 4-degree cells
+# center offset .0005 keeps pixel centers off the target lattice (d2>0)
+_GLON_SQL = "(-1.8e2 + gx * 4 + 2.0005e0)"
+_GLAT_SQL = "(-9.0e1 + gy * 4 + 2.0005e0)"
+_TVAL_SQL = "CAST(((target_id * 37) % 100) AS DOUBLE)"
+_IDW_K = 12
+
+_IDW_ORACLE = f"""
+WITH px AS (
+  SELECT (i % {_GRID_W}) AS gx,
+         CAST(((i - (i % {_GRID_W})) / {_GRID_W}) AS BIGINT) AS gy
+  FROM range(0, {_GRID_W * _GRID_H}) t(i)
+),
+pc AS (SELECT gx, gy, {_GLON_SQL} AS lon, {_GLAT_SQL} AS lat FROM px),
+t AS (SELECT target_id, tlon, tlat, {_TVAL_SQL} AS tval
+      FROM ({duckdb_targets_cte()}) raw),
+d AS (
+  SELECT pc.gx, pc.gy, t.target_id, t.tval,
+         (pc.lon - t.tlon) * (pc.lon - t.tlon)
+       + (pc.lat - t.tlat) * (pc.lat - t.tlat) AS d2
+  FROM pc, t
+),
+r AS (
+  SELECT gx, gy, tval, d2,
+         row_number() OVER (PARTITION BY gx, gy ORDER BY d2, target_id) AS rnk
+  FROM d
+)
+SELECT gx, gy, round(sum(tval / d2) / sum(1.0e0 / d2), 4) AS idw
+FROM r WHERE rnk <= {_IDW_K} GROUP BY gx, gy
+"""
+
+
+@register("grid_idw", _IDW_ORACLE)
+def q_grid_idw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.operators.knn import knn_join, knn_targets
+
+    px = spark.range(_GRID_W * _GRID_H).select(
+        (F.col("id") % _GRID_W).alias("gx"),
+        ((F.col("id") - (F.col("id") % _GRID_W)) / _GRID_W).cast("long").alias("gy"),
+    )
+    pc = px.select("gx", "gy", F.expr(_GLON_SQL).alias("lon"), F.expr(_GLAT_SQL).alias("lat"))
+    kn = knn_join(pc, knn_targets(spark), k=_IDW_K)
+    kn = kn.withColumn("tval", F.expr(_TVAL_SQL))
+    return kn.groupBy("gx", "gy").agg(
+        F.round(
+            F.sum(F.col("tval") / F.col("d2")) / F.sum(F.lit(1.0) / F.col("d2")), 4
+        ).alias("idw")
+    )
+
+
+# --------------------------------------------------------------------------
 # Raster pyramid (gdalwarp + gdal2tiles + checksum oracle) — not
 # SQL-expressible; driver does the rows-only check, exact checksums are
 # pinned in pytest goldens.
