@@ -31,7 +31,10 @@ PIP_REPL = int(os.environ.get("SPARK_GRAFT_PIP_REPL", "400"))
 KNN_REPL = int(os.environ.get("SPARK_GRAFT_KNN_REPL", "40"))
 TILE_REPL = int(os.environ.get("SPARK_GRAFT_TILE_REPL", "400"))
 CLIP_REPL = int(os.environ.get("SPARK_GRAFT_CLIP_REPL", "100"))
-TEXT_REPL = int(os.environ.get("SPARK_GRAFT_TEXT_REPL", "20"))
+# minhash benches the UNREPLICATED corpus: replicas are exact duplicates,
+# which quadratically explodes the near-dup pair output and measures
+# pair materialization, not signature+LSH throughput
+TEXT_REPL = int(os.environ.get("SPARK_GRAFT_TEXT_REPL", "1"))
 
 
 def flagship_pip_count(spark, sf_dir: str, replicate: int) -> int:
@@ -44,17 +47,49 @@ def flagship_pip_count(spark, sf_dir: str, replicate: int) -> int:
     return pip_join(docs, z).count()
 
 
+# scaling probe is 4x the suite's pip size so per-job overhead (JVM
+# scheduling, Python worker spin-up) doesn't mask the compute scaling
+PROBE_REPL = int(os.environ.get("SPARK_GRAFT_PROBE_REPL", str(PIP_REPL * 4)))
+PROBE_RUNS = int(os.environ.get("SPARK_GRAFT_PROBE_RUNS", "3"))
+
+
+def _steal_seconds() -> float:
+    """Cumulative hypervisor steal time (this sandbox host shows bursty
+    multi-core steal; min-of-N with steal reported keeps the scaling
+    measurement honest)."""
+    try:
+        with open("/proc/stat") as f:
+            return int(f.readline().split()[8]) / 100.0
+    except Exception:
+        return 0.0
+
+
 def _probe_main(cpus: int) -> None:
-    """Subprocess entry: run the flagship job on local[cpus], print JSON."""
+    """Subprocess entry: run the flagship job on local[cpus] PROBE_RUNS
+    times, print JSON with min seconds (noise-robust under steal)."""
     from gdal_spark.session import get_spark
 
     spark = get_spark(app_name=f"bench-probe-{cpus}", cpus=cpus)
-    # warm the JVM + parquet footers so the timed run measures the job
-    flagship_pip_count(spark, SF_DIR, replicate=max(PIP_REPL // 20, 1))
-    t0 = time.monotonic()
-    n = flagship_pip_count(spark, SF_DIR, replicate=PIP_REPL)
-    dt = time.monotonic() - t0
-    print(json.dumps({"cpus": cpus, "seconds": dt, "rows": n}))
+    # warm the JVM + parquet footers so the timed runs measure the job
+    flagship_pip_count(spark, SF_DIR, replicate=max(PROBE_REPL // 40, 1))
+    times, steals, n = [], [], 0
+    for _ in range(PROBE_RUNS):
+        s0 = _steal_seconds()
+        t0 = time.monotonic()
+        n = flagship_pip_count(spark, SF_DIR, replicate=PROBE_REPL)
+        times.append(round(time.monotonic() - t0, 3))
+        steals.append(round(_steal_seconds() - s0, 1))
+    print(
+        json.dumps(
+            {
+                "cpus": cpus,
+                "seconds": min(times),
+                "runs": times,
+                "steal_s": steals,
+                "rows": n,
+            }
+        )
+    )
     spark.stop()
 
 
@@ -73,13 +108,17 @@ def run_scaling_probe() -> dict:
         )
         line = [ln for ln in r.stdout.splitlines() if ln.startswith("{")][-1]
         out[cpus] = json.loads(line)
-    n_docs = 5000 * PIP_REPL  # corpus rows processed
+    n_docs = 5000 * PROBE_REPL  # corpus rows processed
     t_lo, t_hi = out[lo]["seconds"], out[hi]["seconds"]
     return {
         "cpus_lo": lo,
         "cpus_hi": hi,
         "seconds_lo": round(t_lo, 3),
         "seconds_hi": round(t_hi, 3),
+        "runs_lo": out[lo]["runs"],
+        "runs_hi": out[hi]["runs"],
+        "steal_s_lo": out[lo]["steal_s"],
+        "steal_s_hi": out[hi]["steal_s"],
         "docs_per_sec_lo": round(n_docs / t_lo, 1),
         "docs_per_sec_hi": round(n_docs / t_hi, 1),
         "efficiency": round((t_lo / t_hi) / (hi / lo), 3),
@@ -131,7 +170,7 @@ def main() -> None:
         from gdal_spark.operators.overlay import intersection_join
 
         pdocs = corpus.load_polydocs(spark, SF_DIR, replicate=CLIP_REPL)
-        return intersection_join(pdocs, cz).count()
+        return intersection_join(pdocs, cz, emit_wkt=False).count()
 
     def q_raster():
         from gdal_spark.operators.raster import tile_pyramid_checksums

@@ -123,21 +123,30 @@ def _with_spans(df: DataFrame, geom_wkt_col) -> DataFrame:
     return df.withColumn("spans", spans)
 
 
-def load_docs(spark: SparkSession, sf_dir: str, replicate: int = 1) -> DataFrame:
-    """Point-doc corpus: documents parquet + derived (lon, lat) + spans.
+def _replicated(spark: SparkSession, sf_dir: str, replicate: int) -> DataFrame:
+    """documents table, optionally replicated to bench scale.
 
-    ``replicate`` > 1 scales the corpus for benchmarks by minting new
-    doc_ids ``doc_id * replicate + r`` (keeps the hash formulas live so
-    replicas get distinct geometry). Correctness runs use replicate=1.
+    The parquet is one small file (one input partition), so replication
+    puts the PARTITIONED range on the left and broadcasts the table:
+    every core generates its replicas locally — full parallelism, zero
+    shuffle. New doc_ids ``doc_id * replicate + r`` keep the geometry
+    hash formulas live so replicas land in distinct locations.
     """
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
     if replicate > 1:
         r = spark.range(replicate).select(F.col("id").alias("_r"))
         df = (
-            df.crossJoin(F.broadcast(r))
+            r.crossJoin(F.broadcast(df))
             .withColumn("doc_id", F.col("doc_id") * replicate + F.col("_r"))
             .drop("_r")
         )
+    return df
+
+
+def load_docs(spark: SparkSession, sf_dir: str, replicate: int = 1) -> DataFrame:
+    """Point-doc corpus: documents parquet + derived (lon, lat) + spans.
+    Correctness runs use replicate=1; benches scale with replicate>1."""
+    df = _replicated(spark, sf_dir, replicate)
     df = df.withColumn("lon", F.expr(LON_SQL)).withColumn("lat", F.expr(LAT_SQL))
     return _with_spans(df, _point_wkt_col())
 
@@ -145,14 +154,7 @@ def load_docs(spark: SparkSession, sf_dir: str, replicate: int = 1) -> DataFrame
 def load_polydocs(spark: SparkSession, sf_dir: str, replicate: int = 1) -> DataFrame:
     """Polygon-doc corpus: same docs, geometry = axis-aligned rectangle
     (half-width 0.1°-1.0°) centered on the point coordinate."""
-    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    if replicate > 1:
-        r = spark.range(replicate).select(F.col("id").alias("_r"))
-        df = (
-            df.crossJoin(F.broadcast(r))
-            .withColumn("doc_id", F.col("doc_id") * replicate + F.col("_r"))
-            .drop("_r")
-        )
+    df = _replicated(spark, sf_dir, replicate)
     df = (
         df.withColumn("lon", F.expr(LON_SQL))
         .withColumn("lat", F.expr(LAT_SQL))

@@ -40,7 +40,7 @@ from pyspark.sql.types import DoubleType, StringType, StructField, StructType
 
 from gdal_spark.geometry import mercator
 from gdal_spark.geometry.clip import clip_polygon_convex, shoelace_area
-from gdal_spark.geometry.wkt import parse_wkt, polygon_wkt
+from gdal_spark.geometry.wkt import _fmt, parse_wkt, polygon_wkt
 from gdal_spark.operators.pip_join import zone_cell_index
 
 DEFAULT_ZOOM = 5
@@ -90,7 +90,7 @@ def _intersection_candidates(
     return cand.drop("_tx0", "_tx1", "_ty0", "_ty1", "cell_tx", "cell_ty")
 
 
-def _clip_kernel(zone_geoms: dict, doc_wkt_col: str | None):
+def _clip_kernel(zone_geoms: dict, doc_wkt_col: str | None, emit_wkt: bool = True):
     """mapInPandas kernel computing exact intersection pieces.
 
     Emits (piece_wkt, piece_area) per candidate row; area 0 rows =
@@ -98,75 +98,98 @@ def _clip_kernel(zone_geoms: dict, doc_wkt_col: str | None):
     KEEP_LOWER_DIMENSION_GEOMETRIES=NO).
     """
 
+    # pre-classify zones once per executor: rect zones get a vectorized
+    # min/max path (same least/greatest ops as the oracle); general
+    # convex zones take Sutherland–Hodgman per row
+    rect_env: dict = {}
+    general: dict = {}
+    for zid, polys in zone_geoms.items():
+        if len(polys) != 1 or len(polys[0]) != 1:
+            raise ValueError("overlay v1 supports single-ring clip polygons")
+        ring0 = polys[0][0]
+        if (
+            ring0.shape[0] == 5
+            and len(np.unique(ring0[:, 0])) == 2
+            and len(np.unique(ring0[:, 1])) == 2
+        ):
+            rect_env[zid] = (
+                ring0[:, 0].min(),
+                ring0[:, 1].min(),
+                ring0[:, 0].max(),
+                ring0[:, 1].max(),
+            )
+        else:
+            general[zid] = ring0
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        rect_cache: dict = {}
         for pdf in batches:
             n = len(pdf)
             if n == 0:
                 continue
             areas = np.zeros(n, dtype=np.float64)
-            wkts: list[str | None] = [None] * n
+            wkts = np.full(n, None, dtype=object)
             xmin = pdf["xmin"].to_numpy(np.float64)
             ymin = pdf["ymin"].to_numpy(np.float64)
             xmax = pdf["xmax"].to_numpy(np.float64)
             ymax = pdf["ymax"].to_numpy(np.float64)
             zids = pdf["zone_id"].to_numpy()
-            for i in range(n):
-                zid = zids[i]
-                zinfo = rect_cache.get(zid)
-                if zinfo is None:
-                    polys = zone_geoms[zid]  # list of polygons (ring lists)
-                    if len(polys) != 1 or len(polys[0]) != 1:
-                        raise ValueError(
-                            "overlay v1 supports single-ring clip polygons"
-                        )
-                    ring0 = polys[0][0]
-                    is_rect = (
-                        ring0.shape[0] == 5
-                        and len(np.unique(ring0[:, 0])) == 2
-                        and len(np.unique(ring0[:, 1])) == 2
+            rect_rows = (
+                np.array([z in rect_env for z in zids])
+                if general or doc_wkt_col is not None
+                else np.ones(n, dtype=bool)
+            )
+            if doc_wkt_col is not None:
+                rect_rows &= False  # WKT docs always take the exact path
+            if rect_rows.any():
+                zx0 = np.array([rect_env[z][0] for z in zids[rect_rows]])
+                zy0 = np.array([rect_env[z][1] for z in zids[rect_rows]])
+                zx1 = np.array([rect_env[z][2] for z in zids[rect_rows]])
+                zy1 = np.array([rect_env[z][3] for z in zids[rect_rows]])
+                ix0 = np.maximum(xmin[rect_rows], zx0)
+                iy0 = np.maximum(ymin[rect_rows], zy0)
+                ix1 = np.minimum(xmax[rect_rows], zx1)
+                iy1 = np.minimum(ymax[rect_rows], zy1)
+                nonempty = (ix0 < ix1) & (iy0 < iy1)
+                a = np.where(nonempty, (ix1 - ix0) * (iy1 - iy0), 0.0)
+                areas[rect_rows] = a
+                idx = np.flatnonzero(rect_rows)[nonempty]
+                for j, k in enumerate(np.flatnonzero(nonempty)) if emit_wkt else ():
+                    x0s, y0s = _fmt(ix0[k]), _fmt(iy0[k])
+                    x1s, y1s = _fmt(ix1[k]), _fmt(iy1[k])
+                    wkts[idx[j]] = (
+                        f"POLYGON (({x0s} {y0s},{x1s} {y0s},"
+                        f"{x1s} {y1s},{x0s} {y1s},{x0s} {y0s}))"
                     )
-                    zinfo = (is_rect, ring0)
-                    rect_cache[zid] = zinfo
-                is_rect, ring0 = zinfo
-                if is_rect and doc_wkt_col is None:
-                    # exact rect∩rect: same least/greatest ops as the oracle
-                    ix0 = max(xmin[i], ring0[:, 0].min())
-                    iy0 = max(ymin[i], ring0[:, 1].min())
-                    ix1 = min(xmax[i], ring0[:, 0].max())
-                    iy1 = min(ymax[i], ring0[:, 1].max())
-                    if ix0 < ix1 and iy0 < iy1:
-                        areas[i] = (ix1 - ix0) * (iy1 - iy0)
-                        wkts[i] = polygon_wkt(
-                            [
-                                np.array(
-                                    [
-                                        [ix0, iy0],
-                                        [ix1, iy0],
-                                        [ix1, iy1],
-                                        [ix0, iy1],
-                                        [ix0, iy0],
-                                    ]
-                                )
-                            ]
-                        )
-                else:
-                    subj = (
-                        parse_wkt(pdf[doc_wkt_col].iat[i])[1][0]
-                        if doc_wkt_col is not None
-                        else np.array(
-                            [
-                                [xmin[i], ymin[i]],
-                                [xmax[i], ymin[i]],
-                                [xmax[i], ymax[i]],
-                                [xmin[i], ymax[i]],
-                                [xmin[i], ymin[i]],
-                            ]
-                        )
+            for i in np.flatnonzero(~rect_rows):
+                ring0 = general.get(zids[i])
+                if ring0 is None:
+                    e = rect_env[zids[i]]
+                    ring0 = np.array(
+                        [
+                            [e[0], e[1]],
+                            [e[2], e[1]],
+                            [e[2], e[3]],
+                            [e[0], e[3]],
+                            [e[0], e[1]],
+                        ]
                     )
-                    piece = clip_polygon_convex(subj, ring0)
-                    if piece.size:
-                        areas[i] = abs(shoelace_area(piece))
+                subj = (
+                    parse_wkt(pdf[doc_wkt_col].iat[i])[1][0]
+                    if doc_wkt_col is not None
+                    else np.array(
+                        [
+                            [xmin[i], ymin[i]],
+                            [xmax[i], ymin[i]],
+                            [xmax[i], ymax[i]],
+                            [xmin[i], ymax[i]],
+                            [xmin[i], ymin[i]],
+                        ]
+                    )
+                )
+                piece = clip_polygon_convex(subj, ring0)
+                if piece.size:
+                    areas[i] = abs(shoelace_area(piece))
+                    if emit_wkt:
                         wkts[i] = polygon_wkt([piece])
             out = pdf.copy()
             out["piece_area"] = areas
@@ -181,6 +204,7 @@ def intersection_join(
     zones: DataFrame,
     zoom: int = DEFAULT_ZOOM,
     doc_wkt_col: str | None = None,
+    emit_wkt: bool = True,
 ) -> DataFrame:
     """OGRLayer::Intersection: one row per overlapping (doc, zone) pair
     with the exact intersection piece (piece_wkt, piece_area > 0)."""
@@ -193,7 +217,7 @@ def intersection_join(
     )
     geoms = collect_zone_geoms(zones)
     # flatten multipolygon dim entries: kernel expects ring lists
-    pieces = cand.mapInPandas(_clip_kernel(geoms, doc_wkt_col), schema)
+    pieces = cand.mapInPandas(_clip_kernel(geoms, doc_wkt_col, emit_wkt), schema)
     return pieces.filter(F.col("piece_area") > 0).drop(
         "env_xmin", "env_ymin", "env_xmax", "env_ymax"
     )

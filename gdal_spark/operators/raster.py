@@ -88,23 +88,44 @@ def base_tiles(spark: SparkSession, src: DataFrame, zoom: int) -> DataFrame:
     pts = src.withColumn("lon", lon).withColumn("lat", lat).filter(
         (F.col("lat") > -85.0) & (F.col("lat") < 85.0)
     )
-    pts = pts.withColumn("tx", F.expr(mercator.sql_tx("lon", z))).withColumn(
-        "ty", F.expr(mercator.sql_ty("lat", z))
-    )
-    # 1-cell halo scatter so each tile kernel sees a closed source window
+    # halo scatter: a tile's kernel needs every source pixel whose center
+    # lies within the tile's geo-bounds expanded by one source pixel, so
+    # each pixel is scattered to the exact tile RANGE covered by
+    # [lon±GT_DX] x [lat±|GT_DY|] — duplication ~(1+eps)^2, not a blanket
+    # 3x3 replication (which would 9x the shuffle at scale).
     n = 2**zoom
     pts = (
-        pts.withColumn("_dx", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
-        .withColumn("_dy", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
-        .select(
-            "band",
-            "px",
-            "py",
-            "value",
-            (F.col("tx") + F.col("_dx")).alias("tx"),
-            (F.col("ty") + F.col("_dy")).alias("ty"),
+        pts.withColumn(
+            "_lo_x", F.col("lon") - F.lit(GT_DX)
         )
-        .filter((F.col("tx") >= 0) & (F.col("tx") < n) & (F.col("ty") >= 0) & (F.col("ty") < n))
+        .withColumn("_hi_x", F.col("lon") + F.lit(GT_DX))
+        .withColumn("_lo_y", F.col("lat") - F.lit(abs(GT_DY)))
+        .withColumn("_hi_y", F.col("lat") + F.lit(abs(GT_DY)))
+        .withColumn(
+            "tx",
+            F.explode(
+                F.sequence(
+                    F.expr(mercator.sql_tx("_lo_x", z)),
+                    F.expr(mercator.sql_tx("_hi_x", z)),
+                )
+            ),
+        )
+        .withColumn(
+            "ty",
+            F.explode(
+                F.sequence(
+                    F.expr(mercator.sql_ty("greatest(-85.05, _lo_y)", z)),
+                    F.expr(mercator.sql_ty("least(85.05, _hi_y)", z)),
+                )
+            ),
+        )
+        .select("band", "px", "py", "value", "tx", "ty")
+        .filter(
+            (F.col("tx") >= 0)
+            & (F.col("tx") < n)
+            & (F.col("ty") >= 0)
+            & (F.col("ty") < n)
+        )
     )
 
     res = mercator.resolution(zoom)

@@ -881,6 +881,114 @@ def q_grid_idw(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Union / SymDifference overlays (ogrlayer.cpp:3763, 4300): need exact
+# union-of-A area per zone (A self-overlaps), via the coordinate-
+# compression coverage kernel. Not ANSI-SQL-expressible -> rows-only
+# driver check; exactness pinned in pytest vs a numpy brute force.
+# --------------------------------------------------------------------------
+def _pieces_with_env(spark: SparkSession, sf_dir: str):
+    from gdal_spark.operators.overlay import intersection_join
+
+    pd_docs = corpus.load_polydocs(spark, sf_dir)
+    cz_full = zones.clip_zones(spark)
+    cz = cz_full.drop("zxmin", "zymin", "zxmax", "zymax")
+    pieces = intersection_join(pd_docs, cz)
+    bounds = cz_full.select("zone_id", "zxmin", "zymin", "zxmax", "zymax")
+    p = pieces.join(F.broadcast(bounds), "zone_id")
+    return (
+        p.withColumn("pxmin", F.greatest("xmin", "zxmin"))
+        .withColumn("pymin", F.greatest("ymin", "zymin"))
+        .withColumn("pxmax", F.least("xmax", "zxmax"))
+        .withColumn("pymax", F.least("ymax", "zymax")),
+        cz_full,
+        pd_docs,
+        cz,
+    )
+
+
+@register("union_overlay")
+def q_union_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union(A, B): A∩B pieces ⊕ A-remainders ⊕ B-remainders (areas)."""
+    from gdal_spark.operators.coverage import zone_coverage
+    from gdal_spark.operators.overlay import erase_area
+
+    pieces, cz_full, pd_docs, cz = _pieces_with_env(spark, sf_dir)
+    ab = pieces.select(
+        "doc_id",
+        "zone_id",
+        F.round(F.col("piece_area") * 1.0e6).cast("long").alias("micro_area"),
+    )
+    a_rem = (
+        erase_area(pd_docs, cz)
+        .filter(F.col("erase_area") > 0)
+        .select(
+            "doc_id",
+            F.lit(None).cast("long").alias("zone_id"),
+            F.round(F.col("erase_area") * 1.0e6).cast("long").alias("micro_area"),
+        )
+    )
+    b_rem = (
+        zone_coverage(pieces, cz_full)
+        .filter(F.col("uncovered_area") > 0)
+        .select(
+            F.lit(None).cast("long").alias("doc_id"),
+            "zone_id",
+            F.round(F.col("uncovered_area") * 1.0e6).cast("long").alias("micro_area"),
+        )
+    )
+    return ab.unionByName(a_rem).unionByName(b_rem)
+
+
+@register("symdifference_overlay")
+def q_symdifference_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SymDifference(A, B): A-remainders ⊕ B-remainders."""
+    from gdal_spark.operators.coverage import zone_coverage
+    from gdal_spark.operators.overlay import erase_area
+
+    pieces, cz_full, pd_docs, cz = _pieces_with_env(spark, sf_dir)
+    a_rem = (
+        erase_area(pd_docs, cz)
+        .filter(F.col("erase_area") > 0)
+        .select(
+            "doc_id",
+            F.lit(None).cast("long").alias("zone_id"),
+            F.round(F.col("erase_area") * 1.0e6).cast("long").alias("micro_area"),
+        )
+    )
+    b_rem = (
+        zone_coverage(pieces, cz_full)
+        .filter(F.col("uncovered_area") > 0)
+        .select(
+            F.lit(None).cast("long").alias("doc_id"),
+            "zone_id",
+            F.round(F.col("uncovered_area") * 1.0e6).cast("long").alias("micro_area"),
+        )
+    )
+    return a_rem.unionByName(b_rem)
+
+
+# --------------------------------------------------------------------------
+# Windowed event aggregation (events table): tumbling hourly windows —
+# the batch analog of the streaming rollup surface.
+# --------------------------------------------------------------------------
+_EVENTS_WINDOW_ORACLE = """
+SELECT date_trunc('hour', ts) AS hour_ts, event_type,
+       count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM events GROUP BY date_trunc('hour', ts), event_type
+"""
+
+
+@register("events_window", _EVENTS_WINDOW_ORACLE)
+def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return e.groupBy(
+        F.date_trunc("hour", "ts").alias("hour_ts"), F.col("event_type")
+    ).agg(
+        F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value")
+    )
+
+
+# --------------------------------------------------------------------------
 # Raster pyramid (gdalwarp + gdal2tiles + checksum oracle) — not
 # SQL-expressible; driver does the rows-only check, exact checksums are
 # pinned in pytest goldens.

@@ -30,6 +30,14 @@ def get_spark(
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         shuffle_partitions = max(2 * cpus, 16)
+    # Keep glibc from serving numpy's batch temporaries via mmap/munmap:
+    # at 32 concurrent Python workers the resulting TLB-shootdown storm
+    # made the Arrow refine stage 7x SLOWER at local[32] than local[8]
+    # (measured; see BASELINE.md). Workers inherit the driver's env in
+    # local mode; on a cluster set the same via spark.executorEnv.*.
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "1073741824")
+    os.environ.setdefault("MALLOC_ARENA_MAX", "4")
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -44,5 +52,8 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", "24g")
         .config("spark.ui.enabled", "false")
+        .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_", "1073741824")
+        .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", "1073741824")
+        .config("spark.executorEnv.MALLOC_ARENA_MAX", "4")
     )
     return builder.getOrCreate()
