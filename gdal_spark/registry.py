@@ -1000,6 +1000,71 @@ def q_raster_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tile_pyramid_checksums(spark, zmax=2)
 
 
+_BETWEEN_ORACLE = """
+SELECT l_orderkey, l_linenumber, l_quantity
+FROM lineitem
+WHERE l_quantity BETWEEN 10 AND 20
+  AND l_returnflag IS NOT NULL
+  AND l_linestatus IN ('F', 'O')
+"""
+
+
+@register("between_filter", _BETWEEN_ORACLE)
+def q_between_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BETWEEN / IS NULL / IN tri-state predicates
+    (swq_op_general.cpp:347-900 null handling)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.filter(
+        F.col("l_quantity").between(10, 20)
+        & F.col("l_returnflag").isNotNull()
+        & F.col("l_linestatus").isin("F", "O")
+    ).select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+_OFFSET_ORACLE = """
+SELECT o_orderkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 15 OFFSET 25
+"""
+
+
+@register("offset_limit", _OFFSET_ORACLE)
+def q_offset_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIMIT + OFFSET (ogr/ogr_swq.h:480-483; counted during iteration
+    in the reference, offset() here)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .offset(25)
+        .limit(15)
+    )
+
+
+_SPECIAL_FIELDS_ORACLE = f"""
+WITH docs AS ({_POLYDOCS_CTE})
+SELECT doc_id AS fid,
+       CAST(round((xmax - xmin) * (ymax - ymin) * 1.0e6) AS bigint) AS micro_geom_area
+FROM docs
+"""
+
+
+@register("special_fields", _SPECIAL_FIELDS_ORACLE)
+def q_special_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OGR special fields FID / OGR_GEOM_AREA
+    (ogr_gensql.cpp:824-826,1555) as computed columns."""
+    pd_docs = corpus.load_polydocs(spark, sf_dir)
+    return pd_docs.select(
+        F.col("doc_id").alias("fid"),
+        F.round(
+            (F.col("xmax") - F.col("xmin")) * (F.col("ymax") - F.col("ymin")) * 1.0e6
+        )
+        .cast("long")
+        .alias("micro_geom_area"),
+    )
+
+
 # --------------------------------------------------------------------------
 # public surface used by __spark_entry__
 # --------------------------------------------------------------------------
