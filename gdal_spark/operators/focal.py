@@ -1,0 +1,108 @@
+"""Focal (neighborhood) raster ops via per-tile kernels + halo exchange.
+
+The reference's DEM derivatives (apps/gdaldem_lib.cpp: slope/aspect/
+hillshade via Horn's 3x3 stencil) and cleanup kernels (sieve, proximity)
+are all focal ops: each output pixel needs a neighborhood of input
+pixels.  Spark-first shape (SURVEY §2.5/§2.9):
+
+  1. pixels scatter to 64x64 grid tiles PLUS a 1-pixel halo — computed
+     exactly per pixel with a JVM-side ``sequence()`` explode over the
+     (at most 2x2) tiles its 3x3 neighborhood touches;
+  2. one applyInPandas group per tile reconstructs the local window as a
+     dense numpy array and runs the stencil vectorized;
+  3. global-border pixels are skipped (the reference computes edge
+     pixels with mirrored values; v1 emits interior only, documented).
+
+``dem_gradient`` emits Horn's dzdx/dzdy as INTEGERS (the 3x3 weighted
+differences before the float slope conversion) so the DuckDB oracle can
+reproduce them bit-exactly from the synthetic value formula.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+GRID_TILE = 64
+
+
+def _with_halo_tiles(pixels: DataFrame) -> DataFrame:
+    """Scatter (px, py, value) to every GRID_TILE tile whose interior
+    3x3 stencils need it: tiles of px-1..px+1 x py-1..py+1."""
+    lo = lambda c: F.shiftright(F.col(c) - 1, 6)  # noqa: E731
+    hi = lambda c: F.shiftright(F.col(c) + 1, 6)  # noqa: E731
+    out = pixels.withColumn("gtx", F.explode(F.sequence(lo("px"), hi("px"))))
+    out = out.withColumn("gty", F.explode(F.sequence(lo("py"), hi("py"))))
+    return out.filter((F.col("gtx") >= 0) & (F.col("gty") >= 0))
+
+
+_GRAD_SCHEMA = StructType(
+    [
+        StructField("px", IntegerType()),
+        StructField("py", IntegerType()),
+        StructField("dzdx", LongType()),
+        StructField("dzdy", LongType()),
+    ]
+)
+
+
+def dem_gradient(
+    pixels: DataFrame, width: int, height: int
+) -> DataFrame:
+    """Horn 3x3 gradient (gdaldem slope stencil) for interior pixels.
+
+    dzdx = (ne + 2e + se) - (nw + 2w + sw), dzdy = (sw + 2s + se) -
+    (nw + 2n + ne), with y growing south (row-major py)."""
+
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        gtx, gty = int(key[0]), int(key[1])
+        spx = pdf["px"].to_numpy(np.int64)
+        spy = pdf["py"].to_numpy(np.int64)
+        val = pdf["value"].to_numpy(np.int64)
+        x0 = gtx * GRID_TILE - 1
+        y0 = gty * GRID_TILE - 1
+        w = GRID_TILE + 2
+        win = np.zeros((w, w), dtype=np.int64)
+        have = np.zeros((w, w), dtype=bool)
+        sel = (spx >= x0) & (spx < x0 + w) & (spy >= y0) & (spy < y0 + w)
+        win[spy[sel] - y0, spx[sel] - x0] = val[sel]
+        have[spy[sel] - y0, spx[sel] - x0] = True
+        # interior of this tile, excluding global borders
+        pxs = np.arange(gtx * GRID_TILE, min((gtx + 1) * GRID_TILE, width))
+        pys = np.arange(gty * GRID_TILE, min((gty + 1) * GRID_TILE, height))
+        pxs = pxs[(pxs >= 1) & (pxs <= width - 2)]
+        pys = pys[(pys >= 1) & (pys <= height - 2)]
+        if pxs.size == 0 or pys.size == 0:
+            return pd.DataFrame(
+                {"px": [], "py": [], "dzdx": [], "dzdy": []}
+            ).astype({"px": "int32", "py": "int32", "dzdx": "int64", "dzdy": "int64"})
+        cx = pxs - x0
+        cy = pys - y0
+        C = np.ix_(cy, cx)
+
+        def sh(dy, dx):
+            return win[np.ix_(cy + dy, cx + dx)]
+
+        dzdx = (sh(-1, 1) + 2 * sh(0, 1) + sh(1, 1)) - (
+            sh(-1, -1) + 2 * sh(0, -1) + sh(1, -1)
+        )
+        dzdy = (sh(1, -1) + 2 * sh(1, 0) + sh(1, 1)) - (
+            sh(-1, -1) + 2 * sh(-1, 0) + sh(-1, 1)
+        )
+        assert have[C].all(), "halo window incomplete"
+        gx, gy = np.meshgrid(pxs, pys)
+        return pd.DataFrame(
+            {
+                "px": gx.ravel().astype(np.int32),
+                "py": gy.ravel().astype(np.int32),
+                "dzdx": dzdx.ravel(),
+                "dzdy": dzdy.ravel(),
+            }
+        )
+
+    return _with_halo_tiles(pixels).groupBy("gtx", "gty").applyInPandas(
+        kernel, _GRAD_SCHEMA
+    )

@@ -1,0 +1,123 @@
+"""Rasterize — vector polygons burned into mercator tile rasters.
+
+Re-answers gdal_rasterize (alg/gdalrasterize.cpp:573-900 scanline fill,
+MERGE_ALG=REPLACE/ADD, burn attribute) tile-parallel:
+
+  1. zones explode to covered cells (same broadcast index the joins
+     use);
+  2. one applyInPandas group per tile: pixel-center containment masks —
+     rect zones via 1-D interval masks (outer product), general
+     polygons via the vectorized ray-cast over the 256x256 center grid
+     (the reference's scanline fill and even/odd crossing rule agree on
+     pixel-center containment, llrasterize.cpp:58);
+  3. REPLACE burns in ascending zone order (later feature overwrites —
+     the reference's layer-order semantics made deterministic), ADD
+     accumulates.
+
+``rasterize_counts`` reports burned-pixel counts per tile (union over
+zones) — ANSI-SQL-expressible for rect zones, so the driver oracle can
+check it exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from gdal_spark.geometry import mercator
+from gdal_spark.geometry.pip import points_in_polygon
+from gdal_spark.operators.pip_join import collect_zone_geoms, zone_cell_index
+
+TILE = 256
+
+_TILE_SCHEMA = StructType(
+    [
+        StructField("zoom", IntegerType()),
+        StructField("tx", LongType()),
+        StructField("ty", LongType()),
+        StructField("n_burned", IntegerType()),
+        StructField("data", BinaryType()),
+    ]
+)
+
+
+def _pixel_centers(tx: int, ty: int, zoom: int):
+    """(lon[256] of columns, lat[256] of TMS rows bottom-up)."""
+    res = mercator.resolution(zoom)
+    i = np.arange(TILE)
+    mx = (tx * TILE + i + 0.5) * res - mercator.ORIGIN_SHIFT
+    my = (ty * TILE + i + 0.5) * res - mercator.ORIGIN_SHIFT
+    lat = mercator.meters_to_lat_lon(np.zeros(1), my)[0]
+    lon = mercator.meters_to_lat_lon(mx, np.zeros(1))[1]
+    return lon, lat
+
+
+def rasterize(
+    zones: DataFrame,
+    zoom: int,
+    merge: str = "replace",
+    wkt_col: str = "geom_wkt",
+    zone_id_col: str = "zone_id",
+) -> DataFrame:
+    """(zoom, tx, ty, n_burned, data) — data is the 256x256 uint8 burn
+    raster (burn value = zone_id % 255 + 1, 0 = nodata), row 0 = north."""
+    geoms = collect_zone_geoms(zones, zone_id_col, wkt_col)
+    cells = zone_cell_index(zones.select(zone_id_col, wkt_col), zoom, wkt_col)
+
+    def burn_tile(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        tx, ty = int(key[0]), int(key[1])
+        lon, lat = _pixel_centers(tx, ty, zoom)
+        img = np.zeros((TILE, TILE), dtype=np.uint16)
+        any_mask = np.zeros((TILE, TILE), dtype=bool)
+        for zid in np.sort(pdf[zone_id_col].unique()):
+            polys = geoms[zid]
+            mask = np.zeros((TILE, TILE), dtype=bool)  # TMS rows (south-up)
+            for rings in polys:
+                ring0 = rings[0]
+                is_rect = (
+                    len(rings) == 1
+                    and ring0.shape[0] == 5
+                    and len(np.unique(ring0[:, 0])) == 2
+                    and len(np.unique(ring0[:, 1])) == 2
+                )
+                if is_rect:
+                    x0, x1 = ring0[:, 0].min(), ring0[:, 0].max()
+                    y0, y1 = ring0[:, 1].min(), ring0[:, 1].max()
+                    mask |= np.outer(
+                        (lat > y0) & (lat < y1), (lon > x0) & (lon < x1)
+                    )
+                else:
+                    gx, gy = np.meshgrid(lon, lat)
+                    hit = points_in_polygon(gx.ravel(), gy.ravel(), rings)
+                    mask |= hit.reshape(TILE, TILE)
+            burn = np.uint16(int(zid) % 255 + 1)
+            if merge == "add":
+                img[mask] += burn
+            else:  # replace: ascending zone order, later overwrites
+                img[mask] = burn
+            any_mask |= mask
+        out = np.flipud(np.clip(img, 0, 255).astype(np.uint8))  # north-up
+        return pd.DataFrame(
+            {
+                "zoom": [np.int32(zoom)],
+                "tx": [tx],
+                "ty": [ty],
+                "n_burned": [np.int32(any_mask.sum())],
+                "data": [out.tobytes()],
+            }
+        )
+
+    return cells.groupBy("cell_tx", "cell_ty").applyInPandas(burn_tile, _TILE_SCHEMA)
+
+
+def rasterize_counts(zones: DataFrame, zoom: int, **kw) -> DataFrame:
+    return rasterize(zones, zoom, **kw).select("zoom", "tx", "ty", "n_burned")

@@ -1066,6 +1066,75 @@ def q_special_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Rasterize (alg/gdalrasterize.cpp scanline burn): burned-pixel counts
+# per tile at zoom 2, oracle = pixel-center containment in SQL (inverse
+# mercator via atan/exp, identical formula text).
+# --------------------------------------------------------------------------
+_RZOOM = 2
+_R_RES = mercator.sql_double(mercator.INITIAL_RESOLUTION / (2**_RZOOM))
+_R_OS = mercator.sql_double(mercator.ORIGIN_SHIFT)
+
+_RASTERIZE_ORACLE = f"""
+WITH z AS ({_ZONES_CTE}),
+t AS (SELECT a.tx, b.ty FROM range(0, {2**_RZOOM}) a(tx), range(0, {2**_RZOOM}) b(ty)),
+px AS (
+  SELECT t.tx, t.ty, i.ci, j.rj FROM t, range(0, 256) i(ci), range(0, 256) j(rj)
+),
+c AS (
+  SELECT tx, ty, ci, rj,
+         (((tx * 256 + ci + 5.0e-1) * {_R_RES} - {_R_OS}) / {_R_OS}) * 1.8e2 AS lon,
+         1.8e2 / pi() * (2.0e0 * atan(exp(((((ty * 256 + rj + 5.0e-1) * {_R_RES} - {_R_OS}) / {_R_OS}) * 1.8e2) * pi() / 1.8e2)) - pi() / 2.0e0) AS lat
+  FROM px
+),
+hit AS (
+  SELECT DISTINCT c.tx, c.ty, c.ci, c.rj
+  FROM c JOIN z
+    ON c.lon > z.zxmin AND c.lon < z.zxmax AND c.lat > z.zymin AND c.lat < z.zymax
+)
+SELECT CAST({_RZOOM} AS int) AS zoom, tx, ty, CAST(count(*) AS int) AS n_burned
+FROM hit GROUP BY tx, ty
+"""
+
+
+@register("rasterize_counts", _RASTERIZE_ORACLE)
+def q_rasterize_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.operators.rasterize import rasterize_counts
+
+    z = zones.rect_zones(spark).drop("zxmin", "zymin", "zxmax", "zymax")
+    out = rasterize_counts(z.select("zone_id", "geom_wkt"), _RZOOM)
+    return out.filter(F.col("n_burned") > 0)
+
+
+# --------------------------------------------------------------------------
+# DEM gradient (gdaldem Horn stencil) — focal op with per-tile halo
+# exchange; integer dzdx/dzdy so the formula oracle is bit-exact.
+# --------------------------------------------------------------------------
+_GRAD_ORACLE = f"""
+WITH g AS (
+  SELECT CAST(px.i AS int) AS px, CAST(py.j AS int) AS py
+  FROM range(1, {SRC_W - 1}) px(i), range(1, {SRC_H - 1}) py(j)
+)
+SELECT px, py,
+  ((((px+1) * 7 + (py-1) * 13 + 29) % 256) + 2 * (((px+1) * 7 + py * 13 + 29) % 256) + (((px+1) * 7 + (py+1) * 13 + 29) % 256))
+  - ((((px-1) * 7 + (py-1) * 13 + 29) % 256) + 2 * (((px-1) * 7 + py * 13 + 29) % 256) + (((px-1) * 7 + (py+1) * 13 + 29) % 256)) AS dzdx,
+  ((((px-1) * 7 + (py+1) * 13 + 29) % 256) + 2 * ((px * 7 + (py+1) * 13 + 29) % 256) + (((px+1) * 7 + (py+1) * 13 + 29) % 256))
+  - ((((px-1) * 7 + (py-1) * 13 + 29) % 256) + 2 * ((px * 7 + (py-1) * 13 + 29) % 256) + (((px+1) * 7 + (py-1) * 13 + 29) % 256)) AS dzdy
+FROM g
+"""
+
+
+@register("dem_gradient", _GRAD_ORACLE)
+def q_dem_gradient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horn 3x3 gradient of band 1 (value = (px*7+py*13+29)%256 → +36
+    constant term in the oracle is band*29+7... expanded per formula)."""
+    from gdal_spark.operators.focal import dem_gradient
+    from gdal_spark.operators.raster import source_grid
+
+    band1 = source_grid(spark).filter(F.col("band") == 1).select("px", "py", "value")
+    return dem_gradient(band1, SRC_W, SRC_H)
+
+
+# --------------------------------------------------------------------------
 # public surface used by __spark_entry__
 # --------------------------------------------------------------------------
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
