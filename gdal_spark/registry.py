@@ -1135,6 +1135,47 @@ def q_dem_gradient(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Polygonize (alg/polygonize.cpp:500): distributed connected components
+# over equal-valued pixels (tile-local union-find + cross-tile min-label
+# merge). Test raster = 50x40 blocks with cyclic values -> components
+# are exactly the blocks, closed-form oracle.
+# --------------------------------------------------------------------------
+_PG_W, _PG_H = 400, 200
+_PG_BX, _PG_BY = 50, 40
+_PG_VALUE_SQL = (
+    f"((cast(((px - (px % {_PG_BX})) / {_PG_BX}) as bigint)"
+    f" + cast(((py - (py % {_PG_BY})) / {_PG_BY}) as bigint)) % 4)"
+)
+
+_POLYGONIZE_ORACLE = f"""
+WITH b AS (
+  SELECT bx.i AS bx, byy.j AS byy
+  FROM range(0, {_PG_W // _PG_BX}) bx(i), range(0, {_PG_H // _PG_BY}) byy(j)
+)
+SELECT CAST(byy * {_PG_BY} * {_PG_W} + bx * {_PG_BX} AS bigint) AS label,
+       CAST((bx + byy) % 4 AS bigint) AS value,
+       CAST({_PG_BX * _PG_BY} AS bigint) AS n_pixels,
+       CAST(bx * {_PG_BX} AS int) AS pxmin,
+       CAST(byy * {_PG_BY} AS int) AS pymin,
+       CAST(bx * {_PG_BX} + {_PG_BX - 1} AS int) AS pxmax,
+       CAST(byy * {_PG_BY} + {_PG_BY - 1} AS int) AS pymax
+FROM b
+"""
+
+
+@register("polygonize", _POLYGONIZE_ORACLE)
+def q_polygonize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.operators.polygonize import polygonize
+
+    px_df = spark.range(_PG_W * _PG_H).select(
+        (F.col("id") % _PG_W).cast("int").alias("px"),
+        ((F.col("id") - (F.col("id") % _PG_W)) / _PG_W).cast("int").alias("py"),
+    )
+    px_df = px_df.withColumn("value", F.expr(_PG_VALUE_SQL).cast("long"))
+    return polygonize(px_df, _PG_W, _PG_H)
+
+
+# --------------------------------------------------------------------------
 # public surface used by __spark_entry__
 # --------------------------------------------------------------------------
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
