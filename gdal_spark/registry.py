@@ -1175,6 +1175,25 @@ def q_polygonize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return polygonize(px_df, _PG_W, _PG_H)
 
 
+_HISTOGRAM_ORACLE = f"""
+WITH g AS ({_SRC_GRID_CTE})
+SELECT band, CAST(floor({_SRC_VAL} / 16) AS int) AS bucket, count(*) AS n
+FROM g GROUP BY band, CAST(floor({_SRC_VAL} / 16) AS int)
+"""
+
+
+@register("raster_histogram", _HISTOGRAM_ORACLE)
+def q_raster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDALRasterBand::GetHistogram analog: 16-value buckets per band."""
+    from gdal_spark.operators.raster import source_grid
+
+    return (
+        source_grid(spark)
+        .groupBy("band", F.floor(F.col("value") / 16).cast("int").alias("bucket"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
 # --------------------------------------------------------------------------
 # public surface used by __spark_entry__
 # --------------------------------------------------------------------------
