@@ -59,8 +59,6 @@ class CheckpointedJob:
         tmp = udir + ".inprogress"
         if os.path.exists(tmp):
             shutil.rmtree(tmp)
-        if os.path.exists(udir):
-            shutil.rmtree(udir)  # stale/invalidated unit
         os.makedirs(tmp)
         t0 = time.monotonic()
         df = fn()
@@ -75,6 +73,10 @@ class CheckpointedJob:
         }
         with open(os.path.join(tmp, "manifest.json"), "w") as f:
             json.dump(manifest, f)
+        # the stale/invalidated unit survives until the new one is fully
+        # built, so a crash mid-recompute never loses both copies
+        if os.path.exists(udir):
+            shutil.rmtree(udir)
         os.rename(tmp, udir)  # atomic commit
         return True
 
@@ -88,6 +90,8 @@ class CheckpointedJob:
         """All unit manifests as a DataFrame (unit, rows, seconds, ...)."""
         rows = []
         for unit in sorted(os.listdir(self.root)):
+            if unit.endswith(".inprogress"):
+                continue  # crashed-unit debris, not a committed unit
             path = self._manifest_path(unit)
             if os.path.exists(path):
                 with open(path) as f:

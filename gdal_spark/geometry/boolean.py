@@ -1,0 +1,278 @@
+"""General polygon intersection AREAS — concave, holes, multipolygon.
+
+Replaces the reference's GEOS-backed OGRGeometry::Intersection area
+semantics (ogr/ogrgeometry.cpp:4895) without a polygon-clipping topology
+library, via a measure-theoretic decomposition that needs no topological
+surgery (so no degenerate-case branches):
+
+  * An OGC-valid polygon's indicator function is a signed sum of its
+    rings' indicators (shell +1, holes -1); a MULTIPOLYGON adds its
+    parts (parts disjoint by validity).
+  * A simple ring's indicator is the signed sum of its FAN TRIANGLES
+    (p0, v_i, v_i+1) — winding numbers are additive because the fan's
+    interior edges cancel pairwise (the same identity behind the
+    shoelace formula).
+  * Therefore  area(A ∩ B) = Σ_ra Σ_rb w_ra w_rb Σ_i Σ_j s_i s_j
+    area(t_i ∩ t_j), and every remaining term is CONVEX ∩ CONVEX —
+    exactly computable with Sutherland–Hodgman.
+
+The triangle-pair terms are evaluated with a VECTORIZED fixed-width
+Sutherland–Hodgman: all pending (subject, clip-edge) jobs live in one
+padded (M, W, 2) vertex tensor and every clip plane is one numpy pass,
+so cost is O(planes) numpy ops regardless of how many candidate pairs
+are in the Arrow batch — no per-row Python in the hot path.
+
+Also here: ``rectilinear_rects`` — exact decomposition of an
+axis-parallel polygon (any concavity, holes) into disjoint rectangles,
+the building block for union-of-B semantics (Clip/Erase against an
+OVERLAPPING method layer) via per-key coordinate compression.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from gdal_spark.geometry.clip import shoelace_area
+
+__all__ = [
+    "fan_triangles",
+    "weighted_triangles",
+    "clip_convex_areas",
+    "rects_polys_intersection_area",
+    "polys_pair_intersection_area",
+    "polys_area",
+    "is_rectilinear",
+    "rectilinear_rects",
+]
+
+
+def _ccw(ring: np.ndarray) -> np.ndarray:
+    return ring if shoelace_area(ring) >= 0 else ring[::-1]
+
+
+def fan_triangles(ring: np.ndarray):
+    """Closed simple ring -> (T,3,2) CCW triangles + (T,) signs with
+    χ_ring = Σ s_i χ_tri_i (ring normalized CCW first)."""
+    r = _ccw(np.asarray(ring, dtype=np.float64))
+    p0 = r[0]
+    v1 = r[1:-2]
+    v2 = r[2:-1]
+    tris = np.stack(
+        [np.broadcast_to(p0, v1.shape), v1, v2], axis=1
+    )  # (T, 3, 2)
+    cross = (v1[:, 0] - p0[0]) * (v2[:, 1] - p0[1]) - (v1[:, 1] - p0[1]) * (
+        v2[:, 0] - p0[0]
+    )
+    signs = np.sign(cross)
+    keep = signs != 0  # collinear fans contribute zero area
+    tris = tris[keep]
+    signs = signs[keep]
+    # orient each triangle CCW so S-H "left of edge" works uniformly
+    cw = signs < 0
+    tris[cw] = tris[cw, ::-1, :]
+    return tris, signs.astype(np.float64)
+
+
+def weighted_triangles(polys: list) -> tuple[np.ndarray, np.ndarray]:
+    """Multipolygon payload (list of polygons, each list of closed rings,
+    ring0 = shell, rest holes) -> all fan triangles with combined weights
+    (shell rings weight +1, hole rings -1, times the fan sign)."""
+    all_t, all_w = [], []
+    for poly in polys:
+        for k, ring in enumerate(poly):
+            t, s = fan_triangles(ring)
+            if len(t):
+                all_t.append(t)
+                all_w.append(s * (1.0 if k == 0 else -1.0))
+    if not all_t:
+        return np.empty((0, 3, 2)), np.empty((0,))
+    return np.concatenate(all_t), np.concatenate(all_w)
+
+
+def polys_area(polys: list) -> float:
+    """Exact area of a multipolygon payload (holes subtract)."""
+    total = 0.0
+    for poly in polys:
+        for k, ring in enumerate(poly):
+            a = abs(shoelace_area(np.asarray(ring, dtype=np.float64)))
+            total += a if k == 0 else -a
+    return total
+
+
+# ---------------------------------------------------- vectorized S-H core
+
+def _sh_clip(V, count, ax, ay, bx, by):
+    """One Sutherland–Hodgman step on M padded polygons against per-row
+    directed edges a->b (keep left).  V: (M, W, 2); count: (M,) valid
+    prefix lengths.  Returns (V', count') with W' = W + 1 (convex
+    subjects gain at most one vertex per plane)."""
+    M, W, _ = V.shape
+    cols = np.arange(W)[None, :]
+    alive = cols < count[:, None]
+    px, py = V[..., 0], V[..., 1]
+    side = (bx - ax)[:, None] * (py - ay[:, None]) - (by - ay)[:, None] * (
+        px - ax[:, None]
+    )
+    inside = (side >= 0) & alive
+    nxt = np.where(cols + 1 < count[:, None], cols + 1, 0)
+    sx = np.take_along_axis(px, nxt, 1)
+    sy = np.take_along_axis(py, nxt, 1)
+    nside = np.take_along_axis(side, nxt, 1)
+    ninside = np.take_along_axis(inside, nxt, 1)
+    crossing = alive & (inside != ninside)
+    denom = side - nside
+    t = np.divide(side, denom, out=np.zeros_like(side), where=denom != 0)
+    ix = px + t * (sx - px)
+    iy = py + t * (sy - py)
+    # slot 2j = vertex j (if inside), slot 2j+1 = crossing point
+    keepv = inside
+    out_valid = np.empty((M, 2 * W), dtype=bool)
+    out_valid[:, 0::2] = keepv
+    out_valid[:, 1::2] = crossing
+    ox = np.empty((M, 2 * W))
+    oy = np.empty((M, 2 * W))
+    ox[:, 0::2], oy[:, 0::2] = px, py
+    ox[:, 1::2], oy[:, 1::2] = ix, iy
+    # compact valid slots to the front, preserving order
+    order = np.argsort(~out_valid, axis=1, kind="stable")
+    Wn = W + 1
+    take = order[:, :Wn]
+    cx = np.take_along_axis(ox, take, 1)
+    cy = np.take_along_axis(oy, take, 1)
+    new_count = out_valid.sum(axis=1)
+    np.minimum(new_count, Wn, out=new_count)
+    return np.stack([cx, cy], axis=-1), new_count
+
+
+def _padded_shoelace(V, count):
+    """Signed areas of padded polygons (vertices beyond count ignored)."""
+    M, W, _ = V.shape
+    cols = np.arange(W)[None, :]
+    alive = cols < count[:, None]
+    nxt = np.where(cols + 1 < count[:, None], cols + 1, 0)
+    x, y = V[..., 0], V[..., 1]
+    xn = np.take_along_axis(x, nxt, 1)
+    yn = np.take_along_axis(y, nxt, 1)
+    terms = np.where(alive, x * yn - xn * y, 0.0)
+    return 0.5 * terms.sum(axis=1)
+
+
+def clip_convex_areas(subject: np.ndarray, clip_edges) -> np.ndarray:
+    """Areas of (CCW convex subject_i) ∩ (CCW convex clip_i), both given
+    per row.  subject: (M, S, 2); clip_edges: list of per-plane
+    ((M,) ax, ay, bx, by) tuples.  Degenerate rows come back 0."""
+    M, S, _ = subject.shape
+    V = subject.astype(np.float64, copy=True)
+    count = np.full(M, S, dtype=np.int64)
+    for ax, ay, bx, by in clip_edges:
+        V, count = _sh_clip(V, count, ax, ay, bx, by)
+        if not count.any():
+            break
+    areas = _padded_shoelace(V, count)
+    areas[count < 3] = 0.0
+    return np.maximum(areas, 0.0)
+
+
+# ------------------------------------------------------- public entry pts
+
+def rects_polys_intersection_area(
+    rects: np.ndarray, tris: np.ndarray, weights: np.ndarray
+) -> np.ndarray:
+    """area(rect_i ∩ P) for N axis-aligned rects against ONE weighted
+    triangle soup (from :func:`weighted_triangles`).  Fully vectorized:
+    the N x T job cross-product is flattened into one padded S-H pass.
+
+    rects: (N, 4) xmin,ymin,xmax,ymax.  Returns (N,) areas."""
+    N = len(rects)
+    T = len(tris)
+    if N == 0 or T == 0:
+        return np.zeros(N)
+    subj = np.repeat(tris, N, axis=0)  # (T*N, 3, 2) grouped by triangle
+    r = np.tile(rects, (T, 1))  # matching rects
+    x0, y0, x1, y1 = r[:, 0], r[:, 1], r[:, 2], r[:, 3]
+    edges = [  # CCW rect boundary as 4 directed clip edges
+        (x0, y0, x1, y0),
+        (x1, y0, x1, y1),
+        (x1, y1, x0, y1),
+        (x0, y1, x0, y0),
+    ]
+    areas = clip_convex_areas(subj, edges)
+    weighted = areas * np.repeat(weights, N)
+    return weighted.reshape(T, N).sum(axis=0)
+
+
+def polys_pair_intersection_area(polys_a: list, polys_b: list) -> float:
+    """Exact area(A ∩ B) for two multipolygon payloads — any concavity,
+    holes, multiple parts, any ring orientation."""
+    ta, wa = weighted_triangles(polys_a)
+    tb, wb = weighted_triangles(polys_b)
+    if not len(ta) or not len(tb):
+        return 0.0
+    A = len(ta)
+    B = len(tb)
+    subj = np.repeat(ta, B, axis=0)  # (A*B, 3, 2)
+    clip = np.tile(tb, (A, 1, 1))
+    edges = [
+        (clip[:, i, 0], clip[:, i, 1], clip[:, (i + 1) % 3, 0], clip[:, (i + 1) % 3, 1])
+        for i in range(3)
+    ]
+    areas = clip_convex_areas(subj, edges)
+    w = np.repeat(wa, B) * np.tile(wb, A)
+    return float((areas * w).sum())
+
+
+# ------------------------------------------------- rectilinear decompose
+
+def is_rectilinear(polys: list) -> bool:
+    """True if every edge of every ring is axis-parallel."""
+    for poly in polys:
+        for ring in poly:
+            r = np.asarray(ring, dtype=np.float64)
+            dx = r[1:, 0] - r[:-1, 0]
+            dy = r[1:, 1] - r[:-1, 1]
+            if not bool(np.all((dx == 0) | (dy == 0))):
+                return False
+    return True
+
+
+def rectilinear_rects(polys: list) -> np.ndarray:
+    """Decompose a rectilinear multipolygon (holes, concavity OK) into
+    DISJOINT axis-aligned rects (R, 4) covering exactly its interior.
+
+    Coordinate-compress on the polygon's own vertex coordinates; a grid
+    cell is inside iff its center is (even-odd over all rings — shell
+    minus holes).  Cell centers never touch edges, so the test is exact.
+    Adjacent cells in the same row are merged into strips."""
+    xs = np.unique(
+        np.concatenate([np.asarray(r)[:, 0] for poly in polys for r in poly])
+    )
+    ys = np.unique(
+        np.concatenate([np.asarray(r)[:, 1] for poly in polys for r in poly])
+    )
+    if len(xs) < 2 or len(ys) < 2:
+        return np.empty((0, 4))
+    cx = (xs[:-1] + xs[1:]) / 2.0
+    cy = (ys[:-1] + ys[1:]) / 2.0
+    gx, gy = np.meshgrid(cx, cy, indexing="ij")  # (nx, ny)
+    from gdal_spark.geometry.pip import points_in_polygon
+
+    inside = np.zeros(gx.shape, dtype=bool)
+    for poly in polys:
+        shell = points_in_polygon(gx.ravel(), gy.ravel(), [poly[0]]).reshape(gx.shape)
+        for hole in poly[1:]:
+            shell &= ~points_in_polygon(gx.ravel(), gy.ravel(), [hole]).reshape(
+                gx.shape
+            )
+        inside |= shell
+    rects = []
+    for j in range(inside.shape[1]):  # per row, merge runs into strips
+        col = inside[:, j]
+        run = None
+        for i in range(len(col) + 1):
+            on = i < len(col) and col[i]
+            if on and run is None:
+                run = i
+            elif not on and run is not None:
+                rects.append((xs[run], ys[j], xs[i], ys[j + 1]))
+                run = None
+    return np.asarray(rects, dtype=np.float64).reshape(-1, 4)

@@ -18,14 +18,24 @@ Spark-first plan (replacing the reference's index nested loop):
      keeping only the canonical cell = min corner of the envelope
      intersection;
   3. envelope prefilter JVM-side, then the exact clip kernel in an
-     Arrow-batched pandas UDF: axis-aligned rectangle pairs take the
-     exact min/max fast path (the reference's rect-filter special case,
-     ogrlayer.cpp:2276-2303); general convex clip polygons take
-     Sutherland–Hodgman.
+     Arrow-batched pandas UDF.  The kernel reads the zone WKT CARRIED
+     THROUGH THE JOIN (parsed once per executor — no driver collect):
+     axis-aligned rectangle zones take the exact min/max fast path (the
+     reference's rect-filter special case, ogrlayer.cpp:2276-2303);
+     GENERAL zones — concave, holes, multipolygon — go through the
+     signed fan-triangle decomposition (geometry/boolean.py), one
+     vectorized Sutherland–Hodgman pass per batch.
 
-v1 limitation (documented): exact piece GEOMETRY requires the clip side
-convex; union-of-B semantics (Clip/Erase) require B disjoint — both hold
-for the engine's clip layer and are asserted, not assumed.
+Union-of-B semantics (Clip/Erase/coverage against an OVERLAPPING method
+layer) are exact for RECTILINEAR zones via per-zone decomposition into
+disjoint rects + per-key coordinate-compressed union
+(:func:`piece_rects` + :func:`union_area_by_key`); non-rectilinear
+method layers raise (pairwise ops stay fully general).  ``erase_area``
+keeps the legacy sum-of-pieces plan, valid for DISJOINT method layers.
+
+Piece WKT is emitted on the rect x rect fast path (where the piece is a
+single rectangle); general pieces report exact areas with NULL wkt (the
+piece may be a multi-part region).
 """
 
 from __future__ import annotations
@@ -36,14 +46,25 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import DoubleType, StringType, StructField, StructType
+from pyspark.sql.types import DoubleType, LongType, StringType, StructField, StructType
 
 from gdal_spark.geometry import mercator
-from gdal_spark.geometry.clip import clip_polygon_convex, shoelace_area
-from gdal_spark.geometry.wkt import _fmt, parse_wkt, polygon_wkt
+from gdal_spark.geometry.boolean import (
+    is_rectilinear,
+    polys_area,
+    polys_pair_intersection_area,
+    rectilinear_rects,
+    rects_polys_intersection_area,
+    weighted_triangles,
+)
+from gdal_spark.geometry.wkt import _fmt, parse_wkt
 from gdal_spark.operators.pip_join import zone_cell_index
 
 DEFAULT_ZOOM = 5
+
+# areas below this are clip-plane roundoff (~1e-12 on fixture scales),
+# not geometry: the corpus lattice makes every true piece >= 2.5e-7
+AREA_EPS = 1.0e-9
 
 
 def _env_cells(df: DataFrame, zoom: int, xmin, ymin, xmax, ymax) -> DataFrame:
@@ -90,36 +111,50 @@ def _intersection_candidates(
     return cand.drop("_tx0", "_tx1", "_ty0", "_ty1", "cell_tx", "cell_ty")
 
 
-def _clip_kernel(zone_geoms: dict, doc_wkt_col: str | None, emit_wkt: bool = True):
-    """mapInPandas kernel computing exact intersection pieces.
+# executor-level classified-zone cache: WKT -> ("rect", env) for single
+# axis-aligned rectangles, else ("tris", (tris, weights)), plus the
+# rectilinear decomposition when available (lazy slot).
+_ZONE_CACHE: dict[str, tuple] = {}
+_ZONE_CACHE_MAX = 65536
 
-    Emits (piece_wkt, piece_area) per candidate row; area 0 rows =
-    empty/lower-dimension intersections (dropped by the caller, matching
-    KEEP_LOWER_DIMENSION_GEOMETRIES=NO).
-    """
 
-    # pre-classify zones once per executor: rect zones get a vectorized
-    # min/max path (same least/greatest ops as the oracle); general
-    # convex zones take Sutherland–Hodgman per row
-    rect_env: dict = {}
-    general: dict = {}
-    for zid, polys in zone_geoms.items():
-        if len(polys) != 1 or len(polys[0]) != 1:
-            raise ValueError("overlay v1 supports single-ring clip polygons")
+def _classify_zone(wkt: str):
+    v = _ZONE_CACHE.get(wkt)
+    if v is None:
+        typ, payload = parse_wkt(wkt)
+        polys = payload if typ == "MULTIPOLYGON" else [payload]
         ring0 = polys[0][0]
         if (
-            ring0.shape[0] == 5
+            len(polys) == 1
+            and len(polys[0]) == 1
+            and ring0.shape[0] == 5
             and len(np.unique(ring0[:, 0])) == 2
             and len(np.unique(ring0[:, 1])) == 2
         ):
-            rect_env[zid] = (
-                ring0[:, 0].min(),
-                ring0[:, 1].min(),
-                ring0[:, 0].max(),
-                ring0[:, 1].max(),
+            v = (
+                "rect",
+                (
+                    ring0[:, 0].min(),
+                    ring0[:, 1].min(),
+                    ring0[:, 0].max(),
+                    ring0[:, 1].max(),
+                ),
+                polys,
             )
         else:
-            general[zid] = ring0
+            v = ("tris", weighted_triangles(polys), polys)
+        if len(_ZONE_CACHE) >= _ZONE_CACHE_MAX:
+            _ZONE_CACHE.clear()
+        _ZONE_CACHE[wkt] = v
+    return v
+
+
+def _clip_kernel(zone_wkt_col: str, doc_wkt_col: str | None, emit_wkt: bool = True):
+    """mapInPandas kernel computing exact intersection pieces.
+
+    Emits (piece_wkt, piece_area) per candidate row; area <= AREA_EPS
+    rows = empty/lower-dimension intersections (dropped by the caller,
+    matching KEEP_LOWER_DIMENSION_GEOMETRIES=NO)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -132,26 +167,27 @@ def _clip_kernel(zone_geoms: dict, doc_wkt_col: str | None, emit_wkt: bool = Tru
             ymin = pdf["ymin"].to_numpy(np.float64)
             xmax = pdf["xmax"].to_numpy(np.float64)
             ymax = pdf["ymax"].to_numpy(np.float64)
-            zids = pdf["zone_id"].to_numpy()
-            rect_rows = (
-                np.array([z in rect_env for z in zids])
-                if general or doc_wkt_col is not None
-                else np.ones(n, dtype=bool)
+            uniq, inv = np.unique(
+                pdf[zone_wkt_col].to_numpy(dtype=object), return_inverse=True
             )
-            if doc_wkt_col is not None:
-                rect_rows &= False  # WKT docs always take the exact path
+            infos = [_classify_zone(w) for w in uniq]
+            if doc_wkt_col is None:
+                rect_rows = np.array([infos[i][0] == "rect" for i in inv])
+            else:
+                rect_rows = np.zeros(n, dtype=bool)  # WKT docs: general path
             if rect_rows.any():
-                zx0 = np.array([rect_env[z][0] for z in zids[rect_rows]])
-                zy0 = np.array([rect_env[z][1] for z in zids[rect_rows]])
-                zx1 = np.array([rect_env[z][2] for z in zids[rect_rows]])
-                zy1 = np.array([rect_env[z][3] for z in zids[rect_rows]])
+                env = np.array(
+                    [infos[i][1] if infos[i][0] == "rect" else (0, 0, 0, 0) for i in inv]
+                )
+                zx0, zy0, zx1, zy1 = (env[rect_rows, k] for k in range(4))
                 ix0 = np.maximum(xmin[rect_rows], zx0)
                 iy0 = np.maximum(ymin[rect_rows], zy0)
                 ix1 = np.minimum(xmax[rect_rows], zx1)
                 iy1 = np.minimum(ymax[rect_rows], zy1)
                 nonempty = (ix0 < ix1) & (iy0 < iy1)
-                a = np.where(nonempty, (ix1 - ix0) * (iy1 - iy0), 0.0)
-                areas[rect_rows] = a
+                areas[rect_rows] = np.where(
+                    nonempty, (ix1 - ix0) * (iy1 - iy0), 0.0
+                )
                 idx = np.flatnonzero(rect_rows)[nonempty]
                 for j, k in enumerate(np.flatnonzero(nonempty)) if emit_wkt else ():
                     x0s, y0s = _fmt(ix0[k]), _fmt(iy0[k])
@@ -160,37 +196,22 @@ def _clip_kernel(zone_geoms: dict, doc_wkt_col: str | None, emit_wkt: bool = Tru
                         f"POLYGON (({x0s} {y0s},{x1s} {y0s},"
                         f"{x1s} {y1s},{x0s} {y1s},{x0s} {y0s}))"
                     )
-            for i in np.flatnonzero(~rect_rows):
-                ring0 = general.get(zids[i])
-                if ring0 is None:
-                    e = rect_env[zids[i]]
-                    ring0 = np.array(
-                        [
-                            [e[0], e[1]],
-                            [e[2], e[1]],
-                            [e[2], e[3]],
-                            [e[0], e[3]],
-                            [e[0], e[1]],
-                        ]
-                    )
-                subj = (
-                    parse_wkt(pdf[doc_wkt_col].iat[i])[1][0]
-                    if doc_wkt_col is not None
-                    else np.array(
-                        [
-                            [xmin[i], ymin[i]],
-                            [xmax[i], ymin[i]],
-                            [xmax[i], ymax[i]],
-                            [xmin[i], ymax[i]],
-                            [xmin[i], ymin[i]],
-                        ]
-                    )
-                )
-                piece = clip_polygon_convex(subj, ring0)
-                if piece.size:
-                    areas[i] = abs(shoelace_area(piece))
-                    if emit_wkt:
-                        wkts[i] = polygon_wkt([piece])
+            # general zones: one vectorized S-H pass per distinct zone
+            for i in range(len(uniq)):
+                rows = np.flatnonzero((inv == i) & ~rect_rows)
+                if rows.size == 0:
+                    continue
+                info = infos[i]
+                if doc_wkt_col is None:
+                    tris, w = info[1]
+                    rects = np.c_[xmin[rows], ymin[rows], xmax[rows], ymax[rows]]
+                    areas[rows] = rects_polys_intersection_area(rects, tris, w)
+                else:
+                    zpolys = info[2]
+                    for r in rows:  # pytest-scale path: WKT x WKT pairs
+                        typ, payload = parse_wkt(pdf[doc_wkt_col].iat[r])
+                        dpolys = payload if typ == "MULTIPOLYGON" else [payload]
+                        areas[r] = polys_pair_intersection_area(dpolys, zpolys)
             out = pdf.copy()
             out["piece_area"] = areas
             out["piece_wkt"] = wkts
@@ -205,28 +226,28 @@ def intersection_join(
     zoom: int = DEFAULT_ZOOM,
     doc_wkt_col: str | None = None,
     emit_wkt: bool = True,
+    wkt_col: str = "geom_wkt",
 ) -> DataFrame:
     """OGRLayer::Intersection: one row per overlapping (doc, zone) pair
-    with the exact intersection piece (piece_wkt, piece_area > 0)."""
-    from gdal_spark.operators.pip_join import collect_zone_geoms
-
+    with the exact intersection piece area (and piece_wkt on the
+    rect x rect path).  Zones may be concave / holed / multipart."""
     cand = _intersection_candidates(polydocs, zones, zoom)
     schema = StructType(
         [f for f in cand.schema.fields]
         + [StructField("piece_area", DoubleType()), StructField("piece_wkt", StringType())]
     )
-    geoms = collect_zone_geoms(zones)
-    # flatten multipolygon dim entries: kernel expects ring lists
-    pieces = cand.mapInPandas(_clip_kernel(geoms, doc_wkt_col, emit_wkt), schema)
-    return pieces.filter(F.col("piece_area") > 0).drop(
+    pieces = cand.mapInPandas(_clip_kernel(wkt_col, doc_wkt_col, emit_wkt), schema)
+    return pieces.filter(F.col("piece_area") > AREA_EPS).drop(
         "env_xmin", "env_ymin", "env_xmax", "env_ymax"
     )
 
 
-def erase_area(polydocs: DataFrame, zones: DataFrame, zoom: int = DEFAULT_ZOOM) -> DataFrame:
-    """Erase (A − union B) reported as remaining area per doc; requires a
-    disjoint zone layer (union = sum of pairwise pieces)."""
-    pieces = intersection_join(polydocs, zones, zoom)
+def erase_from_pieces(polydocs: DataFrame, pieces: DataFrame) -> DataFrame:
+    """Erase remainder per doc from an EXISTING pieces DataFrame —
+    identity/union/symdifference reuse one pieces computation instead of
+    re-running the clip kernel.  Requires a disjoint method layer
+    (union = sum of pairwise pieces); overlapping layers use
+    :func:`erase_union_area`."""
     cut = pieces.groupBy("doc_id").agg(F.sum("piece_area").alias("_cut"))
     docs = polydocs.select(
         "doc_id",
@@ -240,14 +261,24 @@ def erase_area(polydocs: DataFrame, zones: DataFrame, zoom: int = DEFAULT_ZOOM) 
     )
 
 
+def erase_area(polydocs: DataFrame, zones: DataFrame, zoom: int = DEFAULT_ZOOM) -> DataFrame:
+    """Erase (A − union B) reported as remaining area per doc; requires a
+    disjoint zone layer (union = sum of pairwise pieces)."""
+    return erase_from_pieces(
+        polydocs, intersection_join(polydocs, zones, zoom, emit_wkt=False)
+    )
+
+
 def identity_join(
     polydocs: DataFrame, zones: DataFrame, zoom: int = DEFAULT_ZOOM
 ) -> DataFrame:
     """Identity (ogrlayer.cpp:4730): intersection pieces with zone fields
-    plus the uncovered remainder of each doc with null zone fields."""
-    pieces = intersection_join(polydocs, zones, zoom)
+    plus the uncovered remainder of each doc with null zone fields.
+    The pieces are computed ONCE and shared by the cut and remainder
+    branches (persisted: both branches consume the same kernel output)."""
+    pieces = intersection_join(polydocs, zones, zoom, emit_wkt=False).persist()
     remainder = (
-        erase_area(polydocs, zones, zoom)
+        erase_from_pieces(polydocs, pieces)
         .filter(F.col("erase_area") > 0)
         .select(
             "doc_id",
@@ -256,3 +287,168 @@ def identity_join(
         )
     )
     return pieces.select("doc_id", "zone_id", "piece_area").unionByName(remainder)
+
+
+# ------------------------------------------------ union-of-B machinery
+
+def piece_rects(
+    polydocs: DataFrame,
+    zones: DataFrame,
+    zoom: int = DEFAULT_ZOOM,
+    wkt_col: str = "geom_wkt",
+) -> DataFrame:
+    """(doc_id, zone_id, rxmin, rymin, rxmax, rymax): the doc ∩ zone
+    overlap as DISJOINT-per-zone rects — each zone's cover (holes
+    already subtracted) decomposed once per executor via
+    ``rectilinear_rects``, clipped to the doc envelope.
+
+    Works for OVERLAPPING, concave, holed method layers as long as every
+    zone is rectilinear (axis-parallel edges); raises otherwise.  This
+    is the exact input for union-of-B areas by doc (Erase/Clip) or by
+    zone (coverage) — one groupBy on the chosen key."""
+    cand = _intersection_candidates(polydocs, zones, zoom).select(
+        "doc_id", "zone_id", "xmin", "ymin", "xmax", "ymax", wkt_col
+    )
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("zone_id", LongType()),
+            StructField("rxmin", DoubleType()),
+            StructField("rymin", DoubleType()),
+            StructField("rxmax", DoubleType()),
+            StructField("rymax", DoubleType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rl_cache: dict[str, np.ndarray] = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out_doc, out_zone, rx0, ry0, rx1, ry1 = [], [], [], [], [], []
+            uniq, inv = np.unique(
+                pdf[wkt_col].to_numpy(dtype=object), return_inverse=True
+            )
+            xmin = pdf["xmin"].to_numpy(np.float64)
+            ymin = pdf["ymin"].to_numpy(np.float64)
+            xmax = pdf["xmax"].to_numpy(np.float64)
+            ymax = pdf["ymax"].to_numpy(np.float64)
+            dids = pdf["doc_id"].to_numpy(np.int64)
+            zids = pdf["zone_id"].to_numpy(np.int64)
+            for i, w in enumerate(uniq):
+                rl = rl_cache.get(w)
+                if rl is None:
+                    _, _, polys = _classify_zone(w)
+                    if not is_rectilinear(polys):
+                        raise ValueError(
+                            "union-of-B semantics need a rectilinear method "
+                            "layer (pairwise intersection stays general)"
+                        )
+                    rl = rectilinear_rects(polys)
+                    rl_cache[w] = rl
+                rows = np.flatnonzero(inv == i)
+                # clip every zone rect against every candidate doc env
+                R = len(rl)
+                if R == 0 or rows.size == 0:
+                    continue
+                cx0 = np.maximum(xmin[rows][:, None], rl[None, :, 0])
+                cy0 = np.maximum(ymin[rows][:, None], rl[None, :, 1])
+                cx1 = np.minimum(xmax[rows][:, None], rl[None, :, 2])
+                cy1 = np.minimum(ymax[rows][:, None], rl[None, :, 3])
+                ok = (cx0 < cx1) & (cy0 < cy1)
+                ri, rj = np.nonzero(ok)
+                out_doc.append(dids[rows][ri])
+                out_zone.append(zids[rows][ri])
+                rx0.append(cx0[ri, rj])
+                ry0.append(cy0[ri, rj])
+                rx1.append(cx1[ri, rj])
+                ry1.append(cy1[ri, rj])
+            if not out_doc:
+                continue
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.concatenate(out_doc),
+                    "zone_id": np.concatenate(out_zone),
+                    "rxmin": np.concatenate(rx0),
+                    "rymin": np.concatenate(ry0),
+                    "rxmax": np.concatenate(rx1),
+                    "rymax": np.concatenate(ry1),
+                }
+            )
+
+    return cand.mapInPandas(kernel, schema)
+
+
+def union_area_by_key(rects: DataFrame, key: str) -> DataFrame:
+    """(key, union_area): exact union area of possibly-overlapping
+    axis-aligned rects per key — coordinate compression per group
+    (one shuffle on the key; group size bounded by local overlap
+    density, not corpus size)."""
+    from gdal_spark.operators.coverage import rect_union_area
+
+    schema = StructType(
+        [StructField(key, LongType()), StructField("union_area", DoubleType())]
+    )
+
+    def kernel(k, pdf: pd.DataFrame) -> pd.DataFrame:
+        r = pdf[["rxmin", "rymin", "rxmax", "rymax"]].to_numpy(np.float64)
+        return pd.DataFrame({key: [k[0]], "union_area": [rect_union_area(r)]})
+
+    return rects.groupBy(key).applyInPandas(kernel, schema)
+
+
+def erase_union_area(
+    polydocs: DataFrame,
+    zones: DataFrame,
+    zoom: int = DEFAULT_ZOOM,
+    rects: DataFrame | None = None,
+) -> DataFrame:
+    """Erase (A − union B) with a possibly OVERLAPPING rectilinear method
+    layer: per-doc coordinate-compressed union of the piece rects."""
+    if rects is None:
+        rects = piece_rects(polydocs, zones, zoom)
+    cut = union_area_by_key(rects, "doc_id").withColumnsRenamed(
+        {"union_area": "_cut"}
+    )
+    docs = polydocs.select(
+        "doc_id",
+        ((F.col("xmax") - F.col("xmin")) * (F.col("ymax") - F.col("ymin"))).alias(
+            "_full"
+        ),
+    )
+    out = docs.join(cut, "doc_id", "left").fillna({"_cut": 0.0})
+    return out.select(
+        "doc_id", (F.col("_full") - F.col("_cut")).alias("erase_area")
+    )
+
+
+def zone_uncovered_area(
+    zones: DataFrame,
+    rects: DataFrame,
+    wkt_col: str = "geom_wkt",
+) -> DataFrame:
+    """(zone_id, uncovered_area): zone cover minus the union of its doc
+    overlaps (the B-side term of Union/SymDifference), overlapping A
+    layer handled exactly.  Zone area from the parsed geometry."""
+    cov = union_area_by_key(rects, "zone_id").withColumnsRenamed(
+        {"union_area": "_cov"}
+    )
+
+    area_schema = StructType(
+        [StructField("zone_id", LongType()), StructField("zone_area", DoubleType())]
+    )
+
+    def zarea(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            areas = [
+                polys_area(_classify_zone(w)[2]) for w in pdf[wkt_col]
+            ]
+            yield pd.DataFrame({"zone_id": pdf["zone_id"], "zone_area": areas})
+
+    z = zones.select("zone_id", wkt_col).mapInPandas(zarea, area_schema)
+    out = z.join(cov, "zone_id", "left").fillna({"_cov": 0.0})
+    return out.select(
+        "zone_id", (F.col("zone_area") - F.col("_cov")).alias("uncovered_area")
+    )

@@ -16,6 +16,10 @@ replacing the reference's nested loop + prepared-geometry pretest:
   3. **Refine**: envelope prefilter JVM-side (the reference's bbox
      short-circuit, ogrgeometry.cpp:586-593), then exact ray-cast PIP in
      an Arrow-batched pandas UDF (port of ogrlinearring.cpp:453-532).
+     The refine reads the zone WKT column CARRIED THROUGH THE JOIN and
+     parses each distinct geometry once per executor (LRU-style cache) —
+     no driver-side materialization of the method layer in either
+     strategy, so zone layers beyond driver memory still work.
 
 Output = point columns ⊕ zone columns (ogrlayer.cpp:3550-3560 result
 schema), span sequence untouched.
@@ -111,25 +115,41 @@ def with_point_cell(points: DataFrame, zoom: int = DEFAULT_ZOOM) -> DataFrame:
     ).withColumn("cell_ty", F.expr(mercator.sql_ty("lat", str(zoom))))
 
 
-def _make_refine_udf(zone_geoms: dict):
-    """pandas UDF testing (lon, lat) against the polygon for zone_id.
-    ``zone_geoms``: zone_id -> list of ring-lists (multipolygon form),
-    captured in the closure → shipped once per executor, not per row."""
+# executor-level parsed-geometry cache: the refine kernel reads the zone
+# WKT CARRIED THROUGH THE JOIN (no driver collect — a method layer that
+# doesn't fit the driver still works), parsing each distinct geometry at
+# most once per executor process.
+_GEOM_CACHE: dict[str, list] = {}
+_GEOM_CACHE_MAX = 65536
+
+
+def _polys_cached(wkt: str) -> list:
+    polys = _GEOM_CACHE.get(wkt)
+    if polys is None:
+        typ, payload = parse_wkt(wkt)
+        polys = payload if typ == "MULTIPOLYGON" else [payload]
+        if len(_GEOM_CACHE) >= _GEOM_CACHE_MAX:
+            _GEOM_CACHE.clear()
+        _GEOM_CACHE[wkt] = polys
+    return polys
+
+
+def _make_refine_udf():
+    """pandas UDF testing (lon, lat) against the zone polygon whose WKT
+    rides on the candidate row.  Batch work is grouped by UNIQUE
+    geometry (np.unique), so the ray-cast stays vectorized per zone."""
     from gdal_spark.geometry.pip import points_in_polygon
 
     @F.pandas_udf(BooleanType())
-    def refine(lon: pd.Series, lat: pd.Series, zone_id: pd.Series) -> pd.Series:
+    def refine(lon: pd.Series, lat: pd.Series, wkt: pd.Series) -> pd.Series:
         xs = lon.to_numpy(dtype=np.float64)
         ys = lat.to_numpy(dtype=np.float64)
-        zid = zone_id.to_numpy()
+        uniq, inv = np.unique(wkt.to_numpy(dtype=object), return_inverse=True)
         out = np.zeros(len(xs), dtype=bool)
-        for z in pd.unique(zid):
-            mask = zid == z
-            polys = zone_geoms.get(z)
-            if polys is None:
-                continue
+        for i, s in enumerate(uniq):
+            mask = inv == i
             hit = np.zeros(int(mask.sum()), dtype=bool)
-            for rings in polys:
+            for rings in _polys_cached(s):
                 hit |= points_in_polygon(xs[mask], ys[mask], rings)
             out[mask] = hit
         return pd.Series(out)
@@ -181,8 +201,11 @@ def pip_join(
         & (F.col("lat") >= F.col("env_ymin"))
         & (F.col("lat") <= F.col("env_ymax"))
     )
-    refine = _make_refine_udf(collect_zone_geoms(zones, zone_id_col, wkt_col))
-    out = cand.filter(refine(F.col("lon"), F.col("lat"), F.col(zone_id_col)))
+    # exact refine reads the zone WKT carried through the join — both
+    # strategies are driver-collect-free, so the method layer is never
+    # materialized on the driver
+    refine = _make_refine_udf()
+    out = cand.filter(refine(F.col("lon"), F.col("lat"), F.col(wkt_col)))
     return out.drop(
         "cell_tx", "cell_ty", "env_xmin", "env_ymin", "env_xmax", "env_ymax"
     )

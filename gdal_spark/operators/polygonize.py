@@ -33,40 +33,34 @@ from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 TILE = 64
 
 
-def _local_cc(val: np.ndarray, gx0: int, gy0: int, width: int):
-    """Union-find CC on one dense tile (4-connectivity, equal values).
+def _local_cc(val: np.ndarray, have: np.ndarray, gx0: int, gy0: int, width: int):
+    """Vectorized CC on one dense tile (4-connectivity, equal values,
+    absent cells excluded).  Pure numpy: iterative min-neighbor
+    relaxation with pointer jumping (label <- label[label]), so
+    convergence is O(log n) rounds even for serpentine components.
     Returns label grid of global min pixel ids (py*width+px)."""
     h, w = val.shape
-    idx = np.arange(h * w)
-    parent = idx.copy()
-
-    def find(a):
-        while parent[a] != a:
-            parent[a] = parent[parent[a]]
-            a = parent[a]
-        return a
-
-    def union(a, b):
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-
-    eq_r = val[:, 1:] == val[:, :-1]  # horizontal neighbors
-    for y, x in zip(*np.nonzero(eq_r)):
-        union(y * w + x, y * w + x + 1)
-    eq_d = val[1:, :] == val[:-1, :]  # vertical neighbors
-    for y, x in zip(*np.nonzero(eq_d)):
-        union(y * w + x, (y + 1) * w + x)
-    roots = np.array([find(i) for i in idx])
-    # local root -> global pixel id of the component's min (gy,gx)
-    ys, xs = np.divmod(idx, w)
-    gids = (gy0 + ys).astype(np.int64) * width + (gx0 + xs)
-    order = np.argsort(roots, kind="stable")  # min gid = first in idx order
-    first = np.flatnonzero(np.r_[True, roots[order][1:] != roots[order][:-1]])
-    root_min = {}
-    for s in first:
-        root_min[roots[order[s]]] = gids[order[s]]
-    return np.array([root_min[r] for r in roots]).reshape(h, w), gids.reshape(h, w)
+    lab = np.arange(h * w, dtype=np.int64).reshape(h, w)  # local indices
+    eq_r = (val[:, 1:] == val[:, :-1]) & have[:, 1:] & have[:, :-1]
+    eq_d = (val[1:, :] == val[:-1, :]) & have[1:, :] & have[:-1, :]
+    while True:
+        new = lab.copy()
+        new[:, 1:] = np.minimum(new[:, 1:], np.where(eq_r, lab[:, :-1], new[:, 1:]))
+        new[:, :-1] = np.minimum(new[:, :-1], np.where(eq_r, lab[:, 1:], new[:, :-1]))
+        new[1:, :] = np.minimum(new[1:, :], np.where(eq_d, lab[:-1, :], new[1:, :]))
+        new[:-1, :] = np.minimum(new[:-1, :], np.where(eq_d, lab[1:, :], new[:-1, :]))
+        f = new.ravel()
+        f = f[f]  # pointer jump: a label's label is in the same component
+        f = f[f]
+        new = f.reshape(h, w)
+        if np.array_equal(new, lab):
+            break
+        lab = new
+    # local flat index order == global pixel id order within the tile, so
+    # the component's min local index maps directly to its min gid
+    ys, xs = np.divmod(np.arange(h * w, dtype=np.int64), w)
+    gids = (gy0 + ys) * width + (gx0 + xs)
+    return gids[lab.ravel()].reshape(h, w), gids.reshape(h, w)
 
 
 _PX_SCHEMA = StructType(
@@ -89,20 +83,23 @@ def _tile_labels(pixels: DataFrame, width: int, height: int) -> DataFrame:
         gx0, gy0 = gtx * TILE, gty * TILE
         w = min(TILE, width - gx0)
         h = min(TILE, height - gy0)
-        val = np.full((h, w), -1, dtype=np.int64)
+        val = np.zeros((h, w), dtype=np.int64)
+        have = np.zeros((h, w), dtype=bool)
         lx = pdf["px"].to_numpy(np.int64) - gx0
         ly = pdf["py"].to_numpy(np.int64) - gy0
         val[ly, lx] = pdf["value"].to_numpy(np.int64)
-        labels, _ = _local_cc(val, gx0, gy0, width)
+        have[ly, lx] = True  # absent cells never union, never emit
+        labels, _ = _local_cc(val, have, gx0, gy0, width)
         ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        keep = have.ravel()
         return pd.DataFrame(
             {
-                "px": (gx0 + xs).ravel().astype(np.int32),
-                "py": (gy0 + ys).ravel().astype(np.int32),
-                "value": val.ravel(),
-                "label": labels.ravel(),
-                "east_border": (xs == w - 1).ravel().astype(np.int32),
-                "south_border": (ys == h - 1).ravel().astype(np.int32),
+                "px": (gx0 + xs).ravel().astype(np.int32)[keep],
+                "py": (gy0 + ys).ravel().astype(np.int32)[keep],
+                "value": val.ravel()[keep],
+                "label": labels.ravel()[keep],
+                "east_border": (xs == w - 1).ravel().astype(np.int32)[keep],
+                "south_border": (ys == h - 1).ravel().astype(np.int32)[keep],
             }
         )
 
@@ -153,12 +150,18 @@ def pixel_components(pixels: DataFrame, width: int, height: int, max_rounds: int
             .groupBy("la")
             .agg(F.min("lbl").alias("nbr_lbl"))
         )
+        stepped = mapping.join(nbr_min, mapping.node == nbr_min.la, "left").select(
+            "node",
+            F.least(F.col("lbl"), F.coalesce("nbr_lbl", "lbl")).alias("lbl"),
+        )
+        # pointer jump (lbl <- lbl(lbl)): a label is itself a node of the
+        # same component, so chasing one hop per round doubles the
+        # propagation distance — convergence in O(log diameter) rounds,
+        # not O(diameter) (the hash-to-min trick)
+        hop = stepped.select(F.col("node").alias("jnode"), F.col("lbl").alias("jlbl"))
         new_mapping = (
-            mapping.join(nbr_min, mapping.node == nbr_min.la, "left")
-            .select(
-                "node",
-                F.least(F.col("lbl"), F.coalesce("nbr_lbl", "lbl")).alias("lbl"),
-            )
+            stepped.join(hop, stepped.lbl == hop.jnode, "left")
+            .select("node", F.coalesce("jlbl", "lbl").alias("lbl"))
         ).cache()
         changed = (
             new_mapping.alias("n")
@@ -169,6 +172,12 @@ def pixel_components(pixels: DataFrame, width: int, height: int, max_rounds: int
         mapping = new_mapping
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"pixel_components: label propagation did not converge in "
+            f"{max_rounds} rounds ({changed} labels still moving) — "
+            "component graph deeper than expected; raise max_rounds"
+        )
     out = (
         lab.join(mapping, lab.label == mapping.node, "left")
         .select(

@@ -49,6 +49,10 @@ GT_Y0, GT_DY = 90.0, -0.9
 SRC_W, SRC_H = 400, 200
 N_BANDS = 3
 TILE = 256
+# mercator domain limit: lat of the top/bottom tile edge at every zoom
+# (2*atan(e^pi)*180/pi - 90); source pixels with centers inside (85.0,
+# 85.0511] belong to the top tile row and must NOT be filtered out
+MERC_LAT_LIMIT = 85.05112877980659
 
 
 def source_grid(spark: SparkSession) -> DataFrame:
@@ -76,31 +80,111 @@ def _tile_schema():
     )
 
 
-def base_tiles(spark: SparkSession, src: DataFrame, zoom: int) -> DataFrame:
-    """Warp the source grid to mercator tiles at ``zoom`` (NN resample).
+def _resample_window(win, have, fx, fy, method):
+    """Resample source window ``win`` at fractional pixel coords (fy rows
+    x fx cols outer grid).  fx/fy are CONTINUOUS source pixel coords
+    (0.5 = center of pixel 0).  Ports the gdalwarpkernel sampling rules:
+
+      * nearest — floor of the containing pixel (NN path);
+      * bilinear — 2x2 weighted average anchored at the surrounding
+        centers (GWKBilinearResample);
+      * cubic — 4x4 Catmull-Rom convolution, A=-0.5
+        (GWKCubicResample / CubicConvolution, gdalwarper.h:46).
+
+    Out-of-window samples fall back to nearest-in-window clamping;
+    ``have`` masks pixels absent from the scattered halo (treated as 0,
+    matching the engine's nodata fill)."""
+    H, W = win.shape
+    vals = np.where(have, win, 0).astype(np.float64)
+    if method == "nearest":
+        sx = np.clip(np.floor(fx).astype(np.int64), 0, W - 1)
+        sy = np.clip(np.floor(fy).astype(np.int64), 0, H - 1)
+        ok = (
+            (fx >= 0)[None, :]
+            & (fx < W)[None, :]
+            & (fy >= 0)[:, None]
+            & (fy < H)[:, None]
+        )
+        out = np.where(ok & have[sy[:, None], sx[None, :]], win[sy[:, None], sx[None, :]], 0)
+        return out
+
+    if method == "bilinear":
+        gx = fx - 0.5
+        gy = fy - 0.5
+        i0 = np.clip(np.floor(gx).astype(np.int64), 0, W - 2)
+        j0 = np.clip(np.floor(gy).astype(np.int64), 0, H - 2)
+        tx_ = np.clip(gx - i0, 0.0, 1.0)
+        ty_ = np.clip(gy - j0, 0.0, 1.0)
+        v00 = vals[j0[:, None], i0[None, :]]
+        v10 = vals[j0[:, None], i0[None, :] + 1]
+        v01 = vals[j0[:, None] + 1, i0[None, :]]
+        v11 = vals[j0[:, None] + 1, i0[None, :] + 1]
+        txm = tx_[None, :]
+        tym = ty_[:, None]
+        out = (1 - tym) * ((1 - txm) * v00 + txm * v10) + tym * (
+            (1 - txm) * v01 + txm * v11
+        )
+        return np.clip(np.floor(out + 0.5), 0, 255).astype(np.int64)
+
+    if method == "cubic":
+        def ck(t):  # Catmull-Rom kernel, A = -0.5 (gdalwarpkernel.cpp CubicKernel)
+            at = np.abs(t)
+            return np.where(
+                at <= 1,
+                1.5 * at**3 - 2.5 * at**2 + 1,
+                np.where(at < 2, -0.5 * at**3 + 2.5 * at**2 - 4 * at + 2, 0.0),
+            )
+
+        gx = fx - 0.5
+        gy = fy - 0.5
+        i0 = np.clip(np.floor(gx).astype(np.int64), 1, W - 3)
+        j0 = np.clip(np.floor(gy).astype(np.int64), 1, H - 3)
+        tx_ = gx - i0
+        ty_ = gy - j0
+        out = np.zeros((len(fy), len(fx)))
+        for dj in range(-1, 3):
+            wy = ck(ty_ - dj)[:, None]
+            for di in range(-1, 3):
+                wx = ck(tx_ - di)[None, :]
+                out += wy * wx * vals[(j0 + dj)[:, None], (i0 + di)[None, :]]
+        return np.clip(np.floor(out + 0.5), 0, 255).astype(np.int64)
+
+    raise ValueError(f"unknown resample method: {method}")
+
+
+def base_tiles(
+    spark: SparkSession, src: DataFrame, zoom: int, resample: str = "nearest"
+) -> DataFrame:
+    """Warp the source grid to mercator tiles at ``zoom``.
+
+    ``resample``: nearest | bilinear | cubic (3 of the reference's 14
+    warp resamplers, alg/gdalwarper.h:37-67; bilinear/cubic need the
+    wider halo scattered below).
 
     Returns (band, zoom, tx, ty, data:binary 256*256 bytes, row-major
     top-left origin like GDAL's raster buffers; ty is TMS)."""
     z = str(zoom)
+    halo_px = {"nearest": 1.0, "bilinear": 2.0, "cubic": 3.0}[resample]
     # pixel-center coordinates (JVM)
     lon = F.lit(GT_X0) + (F.col("px") + F.lit(0.5)) * F.lit(GT_DX)
     lat = F.lit(GT_Y0) + (F.col("py") + F.lit(0.5)) * F.lit(GT_DY)
     pts = src.withColumn("lon", lon).withColumn("lat", lat).filter(
-        (F.col("lat") > -85.0) & (F.col("lat") < 85.0)
+        (F.col("lat") > -MERC_LAT_LIMIT) & (F.col("lat") < MERC_LAT_LIMIT)
     )
     # halo scatter: a tile's kernel needs every source pixel whose center
-    # lies within the tile's geo-bounds expanded by one source pixel, so
-    # each pixel is scattered to the exact tile RANGE covered by
-    # [lon±GT_DX] x [lat±|GT_DY|] — duplication ~(1+eps)^2, not a blanket
-    # 3x3 replication (which would 9x the shuffle at scale).
+    # lies within the tile's geo-bounds expanded by the resampler's
+    # support radius (1 px NN, 2 px bilinear, 3 px cubic), so each pixel
+    # is scattered to the exact tile RANGE covered by [lon±r·GT_DX] x
+    # [lat±r·|GT_DY|] — duplication ~(1+eps)^2, not a blanket 3x3
+    # replication (which would 9x the shuffle at scale).
     n = 2**zoom
     pts = (
         pts.withColumn(
-            "_lo_x", F.col("lon") - F.lit(GT_DX)
+            "_lo_x", F.col("lon") - F.lit(halo_px * GT_DX)
         )
-        .withColumn("_hi_x", F.col("lon") + F.lit(GT_DX))
-        .withColumn("_lo_y", F.col("lat") - F.lit(abs(GT_DY)))
-        .withColumn("_hi_y", F.col("lat") + F.lit(abs(GT_DY)))
+        .withColumn("_hi_x", F.col("lon") + F.lit(halo_px * GT_DX))
+        .withColumn("_lo_y", F.col("lat") - F.lit(halo_px * abs(GT_DY)))
+        .withColumn("_hi_y", F.col("lat") + F.lit(halo_px * abs(GT_DY)))
         .withColumn(
             "tx",
             F.explode(
@@ -114,8 +198,8 @@ def base_tiles(spark: SparkSession, src: DataFrame, zoom: int) -> DataFrame:
             "ty",
             F.explode(
                 F.sequence(
-                    F.expr(mercator.sql_ty("greatest(-85.05, _lo_y)", z)),
-                    F.expr(mercator.sql_ty("least(85.05, _hi_y)", z)),
+                    F.expr(mercator.sql_ty(f"greatest(-{MERC_LAT_LIMIT!r}, _lo_y)", z)),
+                    F.expr(mercator.sql_ty(f"least({MERC_LAT_LIMIT!r}, _hi_y)", z)),
                 )
             ),
         )
@@ -140,29 +224,20 @@ def base_tiles(spark: SparkSession, src: DataFrame, zoom: int) -> DataFrame:
         have = np.zeros_like(win, dtype=bool)
         win[spy - y0, spx - x0] = val
         have[spy - y0, spx - x0] = True
-        # output pixel centers -> inverse warp -> nearest source pixel
+        # output pixel centers -> inverse warp -> continuous source coords
         i = np.arange(TILE)
         mx = (tx * TILE + i + 0.5) * res - mercator.ORIGIN_SHIFT
-        my = (ty * TILE + i + 0.5) * res - mercator.ORIGIN_SHIFT
+        # top-left-origin image: output row 0 = north = max my (TMS flip)
+        jj = TILE - 1 - np.arange(TILE)
+        my = (ty * TILE + jj + 0.5) * res - mercator.ORIGIN_SHIFT
         lat_r, lon_c = mercator.meters_to_lat_lon(
             np.zeros(1), my
         )[0], mercator.meters_to_lat_lon(mx, np.zeros(1))[1]
-        src_px = np.floor((lon_c - GT_X0) / GT_DX).astype(np.int64)
-        src_py = np.floor((lat_r - GT_Y0) / GT_DY).astype(np.int64)
-        # assemble top-left-origin image: output row 0 = north = max my
-        rows = src_py[::-1][:, None] - y0  # flip TMS bottom-up to top-down
-        cols = (src_px - x0)[None, :]
-        ok = (
-            (rows >= 0)
-            & (rows < win.shape[0])
-            & (cols >= 0)
-            & (cols < win.shape[1])
-        )
-        img = np.zeros((TILE, TILE), dtype=np.uint8)
-        rr = np.clip(rows, 0, win.shape[0] - 1)
-        cc = np.clip(cols, 0, win.shape[1] - 1)
-        filled = np.where(ok & have[rr, cc], win[rr, cc], 0)
-        img[:, :] = filled.astype(np.uint8)
+        fx = (lon_c - GT_X0) / GT_DX - x0  # window-relative pixel coords
+        fy = (lat_r - GT_Y0) / GT_DY - y0
+        img = np.clip(
+            _resample_window(win, have, fx, fy, resample), 0, 255
+        ).astype(np.uint8)
         return pd.DataFrame(
             {
                 "band": [band],
@@ -176,9 +251,18 @@ def base_tiles(spark: SparkSession, src: DataFrame, zoom: int) -> DataFrame:
     return pts.groupBy("band", "tx", "ty").applyInPandas(assemble, _tile_schema())
 
 
-def overview_tiles(tiles: DataFrame) -> DataFrame:
-    """One overview level: parent (tx>>1, ty>>1) from <=4 children,
-    2x2 box-average (floor(mean + 0.5), AVERAGE resampler semantics)."""
+def overview_tiles(tiles: DataFrame, method: str = "average") -> DataFrame:
+    """One overview level: parent (tx>>1, ty>>1) from <=4 children.
+
+    ``method`` (3 of the reference's 9 overview resamplers,
+    gcore/overview.cpp:4188-4272):
+      * average — 2x2 box mean, floor(mean + 0.5);
+      * rms     — sqrt of the mean of squares, same rounding
+                  (GDALResampleChunk32R_RMS);
+      * mode    — most frequent of the 4 samples; ties break to the
+                  SMALLEST value (made deterministic — the reference
+                  keeps the first-seen in scan order, which is
+                  partition-order-dependent; documented divergence)."""
 
     def reduce4(key, pdf: pd.DataFrame) -> pd.DataFrame:
         band, zoom, ptx, pty = int(key[0]), int(key[1]), int(key[2]), int(key[3])
@@ -189,8 +273,24 @@ def overview_tiles(tiles: DataFrame) -> DataFrame:
             cy = int(row["ty"]) & 1  # TMS: 1 = north child -> top half
             r0 = 0 if cy == 1 else TILE
             mosaic[r0 : r0 + TILE, cx * TILE : (cx + 1) * TILE] = child
-        avg = mosaic.reshape(TILE, 2, TILE, 2).mean(axis=(1, 3))
-        img = np.floor(avg + 0.5).astype(np.uint8)
+        quads = mosaic.reshape(TILE, 2, TILE, 2)
+        if method == "average":
+            img = np.floor(quads.mean(axis=(1, 3)) + 0.5).astype(np.uint8)
+        elif method == "rms":
+            img = np.floor(np.sqrt((quads**2).mean(axis=(1, 3))) + 0.5).astype(
+                np.uint8
+            )
+        elif method == "mode":
+            s = np.sort(quads.reshape(TILE, TILE, 4), axis=2)
+            # counts of each sorted sample among its quad; argmax on
+            # (count, -value) = max count, ties to smallest value
+            cnt = (s[:, :, :, None] == s[:, :, None, :]).sum(axis=3)
+            best = np.argmax(cnt, axis=2)  # first max = smallest (sorted)
+            img = np.take_along_axis(s, best[:, :, None], axis=2)[:, :, 0].astype(
+                np.uint8
+            )
+        else:
+            raise ValueError(f"unknown overview method: {method}")
         return pd.DataFrame(
             {
                 "band": [band],
@@ -211,15 +311,19 @@ def overview_tiles(tiles: DataFrame) -> DataFrame:
 
 
 def tile_pyramid_checksums(
-    spark: SparkSession, zmax: int = 2, src: DataFrame | None = None
+    spark: SparkSession,
+    zmax: int = 2,
+    src: DataFrame | None = None,
+    resample: str = "nearest",
+    overview_method: str = "average",
 ) -> DataFrame:
     """Full pyramid zmax..0 with per-tile GDAL checksums.
     Returns (band, zoom, tx, ty, checksum)."""
     if src is None:
         src = source_grid(spark)
-    levels = [base_tiles(spark, src, zmax)]
+    levels = [base_tiles(spark, src, zmax, resample=resample)]
     for _ in range(zmax, 0, -1):
-        levels.append(overview_tiles(levels[-1]))
+        levels.append(overview_tiles(levels[-1], method=overview_method))
     out_schema = StructType(
         [
             StructField("band", IntegerType()),

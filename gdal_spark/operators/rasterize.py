@@ -35,7 +35,7 @@ from pyspark.sql.types import (
 
 from gdal_spark.geometry import mercator
 from gdal_spark.geometry.pip import points_in_polygon
-from gdal_spark.operators.pip_join import collect_zone_geoms, zone_cell_index
+from gdal_spark.operators.pip_join import _polys_cached, zone_cell_index
 
 TILE = 256
 
@@ -69,8 +69,11 @@ def rasterize(
     zone_id_col: str = "zone_id",
 ) -> DataFrame:
     """(zoom, tx, ty, n_burned, data) — data is the 256x256 uint8 burn
-    raster (burn value = zone_id % 255 + 1, 0 = nodata), row 0 = north."""
-    geoms = collect_zone_geoms(zones, zone_id_col, wkt_col)
+    raster (burn value = zone_id % 255 + 1, 0 = nodata), row 0 = north.
+
+    The burn kernel reads each zone's WKT off its candidate row (parsed
+    once per executor via the shared geometry cache) — no driver-side
+    collect of the method layer."""
     cells = zone_cell_index(zones.select(zone_id_col, wkt_col), zoom, wkt_col)
 
     def burn_tile(key, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -78,8 +81,9 @@ def rasterize(
         lon, lat = _pixel_centers(tx, ty, zoom)
         img = np.zeros((TILE, TILE), dtype=np.uint16)
         any_mask = np.zeros((TILE, TILE), dtype=bool)
+        wkt_of = dict(zip(pdf[zone_id_col], pdf[wkt_col]))
         for zid in np.sort(pdf[zone_id_col].unique()):
-            polys = geoms[zid]
+            polys = _polys_cached(wkt_of[zid])
             mask = np.zeros((TILE, TILE), dtype=bool)  # TMS rows (south-up)
             for rings in polys:
                 ring0 = rings[0]

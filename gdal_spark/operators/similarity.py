@@ -96,11 +96,15 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k: random-hyperplane LSH bucket join, exact
-    re-score inside buckets. Recall < 1 by design (graded in tests)."""
-    # plane matrix generated deterministically; dim sniffed from one row
-    dim = len(queries.select(vec_col).first()[0])
+    re-score inside buckets. Recall < 1 by design (graded in tests).
+
+    Pass ``dim`` explicitly on big inputs — the fallback sniff is a
+    driver action (a .first() job) purely to learn the vector width."""
+    if dim is None:
+        dim = len(queries.select(vec_col).first()[0])
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_tables, n_planes, dim))
 

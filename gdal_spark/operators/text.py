@@ -158,7 +158,9 @@ def minhash_lsh_pairs(
     filter.  Pairs emitted once (id_a < id_b), deduped across bands.
     """
     rows_per_band = num_perm // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_perm, ngram)
+    # signatures are the expensive pass and feed three consumers (banding
+    # + both sides of the sig re-attach) — compute once, spill-friendly
+    sigs = minhash_signatures(df, text_col, id_col, num_perm, ngram).persist()
     banded = sigs.select(
         F.col(id_col),
         F.col("sig"),
@@ -176,9 +178,13 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select(id_col, "sig", "bb.band", "bb.bucket")
+    banded = banded.drop("sig")
     a = banded.alias("a")
     b = banded.alias("b")
-    pairs = (
+    # dedupe on the narrow (id_a, id_b) pair FIRST — the 64-long sig
+    # arrays must not ride through the dropDuplicates shuffle — then
+    # attach each side's signature back with joins against the sig table
+    pair_ids = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -188,10 +194,13 @@ def minhash_lsh_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
+    )
+    pairs = pair_ids.join(
+        sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a")), "id_a"
+    ).join(
+        sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b")), "id_b"
     )
     est = (
         F.size(
@@ -271,20 +280,178 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     return df.select(id_col, text_col).mapInPandas(kernel, schema)
 
 
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bands: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash hamming distance <= max_hamming.
+
+    Banded LSH on the 64-bit signature (same shape as the MinHash path):
+    with bands > max_hamming, any qualifying pair shares at least one
+    exact band (pigeonhole), so candidates meet in a self-equi-join on
+    (band_idx, band_bits) — no all-pairs scan.  The hamming verify is
+    pure JVM (bit_count(xor)).  Default bands = max_hamming + 1 (the
+    minimum guaranteeing zero false negatives).
+    """
+    if bands is None:
+        bands = max_hamming + 1
+    if max_hamming >= bands or bands > 64:
+        raise ValueError("pigeonhole requires max_hamming < bands <= 64")
+    base, extra = divmod(64, bands)
+    offs = []
+    o = 0
+    for bi in range(bands):  # uneven widths when 64 % bands != 0
+        w = base + (1 if bi < extra else 0)
+        offs.append((o, w))
+        o += w
+    sigs = simhash(df, text_col, id_col)
+    banded = sigs.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        # logical right shift via shiftrightunsigned keeps
+                        # the top band of negative signatures well-defined
+                        F.shiftrightunsigned("simhash", off)
+                        .bitwiseAND(F.lit((1 << w) - 1))
+                        .alias("bits"),
+                    )
+                    for bi, (off, w) in enumerate(offs)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "simhash", "bb.band", "bb.bits")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bits") == F.col("b.bits"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return pairs
+
+
+def dedup_clusters(
+    ids: DataFrame, pairs: DataFrame, id_col: str = "doc_id", max_rounds: int = 30
+) -> DataFrame:
+    """Assign every doc a dedup cluster_id = min doc id reachable through
+    the near-dup pair graph (connected components).
+
+    Same min-label propagation + pointer jumping the polygonize merge
+    uses — O(log diameter) rounds of joins over the SMALL pair graph;
+    docs in no pair keep themselves as cluster.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("la"), F.col("id_b").alias("lb"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("la"), F.col("id_a").alias("lb"))
+        )
+        .distinct()
+        .cache()
+    )
+    mapping = (
+        edges.select(F.col("la").alias("node")).distinct().withColumn("lbl", F.col("node"))
+    )
+    for _ in range(max_rounds):
+        nbr_min = (
+            edges.join(mapping, edges.lb == mapping.node)
+            .groupBy("la")
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        stepped = mapping.join(nbr_min, mapping.node == nbr_min.la, "left").select(
+            "node", F.least(F.col("lbl"), F.coalesce("nbr_lbl", "lbl")).alias("lbl")
+        )
+        hop = stepped.select(F.col("node").alias("jn"), F.col("lbl").alias("jl"))
+        new_mapping = (
+            stepped.join(hop, stepped.lbl == hop.jn, "left")
+            .select("node", F.coalesce("jl", "lbl").alias("lbl"))
+            .cache()
+        )
+        changed = (
+            new_mapping.alias("n")
+            .join(mapping.alias("o"), "node")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        mapping = new_mapping
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_rounds} rounds"
+        )
+    out = ids.select(id_col).join(
+        mapping.withColumnsRenamed({"node": id_col}), id_col, "left"
+    )
+    return out.select(
+        id_col, F.coalesce("lbl", F.col(id_col)).alias("cluster_id")
+    )
+
+
+def _mod_mul131(acc: np.ndarray) -> np.ndarray:
+    """(acc * 131) mod 2^61-1, vectorized uint64 without overflow.
+
+    Splits acc into 32-bit halves; the high half's *2^32 factor reduces
+    via 2^61 ≡ 1 (mod p), so every intermediate stays < 2^62."""
+    p = np.uint64(_MERSENNE)
+    lo = (acc & np.uint64(0xFFFFFFFF)) * np.uint64(131)  # < 2^40
+    hi = (acc >> np.uint64(32)) * np.uint64(131)  # < 2^37
+    hi_red = (hi >> np.uint64(29)) + ((hi & np.uint64((1 << 29) - 1)) << np.uint64(32))
+    s = lo + hi_red  # < 2^62
+    s = (s >> np.uint64(61)) + (s & p)
+    return np.where(s >= p, s - p, s)
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Polynomial rolling-hash document fingerprint (mod 2^61-1)."""
+    """Polynomial rolling-hash document fingerprint (mod 2^61-1).
+
+    Horner over the UTF-8 bytes, vectorized ACROSS the batch: texts are
+    right-aligned into a (batch, maxlen) byte matrix (leading zero pad
+    is the Horner identity), then one vectorized mod-mul-add per byte
+    COLUMN — no per-byte Python.  Oracle: the same recurrence as a
+    DuckDB recursive CTE (registry._FINGERPRINT_ORACLE)."""
     schema = StructType(
         [StructField(id_col, LongType()), StructField("fingerprint", LongType())]
     )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        p = np.uint64(_MERSENNE)
         for pdf in batches:
-            out = []
-            for text in pdf[text_col]:
-                acc = 0
-                for ch in (text or "").encode():
-                    acc = (acc * 131 + ch) % _MERSENNE
-                out.append(acc)
-            yield pd.DataFrame({id_col: pdf[id_col], "fingerprint": out})
+            texts = [(t or "").encode() for t in pdf[text_col]]
+            maxlen = max((len(t) for t in texts), default=0)
+            if maxlen == 0:
+                yield pd.DataFrame(
+                    {id_col: pdf[id_col], "fingerprint": np.zeros(len(texts), np.int64)}
+                )
+                continue
+            mat = np.zeros((len(texts), maxlen), dtype=np.uint8)
+            for i, t in enumerate(texts):
+                if t:
+                    mat[i, maxlen - len(t):] = np.frombuffer(t, dtype=np.uint8)
+            acc = np.zeros(len(texts), dtype=np.uint64)
+            for j in range(maxlen):
+                acc = _mod_mul131(acc) + mat[:, j]
+                acc = np.where(acc >= p, acc - p, acc)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "fingerprint": acc.astype(np.int64)}
+            )
 
     return df.select(id_col, text_col).mapInPandas(kernel, schema)

@@ -381,6 +381,44 @@ def q_like_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("p_partkey", "p_name")
 
 
+_ILIKE_ORACLE = """
+SELECT p_partkey, p_name FROM part
+WHERE p_name ILIKE '%WiDgEt%'
+   OR p_name LIKE '%!_%' ESCAPE '!'
+"""
+
+
+@register("ilike_filter", _ILIKE_ORACLE)
+def q_ilike_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ILIKE (case-insensitive LIKE) + LIKE ... ESCAPE
+    (swq_op_general.cpp:41-160: swq_op_like case-fold matcher with
+    escape char, SWQ_ILIKE registry op)."""
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    return p.filter(
+        F.expr("p_name ILIKE '%WiDgEt%' OR p_name LIKE '%!_%' ESCAPE '!'")
+    ).select("p_partkey", "p_name")
+
+
+# OGR stores unparsed dates as strings and compares them lexicographically
+# (ogr/ogr_swq.h:90-92 SWQ_TIMESTAMP falls back to string compare); the
+# engines format identically so the string comparison is bit-identical.
+_DATE_STR_ORACLE = """
+SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str
+FROM events
+WHERE strftime(ts, '%Y-%m-%d %H:%M:%S') >= '2024-01-10'
+  AND strftime(ts, '%Y-%m-%d %H:%M:%S') < '2024-01-20 12'
+"""
+
+
+@register("date_string_filter", _DATE_STR_ORACLE)
+def q_date_string_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    s = F.date_format("ts", "yyyy-MM-dd HH:mm:ss")
+    return e.filter((s >= "2024-01-10") & (s < "2024-01-20 12")).select(
+        "event_id", s.alias("ts_str")
+    )
+
+
 _EXPR_ORACLE = """
 SELECT o_orderkey,
        concat(substr(o_orderpriority, 1, 3), '-', CAST(o_orderkey % 7 AS VARCHAR)) AS tag,
@@ -528,7 +566,46 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
-@register("fingerprint")
+@register("simhash_pairs")
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming<=3 near-dup pairs via banded simhash LSH (pigeonhole) —
+    signature kernel not SQL-expressible, exactness pinned in pytest."""
+    from gdal_spark.operators.text import simhash_pairs
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash_pairs(d, max_hamming=3)
+
+
+@register("dedup_clusters")
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc -> dedup cluster id: connected components over the MinHash
+    near-dup pair graph (min-label propagation + pointer jumping)."""
+    from gdal_spark.operators.text import dedup_clusters, minhash_lsh_pairs
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = minhash_lsh_pairs(d, threshold=0.4)
+    return dedup_clusters(d, pairs)
+
+
+# rolling-hash Horner recurrence rendered as a DuckDB recursive CTE —
+# exact per-byte parity with the vectorized numpy kernel (ASCII corpus,
+# so ord(char) == utf-8 byte)
+_FINGERPRINT_ORACLE = """
+WITH RECURSIVE h AS (
+  SELECT doc_id AS hid, CAST(0 AS HUGEINT) AS acc, 0 AS i FROM documents
+  UNION ALL
+  SELECT h.hid AS hid,
+         CAST((h.acc * 131 + ord(substr(d.text, h.i + 1, 1))) % 2305843009213693951 AS HUGEINT) AS acc,
+         h.i + 1 AS i
+  FROM h JOIN documents d ON h.hid = d.doc_id
+  WHERE h.i < length(d.text)
+)
+SELECT h.hid AS doc_id, CAST(h.acc AS BIGINT) AS fingerprint
+FROM h JOIN documents d ON h.hid = d.doc_id AND h.i = length(d.text)
+"""
+
+
+@register("fingerprint", _FINGERPRINT_ORACLE)
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gdal_spark.operators.text import fingerprint
 
@@ -567,7 +644,7 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gdal_spark.operators.similarity import lsh_topk
 
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return lsh_topk(e, e, k=_ANN_K).select("query_id", "neighbor_id", "rnk")
+    return lsh_topk(e, e, k=_ANN_K, dim=64).select("query_id", "neighbor_id", "rnk")
 
 
 # --------------------------------------------------------------------------
@@ -881,89 +958,263 @@ def q_grid_idw(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Union / SymDifference overlays (ogrlayer.cpp:3763, 4300): need exact
-# union-of-A area per zone (A self-overlaps), via the coordinate-
-# compression coverage kernel. Not ANSI-SQL-expressible -> rows-only
-# driver check; exactness pinned in pytest vs a numpy brute force.
+# General overlays on the RICH method layer — concave L-shapes with holes
+# that OVERLAP each other (zones.rich_zones).  The engine runs the general
+# fan-triangle kernel + per-key coordinate-compressed unions; the oracle
+# mirrors the geometry through its closed-form rect decomposition
+# (A ∪ B minus hole H per zone, zones.duckdb_rich_parts_cte).
+# Areas are reported in QUARTER-micro units (round(a * 4e6)): every true
+# area is a multiple of 2.5e-7 deg², so the rounded value is an exact
+# integer with ~4e-6 float slack — immune to summation-order noise.
 # --------------------------------------------------------------------------
-def _pieces_with_env(spark: SparkSession, sf_dir: str):
+_RICH_PARTS_CTE = zones.duckdb_rich_parts_cte()
+_AREA_EPS_SQL = "1.0e-9"
+
+_PART_OVERLAP = (
+    "d.xmin < p.pxmax AND p.pxmin < d.xmax AND d.ymin < p.pymax AND p.pymin < d.ymax"
+)
+
+_CLIP_GENERAL_ORACLE = f"""
+WITH docs AS ({_POLYDOCS_CTE}), p AS ({_RICH_PARTS_CTE}),
+t AS (
+  SELECT d.doc_id, p.zone_id,
+         sum(CASE WHEN p.kind = 'H' THEN -1.0e0 ELSE 1.0e0 END
+             * greatest(0.0e0, least(d.xmax, p.pxmax) - greatest(d.xmin, p.pxmin))
+             * greatest(0.0e0, least(d.ymax, p.pymax) - greatest(d.ymin, p.pymin))) AS a
+  FROM docs d JOIN p ON {_PART_OVERLAP}
+  GROUP BY d.doc_id, p.zone_id
+)
+SELECT doc_id, zone_id, CAST(round(a * 4.0e6) AS BIGINT) AS micro4_area
+FROM t WHERE a > {_AREA_EPS_SQL}
+"""
+
+
+@register("clip_general", _CLIP_GENERAL_ORACLE)
+def q_clip_general(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise intersection pieces against CONCAVE zones with HOLES that
+    overlap each other — the general kernel (no convex/disjoint limits)."""
     from gdal_spark.operators.overlay import intersection_join
 
     pd_docs = corpus.load_polydocs(spark, sf_dir)
-    cz_full = zones.clip_zones(spark)
-    cz = cz_full.drop("zxmin", "zymin", "zxmax", "zymax")
-    pieces = intersection_join(pd_docs, cz)
-    bounds = cz_full.select("zone_id", "zxmin", "zymin", "zxmax", "zymax")
-    p = pieces.join(F.broadcast(bounds), "zone_id")
-    return (
-        p.withColumn("pxmin", F.greatest("xmin", "zxmin"))
-        .withColumn("pymin", F.greatest("ymin", "zymin"))
-        .withColumn("pxmax", F.least("xmax", "zxmax"))
-        .withColumn("pymax", F.least("ymax", "zymax")),
-        cz_full,
-        pd_docs,
-        cz,
-    )
-
-
-@register("union_overlay")
-def q_union_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Union(A, B): A∩B pieces ⊕ A-remainders ⊕ B-remainders (areas)."""
-    from gdal_spark.operators.coverage import zone_coverage
-    from gdal_spark.operators.overlay import erase_area
-
-    pieces, cz_full, pd_docs, cz = _pieces_with_env(spark, sf_dir)
-    ab = pieces.select(
+    rz = zones.rich_zones(spark)
+    out = intersection_join(pd_docs, rz, emit_wkt=False)
+    return out.select(
         "doc_id",
         "zone_id",
-        F.round(F.col("piece_area") * 1.0e6).cast("long").alias("micro_area"),
+        F.round(F.col("piece_area") * 4.0e6).cast("long").alias("micro4_area"),
+    )
+
+
+# per-doc coordinate compression: cells from all clipped part edges,
+# covered cell = inside some zone's A/B part AND not inside that zone's
+# hole — exact union of an OVERLAPPING method layer
+_ERASE_UNION_CELLS = f"""
+cand AS (
+  SELECT d.doc_id, p.zone_id, p.kind,
+         greatest(d.xmin, p.pxmin) AS cx0, greatest(d.ymin, p.pymin) AS cy0,
+         least(d.xmax, p.pxmax) AS cx1, least(d.ymax, p.pymax) AS cy1
+  FROM docs d JOIN p ON {_PART_OVERLAP}
+),
+xe AS (SELECT DISTINCT doc_id, cx0 AS x FROM cand UNION SELECT doc_id, cx1 FROM cand),
+xs AS (SELECT doc_id, x, lead(x) OVER (PARTITION BY doc_id ORDER BY x) AS xn FROM xe),
+ye AS (SELECT DISTINCT doc_id, cy0 AS y FROM cand UNION SELECT doc_id, cy1 FROM cand),
+ys AS (SELECT doc_id, y, lead(y) OVER (PARTITION BY doc_id ORDER BY y) AS yn FROM ye),
+cells AS (
+  SELECT xs.doc_id, xs.x, xs.xn, ys.y, ys.yn
+  FROM xs JOIN ys ON xs.doc_id = ys.doc_id
+  WHERE xs.xn IS NOT NULL AND ys.yn IS NOT NULL
+),
+cov AS (
+  SELECT c.doc_id, c.x, c.xn, c.y, c.yn, q.zone_id,
+         max(CASE WHEN q.kind <> 'H' THEN 1 ELSE 0 END) AS inpart,
+         max(CASE WHEN q.kind = 'H' THEN 1 ELSE 0 END) AS inhole
+  FROM cells c JOIN cand q
+    ON c.doc_id = q.doc_id
+   AND (c.x + c.xn) / 2 > q.cx0 AND (c.x + c.xn) / 2 < q.cx1
+   AND (c.y + c.yn) / 2 > q.cy0 AND (c.y + c.yn) / 2 < q.cy1
+  GROUP BY c.doc_id, c.x, c.xn, c.y, c.yn, q.zone_id
+),
+covered AS (
+  SELECT DISTINCT doc_id, x, xn, y, yn FROM cov WHERE inpart = 1 AND inhole = 0
+),
+cut AS (SELECT doc_id, sum((xn - x) * (yn - y)) AS c FROM covered GROUP BY doc_id)
+"""
+
+_ERASE_UNION_ORACLE = f"""
+WITH docs AS ({_POLYDOCS_CTE}), p AS ({_RICH_PARTS_CTE}),
+{_ERASE_UNION_CELLS}
+SELECT d.doc_id,
+       CAST(round(((d.xmax - d.xmin) * (d.ymax - d.ymin) - COALESCE(cut.c, 0.0e0)) * 4.0e6) AS BIGINT) AS micro4_area
+FROM docs d LEFT JOIN cut ON d.doc_id = cut.doc_id
+"""
+
+
+@register("erase_union", _ERASE_UNION_ORACLE)
+def q_erase_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Erase (A − union B) against the OVERLAPPING rich layer: per-doc
+    coordinate-compressed union — no disjoint-B assumption."""
+    from gdal_spark.operators.overlay import erase_union_area
+
+    pd_docs = corpus.load_polydocs(spark, sf_dir)
+    rz = zones.rich_zones(spark)
+    return erase_union_area(pd_docs, rz).select(
+        "doc_id",
+        F.round(F.col("erase_area") * 4.0e6).cast("long").alias("micro4_area"),
+    )
+
+
+# per-zone coverage for the B-side remainder: cells from the zone's doc
+# pieces + its hole bounds; covered = in some doc piece and not in the
+# hole; uncovered = closed-form cover area − covered
+_ZONE_UNCOVERED_CELLS = f"""
+zcand AS (
+  SELECT p.zone_id, d.doc_id,
+         greatest(d.xmin, p.pxmin) AS cx0, greatest(d.ymin, p.pymin) AS cy0,
+         least(d.xmax, p.pxmax) AS cx1, least(d.ymax, p.pymax) AS cy1
+  FROM docs d JOIN p ON {_PART_OVERLAP}
+  WHERE p.kind <> 'H'
+),
+holes AS (
+  SELECT zone_id, pxmin AS hx0, pymin AS hy0, pxmax AS hx1, pymax AS hy1
+  FROM p WHERE kind = 'H'
+),
+zxe AS (
+  SELECT DISTINCT zone_id, cx0 AS x FROM zcand
+  UNION SELECT zone_id, cx1 FROM zcand
+  UNION SELECT zone_id, hx0 FROM holes
+  UNION SELECT zone_id, hx1 FROM holes
+),
+zxs AS (SELECT zone_id, x, lead(x) OVER (PARTITION BY zone_id ORDER BY x) AS xn FROM zxe),
+zye AS (
+  SELECT DISTINCT zone_id, cy0 AS y FROM zcand
+  UNION SELECT zone_id, cy1 FROM zcand
+  UNION SELECT zone_id, hy0 FROM holes
+  UNION SELECT zone_id, hy1 FROM holes
+),
+zys AS (SELECT zone_id, y, lead(y) OVER (PARTITION BY zone_id ORDER BY y) AS yn FROM zye),
+zcells AS (
+  SELECT zxs.zone_id, zxs.x, zxs.xn, zys.y, zys.yn
+  FROM zxs JOIN zys ON zxs.zone_id = zys.zone_id
+  WHERE zxs.xn IS NOT NULL AND zys.yn IS NOT NULL
+),
+zcovered AS (
+  SELECT DISTINCT c.zone_id, c.x, c.xn, c.y, c.yn
+  FROM zcells c JOIN zcand q
+    ON c.zone_id = q.zone_id
+   AND (c.x + c.xn) / 2 > q.cx0 AND (c.x + c.xn) / 2 < q.cx1
+   AND (c.y + c.yn) / 2 > q.cy0 AND (c.y + c.yn) / 2 < q.cy1
+  WHERE NOT EXISTS (
+     SELECT 1 FROM holes h WHERE h.zone_id = c.zone_id
+       AND (c.x + c.xn) / 2 > h.hx0 AND (c.x + c.xn) / 2 < h.hx1
+       AND (c.y + c.yn) / 2 > h.hy0 AND (c.y + c.yn) / 2 < h.hy1
+  )
+),
+zcov AS (SELECT zone_id, sum((xn - x) * (yn - y)) AS c FROM zcovered GROUP BY zone_id),
+zarea AS (
+  SELECT zone_id,
+         sum(CASE WHEN kind = 'H' THEN -1.0e0 ELSE 1.0e0 END
+             * (pxmax - pxmin) * (pymax - pymin)) AS za
+  FROM p GROUP BY zone_id
+),
+b_rem AS (
+  SELECT za.zone_id, za.za - COALESCE(zcov.c, 0.0e0) AS a
+  FROM zarea za LEFT JOIN zcov ON za.zone_id = zcov.zone_id
+)
+"""
+
+_UNION_OVERLAY_ORACLE = f"""
+WITH docs AS ({_POLYDOCS_CTE}), p AS ({_RICH_PARTS_CTE}),
+{_ERASE_UNION_CELLS},
+{_ZONE_UNCOVERED_CELLS},
+ab AS (
+  SELECT d.doc_id, p2.zone_id,
+         sum(CASE WHEN p2.kind = 'H' THEN -1.0e0 ELSE 1.0e0 END
+             * greatest(0.0e0, least(d.xmax, p2.pxmax) - greatest(d.xmin, p2.pxmin))
+             * greatest(0.0e0, least(d.ymax, p2.pymax) - greatest(d.ymin, p2.pymin))) AS a
+  FROM docs d JOIN p p2
+    ON d.xmin < p2.pxmax AND p2.pxmin < d.xmax AND d.ymin < p2.pymax AND p2.pymin < d.ymax
+  GROUP BY d.doc_id, p2.zone_id
+),
+a_rem AS (
+  SELECT d.doc_id, (d.xmax - d.xmin) * (d.ymax - d.ymin) - COALESCE(cut.c, 0.0e0) AS a
+  FROM docs d LEFT JOIN cut ON d.doc_id = cut.doc_id
+)
+SELECT doc_id, zone_id, CAST(round(a * 4.0e6) AS BIGINT) AS micro4_area
+FROM (
+  SELECT doc_id, zone_id, a FROM ab WHERE a > {_AREA_EPS_SQL}
+  UNION ALL
+  SELECT doc_id, CAST(NULL AS BIGINT) AS zone_id, a FROM a_rem WHERE a > {_AREA_EPS_SQL}
+  UNION ALL
+  SELECT CAST(NULL AS BIGINT) AS doc_id, zone_id, a FROM b_rem WHERE a > {_AREA_EPS_SQL}
+) u
+"""
+
+_SYMDIFF_ORACLE = f"""
+WITH docs AS ({_POLYDOCS_CTE}), p AS ({_RICH_PARTS_CTE}),
+{_ERASE_UNION_CELLS},
+{_ZONE_UNCOVERED_CELLS},
+a_rem AS (
+  SELECT d.doc_id, (d.xmax - d.xmin) * (d.ymax - d.ymin) - COALESCE(cut.c, 0.0e0) AS a
+  FROM docs d LEFT JOIN cut ON d.doc_id = cut.doc_id
+)
+SELECT doc_id, zone_id, CAST(round(a * 4.0e6) AS BIGINT) AS micro4_area
+FROM (
+  SELECT doc_id, CAST(NULL AS BIGINT) AS zone_id, a FROM a_rem WHERE a > {_AREA_EPS_SQL}
+  UNION ALL
+  SELECT CAST(NULL AS BIGINT) AS doc_id, zone_id, a FROM b_rem WHERE a > {_AREA_EPS_SQL}
+) u
+"""
+
+
+def _rich_overlay_parts(spark: SparkSession, sf_dir: str):
+    from gdal_spark.operators.overlay import (
+        AREA_EPS,
+        erase_union_area,
+        intersection_join,
+        piece_rects,
+        zone_uncovered_area,
+    )
+
+    pd_docs = corpus.load_polydocs(spark, sf_dir)
+    rz = zones.rich_zones(spark)
+    rects = piece_rects(pd_docs, rz).persist()
+    micro4 = lambda c: F.round(F.col(c) * 4.0e6).cast("long")  # noqa: E731
+    ab = intersection_join(pd_docs, rz, emit_wkt=False).select(
+        "doc_id", "zone_id", micro4("piece_area").alias("micro4_area")
     )
     a_rem = (
-        erase_area(pd_docs, cz)
-        .filter(F.col("erase_area") > 0)
+        erase_union_area(pd_docs, rz, rects=rects)
+        .filter(F.col("erase_area") > AREA_EPS)
         .select(
             "doc_id",
             F.lit(None).cast("long").alias("zone_id"),
-            F.round(F.col("erase_area") * 1.0e6).cast("long").alias("micro_area"),
+            micro4("erase_area").alias("micro4_area"),
         )
     )
     b_rem = (
-        zone_coverage(pieces, cz_full)
-        .filter(F.col("uncovered_area") > 0)
+        zone_uncovered_area(rz, rects)
+        .filter(F.col("uncovered_area") > AREA_EPS)
         .select(
             F.lit(None).cast("long").alias("doc_id"),
             "zone_id",
-            F.round(F.col("uncovered_area") * 1.0e6).cast("long").alias("micro_area"),
+            micro4("uncovered_area").alias("micro4_area"),
         )
     )
+    return ab, a_rem, b_rem
+
+
+@register("union_overlay", _UNION_OVERLAY_ORACLE)
+def q_union_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union(A, B) on the overlapping rich layer: A∩B pieces ⊕
+    A-remainders ⊕ B-remainders (ogrlayer.cpp:3763 semantics)."""
+    ab, a_rem, b_rem = _rich_overlay_parts(spark, sf_dir)
     return ab.unionByName(a_rem).unionByName(b_rem)
 
 
-@register("symdifference_overlay")
+@register("symdifference_overlay", _SYMDIFF_ORACLE)
 def q_symdifference_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SymDifference(A, B): A-remainders ⊕ B-remainders."""
-    from gdal_spark.operators.coverage import zone_coverage
-    from gdal_spark.operators.overlay import erase_area
-
-    pieces, cz_full, pd_docs, cz = _pieces_with_env(spark, sf_dir)
-    a_rem = (
-        erase_area(pd_docs, cz)
-        .filter(F.col("erase_area") > 0)
-        .select(
-            "doc_id",
-            F.lit(None).cast("long").alias("zone_id"),
-            F.round(F.col("erase_area") * 1.0e6).cast("long").alias("micro_area"),
-        )
-    )
-    b_rem = (
-        zone_coverage(pieces, cz_full)
-        .filter(F.col("uncovered_area") > 0)
-        .select(
-            F.lit(None).cast("long").alias("doc_id"),
-            "zone_id",
-            F.round(F.col("uncovered_area") * 1.0e6).cast("long").alias("micro_area"),
-        )
-    )
+    """SymDifference(A, B) on the overlapping rich layer (ogrlayer.cpp:4300)."""
+    _, a_rem, b_rem = _rich_overlay_parts(spark, sf_dir)
     return a_rem.unionByName(b_rem)
 
 

@@ -110,6 +110,93 @@ def clip_zones(spark: SparkSession, n: int = NCLIP) -> DataFrame:
     return df.select("zone_id", wkt.alias("geom_wkt"), "zxmin", "zymin", "zxmax", "zymax")
 
 
+# ----------------------------------------------------------- rich layer
+# CONCAVE method layer with holes and OVERLAPS — the general-polygon
+# overlay fixture (mirrors real admin-boundary layers; reference tests
+# autotest/ogr/ogr_layer_algebra.py use concave/overlapping method
+# features).  Every zone is an L-shaped rectilinear polygon with one
+# rectangular hole; zones come in pairs (2k, 2k+1) whose base corners
+# differ by (+5, +3) while arms are >= 8 x 5 — guaranteed overlap.
+#
+# Closed-form decomposition (for the SQL oracle AND the area algebra):
+#   A = [bx, bx+w1] x [by, by+h1]          (bottom arm)
+#   B = [bx, bx+w2] x [by+h1, by+h1+ha]    (upper arm, w2 < w1)
+#   H = [bx+1, bx+1+hw] x [by+1, by+3]     (hole, strictly inside A)
+# zone cover = (A ∪ B) \ H;  A,B disjoint;  area = w1*h1 + w2*ha - 2*hw.
+NRICH = 40
+RBX_SQL = "(-1.7e2 + (((i - (i % 2)) * 31) % 300) + (i % 2) * 5 + 5.0e-4)"
+RBY_SQL = "(-5.5e1 + (((i - (i % 2)) * 17) % 95) + (i % 2) * 3 + 5.0e-4)"
+RW1_SQL = "(8 + (i % 7))"
+RH1_SQL = "(5 + (i % 5))"
+RW2_SQL = "(3 + (i % 3))"
+RHA_SQL = "(4 + (i % 4))"
+RHW_SQL = "(2 + (i % 2))"
+RICH_ID_SQL = "(700 + i)"
+
+# derived corner expressions, shared text both engines
+_R = {
+    "bx": RBX_SQL,
+    "by": RBY_SQL,
+    "x_w1": f"({RBX_SQL} + {RW1_SQL})",
+    "x_w2": f"({RBX_SQL} + {RW2_SQL})",
+    "y_h1": f"({RBY_SQL} + {RH1_SQL})",
+    "y_top": f"({RBY_SQL} + {RH1_SQL} + {RHA_SQL})",
+    "hx0": f"({RBX_SQL} + 1)",
+    "hx1": f"({RBX_SQL} + 1 + {RHW_SQL})",
+    "hy0": f"({RBY_SQL} + 1)",
+    "hy1": f"({RBY_SQL} + 3)",
+}
+
+
+def duckdb_rich_parts_cte(n: int = NRICH) -> str:
+    """One row per (zone, part): kind 'A'/'B' positive cover, 'H' hole.
+    The parts are the oracle's exact view of the rich zone geometry."""
+    r = _R
+    rows = [
+        f"SELECT {RICH_ID_SQL} AS zone_id, 'A' AS kind, {r['bx']} AS pxmin, "
+        f"{r['by']} AS pymin, {r['x_w1']} AS pxmax, {r['y_h1']} AS pymax "
+        f"FROM range(0, {n}) t(i)",
+        f"SELECT {RICH_ID_SQL} AS zone_id, 'B' AS kind, {r['bx']} AS pxmin, "
+        f"{r['y_h1']} AS pymin, {r['x_w2']} AS pxmax, {r['y_top']} AS pymax "
+        f"FROM range(0, {n}) t(i)",
+        f"SELECT {RICH_ID_SQL} AS zone_id, 'H' AS kind, {r['hx0']} AS pxmin, "
+        f"{r['hy0']} AS pymin, {r['hx1']} AS pxmax, {r['hy1']} AS pymax "
+        f"FROM range(0, {n}) t(i)",
+    ]
+    return " UNION ALL ".join(rows)
+
+
+def rich_zones(spark: SparkSession, n: int = NRICH) -> DataFrame:
+    """Concave-with-hole overlapping zone layer: (zone_id, geom_wkt).
+
+    WKT is built from the SAME coordinate expressions the oracle CTE
+    uses (JVM double -> shortest-round-trip string -> kernel parse gives
+    back identical bits)."""
+    df = spark.range(n).select(F.col("id").alias("i"))
+    c = {k: F.expr(v) for k, v in _R.items()}
+    s, cm = F.lit(" "), F.lit(",")
+    shell = F.concat(
+        F.lit("POLYGON (("),
+        c["bx"], s, c["by"], cm,
+        c["x_w1"], s, c["by"], cm,
+        c["x_w1"], s, c["y_h1"], cm,
+        c["x_w2"], s, c["y_h1"], cm,
+        c["x_w2"], s, c["y_top"], cm,
+        c["bx"], s, c["y_top"], cm,
+        c["bx"], s, c["by"],
+        F.lit("),("),
+        c["hx0"], s, c["hy0"], cm,
+        c["hx1"], s, c["hy0"], cm,
+        c["hx1"], s, c["hy1"], cm,
+        c["hx0"], s, c["hy1"], cm,
+        c["hx0"], s, c["hy0"],
+        F.lit("))"),
+    )
+    return df.select(
+        F.expr(RICH_ID_SQL).alias("zone_id"), shell.alias("geom_wkt")
+    )
+
+
 # pytest-only polygons exercising the refine kernel beyond rectangles
 FANCY_ZONES: list[tuple[int, str]] = [
     # donut: hole in the middle

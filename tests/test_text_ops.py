@@ -81,6 +81,38 @@ class TestSimhashFingerprint:
         assert a == b
         assert a[0] == a[1] != a[3]
 
+    def test_fingerprint_matches_scalar_horner(self, planted):
+        """The batch-vectorized kernel must equal the defining per-byte
+        recurrence acc = (acc*131 + byte) mod 2^61-1."""
+        got = {r.doc_id: r.fingerprint for r in text_ops.fingerprint(planted).collect()}
+        p = (1 << 61) - 1
+        for row in planted.collect():
+            acc = 0
+            for ch in (row.text or "").encode():
+                acc = (acc * 131 + ch) % p
+            assert got[row.doc_id] == acc, row.doc_id
+
+    def test_simhash_pairs_planted(self, planted):
+        pairs = {
+            (r.id_a, r.id_b): r.hamming
+            for r in text_ops.simhash_pairs(planted, max_hamming=10).collect()
+        }
+        assert pairs.get((0, 1)) == 0  # exact dups: distance 0
+        assert (0, 3) not in pairs  # unrelated text stays out
+        # near dup (one word changed) lands within the planted radius
+        assert (0, 2) in pairs and pairs[(0, 2)] <= 10
+
+    def test_dedup_clusters(self, spark, planted):
+        pairs = spark.createDataFrame(
+            [(0, 1), (1, 2)], "id_a long, id_b long"  # chain 0-1-2
+        )
+        out = {
+            r.doc_id: r.cluster_id
+            for r in text_ops.dedup_clusters(planted, pairs).collect()
+        }
+        assert out[0] == out[1] == out[2] == 0  # chain collapses to min id
+        assert out[3] == 3 and out[4] == 4  # singletons keep themselves
+
 
 @pytest.fixture(scope="module")
 def vectors(spark):
