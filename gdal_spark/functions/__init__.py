@@ -30,9 +30,18 @@ from pyspark.sql import Column, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import BooleanType, DoubleType, StringType
 
+from gdal_spark.geometry.boolean import (
+    buffer_point,
+    convex_hull,
+    douglas_peucker,
+    min_distance,
+    polys_pair_intersection_area,
+    ring_edges,
+    segments_intersect_any,
+)
 from gdal_spark.geometry.clip import shoelace_area
 from gdal_spark.geometry.pip import points_in_polygon
-from gdal_spark.geometry.wkt import parse_wkt
+from gdal_spark.geometry.wkt import parse_wkt, polygon_wkt
 
 __all__ = [
     "st_area",
@@ -41,8 +50,25 @@ __all__ = [
     "st_contains_point",
     "st_centroid_x",
     "st_centroid_y",
+    "st_intersects",
+    "st_contains",
+    "st_within",
+    "st_overlaps",
+    "st_touches",
+    "st_equals",
+    "st_disjoint",
+    "st_distance",
+    "st_convexhull",
+    "st_simplify",
+    "st_makevalid",
+    "st_boundary",
+    "st_buffer",
     "register_sql_functions",
 ]
+
+# predicate tolerance: areas below this are clip-plane roundoff, not
+# geometry (same constant as operators.overlay.AREA_EPS)
+_TOL = 1.0e-9
 
 # executor-level parse cache: WKT text -> (type, payload).  Bounded so a
 # high-cardinality geometry column can't grow it without limit.
@@ -211,6 +237,233 @@ def st_centroid_y(col) -> Column:
     return _st_cy_udf(col)
 
 
+# ------------------------------------------------ pairwise predicates
+# Semantics (valid polygons): interiors meet <=> intersection area > 0;
+# boundary contact via exact segment tests — together these reproduce
+# the GEOS predicate matrix the reference exposes
+# (OGRGeometry Intersects/Contains/Within/Overlaps/Touches/Equals,
+# ogrgeometry.cpp:1273,5663-5991; Distance :3564).
+
+
+def _pairwise(fn, out_np):
+    """Lift a per-(geomA, geomB) scalar to a batch kernel — one
+    evaluation per UNIQUE pair (vectorized key building, numpy scatter)."""
+
+    def wrapped(a: pd.Series, b: pd.Series) -> pd.Series:
+        key = (a + "\x00" + b).to_numpy(dtype=object)
+        uniq, first, inv = np.unique(key, return_index=True, return_inverse=True)
+        vals = np.array(
+            [fn(a.iat[i], b.iat[i]) for i in first], dtype=out_np
+        )
+        return pd.Series(vals[inv])
+
+    return wrapped
+
+
+def _inter_area(aw: str, bw: str) -> float:
+    return polys_pair_intersection_area(_as_polys(aw), _as_polys(bw))
+
+
+def _boundaries_touch(aw: str, bw: str) -> bool:
+    ea = ring_edges(_as_polys(aw))
+    eb = ring_edges(_as_polys(bw))
+    if not len(ea) or not len(eb):
+        return False
+    return segments_intersect_any(ea, eb)
+
+
+def _intersects(aw, bw):
+    return _inter_area(aw, bw) > _TOL or _boundaries_touch(aw, bw)
+
+
+def _contains(aw, bw):
+    ab = _area(bw)
+    return ab > _TOL and abs(_inter_area(aw, bw) - ab) <= _TOL
+
+
+def _overlaps(aw, bw):
+    ia = _inter_area(aw, bw)
+    return _TOL < ia < min(_area(aw), _area(bw)) - _TOL
+
+
+def _touches(aw, bw):
+    return _inter_area(aw, bw) <= _TOL and _boundaries_touch(aw, bw)
+
+
+def _equals(aw, bw):
+    ia = _inter_area(aw, bw)
+    return abs(ia - _area(aw)) <= _TOL and abs(ia - _area(bw)) <= _TOL
+
+
+def _distance(aw, bw) -> float:
+    ta, pa = _parsed(aw)
+    tb, pb = _parsed(bw)
+    if ta == "POINT" and tb == "POINT":
+        dx = pa[0][0, 0] - pb[0][0, 0]
+        dy = pa[0][0, 1] - pb[0][0, 1]
+        return float(np.sqrt(dx * dx + dy * dy))
+    if ta == "POINT" or tb == "POINT":
+        pt, polyw = (pa, bw) if ta == "POINT" else (pb, aw)
+        x, y = float(pt[0][0, 0]), float(pt[0][0, 1])
+        polys = _as_polys(polyw)
+        for rings in polys:
+            if points_in_polygon(np.array([x]), np.array([y]), rings)[0]:
+                return 0.0
+        E = ring_edges(polys)
+        s, d = E[:, 0], E[:, 1] - E[:, 0]
+        L2 = (d**2).sum(axis=1)
+        num = ((np.array([x, y]) - s) * d).sum(axis=1)
+        t = np.zeros_like(num)
+        np.divide(num, L2, out=t, where=L2 != 0)
+        proj = s + np.clip(t, 0, 1)[:, None] * d
+        return float(np.sqrt(((np.array([x, y]) - proj) ** 2).sum(axis=1)).min())
+    return min_distance(_as_polys(aw), _as_polys(bw))
+
+
+# --------------------------------------------------------- constructors
+
+def _all_points(wkt: str) -> np.ndarray:
+    typ, payload = _parsed(wkt)
+    if typ == "MULTIPOLYGON":
+        return np.vstack([r for poly in payload for r in poly])
+    return np.vstack(payload)
+
+
+def _convexhull_wkt(wkt: str) -> str:
+    return polygon_wkt([convex_hull(_all_points(wkt))])
+
+
+def _simplify_wkt(wkt: str, tol: float) -> str:
+    typ, payload = _parsed(wkt)
+    if typ == "POLYGON":
+        rings = []
+        for r in payload:
+            s = douglas_peucker(r, tol)
+            rings.append(s if len(s) >= 4 else r)
+        return polygon_wkt(rings)
+    raise ValueError("st_simplify v1 supports POLYGON")
+
+
+def _makevalid_wkt(wkt: str) -> str:
+    """Drop repeated consecutive vertices, close rings, orient shell CCW
+    and holes CW (the cheap subset of OGRGeometry::MakeValid,
+    ogrgeometry.cpp:3924 — no self-intersection repair)."""
+    typ, payload = _parsed(wkt)
+    if typ != "POLYGON":
+        raise ValueError("st_makevalid v1 supports POLYGON")
+    rings = []
+    for k, r in enumerate(payload):
+        keep = np.r_[True, (np.abs(np.diff(r, axis=0)).sum(axis=1) > 0)]
+        r = r[keep]
+        if not np.array_equal(r[0], r[-1]):
+            r = np.vstack([r, r[:1]])
+        want_ccw = k == 0
+        if (shoelace_area(r) > 0) != want_ccw:
+            r = r[::-1]
+        rings.append(r)
+    return polygon_wkt(rings)
+
+
+def _boundary_wkt(wkt: str) -> str:
+    typ, payload = _parsed(wkt)
+    if typ == "POLYGON" and len(payload) == 1:
+        coords = ",".join(f"{x!r} {y!r}" for x, y in payload[0])
+        return f"LINESTRING ({coords})"
+    raise ValueError("st_boundary v1 supports single-ring POLYGON")
+
+
+def _buffer_wkt(wkt: str, r: float) -> str:
+    """POINT -> 32-gon circle; CONVEX POLYGON -> hull of per-vertex
+    circles (exact chorded offset for convex input)."""
+    typ, payload = _parsed(wkt)
+    if typ == "POINT":
+        x, y = payload[0][0]
+        return polygon_wkt([buffer_point(float(x), float(y), r)])
+    if typ == "POLYGON" and len(payload) == 1:
+        from gdal_spark.geometry.clip import is_convex
+
+        if not is_convex(payload[0]):
+            raise ValueError("st_buffer v1 supports POINT or convex POLYGON")
+        pts = np.vstack(
+            [buffer_point(float(x), float(y), r)[:-1] for x, y in payload[0][:-1]]
+        )
+        return polygon_wkt([convex_hull(pts)])
+    raise ValueError("st_buffer v1 supports POINT or convex POLYGON")
+
+
+_st_intersects_udf = F.pandas_udf(_pairwise(_intersects, bool), BooleanType())
+_st_contains_udf2 = F.pandas_udf(_pairwise(_contains, bool), BooleanType())
+_st_within_udf = F.pandas_udf(
+    _pairwise(lambda a, b: _contains(b, a), bool), BooleanType()
+)
+_st_overlaps_udf = F.pandas_udf(_pairwise(_overlaps, bool), BooleanType())
+_st_touches_udf = F.pandas_udf(_pairwise(_touches, bool), BooleanType())
+_st_equals_udf = F.pandas_udf(_pairwise(_equals, bool), BooleanType())
+_st_disjoint_udf = F.pandas_udf(
+    _pairwise(lambda a, b: not _intersects(a, b), bool), BooleanType()
+)
+_st_distance_udf = F.pandas_udf(_pairwise(_distance, np.float64), DoubleType())
+_st_hull_udf = F.pandas_udf(_per_unique(_convexhull_wkt, object), StringType())
+_st_makevalid_udf = F.pandas_udf(_per_unique(_makevalid_wkt, object), StringType())
+_st_boundary_udf = F.pandas_udf(_per_unique(_boundary_wkt, object), StringType())
+
+
+def st_intersects(a, b) -> Column:
+    return _st_intersects_udf(a, b)
+
+
+def st_contains(a, b) -> Column:
+    return _st_contains_udf2(a, b)
+
+
+def st_within(a, b) -> Column:
+    return _st_within_udf(a, b)
+
+
+def st_overlaps(a, b) -> Column:
+    return _st_overlaps_udf(a, b)
+
+
+def st_touches(a, b) -> Column:
+    return _st_touches_udf(a, b)
+
+
+def st_equals(a, b) -> Column:
+    return _st_equals_udf(a, b)
+
+
+def st_disjoint(a, b) -> Column:
+    return _st_disjoint_udf(a, b)
+
+
+def st_distance(a, b) -> Column:
+    return _st_distance_udf(a, b)
+
+
+def st_convexhull(col) -> Column:
+    return _st_hull_udf(col)
+
+
+def st_simplify(col, tol: float) -> Column:
+    return F.pandas_udf(
+        _per_unique(lambda w: _simplify_wkt(w, tol), object), StringType()
+    )(col)
+
+
+def st_makevalid(col) -> Column:
+    return _st_makevalid_udf(col)
+
+
+def st_boundary(col) -> Column:
+    return _st_boundary_udf(col)
+
+
+def st_buffer(col, r: float) -> Column:
+    return F.pandas_udf(
+        _per_unique(lambda w: _buffer_wkt(w, r), object), StringType()
+    )(col)
+
+
 def register_sql_functions(spark: SparkSession) -> None:
     """Make the family callable from spark.sql strings."""
     spark.udf.register("st_area", _st_area_udf)
@@ -219,3 +472,14 @@ def register_sql_functions(spark: SparkSession) -> None:
     spark.udf.register("st_contains_point", _st_contains_udf)
     spark.udf.register("st_centroid_x", _st_cx_udf)
     spark.udf.register("st_centroid_y", _st_cy_udf)
+    spark.udf.register("st_intersects", _st_intersects_udf)
+    spark.udf.register("st_contains", _st_contains_udf2)
+    spark.udf.register("st_within", _st_within_udf)
+    spark.udf.register("st_overlaps", _st_overlaps_udf)
+    spark.udf.register("st_touches", _st_touches_udf)
+    spark.udf.register("st_equals", _st_equals_udf)
+    spark.udf.register("st_disjoint", _st_disjoint_udf)
+    spark.udf.register("st_distance", _st_distance_udf)
+    spark.udf.register("st_convexhull", _st_hull_udf)
+    spark.udf.register("st_makevalid", _st_makevalid_udf)
+    spark.udf.register("st_boundary", _st_boundary_udf)

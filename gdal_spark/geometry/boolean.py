@@ -221,6 +221,153 @@ def polys_pair_intersection_area(polys_a: list, polys_b: list) -> float:
     return float((areas * w).sum())
 
 
+# --------------------------------------------- constructors + predicates
+
+def convex_hull(pts: np.ndarray) -> np.ndarray:
+    """Closed CCW convex hull ring of a point set (Andrew's monotone
+    chain; reference OGRGeometry::ConvexHull, ogrgeometry.cpp:4188)."""
+    p = np.unique(np.asarray(pts, dtype=np.float64), axis=0)  # sorted (x, y)
+    if len(p) == 1:
+        return np.vstack([p, p])
+    if len(p) == 2:
+        return np.vstack([p, p[0]])
+
+    def half(points):
+        out: list[np.ndarray] = []
+        for q in points:
+            while len(out) >= 2:
+                o, a = out[-2], out[-1]
+                if (a[0] - o[0]) * (q[1] - o[1]) - (a[1] - o[1]) * (q[0] - o[0]) <= 0:
+                    out.pop()
+                else:
+                    break
+            out.append(q)
+        return out
+
+    lower = half(p)
+    upper = half(p[::-1])
+    ring = np.array(lower[:-1] + upper[:-1] + [lower[0]])
+    return ring
+
+
+def douglas_peucker(line: np.ndarray, tol: float) -> np.ndarray:
+    """Ramer–Douglas–Peucker polyline simplification (reference
+    OGRGeometry::Simplify → GEOS DouglasPeuckerSimplifier,
+    ogrgeometry.cpp:6362).  Iterative stack, vectorized distance."""
+    pts = np.asarray(line, dtype=np.float64)
+    n = len(pts)
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[-1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        s, e = stack.pop()
+        if e <= s + 1:
+            continue
+        seg = pts[e] - pts[s]
+        mid = pts[s + 1 : e]
+        L2 = seg @ seg
+        if L2 == 0:
+            d2 = ((mid - pts[s]) ** 2).sum(axis=1)
+        else:
+            t = np.clip(((mid - pts[s]) @ seg) / L2, 0.0, 1.0)
+            proj = pts[s] + t[:, None] * seg
+            d2 = ((mid - proj) ** 2).sum(axis=1)
+        imax = int(np.argmax(d2))
+        if d2[imax] > tol * tol:
+            k = s + 1 + imax
+            keep[k] = True
+            stack.append((s, k))
+            stack.append((k, e))
+    return pts[keep]
+
+
+def buffer_point(x: float, y: float, r: float, segs: int = 32) -> np.ndarray:
+    """Circular buffer of a point as a closed CCW ``segs``-gon (GEOS
+    default 8 quadrant segments = 32 vertices; ogrgeometry.cpp:4528)."""
+    th = 2.0 * np.pi * np.arange(segs) / segs
+    ring = np.c_[x + r * np.cos(th), y + r * np.sin(th)]
+    return np.vstack([ring, ring[:1]])
+
+
+def segments_intersect_any(ea: np.ndarray, eb: np.ndarray) -> bool:
+    """True if ANY segment of ea (N,2,2) intersects any of eb (M,2,2),
+    including endpoint touches and collinear overlap — the boundary-
+    contact test behind Touches/Intersects."""
+    a1 = ea[:, None, 0]
+    a2 = ea[:, None, 1]
+    b1 = eb[None, :, 0]
+    b2 = eb[None, :, 1]
+
+    def cross(o, p, q):
+        return (p[..., 0] - o[..., 0]) * (q[..., 1] - o[..., 1]) - (
+            p[..., 1] - o[..., 1]
+        ) * (q[..., 0] - o[..., 0])
+
+    d1 = cross(b1, b2, a1)
+    d2 = cross(b1, b2, a2)
+    d3 = cross(a1, a2, b1)
+    d4 = cross(a1, a2, b2)
+    proper = ((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0)) & (d1 != d2) & (d3 != d4)
+    if proper.any():
+        return True
+
+    def on_seg(o, p, q):  # q collinear with o-p: is q within the bbox?
+        return (
+            (np.minimum(o[..., 0], p[..., 0]) <= q[..., 0])
+            & (q[..., 0] <= np.maximum(o[..., 0], p[..., 0]))
+            & (np.minimum(o[..., 1], p[..., 1]) <= q[..., 1])
+            & (q[..., 1] <= np.maximum(o[..., 1], p[..., 1]))
+        )
+
+    touch = (
+        ((d1 == 0) & on_seg(b1, b2, a1))
+        | ((d2 == 0) & on_seg(b1, b2, a2))
+        | ((d3 == 0) & on_seg(a1, a2, b1))
+        | ((d4 == 0) & on_seg(a1, a2, b2))
+    )
+    return bool(touch.any())
+
+
+def ring_edges(polys: list) -> np.ndarray:
+    """(E, 2, 2) segment array of every ring edge of a multipolygon."""
+    segs = []
+    for poly in polys:
+        for ring in poly:
+            r = np.asarray(ring, dtype=np.float64)
+            segs.append(np.stack([r[:-1], r[1:]], axis=1))
+    return np.concatenate(segs) if segs else np.empty((0, 2, 2))
+
+
+def min_distance(polys_a: list, polys_b: list) -> float:
+    """Min euclidean distance between two multipolygons' boundaries
+    (0 if they intersect or one contains the other) — OGRGeometry::
+    Distance (ogrgeometry.cpp:3564).  For valid polygons the minimum is
+    attained vertex-to-edge, checked both directions, vectorized."""
+    if polys_pair_intersection_area(polys_a, polys_b) > 0:
+        return 0.0
+    ea = ring_edges(polys_a)
+    eb = ring_edges(polys_b)
+    if segments_intersect_any(ea, eb):
+        return 0.0
+
+    def pts(polys):
+        return np.vstack([np.asarray(r) for poly in polys for r in poly])
+
+    def v2e(P, E):  # min distance points -> edges
+        s = E[None, :, 0]
+        d = (E[:, 1] - E[:, 0])[None, :]
+        L2 = (d**2).sum(axis=2)
+        diff = P[:, None] - s
+        num = (diff * d).sum(axis=2)
+        t = np.zeros_like(num)
+        np.divide(num, np.broadcast_to(L2, num.shape), out=t, where=L2 != 0)
+        t = np.clip(t, 0.0, 1.0)
+        proj = s + t[..., None] * d
+        return np.sqrt(((P[:, None] - proj) ** 2).sum(axis=2)).min()
+
+    return float(min(v2e(pts(polys_a), eb), v2e(pts(polys_b), ea)))
+
+
 # ------------------------------------------------- rectilinear decompose
 
 def is_rectilinear(polys: list) -> bool:

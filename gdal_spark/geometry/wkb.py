@@ -1,0 +1,127 @@
+"""WKB codec (POINT / POLYGON / MULTIPOLYGON) + WKB-level envelope.
+
+The reference's Arrow export ships geometry as WKB binary
+(ogr/ogrsf_frmts/generic/ogrlayerarrow.cpp:2562 ``ogc.wkb``) and runs
+envelope / pessimistic-intersects prefilters DIRECTLY on the WKB bytes
+without a full parse (ogr/ogr_wkb.cpp:574 OGRWKBGetBoundingBox, :687
+intersects pretest).  This module mirrors that: geometry travels as a
+``BinaryType`` column, and :func:`wkb_envelope` walks only the
+ring-header offsets, reading coordinates via zero-copy numpy views —
+no geometry objects are built for the prefilter.
+
+Little-endian (NDR) encoding, 2-D, matching the reference's default
+export (wkbNDR).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__all__ = ["wkt_payload_to_wkb", "wkb_to_payload", "wkb_envelope", "wkb_type"]
+
+_POINT = 1
+_POLYGON = 3
+_MULTIPOLYGON = 6
+
+
+def wkt_payload_to_wkb(typ: str, payload) -> bytes:
+    """Parsed-WKT payload (geometry/wkt.py shapes) -> WKB bytes."""
+    if typ == "POINT":
+        x, y = payload[0][0]
+        return struct.pack("<BIdd", 1, _POINT, float(x), float(y))
+    if typ == "POLYGON":
+        out = [struct.pack("<BII", 1, _POLYGON, len(payload))]
+        for ring in payload:
+            r = np.asarray(ring, dtype="<f8")
+            out.append(struct.pack("<I", len(r)))
+            out.append(r.tobytes())
+        return b"".join(out)
+    if typ == "MULTIPOLYGON":
+        out = [struct.pack("<BII", 1, _MULTIPOLYGON, len(payload))]
+        for poly in payload:
+            out.append(wkt_payload_to_wkb("POLYGON", poly))
+        return b"".join(out)
+    raise ValueError(f"unsupported geometry type for WKB: {typ}")
+
+
+def _read_rings(buf: bytes, off: int, nrings: int):
+    rings = []
+    for _ in range(nrings):
+        (npts,) = struct.unpack_from("<I", buf, off)
+        off += 4
+        rings.append(
+            np.frombuffer(buf, dtype="<f8", count=2 * npts, offset=off)
+            .reshape(npts, 2)
+            .astype(np.float64)
+        )
+        off += 16 * npts
+    return rings, off
+
+
+def wkb_type(buf: bytes) -> int:
+    (g,) = struct.unpack_from("<I", buf, 1)
+    return g & 0xFF
+
+
+def wkb_to_payload(buf: bytes):
+    """WKB bytes -> (type, payload) in the parse_wkt shapes."""
+    gtype = wkb_type(buf)
+    if gtype == _POINT:
+        x, y = struct.unpack_from("<dd", buf, 5)
+        return "POINT", [np.array([[x, y]])]
+    if gtype == _POLYGON:
+        (nrings,) = struct.unpack_from("<I", buf, 5)
+        rings, _ = _read_rings(buf, 9, nrings)
+        return "POLYGON", rings
+    if gtype == _MULTIPOLYGON:
+        (npolys,) = struct.unpack_from("<I", buf, 5)
+        off = 9
+        polys = []
+        for _ in range(npolys):
+            (nrings,) = struct.unpack_from("<I", buf, off + 5)
+            rings, off = _read_rings(buf, off + 9, nrings)
+            polys.append(rings)
+        return "MULTIPOLYGON", polys
+    raise ValueError(f"unsupported WKB geometry type: {gtype}")
+
+
+def wkb_envelope(buf: bytes):
+    """(xmin, ymin, xmax, ymax) straight off the WKB bytes — the
+    OGRWKBGetBoundingBox analog (ogr_wkb.cpp:574): only ring headers are
+    decoded; coordinates are scanned as one zero-copy f8 view per ring."""
+    gtype = wkb_type(buf)
+    if gtype == _POINT:
+        x, y = struct.unpack_from("<dd", buf, 5)
+        return (x, y, x, y)
+    xmin = ymin = np.inf
+    xmax = ymax = -np.inf
+
+    def scan_poly(off):
+        nonlocal xmin, ymin, xmax, ymax
+        (nrings,) = struct.unpack_from("<I", buf, off + 5)
+        o = off + 9
+        for _ in range(nrings):
+            (npts,) = struct.unpack_from("<I", buf, o)
+            o += 4
+            pts = np.frombuffer(buf, dtype="<f8", count=2 * npts, offset=o)
+            xs = pts[0::2]
+            ys = pts[1::2]
+            xmin = min(xmin, xs.min())
+            xmax = max(xmax, xs.max())
+            ymin = min(ymin, ys.min())
+            ymax = max(ymax, ys.max())
+            o += 16 * npts
+        return o
+
+    if gtype == _POLYGON:
+        scan_poly(0)
+    elif gtype == _MULTIPOLYGON:
+        (npolys,) = struct.unpack_from("<I", buf, 5)
+        off = 9
+        for _ in range(npolys):
+            off = scan_poly(off)
+    else:
+        raise ValueError(f"unsupported WKB geometry type: {gtype}")
+    return (float(xmin), float(ymin), float(xmax), float(ymax))

@@ -106,3 +106,81 @@ def dem_gradient(
     return _with_halo_tiles(pixels).groupBy("gtx", "gty").applyInPandas(
         kernel, _GRAD_SCHEMA
     )
+
+
+_PROX_SCHEMA = StructType(
+    [
+        StructField("px", IntegerType()),
+        StructField("py", IntegerType()),
+        StructField("prox2", LongType()),
+    ]
+)
+
+
+def proximity(
+    pixels: DataFrame, target_value: int = 0, maxdist: int = 16
+) -> DataFrame:
+    """Proximity raster (alg/gdalproximity.cpp): per pixel, the SQUARED
+    euclidean distance to the nearest target-valued pixel, capped at
+    maxdist² (the reference's MAXDIST option; squared keeps every value
+    integer → bit-exact oracle, the sqrt is a display transform).
+
+    Distributed shape: targets scatter to every GRID_TILE whose pixels
+    could be within ``maxdist`` (a box-halo explode, duplication
+    ~(1 + 2·maxdist/64)²); one applyInPandas per tile does the
+    vectorized pixel x target distance min.  A target outside a tile's
+    box-halo is farther than maxdist from all its pixels, so the cap
+    makes the tile-local min globally exact."""
+    targets = pixels.filter(F.col("value") == target_value).select(
+        F.col("px").alias("tpx"), F.col("py").alias("tpy")
+    )
+    t = (
+        targets.withColumn(
+            "gtx",
+            F.explode(
+                F.sequence(
+                    F.shiftright(F.col("tpx") - maxdist, 6),
+                    F.shiftright(F.col("tpx") + maxdist, 6),
+                )
+            ),
+        )
+        .withColumn(
+            "gty",
+            F.explode(
+                F.sequence(
+                    F.shiftright(F.col("tpy") - maxdist, 6),
+                    F.shiftright(F.col("tpy") + maxdist, 6),
+                )
+            ),
+        )
+        .filter((F.col("gtx") >= 0) & (F.col("gty") >= 0))
+        .select("gtx", "gty", F.col("tpx").alias("px"), F.col("tpy").alias("py"),
+                F.lit(1).alias("kind"))
+    )
+    base = pixels.select(
+        F.shiftright("px", 6).alias("gtx"),
+        F.shiftright("py", 6).alias("gty"),
+        "px",
+        "py",
+        F.lit(0).alias("kind"),
+    )
+    cap2 = maxdist * maxdist
+
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        kindv = pdf["kind"].to_numpy()
+        bx = pdf["px"].to_numpy(np.int64)[kindv == 0]
+        by = pdf["py"].to_numpy(np.int64)[kindv == 0]
+        tx = pdf["px"].to_numpy(np.int64)[kindv == 1]
+        ty = pdf["py"].to_numpy(np.int64)[kindv == 1]
+        if tx.size:
+            d2 = (bx[:, None] - tx[None, :]) ** 2 + (by[:, None] - ty[None, :]) ** 2
+            prox = np.minimum(d2.min(axis=1), cap2)
+        else:
+            prox = np.full(bx.size, cap2, dtype=np.int64)
+        return pd.DataFrame(
+            {"px": bx.astype(np.int32), "py": by.astype(np.int32), "prox2": prox}
+        )
+
+    return base.unionByName(t).groupBy("gtx", "gty").applyInPandas(
+        kernel, _PROX_SCHEMA
+    )

@@ -196,3 +196,77 @@ def knn_join(
             yield out
 
     return docs.mapInPandas(kernel, out_schema)
+
+
+def radius_join(
+    docs: DataFrame,
+    targets: DataFrame,
+    radius2_sql: str | float,
+    cell_deg: float = CELL_DEG,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """All (doc, target) pairs with squared distance < radius² — the
+    fixed-radius variant of the quadtree search (GDALGridMovingAverage's
+    search circle, alg/gdalgrid.cpp:644).  Same map-side shape as
+    knn_join: bucketed targets per executor, docs never shuffle; each
+    query group only scans buckets within ceil(r/cell)+1 cells."""
+    radius2 = float(radius2_sql)
+    radius = float(np.sqrt(radius2))
+    rmax = int(np.ceil(radius / cell_deg)) + 1
+    tpd = targets.select("target_id", "tlon", "tlat").toPandas()
+    tlon = tpd["tlon"].to_numpy(np.float64)
+    tlat = tpd["tlat"].to_numpy(np.float64)
+    tid = tpd["target_id"].to_numpy(np.int64)
+
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    out_schema = StructType(
+        list(docs.schema.fields)
+        + [StructField("target_id", LongType()), StructField("d2", DoubleType())]
+    )
+    doc_cols = [f.name for f in docs.schema.fields]
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        buckets = _build_buckets(tlon, tlat, cell_deg)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qx = pdf[lon_col].to_numpy(np.float64)
+            qy = pdf[lat_col].to_numpy(np.float64)
+            cx = np.floor(qx / cell_deg).astype(np.int64)
+            cy = np.floor(qy / cell_deg).astype(np.int64)
+            order = np.lexsort((cy, cx))
+            cxs, cys = cx[order], cy[order]
+            starts = np.flatnonzero(
+                np.r_[True, (cxs[1:] != cxs[:-1]) | (cys[1:] != cys[:-1])]
+            )
+            ends = np.r_[starts[1:], len(order)]
+            rows_l, ids_l, d2_l = [], [], []
+            for s, e in zip(starts, ends):
+                gi = order[s:e]
+                cand = [
+                    buckets[c]
+                    for dx in range(-rmax, rmax + 1)
+                    for dy in range(-rmax, rmax + 1)
+                    if (c := (int(cxs[s]) + dx, int(cys[s]) + dy)) in buckets
+                ]
+                if not cand:
+                    continue
+                ci = np.concatenate(cand)
+                ddx = qx[gi][:, None] - tlon[ci][None, :]
+                ddy = qy[gi][:, None] - tlat[ci][None, :]
+                d2 = ddx * ddx + ddy * ddy
+                hit_r, hit_c = np.nonzero(d2 < radius2)
+                rows_l.append(gi[hit_r])
+                ids_l.append(tid[ci][hit_c])
+                d2_l.append(d2[hit_r, hit_c])
+            if not rows_l:
+                continue
+            rows = np.concatenate(rows_l)
+            out = pdf.iloc[rows].reset_index(drop=True)[doc_cols].copy()
+            out["target_id"] = np.concatenate(ids_l)
+            out["d2"] = np.concatenate(d2_l)
+            yield out
+
+    return docs.mapInPandas(kernel, out_schema)

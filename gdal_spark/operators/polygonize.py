@@ -158,11 +158,16 @@ def pixel_components(pixels: DataFrame, width: int, height: int, max_rounds: int
         # same component, so chasing one hop per round doubles the
         # propagation distance — convergence in O(log diameter) rounds,
         # not O(diameter) (the hash-to-min trick)
+        # localCheckpoint (eager) TRUNCATES THE LOGICAL PLAN — the
+        # iterative self-referencing joins otherwise nest the previous
+        # round's plan ~6x per round and Catalyst analysis goes
+        # exponential (observed: driver-side planning hang)
+        stepped = stepped.localCheckpoint(eager=True)
         hop = stepped.select(F.col("node").alias("jnode"), F.col("lbl").alias("jlbl"))
         new_mapping = (
             stepped.join(hop, stepped.lbl == hop.jnode, "left")
             .select("node", F.coalesce("jlbl", "lbl").alias("lbl"))
-        ).cache()
+        ).localCheckpoint(eager=True)
         changed = (
             new_mapping.alias("n")
             .join(mapping.alias("o"), "node")
@@ -184,6 +189,85 @@ def pixel_components(pixels: DataFrame, width: int, height: int, max_rounds: int
             "px", "py", "value",
             F.coalesce("lbl", "label").alias("label"),
         )
+    )
+    return out
+
+
+def sieve(
+    pixels: DataFrame,
+    width: int,
+    height: int,
+    threshold: int,
+    max_rounds: int = 5,
+) -> DataFrame:
+    """Sieve filter (alg/gdalsievefilter.cpp:178): components smaller
+    than ``threshold`` pixels merge into their LARGEST neighbour
+    component (reference's merge rule; ties broken to the smallest
+    label for determinism), repeated until nothing is below threshold.
+
+    All merge decisions happen on the SMALL label/adjacency tables —
+    the pixel table is only relabeled once at the end."""
+    comp = pixel_components(pixels, width, height).localCheckpoint(eager=True)
+    labval = comp.select("label", "value").dropDuplicates(["label"])
+    lab = comp.select("px", "py", "label")
+    # cross-label 4-adjacency (label_a, label_b), symmetric — built once;
+    # merge rounds only update the label -> label mapping
+    east = lab.select((F.col("px") + 1).alias("npx"), F.col("py").alias("npy"), F.col("label").alias("la"))
+    south = lab.select(F.col("px").alias("npx"), (F.col("py") + 1).alias("npy"), F.col("label").alias("la"))
+    other = lab.select(F.col("px").alias("npx"), F.col("py").alias("npy"), F.col("label").alias("lb"))
+    adj = (
+        east.unionByName(south)
+        .join(other, ["npx", "npy"])
+        .filter(F.col("la") != F.col("lb"))
+        .select("la", "lb")
+        .distinct()
+    )
+    adj = (
+        adj.unionByName(adj.select(F.col("lb").alias("la"), F.col("la").alias("lb")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # mapping: original label -> current merged label
+    mapping = labval.select(F.col("label").alias("node"), F.col("label").alias("cur"))
+    for _ in range(max_rounds):
+        cur_sizes = (
+            comp.join(mapping, comp.label == mapping.node)
+            .groupBy("cur")
+            .agg(F.count("*").alias("sz"))
+        ).localCheckpoint(eager=True)
+        small = cur_sizes.filter(F.col("sz") < threshold)
+        if small.isEmpty():
+            break
+        # current-label adjacency via the original adjacency + mapping
+    # (adjacency of merged components = mapped original adjacency)
+        m1 = mapping.select(F.col("node").alias("la"), F.col("cur").alias("ca"))
+        m2 = mapping.select(F.col("node").alias("lb"), F.col("cur").alias("cb"))
+        cadj = (
+            adj.join(m1, "la").join(m2, "lb")
+            .filter(F.col("ca") != F.col("cb"))
+            .select("ca", "cb")
+            .distinct()
+        )
+        nb = (
+            cadj.join(small.withColumnsRenamed({"cur": "ca", "sz": "sza"}), "ca")
+            .join(cur_sizes.withColumnsRenamed({"cur": "cb", "sz": "szb"}), "cb")
+        )
+        # largest neighbour, ties to smallest label
+        target = (
+            nb.groupBy("ca")
+            .agg(F.max(F.struct(F.col("szb"), (-F.col("cb")).alias("neg"))).alias("m"))
+            .select(F.col("ca"), (-F.col("m.neg")).alias("tgt"))
+        )
+        mapping = (
+            mapping.join(target, mapping.cur == target.ca, "left")
+            .select("node", F.coalesce("tgt", "cur").alias("cur"))
+            .localCheckpoint(eager=True)
+        )
+    out = (
+        comp.join(mapping, comp.label == mapping.node)
+        .select("px", "py", F.col("cur").alias("label"))
+        .join(labval.withColumnsRenamed({"label": "cur2"}), F.col("label") == F.col("cur2"))
+        .select("px", "py", F.col("label"), F.col("value"))
     )
     return out
 

@@ -281,7 +281,8 @@ def overview_tiles(tiles: DataFrame, method: str = "average") -> DataFrame:
                 np.uint8
             )
         elif method == "mode":
-            s = np.sort(quads.reshape(TILE, TILE, 4), axis=2)
+            # (row, row_sub, col, col_sub) -> (row, col, 4) quad samples
+            s = np.sort(quads.transpose(0, 2, 1, 3).reshape(TILE, TILE, 4), axis=2)
             # counts of each sorted sample among its quad; argmax on
             # (count, -value) = max count, ties to smallest value
             cnt = (s[:, :, :, None] == s[:, :, None, :]).sum(axis=3)

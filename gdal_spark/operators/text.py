@@ -379,11 +379,15 @@ def dedup_clusters(
         stepped = mapping.join(nbr_min, mapping.node == nbr_min.la, "left").select(
             "node", F.least(F.col("lbl"), F.coalesce("nbr_lbl", "lbl")).alias("lbl")
         )
+        # eager localCheckpoint truncates the logical plan — the
+        # self-referencing iterative joins otherwise grow the plan
+        # exponentially across rounds (Catalyst analysis hang)
+        stepped = stepped.localCheckpoint(eager=True)
         hop = stepped.select(F.col("node").alias("jn"), F.col("lbl").alias("jl"))
         new_mapping = (
             stepped.join(hop, stepped.lbl == hop.jn, "left")
             .select("node", F.coalesce("jl", "lbl").alias("lbl"))
-            .cache()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_mapping.alias("n")

@@ -760,6 +760,63 @@ def q_raster_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "band", "value")
 
 
+# bilinear interpolation at point (GDALInterpolateAtPoint bilinear path,
+# alg/gdal_interpolateatpoint.cpp:165): the SAME formula text evaluates
+# JVM-side (F.expr) and in DuckDB, so weights are bit-identical.
+# Interior-only (continuous pixel coords in (0, W-1)/(0, H-1)) — edge
+# clamping left to the warp kernel (raster.py _resample_window).
+_BL_PXF = f"((lon - ({_sd(GT_X0)})) / ({_sd(GT_DX)}) - 5.0e-1)"
+_BL_PYF = f"((lat - ({_sd(GT_Y0)})) / ({_sd(GT_DY)}) - 5.0e-1)"
+_BL_I0 = f"CAST(floor({_BL_PXF}) AS BIGINT)"
+_BL_J0 = f"CAST(floor({_BL_PYF}) AS BIGINT)"
+_BL_FX = f"({_BL_PXF} - {_BL_I0})"
+_BL_FY = f"({_BL_PYF} - {_BL_J0})"
+
+
+def _bl_src(i, j):
+    return f"CAST((({i}) * 7 + ({j}) * 13 + band * 29) % 256 AS DOUBLE)"
+
+
+_BL_VAL = (
+    f"((1.0e0 - {_BL_FY}) * ((1.0e0 - {_BL_FX}) * {_bl_src(_BL_I0, _BL_J0)}"
+    f" + {_BL_FX} * {_bl_src(f'{_BL_I0} + 1', _BL_J0)})"
+    f" + {_BL_FY} * ((1.0e0 - {_BL_FX}) * {_bl_src(_BL_I0, f'{_BL_J0} + 1')}"
+    f" + {_BL_FX} * {_bl_src(f'{_BL_I0} + 1', f'{_BL_J0} + 1')}))"
+)
+
+_PROBE_BILINEAR_ORACLE = f"""
+WITH docs AS ({_DOCS_CTE}),
+b AS (SELECT i + 1 AS band FROM range(0, {N_BANDS}) t(i)),
+p AS (
+  SELECT doc_id, CAST(band AS int) AS band, {_BL_VAL} AS v
+  FROM docs, b
+  WHERE {_BL_PXF} > 0 AND {_BL_PXF} < {SRC_W - 1}
+    AND {_BL_PYF} > 0 AND {_BL_PYF} < {SRC_H - 1}
+)
+SELECT doc_id, band, CAST(floor(v * 1.0e4) AS BIGINT) AS v4
+FROM p
+"""
+
+
+@register("raster_probe_bilinear", _PROBE_BILINEAR_ORACLE)
+def q_raster_probe_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bilinear point probe — whole-stage-codegen column math (the
+    shared-formula twin of the warp kernel's numpy bilinear path, which
+    is pinned against this same interpolation in pytest)."""
+    docs = corpus.load_docs(spark, sf_dir).select("doc_id", "lon", "lat")
+    bands = spark.range(N_BANDS).select((F.col("id") + 1).cast("int").alias("band"))
+    p = docs.crossJoin(F.broadcast(bands))
+    p = p.filter(
+        F.expr(f"{_BL_PXF} > 0 AND {_BL_PXF} < {SRC_W - 1}")
+        & F.expr(f"{_BL_PYF} > 0 AND {_BL_PYF} < {SRC_H - 1}")
+    )
+    return p.select(
+        "doc_id",
+        "band",
+        F.expr(f"CAST(floor({_BL_VAL} * 1.0e4) AS BIGINT)").alias("v4"),
+    )
+
+
 _BAND_STATS_ORACLE = f"""
 WITH g AS ({_SRC_GRID_CTE}), v AS (SELECT band, {_SRC_VAL} AS value FROM g)
 SELECT band, count(*) AS cnt, min(value) AS vmin, max(value) AS vmax,
@@ -954,6 +1011,91 @@ def q_grid_idw(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sum(F.col("tval") / F.col("d2")) / F.sum(F.lit(1.0) / F.col("d2")), 4
         ).alias("idw")
+    )
+
+
+# --------------------------------------------------------------------------
+# Grid interpolation modes beyond invdistnn (alg/gdalgrid.cpp):
+#   * nearest (GDALGridNearestNeighbor, :1038) — k=1 of the cell-ring kNN;
+#   * moving average (GDALGridMovingAverage, :644) — all targets within
+#     radius; emitted as (count, integer sum) so no float division rides
+#     the hash (sum of ints is order-independent-exact in doubles).
+# --------------------------------------------------------------------------
+_GRID_NEAREST_ORACLE = f"""
+WITH px AS (
+  SELECT (i % {_GRID_W}) AS gx,
+         CAST(((i - (i % {_GRID_W})) / {_GRID_W}) AS BIGINT) AS gy
+  FROM range(0, {_GRID_W * _GRID_H}) t(i)
+),
+pc AS (SELECT gx, gy, {_GLON_SQL} AS lon, {_GLAT_SQL} AS lat FROM px),
+t AS (SELECT target_id, tlon, tlat, {_TVAL_SQL} AS tval
+      FROM ({duckdb_targets_cte()}) raw),
+d AS (
+  SELECT pc.gx, pc.gy, t.target_id, t.tval,
+         (pc.lon - t.tlon) * (pc.lon - t.tlon)
+       + (pc.lat - t.tlat) * (pc.lat - t.tlat) AS d2
+  FROM pc, t
+),
+r AS (
+  SELECT gx, gy, tval,
+         row_number() OVER (PARTITION BY gx, gy ORDER BY d2, target_id) AS rnk
+  FROM d
+)
+SELECT gx, gy, CAST(tval AS BIGINT) AS nearest_val FROM r WHERE rnk = 1
+"""
+
+
+@register("grid_nearest", _GRID_NEAREST_ORACLE)
+def q_grid_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.operators.knn import knn_join, knn_targets
+
+    px = spark.range(_GRID_W * _GRID_H).select(
+        (F.col("id") % _GRID_W).alias("gx"),
+        ((F.col("id") - (F.col("id") % _GRID_W)) / _GRID_W).cast("long").alias("gy"),
+    )
+    pc = px.select("gx", "gy", F.expr(_GLON_SQL).alias("lon"), F.expr(_GLAT_SQL).alias("lat"))
+    kn = knn_join(pc, knn_targets(spark), k=1)
+    return kn.select(
+        "gx", "gy", F.expr(_TVAL_SQL).cast("long").alias("nearest_val")
+    )
+
+
+_GRID_AVG_RADIUS2 = "1.0e2"  # 10-degree radius, squared
+
+_GRID_AVG_ORACLE = f"""
+WITH px AS (
+  SELECT (i % {_GRID_W}) AS gx,
+         CAST(((i - (i % {_GRID_W})) / {_GRID_W}) AS BIGINT) AS gy
+  FROM range(0, {_GRID_W * _GRID_H}) t(i)
+),
+pc AS (SELECT gx, gy, {_GLON_SQL} AS lon, {_GLAT_SQL} AS lat FROM px),
+t AS (SELECT target_id, tlon, tlat, {_TVAL_SQL} AS tval
+      FROM ({duckdb_targets_cte()}) raw)
+SELECT pc.gx, pc.gy, count(*) AS n_pts,
+       CAST(sum(CAST(t.tval AS BIGINT)) AS BIGINT) AS sum_val
+FROM pc JOIN t
+  ON (pc.lon - t.tlon) * (pc.lon - t.tlon)
+   + (pc.lat - t.tlat) * (pc.lat - t.tlat) < {_GRID_AVG_RADIUS2}
+GROUP BY pc.gx, pc.gy
+"""
+
+
+@register("grid_average", _GRID_AVG_ORACLE)
+def q_grid_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving-average grid: targets within the radius meet cells through
+    the SAME mercator cell-ring index the kNN uses (no cross join at
+    scale) — here radius covers few cells, broadcast join on cell key."""
+    from gdal_spark.operators.knn import knn_targets, radius_join
+
+    px = spark.range(_GRID_W * _GRID_H).select(
+        (F.col("id") % _GRID_W).alias("gx"),
+        ((F.col("id") - (F.col("id") % _GRID_W)) / _GRID_W).cast("long").alias("gy"),
+    )
+    pc = px.select("gx", "gy", F.expr(_GLON_SQL).alias("lon"), F.expr(_GLAT_SQL).alias("lat"))
+    j = radius_join(pc, knn_targets(spark), radius2_sql=_GRID_AVG_RADIUS2)
+    return j.groupBy("gx", "gy").agg(
+        F.count("*").alias("n_pts"),
+        F.sum(F.expr(_TVAL_SQL).cast("long")).alias("sum_val"),
     )
 
 
@@ -1219,6 +1361,162 @@ def q_symdifference_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# ST_* function surface exercised as queries (the SQLite-dialect
+# function family, ogrsqlitesqlfunctions.cpp:1188-1240 + the GEOS
+# predicate/constructor methods ogrgeometry.cpp:1273,5663-5991,4188,6362)
+# --------------------------------------------------------------------------
+_ST_PRED_ORACLE = f"""
+WITH docs AS ({_POLYDOCS_CTE}), z AS ({_CLIPZ_CTE})
+SELECT d.doc_id, z.zone_id,
+       (d.xmin > z.zxmin AND d.xmax < z.zxmax AND d.ymin > z.zymin AND d.ymax < z.zymax) AS z_contains_d,
+       (d.xmin < z.zxmax AND z.zxmin < d.xmax AND d.ymin < z.zymax AND z.zymin < d.ymax) AS inter,
+       ((d.xmin < z.zxmax AND z.zxmin < d.xmax AND d.ymin < z.zymax AND z.zymin < d.ymax)
+        AND NOT (d.xmin > z.zxmin AND d.xmax < z.zxmax AND d.ymin > z.zymin AND d.ymax < z.zymax)
+        AND NOT (z.zxmin > d.xmin AND z.zxmax < d.xmax AND z.zymin > d.ymin AND z.zymax < d.ymax)) AS overlaps_dz,
+       FALSE AS touches_dz
+FROM docs d JOIN z ON {_RECT_OVERLAP}
+"""
+
+
+@register("st_predicates", _ST_PRED_ORACLE)
+def q_st_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometry predicate matrix over WKT columns: Contains / Intersects
+    / Overlaps / Touches via the area+boundary kernels (the doc geometry
+    is read out of its SPAN payload — span passthrough in action)."""
+    from gdal_spark.functions import st_contains, st_intersects, st_overlaps, st_touches
+
+    pd_docs = corpus.load_polydocs(spark, sf_dir)
+    cz = zones.clip_zones(spark)
+    pairs = pd_docs.join(
+        F.broadcast(cz),
+        (F.col("xmin") < F.col("zxmax"))
+        & (F.col("zxmin") < F.col("xmax"))
+        & (F.col("ymin") < F.col("zymax"))
+        & (F.col("zymin") < F.col("ymax")),
+    )
+    doc_wkt = F.element_at("spans", 2)["text"]
+    return pairs.select(
+        "doc_id",
+        "zone_id",
+        st_contains(F.col("geom_wkt"), doc_wkt).alias("z_contains_d"),
+        st_intersects(doc_wkt, F.col("geom_wkt")).alias("inter"),
+        st_overlaps(doc_wkt, F.col("geom_wkt")).alias("overlaps_dz"),
+        st_touches(doc_wkt, F.col("geom_wkt")).alias("touches_dz"),
+    )
+
+
+_WKB_ENV_ORACLE = f"""
+SELECT {zones.RICH_ID_SQL} AS zone_id,
+       CAST(round({zones.RBX_SQL} * 1.0e4) AS BIGINT) AS exmin4,
+       CAST(round({zones.RBY_SQL} * 1.0e4) AS BIGINT) AS eymin4,
+       CAST(round(({zones.RBX_SQL} + {zones.RW1_SQL}) * 1.0e4) AS BIGINT) AS exmax4,
+       CAST(round(({zones.RBY_SQL} + {zones.RH1_SQL} + {zones.RHA_SQL}) * 1.0e4) AS BIGINT) AS eymax4
+FROM range(0, {zones.NRICH}) t(i)
+"""
+
+
+@register("wkb_envelope_scan", _WKB_ENV_ORACLE)
+def q_wkb_envelope_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WKB geometry path: WKT -> WKB BinaryType -> envelope computed
+    DIRECTLY on the WKB bytes (OGRWKBGetBoundingBox analog,
+    ogr/ogr_wkb.cpp:574) — the prefilter never builds geometry objects."""
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from gdal_spark.geometry.wkb import wkb_envelope, wkt_payload_to_wkb
+    from gdal_spark.geometry.wkt import parse_wkt
+
+    rz = zones.rich_zones(spark)
+    schema = StructType(
+        [
+            StructField("zone_id", LongType()),
+            StructField("exmin4", LongType()),
+            StructField("eymin4", LongType()),
+            StructField("exmax4", LongType()),
+            StructField("eymax4", LongType()),
+        ]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for zid, wkt in zip(pdf["zone_id"], pdf["geom_wkt"]):
+                wkb = wkt_payload_to_wkb(*parse_wkt(wkt))
+                x0, y0, x1, y1 = wkb_envelope(wkb)
+                rows.append(
+                    (zid, round(x0 * 1e4), round(y0 * 1e4), round(x1 * 1e4), round(y1 * 1e4))
+                )
+            yield pd.DataFrame(
+                rows, columns=["zone_id", "exmin4", "eymin4", "exmax4", "eymax4"]
+            )
+
+    return rz.mapInPandas(kernel, schema)
+
+
+_ST_DIST_POINT = "POINT (10.0005 20.0005)"
+_ST_DIST_ORACLE = f"""
+WITH docs AS ({_DOCS_CTE})
+SELECT doc_id,
+       CAST(floor(sqrt((lon - 1.00005e1) * (lon - 1.00005e1)
+                     + (lat - 2.00005e1) * (lat - 2.00005e1)) * 1.0e6) AS BIGINT) AS dist6
+FROM docs
+"""
+
+
+@register("st_distance_fixed", _ST_DIST_ORACLE)
+def q_st_distance_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Distance from each doc's span-carried POINT to a fixed point —
+    WKT round-trips bit-exactly, so sqrt agrees with the SQL formula."""
+    from gdal_spark.functions import st_distance
+
+    docs = corpus.load_docs(spark, sf_dir)
+    pt_wkt = F.element_at("spans", 2)["text"]
+    d = st_distance(pt_wkt, F.lit(_ST_DIST_POINT))
+    return docs.select(
+        "doc_id", F.floor(d * 1.0e6).cast("long").alias("dist6")
+    )
+
+
+_ST_CONSTR_ORACLE = f"""
+WITH z AS (
+  SELECT {zones.RICH_ID_SQL} AS zone_id,
+         CAST({zones.RW1_SQL} AS DOUBLE) AS w1, CAST({zones.RH1_SQL} AS DOUBLE) AS h1,
+         CAST({zones.RW2_SQL} AS DOUBLE) AS w2, CAST({zones.RHA_SQL} AS DOUBLE) AS ha,
+         CAST({zones.RHW_SQL} AS DOUBLE) AS hw
+  FROM range(0, {zones.NRICH}) t(i)
+)
+SELECT zone_id,
+       CAST(round((w1 * (h1 + ha) - 5.0e-1 * (w1 - w2) * ha) * 4.0e6) AS BIGINT) AS hull4,
+       CAST(round((w1 * h1 + w2 * ha - 2.0e0 * hw) * 4.0e6) AS BIGINT) AS simp4,
+       CAST(round((w1 * h1 + w2 * ha - 2.0e0 * hw) * 4.0e6) AS BIGINT) AS valid4
+FROM z
+"""
+
+
+@register("st_constructors", _ST_CONSTR_ORACLE)
+def q_st_constructors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ConvexHull / Simplify / MakeValid on the concave-with-hole rich
+    zones, verified through resulting areas (hull closes the L's notch;
+    simplify at tol 0.5 keeps every corner; makevalid reorients rings
+    without changing area)."""
+    from gdal_spark.functions import st_area, st_convexhull, st_makevalid, st_simplify
+
+    rz = zones.rich_zones(spark)
+    return rz.select(
+        "zone_id",
+        F.round(st_area(st_convexhull(F.col("geom_wkt"))) * 4.0e6)
+        .cast("long")
+        .alias("hull4"),
+        F.round(st_area(st_simplify(F.col("geom_wkt"), 0.5)) * 4.0e6)
+        .cast("long")
+        .alias("simp4"),
+        F.round(st_area(st_makevalid(F.col("geom_wkt"))) * 4.0e6)
+        .cast("long")
+        .alias("valid4"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Windowed event aggregation (events table): tumbling hourly windows —
 # the batch analog of the streaming rollup surface.
 # --------------------------------------------------------------------------
@@ -1240,11 +1538,63 @@ def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Raster pyramid (gdalwarp + gdal2tiles + checksum oracle) — not
-# SQL-expressible; driver does the rows-only check, exact checksums are
-# pinned in pytest goldens.
+# Raster pyramid (gdalwarp + gdal2tiles + checksum oracle): the full
+# NN warp -> AVERAGE overviews -> GDALChecksumImage pipeline rendered as
+# SQL — inverse mercator per pixel, nested 2x2 GROUP BY halving for the
+# overview levels, prime-cycle checksum per tile (alg/gdalchecksum.cpp).
 # --------------------------------------------------------------------------
-@register("raster_pyramid")
+_PYR_PRIMES = "[7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43]"
+_PYR_RES2 = _sd(mercator.INITIAL_RESOLUTION / 4)
+_PYR_OS = _sd(mercator.ORIGIN_SHIFT)
+
+_PYRCS_ORACLE = f"""
+WITH g AS (
+  SELECT gx.i AS gx, gy.j AS gy FROM range(0, 1024) gx(i), range(0, 1024) gy(j)
+),
+geo AS (
+  SELECT gx, gy,
+    (((gx + 5.0e-1) * {_PYR_RES2} - {_PYR_OS}) / {_PYR_OS}) * 1.8e2 AS lon,
+    1.8e2 / pi() * (2.0e0 * atan(exp(((((1023 - gy + 5.0e-1) * {_PYR_RES2} - {_PYR_OS}) / {_PYR_OS}) * 1.8e2) * pi() / 1.8e2)) - pi() / 2.0e0) AS lat
+  FROM g
+),
+srcp AS (
+  SELECT gx, gy,
+         CAST(floor((lon - (-1.8e2)) / 9.0e-1) AS BIGINT) AS px,
+         CAST(floor((lat - 9.0e1) / (-9.0e-1)) AS BIGINT) AS py
+  FROM geo
+),
+b AS (SELECT i + 1 AS band FROM range(0, {N_BANDS}) t(i)),
+l2 AS (
+  SELECT CAST(b.band AS int) AS band, gx, gy,
+         CAST(((px * 7 + py * 13 + band * 29) % 256) AS DOUBLE) AS v
+  FROM srcp, b
+),
+l1 AS (
+  SELECT band, CAST(((gx - (gx % 2)) / 2) AS BIGINT) AS gx,
+         CAST(((gy - (gy % 2)) / 2) AS BIGINT) AS gy,
+         floor(avg(v) + 5.0e-1) AS v
+  FROM l2 GROUP BY 1, 2, 3
+),
+l0 AS (
+  SELECT band, CAST(((gx - (gx % 2)) / 2) AS BIGINT) AS gx,
+         CAST(((gy - (gy % 2)) / 2) AS BIGINT) AS gy,
+         floor(avg(v) + 5.0e-1) AS v
+  FROM l1 GROUP BY 1, 2, 3
+),
+all_l AS (
+  SELECT 2 AS zoom, 4 AS n, band, gx, gy, v FROM l2
+  UNION ALL SELECT 1 AS zoom, 2 AS n, band, gx, gy, v FROM l1
+  UNION ALL SELECT 0 AS zoom, 1 AS n, band, gx, gy, v FROM l0
+)
+SELECT band, CAST(zoom AS int) AS zoom,
+       CAST((gx - (gx % 256)) / 256 AS BIGINT) AS tx,
+       CAST(n - 1 - (gy - (gy % 256)) / 256 AS BIGINT) AS ty,
+       CAST(sum(CAST(v AS BIGINT) % ({_PYR_PRIMES}[CAST(((gy % 256) * 256 + (gx % 256)) % 11 AS INT) + 1])) % 65536 AS INT) AS checksum
+FROM all_l GROUP BY 1, 2, 3, 4
+"""
+
+
+@register("raster_pyramid", _PYRCS_ORACLE)
 def q_raster_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gdal_spark.operators.raster import tile_pyramid_checksums
 
@@ -1386,6 +1736,61 @@ def q_dem_gradient(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# DEM float derivatives (gdaldem slope/aspect/hillshade, apps/
+# gdaldem_lib.cpp): Horn p/q from the integer gradient, then
+#   * slope as p2q2 = dzdx² + dzdy² (monotone in tan(slope) — integer, so
+#     bit-exact; the atan/deg conversion is a display transform);
+#   * aspect as its OCTANT (0..7 from N clockwise; integer comparisons);
+#   * hillshade alt=45° az=315° — sin/cos collapse to sqrt(0.5), so the
+#     formula is +-*/sqrt only; the SAME text runs in F.expr and DuckDB,
+#     making every bit identical (floor(hs*1e4) is then safe).
+# --------------------------------------------------------------------------
+_HP = "(CAST(dzdx AS DOUBLE) / 8.0e0)"
+_HQ = "(0.0e0 - CAST(dzdy AS DOUBLE) / 8.0e0)"  # north-positive q
+_HS_EXPR = (
+    f"(2.55e2 * (sqrt(5.0e-1) - sqrt(5.0e-1) * ({_HP} * (0.0e0 - sqrt(5.0e-1))"
+    f" + {_HQ} * sqrt(5.0e-1))) / sqrt(1.0e0 + {_HP} * {_HP} + {_HQ} * {_HQ}))"
+)
+_ASPECT_OCTANT = """
+CAST(CASE
+  WHEN dzdx = 0 AND dzdy = 0 THEN -1
+  WHEN dzdy < 0 AND abs(dzdx) <= abs(dzdy) AND dzdx >= 0 THEN 0
+  WHEN dzdx > 0 AND abs(dzdy) < abs(dzdx) AND dzdy <= 0 THEN 1
+  WHEN dzdx > 0 AND abs(dzdy) <= abs(dzdx) AND dzdy > 0 THEN 2
+  WHEN dzdy > 0 AND abs(dzdx) < abs(dzdy) AND dzdx > 0 THEN 3
+  WHEN dzdy > 0 AND abs(dzdx) <= abs(dzdy) AND dzdx <= 0 THEN 4
+  WHEN dzdx < 0 AND abs(dzdy) < abs(dzdx) AND dzdy >= 0 THEN 5
+  WHEN dzdx < 0 AND abs(dzdy) <= abs(dzdx) AND dzdy < 0 THEN 6
+  ELSE 7 END AS INT)
+"""
+
+_DEM_DERIV_ORACLE = f"""
+WITH grad AS ({_GRAD_ORACLE})
+SELECT px, py,
+       CAST(dzdx * dzdx + dzdy * dzdy AS BIGINT) AS slope_p2q2,
+       {_ASPECT_OCTANT} AS aspect_octant,
+       CAST(floor({_HS_EXPR} * 1.0e4) AS BIGINT) AS hs4
+FROM grad
+"""
+
+
+@register("dem_derivatives", _DEM_DERIV_ORACLE)
+def q_dem_derivatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.operators.focal import dem_gradient
+    from gdal_spark.operators.raster import source_grid
+
+    band1 = source_grid(spark).filter(F.col("band") == 1).select("px", "py", "value")
+    g = dem_gradient(band1, SRC_W, SRC_H)
+    return g.select(
+        "px",
+        "py",
+        F.expr("CAST(dzdx * dzdx + dzdy * dzdy AS BIGINT)").alias("slope_p2q2"),
+        F.expr(_ASPECT_OCTANT).alias("aspect_octant"),
+        F.expr(f"CAST(floor({_HS_EXPR} * 1.0e4) AS BIGINT)").alias("hs4"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Polygonize (alg/polygonize.cpp:500): distributed connected components
 # over equal-valued pixels (tile-local union-find + cross-tile min-label
 # merge). Test raster = 50x40 blocks with cyclic values -> components
@@ -1424,6 +1829,76 @@ def q_polygonize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     px_df = px_df.withColumn("value", F.expr(_PG_VALUE_SQL).cast("long"))
     return polygonize(px_df, _PG_W, _PG_H)
+
+
+# --------------------------------------------------------------------------
+# Proximity (alg/gdalproximity.cpp): squared distance to nearest zero-
+# valued pixel, capped at 16² — integers, so the O(N·T) SQL min is exact.
+# --------------------------------------------------------------------------
+_PROX_CAP = 16
+_PROX_ORACLE = f"""
+WITH g AS (
+  SELECT CAST(px.i AS int) AS px, CAST(py.j AS int) AS py
+  FROM range(0, {SRC_W}) px(i), range(0, {SRC_H}) py(j)
+),
+v AS (SELECT px, py, ((px * 7 + py * 13 + 29) % 256) AS value FROM g),
+t AS (SELECT px AS tx, py AS ty FROM v WHERE value = 0),
+d AS (
+  SELECT v.px, v.py,
+         min((v.px - t.tx) * (v.px - t.tx) + (v.py - t.ty) * (v.py - t.ty)) AS m
+  FROM v, t GROUP BY v.px, v.py
+)
+SELECT px, py, CAST(least(m, {_PROX_CAP * _PROX_CAP}) AS BIGINT) AS prox2 FROM d
+"""
+
+
+@register("proximity", _PROX_ORACLE)
+def q_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.operators.focal import proximity
+    from gdal_spark.operators.raster import source_grid
+
+    band1 = source_grid(spark).filter(F.col("band") == 1).select("px", "py", "value")
+    return proximity(band1, target_value=0, maxdist=_PROX_CAP)
+
+
+# --------------------------------------------------------------------------
+# Sieve (alg/gdalsievefilter.cpp:178): the block raster seeded with one
+# value-9 island per block — 2x2 islands (< threshold 8) are absorbed
+# into the surrounding block, 4x4 islands survive. Closed-form output.
+# --------------------------------------------------------------------------
+_SV_BXE = "cast((px - (px % 50)) / 50 as bigint)"
+_SV_BYE = "cast((py - (py % 40)) / 40 as bigint)"
+_SV_AX = f"({_SV_BXE} * 50 + 5 + (({_SV_BXE} * 3 + {_SV_BYE} * 7) % 30))"
+_SV_AY = f"({_SV_BYE} * 40 + 5 + (({_SV_BYE} * 3 + {_SV_BXE} * 5) % 20))"
+_SV_S = f"(CASE WHEN ({_SV_BXE} + {_SV_BYE}) % 2 = 0 THEN 2 ELSE 4 END)"
+_SV_IN_ISL = (
+    f"(px >= {_SV_AX} AND px < {_SV_AX} + {_SV_S}"
+    f" AND py >= {_SV_AY} AND py < {_SV_AY} + {_SV_S})"
+)
+_SV_VALUE = f"(CASE WHEN {_SV_IN_ISL} THEN 9 ELSE {_PG_VALUE_SQL} END)"
+
+_SIEVE_ORACLE = f"""
+WITH g AS (
+  SELECT CAST(px.i AS int) AS px, CAST(py.j AS int) AS py
+  FROM range(0, {_PG_W}) px(i), range(0, {_PG_H}) py(j)
+)
+SELECT px, py,
+       CAST(CASE WHEN {_SV_IN_ISL} AND ({_SV_BXE} + {_SV_BYE}) % 2 = 1
+                 THEN 9 ELSE {_PG_VALUE_SQL} END AS BIGINT) AS value
+FROM g
+"""
+
+
+@register("sieve_filter", _SIEVE_ORACLE)
+def q_sieve_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.operators.polygonize import sieve
+
+    px_df = spark.range(_PG_W * _PG_H).select(
+        (F.col("id") % _PG_W).cast("int").alias("px"),
+        ((F.col("id") - (F.col("id") % _PG_W)) / _PG_W).cast("int").alias("py"),
+    )
+    px_df = px_df.withColumn("value", F.expr(_SV_VALUE).cast("long"))
+    return sieve(px_df, _PG_W, _PG_H, threshold=8).select("px", "py", "value")
 
 
 _HISTOGRAM_ORACLE = f"""

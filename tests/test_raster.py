@@ -94,3 +94,92 @@ class TestPyramid:
         img = np.frombuffer(row.data, dtype=np.uint8).reshape(256, 256)
         c = checksum_image(img)
         assert 0 <= c <= 0xFFFF
+
+
+def expected_pixel_bilinear(band, zoom, tx, ty, i, j):
+    """Independent bilinear recompute (GDALInterpolateAtPoint rules)."""
+    res = mercator.resolution(zoom)
+    mx = (tx * raster.TILE + i + 0.5) * res - mercator.ORIGIN_SHIFT
+    jj = raster.TILE - 1 - j
+    my = (ty * raster.TILE + jj + 0.5) * res - mercator.ORIGIN_SHIFT
+    lat, lon = (float(v) for v in mercator.meters_to_lat_lon(mx, my))
+    gx = (lon - raster.GT_X0) / raster.GT_DX - 0.5
+    gy = (lat - raster.GT_Y0) / raster.GT_DY - 0.5
+    i0 = int(np.clip(np.floor(gx), 0, raster.SRC_W - 2))
+    j0 = int(np.clip(np.floor(gy), 0, raster.SRC_H - 2))
+    fx = min(max(gx - i0, 0.0), 1.0)
+    fy = min(max(gy - j0, 0.0), 1.0)
+
+    def v(px, py):
+        if abs(90.0 - 0.9 * (py + 0.5)) > raster.MERC_LAT_LIMIT:
+            return 0.0  # source row filtered at the mercator limit
+        return (px * 7 + py * 13 + band * 29) % 256
+
+    out = (1 - fy) * ((1 - fx) * v(i0, j0) + fx * v(i0 + 1, j0)) + fy * (
+        (1 - fx) * v(i0, j0 + 1) + fx * v(i0 + 1, j0 + 1)
+    )
+    return int(np.clip(np.floor(out + 0.5), 0, 255))
+
+
+class TestResamplers:
+    def test_bilinear_matches_independent_recompute(self, spark):
+        tiles = raster.base_tiles(
+            spark, raster.source_grid(spark), zoom=2, resample="bilinear"
+        )
+        row = tiles.filter(
+            (F.col("band") == 2) & (F.col("tx") == 1) & (F.col("ty") == 2)
+        ).first()
+        img = np.frombuffer(row.data, dtype=np.uint8).reshape(256, 256)
+        rng = np.random.default_rng(1)
+        for _ in range(40):
+            i = int(rng.integers(0, 256))
+            j = int(rng.integers(0, 256))
+            assert img[j, i] == expected_pixel_bilinear(2, 2, 1, 2, i, j), (i, j)
+
+    def test_cubic_runs_and_differs_from_nn(self, spark):
+        src = raster.source_grid(spark)
+        nn = raster.base_tiles(spark, src, zoom=1, resample="nearest")
+        cu = raster.base_tiles(spark, src, zoom=1, resample="cubic")
+        a = np.frombuffer(
+            nn.filter((F.col("band") == 1) & (F.col("tx") == 1) & (F.col("ty") == 1)).first().data,
+            dtype=np.uint8,
+        )
+        b = np.frombuffer(
+            cu.filter((F.col("band") == 1) & (F.col("tx") == 1) & (F.col("ty") == 1)).first().data,
+            dtype=np.uint8,
+        )
+        assert (a != b).any()
+        # Catmull-Rom interpolates constant regions exactly: values stay in byte range
+        assert b.min() >= 0 and b.max() <= 255
+
+    def test_overview_mode_and_rms(self, spark, base):
+        mode = raster.overview_tiles(base, method="mode")
+        rms = raster.overview_tiles(base, method="rms")
+        parent_m = mode.filter(
+            (F.col("band") == 1) & (F.col("tx") == 0) & (F.col("ty") == 0)
+        ).first()
+        parent_r = rms.filter(
+            (F.col("band") == 1) & (F.col("tx") == 0) & (F.col("ty") == 0)
+        ).first()
+        children = {
+            (r.tx, r.ty): np.frombuffer(r.data, dtype=np.uint8).reshape(256, 256)
+            for r in base.filter(
+                (F.col("band") == 1) & (F.col("tx") < 2) & (F.col("ty") < 2)
+            ).collect()
+        }
+        mosaic = np.zeros((512, 512))
+        for (tx, ty), img in children.items():
+            r0 = 0 if (ty & 1) == 1 else 256
+            mosaic[r0 : r0 + 256, tx * 256 : (tx + 1) * 256] = img
+        quads = mosaic.reshape(256, 2, 256, 2)
+        pm = np.frombuffer(parent_m.data, dtype=np.uint8).reshape(256, 256)
+        pr = np.frombuffer(parent_r.data, dtype=np.uint8).reshape(256, 256)
+        # spot-check 100 pixels against hand-computed mode / rms
+        rng = np.random.default_rng(2)
+        for _ in range(100):
+            y = int(rng.integers(0, 256))
+            x = int(rng.integers(0, 256))
+            q = quads[y, :, x, :].ravel()
+            vals, cnt = np.unique(q, return_counts=True)
+            assert pm[y, x] == vals[np.argmax(cnt)]  # ties -> smallest value
+            assert pr[y, x] == int(np.floor(np.sqrt((q**2).mean()) + 0.5))
