@@ -88,8 +88,10 @@ def _probe_main(cpus: int) -> None:
 
     spark = get_spark(app_name=f"bench-probe-{cpus}", cpus=cpus)
     small = max(PROBE_REPL // 4, 1)
-    # warm the JVM + parquet footers so the timed runs measure the job
-    flagship_pip_count(spark, SF_DIR, replicate=small // 4 or 1, n_zones=PROBE_ZONES)
+    # warm with a FULL-SIZE run (JVM JIT, parquet footers, Python worker
+    # pool, page cache): without this the level that happens to pick a
+    # later run benefits from deeper warmup and the ratio is biased
+    flagship_pip_count(spark, SF_DIR, replicate=PROBE_REPL, n_zones=PROBE_ZONES)
 
     def best(repl):
         times, steals, n = [], [], 0

@@ -24,7 +24,13 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
 
 GRID_TILE = 64
 
@@ -105,6 +111,120 @@ def dem_gradient(
 
     return _with_halo_tiles(pixels).groupBy("gtx", "gty").applyInPandas(
         kernel, _GRAD_SCHEMA
+    )
+
+
+_CONTOUR_SCHEMA = StructType(
+    [
+        StructField("level", DoubleType()),
+        StructField("cx", IntegerType()),
+        StructField("cy", IntegerType()),
+        StructField("x1", DoubleType()),
+        StructField("y1", DoubleType()),
+        StructField("x2", DoubleType()),
+        StructField("y2", DoubleType()),
+    ]
+)
+
+
+def contour_segments(
+    pixels: DataFrame, width: int, height: int, levels: list[float]
+) -> DataFrame:
+    """Marching-squares contour segments (alg/contour.cpp analog):
+    per 2x2 pixel-center cell, the interpolated level-crossing segment(s)
+    at each requested level, in pixel-center coordinates.
+
+    Distributed shape: the same 1-px halo scatter the focal stencils use;
+    each tile emits segments for the cells whose top-left pixel it owns
+    — map-side after one scatter, no driver state.  Ambiguous saddle
+    cells (cases 5/10) split deterministically into two segments
+    (the non-connected choice; the reference resolves saddles by the
+    cell-center average — documented divergence)."""
+
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        gtx, gty = int(key[0]), int(key[1])
+        x0 = gtx * GRID_TILE - 1
+        y0 = gty * GRID_TILE - 1
+        w = GRID_TILE + 2
+        win = np.full((w, w), np.nan)
+        spx = pdf["px"].to_numpy(np.int64)
+        spy = pdf["py"].to_numpy(np.int64)
+        val = pdf["value"].to_numpy(np.float64)
+        sel = (spx >= x0) & (spx < x0 + w) & (spy >= y0) & (spy < y0 + w)
+        win[spy[sel] - y0, spx[sel] - x0] = val[sel]
+        # cells owned by this tile: top-left pixel inside the tile proper
+        cxs = np.arange(gtx * GRID_TILE, min((gtx + 1) * GRID_TILE, width - 1))
+        cys = np.arange(gty * GRID_TILE, min((gty + 1) * GRID_TILE, height - 1))
+        if cxs.size == 0 or cys.size == 0:
+            return pd.DataFrame(
+                {k: [] for k in ("level", "cx", "cy", "x1", "y1", "x2", "y2")}
+            ).astype({"cx": "int32", "cy": "int32"})
+        lx = cxs - x0
+        ly = cys - y0
+        v00 = win[np.ix_(ly, lx)]
+        v10 = win[np.ix_(ly, lx + 1)]
+        v01 = win[np.ix_(ly + 1, lx)]
+        v11 = win[np.ix_(ly + 1, lx + 1)]
+        gx, gy = np.meshgrid(cxs.astype(np.float64), cys.astype(np.float64))
+        out = {k: [] for k in ("level", "cx", "cy", "x1", "y1", "x2", "y2")}
+        for lev in levels:
+            b00 = v00 > lev
+            b10 = v10 > lev
+            b01 = v01 > lev
+            b11 = v11 > lev
+            case = (
+                b00.astype(np.int8)
+                + 2 * b10.astype(np.int8)
+                + 4 * b11.astype(np.int8)
+                + 8 * b01.astype(np.int8)
+            )
+            crossing = (case > 0) & (case < 15) & ~np.isnan(v00 + v10 + v01 + v11)
+            if not crossing.any():
+                continue
+
+            def interp(va, vb):  # crossing point parameter along an edge
+                return (lev - va) / (vb - va)
+
+            # edge midpoints (pixel-center coords): top t, right r,
+            # bottom b, left l of the cell square [gx,gx+1]x[gy,gy+1]
+            tx_ = gx + interp(v00, v10)
+            ty_ = gy
+            rx_ = gx + 1.0
+            ry_ = gy + interp(v10, v11)
+            bx_ = gx + interp(v01, v11)
+            by_ = gy + 1.0
+            lx_ = gx
+            ly_ = gy + interp(v00, v01)
+            # case -> list of (edge_a, edge_b) segments
+            E = {"t": (tx_, ty_), "r": (rx_, ry_), "b": (bx_, by_), "l": (lx_, ly_)}
+            table = {
+                1: [("l", "t")], 2: [("t", "r")], 3: [("l", "r")],
+                4: [("r", "b")], 5: [("l", "t"), ("r", "b")], 6: [("t", "b")],
+                7: [("l", "b")], 8: [("b", "l")], 9: [("b", "t")],
+                10: [("t", "r"), ("b", "l")], 11: [("b", "r")],
+                12: [("r", "l")], 13: [("r", "t")], 14: [("t", "l")],
+            }
+            for c, segs in table.items():
+                mask = crossing & (case == c)
+                if not mask.any():
+                    continue
+                for ea, eb in segs:
+                    (ax, ay), (bx2, by2) = E[ea], E[eb]
+                    out["level"].append(np.full(int(mask.sum()), lev))
+                    out["cx"].append(gx[mask].astype(np.int32))
+                    out["cy"].append(gy[mask].astype(np.int32))
+                    out["x1"].append(ax[mask])
+                    out["y1"].append(ay[mask])
+                    out["x2"].append(bx2[mask])
+                    out["y2"].append(by2[mask])
+        if not out["level"]:
+            return pd.DataFrame(
+                {k: [] for k in ("level", "cx", "cy", "x1", "y1", "x2", "y2")}
+            ).astype({"cx": "int32", "cy": "int32"})
+        return pd.DataFrame({k: np.concatenate(v) for k, v in out.items()})
+
+    return _with_halo_tiles(pixels).groupBy("gtx", "gty").applyInPandas(
+        kernel, _CONTOUR_SCHEMA
     )
 
 

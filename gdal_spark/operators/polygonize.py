@@ -28,7 +28,13 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 TILE = 64
 
@@ -191,6 +197,158 @@ def pixel_components(pixels: DataFrame, width: int, height: int, max_rounds: int
         )
     )
     return out
+
+
+def _chain_rings(segs: np.ndarray) -> list[np.ndarray]:
+    """Chain directed unit boundary segments (E, 4: x1 y1 x2 y2) into
+    closed rings.  Interior is on the LEFT of every segment (screen
+    coords, y down), so at degree-2 vertices (two diagonal same-label
+    pixels meeting at a corner) the walk prefers the turn TOWARD the
+    interior — rings never cross (Moore-style tracing, the same rule
+    GDALPolygonize's arc collector applies)."""
+    out_edges: dict[tuple[int, int], list[int]] = {}
+    for i, (x1, y1, _, _) in enumerate(segs):
+        out_edges.setdefault((int(x1), int(y1)), []).append(i)
+    used = np.zeros(len(segs), dtype=bool)
+    rings = []
+    for start in range(len(segs)):
+        if used[start]:
+            continue
+        ring = [segs[start, :2].copy()]
+        cur = start
+        while True:
+            used[cur] = True
+            x1, y1, x2, y2 = (int(v) for v in segs[cur])
+            ring.append(np.array([x2, y2]))
+            dx, dy = x2 - x1, y2 - y1
+            cands = [i for i in out_edges.get((x2, y2), ()) if not used[i]]
+            if not cands:
+                break
+            # preference: toward-interior turn, straight, away turn
+            pri = {(-dy, dx): 0, (dx, dy): 1, (dy, -dx): 2, (-dx, -dy): 3}
+            cur = min(
+                cands,
+                key=lambda i: pri[
+                    (int(segs[i, 2] - segs[i, 0]), int(segs[i, 3] - segs[i, 1]))
+                ],
+            )
+        arr = np.array(ring)
+        # drop collinear midpoints (consecutive equal directions)
+        d = np.diff(arr, axis=0)
+        keep = np.r_[True, (d[1:] != d[:-1]).any(axis=1), True]
+        arr = arr[keep]
+        # canonical start: min (y, x) vertex first (scan order)
+        body = arr[:-1]
+        k = np.lexsort((body[:, 0], body[:, 1]))[0]
+        body = np.roll(body, -k, axis=0)
+        rings.append(np.vstack([body, body[:1]]))
+    return rings
+
+
+_RING_SCHEMA = StructType(
+    [
+        StructField("label", LongType()),
+        StructField("ring_wkt", StringType()),
+    ]
+)
+
+
+def component_rings(pixels: DataFrame, width: int, height: int) -> DataFrame:
+    """(label, ring_wkt): exact boundary polygon per component — the ring
+    extraction GDALPolygonize performs (alg/polygonize.cpp:500 arc
+    collection + RPolygonizer), distributed:
+
+      1. labels from :func:`pixel_components`;
+      2. per-tile halo kernel emits each pixel's boundary edges (unit
+         segments where the 4-neighbor label differs / is outside) —
+         map-side, perimeter-sized output;
+      3. one groupBy(label) chains segments into rings (outer ring
+         first, holes after; perimeter-scale work per component).
+    """
+    from gdal_spark.operators.focal import GRID_TILE, _with_halo_tiles
+
+    comp = pixel_components(pixels, width, height)
+    lab = comp.select("px", "py", F.col("label").alias("value"))  # halo op reads 'value'
+
+    edge_schema = StructType(
+        [
+            StructField("label", LongType()),
+            StructField("x1", IntegerType()),
+            StructField("y1", IntegerType()),
+            StructField("x2", IntegerType()),
+            StructField("y2", IntegerType()),
+        ]
+    )
+
+    def edge_kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        gtx, gty = int(key[0]), int(key[1])
+        x0 = gtx * GRID_TILE - 1
+        y0 = gty * GRID_TILE - 1
+        w = GRID_TILE + 2
+        win = np.full((w, w), -1, dtype=np.int64)
+        spx = pdf["px"].to_numpy(np.int64)
+        spy = pdf["py"].to_numpy(np.int64)
+        val = pdf["value"].to_numpy(np.int64)
+        sel = (spx >= x0) & (spx < x0 + w) & (spy >= y0) & (spy < y0 + w)
+        win[spy[sel] - y0, spx[sel] - x0] = val[sel]
+        # pixels OWNED by this tile (not halo)
+        oy = slice(1, 1 + GRID_TILE)
+        ox = slice(1, 1 + GRID_TILE)
+        own = win[oy, ox]
+        have = own >= 0
+        ys, xs = np.nonzero(have)
+        gx = xs + gtx * GRID_TILE
+        gy = ys + gty * GRID_TILE
+        lbl = own[ys, xs]
+        rows = {"label": [], "x1": [], "y1": [], "x2": [], "y2": []}
+
+        def emit(mask, x1, y1, x2, y2):
+            rows["label"].append(lbl[mask])
+            rows["x1"].append(x1[mask])
+            rows["y1"].append(y1[mask])
+            rows["x2"].append(x2[mask])
+            rows["y2"].append(y2[mask])
+
+        north = win[oy.start - 1 + ys, ox.start + xs] != lbl
+        south = win[oy.start + 1 + ys, ox.start + xs] != lbl
+        west = win[oy.start + ys, ox.start - 1 + xs] != lbl
+        east = win[oy.start + ys, ox.start + 1 + xs] != lbl
+        emit(north, gx, gy, gx + 1, gy)  # interior below = left of (1,0)
+        emit(east, gx + 1, gy, gx + 1, gy + 1)
+        emit(south, gx + 1, gy + 1, gx, gy + 1)
+        emit(west, gx, gy + 1, gx, gy)
+        return pd.DataFrame(
+            {
+                k: np.concatenate(v).astype(np.int64 if k == "label" else np.int32)
+                for k, v in rows.items()
+            }
+        )
+
+    edges = (
+        _with_halo_tiles(lab)
+        .groupBy("gtx", "gty")
+        .applyInPandas(edge_kernel, edge_schema)
+    )
+
+    def ring_kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        segs = pdf[["x1", "y1", "x2", "y2"]].to_numpy(np.int64)
+        rings = _chain_rings(segs)
+        # outer ring = max |area|; holes follow in traced order
+        from gdal_spark.geometry.clip import shoelace_area
+
+        areas = [abs(shoelace_area(r.astype(np.float64))) for r in rings]
+        order = [int(np.argmax(areas))] + [
+            i for i in range(len(rings)) if i != int(np.argmax(areas))
+        ]
+        parts = []
+        for i in order:
+            coords = ",".join(f"{int(x)} {int(y)}" for x, y in rings[i])
+            parts.append(f"({coords})")
+        return pd.DataFrame(
+            {"label": [key[0]], "ring_wkt": ["POLYGON (" + ",".join(parts) + ")"]}
+        )
+
+    return edges.groupBy("label").applyInPandas(ring_kernel, _RING_SCHEMA)
 
 
 def sieve(

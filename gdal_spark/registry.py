@@ -612,6 +612,20 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
+@register("ngram_jaccard")
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard verify over the LSH candidate pairs (the
+    re-rank stage of the near-dup pipeline) — rows-only check; estimate
+    tracking pinned in pytest."""
+    from gdal_spark.operators.text import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = minhash_lsh_pairs(d, threshold=0.4).select("id_a", "id_b")
+    return ngram_jaccard_pairs(d, pairs).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
 _ANN_K = 3
 _ANN_ORACLE = f"""
 WITH s AS (
@@ -1405,6 +1419,45 @@ def q_st_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Coordinate transformation to UTM (the -t_srs path; reference defers to
+# PROJ via OGRCoordinateTransformation, ogr/ogrct.cpp — here the Krüger
+# series in geometry/tmerc.py, SAME formula text JVM-side and in DuckDB;
+# whole-stage codegen, no Python). Per-row zone from longitude; output
+# in decimetres so libm 1-ulp noise between engines can't flip a digit.
+# --------------------------------------------------------------------------
+from gdal_spark.geometry import tmerc  # noqa: E402
+
+_UTM_ZONE = "(CAST(floor((lon + 1.8e2) / 6.0e0) AS BIGINT) + 1)"
+_UTM_LON0 = f"(-1.83e2 + 6.0e0 * {_UTM_ZONE})"
+_UTM_E = tmerc.sql_utm_easting("lat", "lon", lon0_sql=_UTM_LON0)
+# south-hemisphere rows get the EPSG:327xx false northing (10^7 m)
+_UTM_N = (
+    f"({tmerc.sql_utm_northing('lat', 'lon', lon0_sql=_UTM_LON0)}"
+    " + CASE WHEN lat < 0.0e0 THEN 1.0e7 ELSE 0.0e0 END)"
+)
+
+_UTM_ORACLE = f"""
+WITH docs AS ({_DOCS_CTE})
+SELECT doc_id, CAST({_UTM_ZONE} AS INT) AS zone, (lat < 0.0e0) AS south,
+       CAST(floor({_UTM_E} * 1.0e1) AS BIGINT) AS e_dm,
+       CAST(floor({_UTM_N} * 1.0e1) AS BIGINT) AS n_dm
+FROM docs
+"""
+
+
+@register("utm_transform", _UTM_ORACLE)
+def q_utm_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = corpus.load_docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        F.expr(_UTM_ZONE).cast("int").alias("zone"),
+        (F.col("lat") < 0.0).alias("south"),
+        F.expr(f"CAST(floor({_UTM_E} * 1.0e1) AS BIGINT)").alias("e_dm"),
+        F.expr(f"CAST(floor({_UTM_N} * 1.0e1) AS BIGINT)").alias("n_dm"),
+    )
+
+
 _WKB_ENV_ORACLE = f"""
 SELECT {zones.RICH_ID_SQL} AS zone_id,
        CAST(round({zones.RBX_SQL} * 1.0e4) AS BIGINT) AS exmin4,
@@ -1832,6 +1885,43 @@ def q_polygonize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Polygonize ring extraction (alg/polygonize.cpp:500 arc collection):
+# exact boundary WKT per component. Block fixture components are 50x40
+# rects -> closed-form ring strings (canonical start = min (y,x) vertex,
+# interior-left orientation, collinear vertices collapsed).
+# --------------------------------------------------------------------------
+_PGR_RING = (
+    f"'POLYGON ((' || (bx * {_PG_BX}) || ' ' || (byy * {_PG_BY}) || ',' || "
+    f"(bx * {_PG_BX} + {_PG_BX}) || ' ' || (byy * {_PG_BY}) || ',' || "
+    f"(bx * {_PG_BX} + {_PG_BX}) || ' ' || (byy * {_PG_BY} + {_PG_BY}) || ',' || "
+    f"(bx * {_PG_BX}) || ' ' || (byy * {_PG_BY} + {_PG_BY}) || ',' || "
+    f"(bx * {_PG_BX}) || ' ' || (byy * {_PG_BY}) || '))'"
+)
+
+_POLYGONIZE_RINGS_ORACLE = f"""
+WITH b AS (
+  SELECT bx.i AS bx, byy.j AS byy
+  FROM range(0, {_PG_W // _PG_BX}) bx(i), range(0, {_PG_H // _PG_BY}) byy(j)
+)
+SELECT CAST(byy * {_PG_BY} * {_PG_W} + bx * {_PG_BX} AS bigint) AS label,
+       {_PGR_RING} AS ring_wkt
+FROM b
+"""
+
+
+@register("polygonize_rings", _POLYGONIZE_RINGS_ORACLE)
+def q_polygonize_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.operators.polygonize import component_rings
+
+    px_df = spark.range(_PG_W * _PG_H).select(
+        (F.col("id") % _PG_W).cast("int").alias("px"),
+        ((F.col("id") - (F.col("id") % _PG_W)) / _PG_W).cast("int").alias("py"),
+    )
+    px_df = px_df.withColumn("value", F.expr(_PG_VALUE_SQL).cast("long"))
+    return component_rings(px_df, _PG_W, _PG_H)
+
+
+# --------------------------------------------------------------------------
 # Proximity (alg/gdalproximity.cpp): squared distance to nearest zero-
 # valued pixel, capped at 16² — integers, so the O(N·T) SQL min is exact.
 # --------------------------------------------------------------------------
@@ -1859,6 +1949,38 @@ def q_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     band1 = source_grid(spark).filter(F.col("band") == 1).select("px", "py", "value")
     return proximity(band1, target_value=0, maxdist=_PROX_CAP)
+
+
+# --------------------------------------------------------------------------
+# Contour (alg/contour.cpp): marching squares on a linear ramp —
+# crossing-cell counts per level have a closed form (the ramp makes
+# every crossing cell a single-segment case, so segments == cells).
+# --------------------------------------------------------------------------
+_CONTOUR_LEVELS = [100.5, 300.5, 500.5]
+_CONTOUR_ORACLE = f"""
+WITH c AS (
+  SELECT x.i AS x, y.j AS y
+  FROM range(0, {_PG_W - 1}) x(i), range(0, {_PG_H - 1}) y(j)
+),
+lv AS (SELECT * FROM (VALUES (1.005e2), (3.005e2), (5.005e2)) t(lev))
+SELECT lev AS level, count(*) AS n_segments
+FROM c, lv
+WHERE CAST(x + 2 * y AS DOUBLE) < lev AND CAST(x + 2 * y + 3 AS DOUBLE) > lev
+GROUP BY lev
+"""
+
+
+@register("contour", _CONTOUR_ORACLE)
+def q_contour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.operators.focal import contour_segments
+
+    px_df = spark.range(_PG_W * _PG_H).select(
+        (F.col("id") % _PG_W).cast("int").alias("px"),
+        ((F.col("id") - (F.col("id") % _PG_W)) / _PG_W).cast("int").alias("py"),
+    )
+    px_df = px_df.withColumn("value", F.expr("CAST(px + 2 * py AS DOUBLE)"))
+    segs = contour_segments(px_df, _PG_W, _PG_H, _CONTOUR_LEVELS)
+    return segs.groupBy("level").agg(F.count("*").alias("n_segments"))
 
 
 # --------------------------------------------------------------------------

@@ -58,6 +58,35 @@ class TestPipJoinOracle:
         )
         assert b == s
 
+    def test_shuffle_with_method_layer_beyond_broadcast(self, spark, docs):
+        """Method layer larger than autoBroadcastJoinThreshold: the
+        shuffle strategy must work with zone geometries read off the
+        candidate rows — no driver-side materialization of the layer.
+        20k zones (~4 MB of WKT after cell explode) > the 1 MB threshold
+        set for this test."""
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(1024 * 1024))
+        try:
+            big = zones.rect_zones(spark, n=20000).drop(
+                "zxmin", "zymin", "zxmax", "zymax"
+            )
+            out = pip_join(docs, big, strategy="shuffle", salt=4)
+            n = out.count()
+            assert n > 0
+            # zone ids 158..158+19999; the first-100 subset must agree with
+            # the broadcast run over the same subset layer
+            sub = zones.rect_zones(spark, n=100).drop(
+                "zxmin", "zymin", "zxmax", "zymax"
+            )
+            b = pip_join(docs, sub).count()
+            s = (
+                out.filter(F.col("zone_id") < 158 + 100).count()
+            )
+            # the first-100 zones are identical in both layers -> exact
+            assert s == b
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
     def test_output_schema_is_left_plus_right(self, docs, rect_zones_df):
         z = rect_zones_df.drop("zxmin", "zymin", "zxmax", "zymax")
         out = pip_join(docs, z)
