@@ -126,27 +126,65 @@ def _resample_window(win, have, fx, fy, method):
         )
         return np.clip(np.floor(out + 0.5), 0, 255).astype(np.int64)
 
-    if method == "cubic":
-        def ck(t):  # Catmull-Rom kernel, A = -0.5 (gdalwarpkernel.cpp CubicKernel)
-            at = np.abs(t)
-            return np.where(
-                at <= 1,
-                1.5 * at**3 - 2.5 * at**2 + 1,
-                np.where(at < 2, -0.5 * at**3 + 2.5 * at**2 - 4 * at + 2, 0.0),
-            )
+    if method in ("cubic", "cubicspline", "lanczos"):
+        if method == "cubic":
+            # Catmull-Rom, A=-0.5 (gdalwarpkernel.cpp CubicKernel); 4x4
+            def kfn(t):
+                at = np.abs(t)
+                return np.where(
+                    at <= 1,
+                    1.5 * at**3 - 2.5 * at**2 + 1,
+                    np.where(at < 2, -0.5 * at**3 + 2.5 * at**2 - 4 * at + 2, 0.0),
+                )
+
+            support, normalize = 2, False
+        elif method == "cubicspline":
+            # cubic B-spline (GRA_CubicSpline); weights sum to 1 exactly
+            def kfn(t):
+                at = np.abs(t)
+                return np.where(
+                    at <= 1,
+                    (4.0 - 6.0 * at**2 + 3.0 * at**3) / 6.0,
+                    np.where(at < 2, (2.0 - at) ** 3 / 6.0, 0.0),
+                )
+
+            support, normalize = 2, False
+        else:
+            # Lanczos, 3 lobes (GRA_Lanczos); weight sum normalized like
+            # the reference's accumulated-weight division
+            def kfn(t):
+                t = np.asarray(t, dtype=np.float64)
+                out = np.zeros_like(t)
+                nz = (np.abs(t) < 3) & (t != 0)
+                tt = t[nz]
+                out[nz] = (
+                    3.0
+                    * np.sin(np.pi * tt)
+                    * np.sin(np.pi * tt / 3.0)
+                    / (np.pi * np.pi * tt * tt)
+                )
+                out[t == 0] = 1.0
+                return out
+
+            support, normalize = 3, True
 
         gx = fx - 0.5
         gy = fy - 0.5
-        i0 = np.clip(np.floor(gx).astype(np.int64), 1, W - 3)
-        j0 = np.clip(np.floor(gy).astype(np.int64), 1, H - 3)
+        i0 = np.clip(np.floor(gx).astype(np.int64), support - 1, W - support - 1)
+        j0 = np.clip(np.floor(gy).astype(np.int64), support - 1, H - support - 1)
         tx_ = gx - i0
         ty_ = gy - j0
         out = np.zeros((len(fy), len(fx)))
-        for dj in range(-1, 3):
-            wy = ck(ty_ - dj)[:, None]
-            for di in range(-1, 3):
-                wx = ck(tx_ - di)[None, :]
-                out += wy * wx * vals[(j0 + dj)[:, None], (i0 + di)[None, :]]
+        wsum = np.zeros((len(fy), len(fx)))
+        for dj in range(1 - support, support + 1):
+            wy = kfn(ty_ - dj)[:, None]
+            for di in range(1 - support, support + 1):
+                wx = kfn(tx_ - di)[None, :]
+                w = wy * wx
+                out += w * vals[(j0 + dj)[:, None], (i0 + di)[None, :]]
+                wsum += w
+        if normalize:
+            out = np.divide(out, wsum, out=out, where=wsum != 0)
         return np.clip(np.floor(out + 0.5), 0, 255).astype(np.int64)
 
     raise ValueError(f"unknown resample method: {method}")
@@ -164,7 +202,13 @@ def base_tiles(
     Returns (band, zoom, tx, ty, data:binary 256*256 bytes, row-major
     top-left origin like GDAL's raster buffers; ty is TMS)."""
     z = str(zoom)
-    halo_px = {"nearest": 1.0, "bilinear": 2.0, "cubic": 3.0}[resample]
+    halo_px = {
+        "nearest": 1.0,
+        "bilinear": 2.0,
+        "cubic": 3.0,
+        "cubicspline": 3.0,
+        "lanczos": 4.0,
+    }[resample]
     # pixel-center coordinates (JVM)
     lon = F.lit(GT_X0) + (F.col("px") + F.lit(0.5)) * F.lit(GT_DX)
     lat = F.lit(GT_Y0) + (F.col("py") + F.lit(0.5)) * F.lit(GT_DY)
@@ -254,9 +298,12 @@ def base_tiles(
 def overview_tiles(tiles: DataFrame, method: str = "average") -> DataFrame:
     """One overview level: parent (tx>>1, ty>>1) from <=4 children.
 
-    ``method`` (3 of the reference's 9 overview resamplers,
+    ``method`` (5 of the reference's 9 overview resamplers,
     gcore/overview.cpp:4188-4272):
       * average — 2x2 box mean, floor(mean + 0.5);
+      * nearest — top-left sample of the quad;
+      * gauss   — 3x3 [1 2 1;2 4 2;1 2 1]/16 centered on the even source
+                  pixel, edge-clamped (GDALResampleChunk32R_Gauss);
       * rms     — sqrt of the mean of squares, same rounding
                   (GDALResampleChunk32R_RMS);
       * mode    — most frequent of the 4 samples; ties break to the
@@ -276,6 +323,18 @@ def overview_tiles(tiles: DataFrame, method: str = "average") -> DataFrame:
         quads = mosaic.reshape(TILE, 2, TILE, 2)
         if method == "average":
             img = np.floor(quads.mean(axis=(1, 3)) + 0.5).astype(np.uint8)
+        elif method == "nearest":
+            img = quads[:, 0, :, 0].astype(np.uint8)  # top-left sample
+        elif method == "gauss":
+            # 3x3 [1 2 1; 2 4 2; 1 2 1]/16 centered on the even source
+            # pixel (GDALResampleChunk32R_Gauss), edge-clamped
+            p = np.pad(mosaic, 1, mode="edge")
+            acc = np.zeros((TILE, TILE))
+            wts = ((1, 2, 1), (2, 4, 2), (1, 2, 1))
+            for dj in range(3):
+                for di in range(3):
+                    acc += wts[dj][di] * p[dj : dj + 512 : 2, di : di + 512 : 2]
+            img = np.floor(acc / 16.0 + 0.5).astype(np.uint8)
         elif method == "rms":
             img = np.floor(np.sqrt((quads**2).mean(axis=(1, 3))) + 0.5).astype(
                 np.uint8

@@ -280,6 +280,106 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     return df.select(id_col, text_col).mapInPandas(kernel, schema)
 
 
+def minhash_md5_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    ngram: int = 3,
+) -> DataFrame:
+    """MinHash signatures computed ENTIRELY JVM-side (whole-stage
+    codegen, zero Python): word n-grams via transform(sequence(...)),
+    permutation k's hash = md5('k|' || gram), signature = array_min of
+    the hex strings (lexicographic min == numeric min of the 128-bit
+    value).  Deliberately md5-based so DuckDB reproduces every byte —
+    this is the ORACLE-CHECKED twin of the numpy signature kernel.
+    Docs with fewer than ``ngram`` tokens are excluded (no gram set)."""
+    toks = F.split(F.col(text_col), " ")
+    df2 = df.select(F.col(id_col), toks.alias("toks")).filter(
+        F.size("toks") >= ngram
+    )
+    gram = F.expr(
+        "transform(sequence(1, size(toks) - {o}), i -> concat_ws(' ', {parts}))".format(
+            o=ngram - 1,
+            parts=", ".join(f"element_at(toks, i + {j})" for j in range(ngram)),
+        )
+    )
+    df2 = df2.select(id_col, gram.alias("ngrams"))
+
+    def perm_hash(k: int):
+        # NB: the lambda must be single-arg — a two-arg lambda makes
+        # pyspark's transform() pass the ELEMENT INDEX as the 2nd arg
+        return lambda g: F.md5(F.concat(F.lit(f"{k}|"), g))
+
+    sigs = F.array(
+        *[
+            F.array_min(F.transform(F.col("ngrams"), perm_hash(k)))
+            for k in range(num_perm)
+        ]
+    )
+    return df2.select(id_col, sigs.alias("sigs"))
+
+
+def minhash_md5_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    bands: int = 4,
+    ngram: int = 3,
+    min_equal: int = 6,
+) -> DataFrame:
+    """Near-dup pairs via banded LSH over the md5 signatures — the same
+    plan shape as :func:`minhash_lsh_pairs` (explode to band buckets,
+    self-equi-join, narrow pair dedup, sig re-attach) but every value is
+    SQL-reproducible, so the driver oracle checks the WHOLE pipeline."""
+    rows = num_perm // bands
+    sigs = minhash_md5_signatures(df, text_col, id_col, num_perm, ngram).persist()
+    banded = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|", *[F.col("sigs")[b * rows + j] for j in range(rows)]
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pair_ids = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    pairs = pair_ids.join(
+        sigs.select(F.col(id_col).alias("id_a"), F.col("sigs").alias("sa")), "id_a"
+    ).join(
+        sigs.select(F.col(id_col).alias("id_b"), F.col("sigs").alias("sb")), "id_b"
+    )
+    n_equal = F.size(
+        F.filter(F.zip_with("sa", "sb", lambda x, y: x == y), lambda v: v)
+    )
+    return pairs.select("id_a", "id_b", n_equal.alias("n_equal")).filter(
+        F.col("n_equal") >= min_equal
+    )
+
+
 def simhash_pairs(
     df: DataFrame,
     text_col: str = "text",

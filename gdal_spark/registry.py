@@ -576,14 +576,95 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(d, max_hamming=3)
 
 
-@register("dedup_clusters")
-def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Doc -> dedup cluster id: connected components over the MinHash
-    near-dup pair graph (min-label propagation + pointer jumping)."""
-    from gdal_spark.operators.text import dedup_clusters, minhash_lsh_pairs
+# md5-based MinHash: the same signatures/bands/pairs pipeline rendered
+# with md5 so DuckDB reproduces every byte — the ORACLE-CHECKED twin of
+# the numpy kernel (which stays as the high-throughput bench variant).
+_MM_PERM, _MM_BANDS, _MM_ROWS, _MM_MIN_EQ = 16, 4, 4, 6
+_MM_SIG_LIST = ", ".join(
+    f"list_min(list_transform(ngrams, x -> md5('{k}|' || x)))" for k in range(_MM_PERM)
+)
+_MM_BUCKETS = ", ".join(
+    "(%d)" % b for b in range(_MM_BANDS)
+)
+_MM_BAND_BUCKET = (
+    "md5(sigs[band * 4 + 1] || '|' || sigs[band * 4 + 2] || '|' || "
+    "sigs[band * 4 + 3] || '|' || sigs[band * 4 + 4])"
+)
+
+_MM_PIPELINE_CTE = f"""
+tk AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
+tk2 AS (SELECT doc_id, toks FROM tk WHERE len(toks) >= 3),
+gg AS (
+  SELECT doc_id,
+         list_transform(range(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS ngrams
+  FROM tk2
+),
+sg AS (SELECT doc_id, [{_MM_SIG_LIST}] AS sigs FROM gg),
+bnd AS (
+  SELECT doc_id, band, {_MM_BAND_BUCKET} AS bucket
+  FROM sg, (VALUES {_MM_BUCKETS}) b(band)
+),
+pp AS (
+  SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+  FROM bnd a JOIN bnd b2
+    ON a.band = b2.band AND a.bucket = b2.bucket AND a.doc_id < b2.doc_id
+),
+jj AS (
+  SELECT pp.id_a, pp.id_b, sa.sigs AS sa, sb.sigs AS sb
+  FROM pp JOIN sg sa ON pp.id_a = sa.doc_id JOIN sg sb ON pp.id_b = sb.doc_id
+),
+mm_pairs AS (
+  SELECT id_a, id_b,
+         CAST(len(list_filter(range(1, {_MM_PERM + 1}), i -> sa[i] = sb[i])) AS INT) AS n_equal
+  FROM jj
+  WHERE len(list_filter(range(1, {_MM_PERM + 1}), i -> sa[i] = sb[i])) >= {_MM_MIN_EQ}
+)
+"""
+
+_MINHASH_MD5_ORACLE = f"""
+WITH {_MM_PIPELINE_CTE}
+SELECT id_a, id_b, n_equal FROM mm_pairs
+"""
+
+
+@register("minhash_md5", _MINHASH_MD5_ORACLE)
+def q_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked MinHash + banded LSH: signatures, band buckets,
+    candidate join and verify all run JVM-side (whole-stage codegen)."""
+    from gdal_spark.operators.text import minhash_md5_pairs
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    pairs = minhash_lsh_pairs(d, threshold=0.4)
+    return minhash_md5_pairs(d)
+
+
+_DEDUP_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE {_MM_PIPELINE_CTE},
+sym AS (
+  SELECT id_a AS n, id_b AS m FROM mm_pairs
+  UNION
+  SELECT id_b AS n, id_a AS m FROM mm_pairs
+),
+reach AS (
+  SELECT n, m FROM sym
+  UNION
+  SELECT r.n, s2.m FROM reach r JOIN sym s2 ON r.m = s2.n
+),
+cl AS (SELECT n AS cdoc, min(m) AS mn FROM reach GROUP BY n)
+SELECT d.doc_id, CAST(least(COALESCE(cl.mn, d.doc_id), d.doc_id) AS BIGINT) AS cluster_id
+FROM documents d LEFT JOIN cl ON d.doc_id = cl.cdoc
+"""
+
+
+@register("dedup_clusters", _DEDUP_CLUSTERS_ORACLE)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc -> dedup cluster id: connected components over the ORACLE-
+    CHECKED md5-MinHash pair graph (min-label propagation + pointer
+    jumping vs the oracle's recursive-CTE transitive closure)."""
+    from gdal_spark.operators.text import dedup_clusters, minhash_md5_pairs
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = minhash_md5_pairs(d)
     return dedup_clusters(d, pairs)
 
 

@@ -152,6 +152,54 @@ class TestResamplers:
         # Catmull-Rom interpolates constant regions exactly: values stay in byte range
         assert b.min() >= 0 and b.max() <= 255
 
+    def test_lanczos_and_cubicspline_run(self, spark):
+        src = raster.source_grid(spark)
+        for m in ("lanczos", "cubicspline"):
+            t = raster.base_tiles(spark, src, zoom=1, resample=m)
+            row = t.filter(
+                (F.col("band") == 1) & (F.col("tx") == 1) & (F.col("ty") == 1)
+            ).first()
+            img = np.frombuffer(row.data, dtype=np.uint8)
+            assert img.any(), m
+            # a constant field must reproduce exactly under both kernels
+        const = src.withColumn("value", F.lit(77))
+        for m in ("lanczos", "cubicspline", "bilinear", "cubic"):
+            t = raster.base_tiles(spark, const, zoom=1, resample=m)
+            row = t.filter(
+                (F.col("band") == 1) & (F.col("tx") == 1) & (F.col("ty") == 1)
+            ).first()
+            img = np.frombuffer(row.data, dtype=np.uint8).reshape(256, 256)
+            # interior pixels (away from the raster edge fill) equal 77
+            assert (img[64:192, 64:192] == 77).all(), m
+
+    def test_overview_nearest_and_gauss(self, spark, base):
+        near = raster.overview_tiles(base, method="nearest")
+        gauss = raster.overview_tiles(base, method="gauss")
+        parent_n = near.filter(
+            (F.col("band") == 1) & (F.col("tx") == 0) & (F.col("ty") == 0)
+        ).first()
+        parent_g = gauss.filter(
+            (F.col("band") == 1) & (F.col("tx") == 0) & (F.col("ty") == 0)
+        ).first()
+        children = {
+            (r.tx, r.ty): np.frombuffer(r.data, dtype=np.uint8).reshape(256, 256)
+            for r in base.filter(
+                (F.col("band") == 1) & (F.col("tx") < 2) & (F.col("ty") < 2)
+            ).collect()
+        }
+        mosaic = np.zeros((512, 512))
+        for (tx, ty), img in children.items():
+            r0 = 0 if (ty & 1) == 1 else 256
+            mosaic[r0 : r0 + 256, tx * 256 : (tx + 1) * 256] = img
+        pn = np.frombuffer(parent_n.data, dtype=np.uint8).reshape(256, 256)
+        assert (pn == mosaic[0::2, 0::2].astype(np.uint8)).all()
+        pg = np.frombuffer(parent_g.data, dtype=np.uint8).reshape(256, 256)
+        # hand-compute one interior gauss sample
+        y, x = 100, 117
+        w = np.array([[1, 2, 1], [2, 4, 2], [1, 2, 1]])
+        blk = mosaic[2 * y - 1 : 2 * y + 2, 2 * x - 1 : 2 * x + 2]
+        assert pg[y, x] == int(np.floor((w * blk).sum() / 16.0 + 0.5))
+
     def test_overview_mode_and_rms(self, spark, base):
         mode = raster.overview_tiles(base, method="mode")
         rms = raster.overview_tiles(base, method="rms")
