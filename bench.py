@@ -252,6 +252,16 @@ def main() -> None:
         pdocs = corpus.load_polydocs(spark, SF_DIR, replicate=CLIP_REPL)
         return intersection_join(pdocs, cz, emit_wkt=False).count()
 
+    def q_clip_general():
+        # the concave-with-holes overlapping layer through the general
+        # fan-triangle kernel — the kernel the convex fast path can't take
+        from gdal_spark import zones as _z
+        from gdal_spark.operators.overlay import intersection_join
+
+        pdocs = corpus.load_polydocs(spark, SF_DIR, replicate=CLIP_REPL)
+        rz = _z.rich_zones(spark)
+        return intersection_join(pdocs, rz, emit_wkt=False).count()
+
     def q_raster():
         from gdal_spark.operators.raster import tile_pyramid_checksums
 
@@ -277,6 +287,7 @@ def main() -> None:
     timed("knn", q_knn)
     timed("tile_pyramid", q_pyramid)
     timed("clip", q_clip)
+    timed("clip_general", q_clip_general)
     timed("raster_pyramid", q_raster)
     timed("minhash_lsh", q_minhash)
     timed("ann_topk", q_ann)

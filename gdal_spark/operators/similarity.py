@@ -87,6 +87,87 @@ def brute_force_topk(
     return queries.select(id_col, vec_col).mapInPandas(kernel, schema)
 
 
+def _det_proj_sql(table_expr: str, plane: int, dim: int) -> str:
+    """SQL text of the plane projection Σ_d emb[d]·s(t,p,d) with the
+    DETERMINISTIC ±1 sign formula — valid in Spark SQL and DuckDB
+    (modulo summation order, which only matters within ~1e-12 of zero)."""
+    sign = (
+        f"(CASE WHEN ((({table_expr}) * 73856093L + {plane} * 19349663L"
+        f" + CAST(d AS BIGINT) * 83492791L) % 97) % 2 = 0"
+        f" THEN 1.0e0 ELSE (0.0e0 - 1.0e0) END)"
+    )
+    return (
+        f"aggregate(sequence(1, {dim}), CAST(0.0e0 AS DOUBLE), "
+        f"(acc, d) -> acc + CAST(element_at(embedding, d) AS DOUBLE) * {sign})"
+    )
+
+
+def lsh_topk_det(
+    queries: DataFrame,
+    targets: DataFrame,
+    k: int = 3,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k with DETERMINISTIC ±1 hyperplanes (integer-hash signs),
+    signatures computed JVM-side (whole-stage codegen) — the oracle-
+    checkable twin of :func:`lsh_topk` (whose planes come from an RNG).
+    Same plan shape: bucket equi-join per table, exact re-score, window
+    top-k."""
+
+    def signer(df: DataFrame, out_id: str) -> DataFrame:
+        e = df.select(F.col(id_col).alias(out_id), F.col(vec_col).alias("embedding"))
+        rows = []
+        for t in range(n_tables):
+            bucket = " + ".join(
+                f"(CASE WHEN {_det_proj_sql(str(t), p, dim)} > 0.0e0 THEN {1 << p} ELSE 0 END)"
+                for p in range(n_planes)
+            )
+            rows.append(
+                e.select(
+                    out_id,
+                    F.lit(t).alias("tbl"),
+                    F.expr(f"CAST({bucket} AS INT)").alias("bucket"),
+                )
+            )
+        out = rows[0]
+        for r in rows[1:]:
+            out = out.unionByName(r)
+        return out
+
+    qs = signer(queries, "query_id")
+    ts = signer(targets, "neighbor_id")
+    cand = (
+        qs.join(ts, ["tbl", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .dropDuplicates()
+    )
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    tv = targets.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("tv"))
+    scored = cand.join(qv, "query_id").join(tv, "neighbor_id")
+    dot = F.aggregate(
+        F.zip_with("qv", "tv", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    scored = scored.withColumn("cosine", dot / (norm(F.col("qv")) * norm(F.col("tv"))))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
 def lsh_topk(
     queries: DataFrame,
     targets: DataFrame,

@@ -559,17 +559,92 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("simhash")
+# simhash IS SQL-expressible: word hash = little-endian uint64 of
+# md5(word)'s first 8 bytes, reconstructed from the hex digest per bit;
+# bit votes over DISTINCT words; staged CTEs (the one-expression form
+# trips DuckDB's parser).
+_SIMHASH_CTE = """
+wd AS (
+  SELECT DISTINCT doc_id, unnest(str_split(text, ' ')) AS word FROM documents
+),
+hb AS (SELECT word, md5(word) AS hx FROM (SELECT DISTINCT word FROM wd) v),
+byv AS (
+  SELECT word, kk.k AS k,
+         (strpos('0123456789abcdef', substr(hx, 2 * CAST(kk.k AS INT) + 1, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(hx, 2 * CAST(kk.k AS INT) + 2, 1)) - 1) AS byteval
+  FROM hb, range(0, 8) kk(k)
+),
+w64 AS (
+  SELECT word, sum(CAST(byteval AS HUGEINT) << CAST(8 * k AS INT)) AS wv FROM byv GROUP BY word
+),
+mix AS (
+  SELECT word,
+         (((wv % (CAST(1 AS HUGEINT) << 32)) * 11400714819323198485
+           + (((wv // (CAST(1 AS HUGEINT) << 32)) * 11400714819323198485) % (CAST(1 AS HUGEINT) << 32)) * (CAST(1 AS HUGEINT) << 32))
+          % (CAST(1 AS HUGEINT) << 64)) AS m
+  FROM w64
+),
+rot AS (
+  SELECT word,
+         (((m * 128) % (CAST(1 AS HUGEINT) << 64)) + (m // (CAST(1 AS HUGEINT) << 57))) AS h
+  FROM mix
+),
+bit1 AS (
+  SELECT word, jj.j AS j,
+         CAST((h // (CAST(1 AS HUGEINT) << CAST(jj.j AS INT))) % 2 AS INT) AS b
+  FROM rot, range(0, 64) jj(j)
+),
+votes AS (
+  SELECT wd.doc_id, b1.j, sum(2 * b1.b - 1) AS v
+  FROM wd JOIN bit1 b1 ON wd.word = b1.word
+  GROUP BY wd.doc_id, b1.j
+),
+acc AS (
+  SELECT doc_id,
+         sum(CASE WHEN v > 0 THEN CAST(1 AS HUGEINT) << CAST(j AS INT) ELSE CAST(0 AS HUGEINT) END) AS u
+  FROM votes GROUP BY doc_id
+),
+sh AS (
+  SELECT doc_id,
+         CAST(CASE WHEN u >= (CAST(1 AS HUGEINT) << 63) THEN u - (CAST(1 AS HUGEINT) << 64) ELSE u END AS BIGINT) AS simhash,
+         u
+  FROM acc
+)
+"""
+
+_SIMHASH_ORACLE = f"WITH {_SIMHASH_CTE} SELECT doc_id, simhash FROM sh"
+
+
+@register("simhash", _SIMHASH_ORACLE)
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gdal_spark.operators.text import simhash
 
     return simhash(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
-@register("simhash_pairs")
+_SIMHASH_PAIRS_ORACLE = f"""
+WITH {_SIMHASH_CTE},
+bnd AS (
+  SELECT doc_id, u, bb.band AS band,
+         CAST((u // (CAST(1 AS HUGEINT) << CAST(bb.band * 16 AS INT))) % 65536 AS INT) AS bits
+  FROM sh, range(0, 4) bb(band)
+),
+sp AS (
+  SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+  FROM bnd a JOIN bnd b2
+    ON a.band = b2.band AND a.bits = b2.bits AND a.doc_id < b2.doc_id
+)
+SELECT sp.id_a, sp.id_b,
+       CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INT) AS hamming
+FROM sp JOIN sh sa ON sp.id_a = sa.doc_id JOIN sh sb ON sp.id_b = sb.doc_id
+WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
+"""
+
+
+@register("simhash_pairs", _SIMHASH_PAIRS_ORACLE)
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hamming<=3 near-dup pairs via banded simhash LSH (pigeonhole) —
-    signature kernel not SQL-expressible, exactness pinned in pytest."""
+    """Hamming<=3 near-dup pairs via banded simhash LSH (pigeonhole);
+    the oracle mirrors signatures, banding and the bit_count verify."""
     from gdal_spark.operators.text import simhash_pairs
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -693,18 +768,56 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
-@register("ngram_jaccard")
+_NGRAM_JACCARD_ORACLE = f"""
+WITH {_MM_PIPELINE_CTE}
+SELECT p.id_a, p.id_b,
+       round(CAST(len(list_intersect(list_distinct(a.ngrams), list_distinct(b.ngrams))) AS DOUBLE)
+             / len(list_distinct(list_concat(a.ngrams, b.ngrams))), 6) AS jaccard
+FROM mm_pairs p
+JOIN gg a ON p.id_a = a.doc_id
+JOIN gg b ON p.id_b = b.doc_id
+"""
+
+
+@register("ngram_jaccard", _NGRAM_JACCARD_ORACLE)
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard verify over the LSH candidate pairs (the
-    re-rank stage of the near-dup pipeline) — rows-only check; estimate
-    tracking pinned in pytest."""
-    from gdal_spark.operators.text import minhash_lsh_pairs, ngram_jaccard_pairs
+    """Exact n-gram Jaccard verify over the (oracle-checked) md5-LSH
+    candidate pairs — the re-rank stage of the near-dup pipeline.
+    Both engines divide the SAME distinct-set integers, so the rounded
+    double matches bit-for-bit (64-bit gram-hash collisions are the only
+    theoretical divergence, ~1e-13 at this scale)."""
+    from gdal_spark.operators.text import minhash_md5_pairs, ngram_jaccard_pairs
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    pairs = minhash_lsh_pairs(d, threshold=0.4).select("id_a", "id_b")
+    pairs = minhash_md5_pairs(d).select("id_a", "id_b")
     return ngram_jaccard_pairs(d, pairs).select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     )
+
+
+# the media codec is a deterministic md5 STUB (sandbox has no media
+# libs), which makes even the multimodal plumbing oracle-checkable: the
+# fake payload is md5(ref) x16, so feature j = (#digest low-nibbles == j)/16
+_MEDIA_FEAT_ORACLE = """
+WITH m AS (SELECT doc_id, 'media://' || doc_id || '/2' AS media_ref FROM documents),
+h AS (SELECT doc_id, media_ref, md5(media_ref) AS hx FROM m)
+SELECT doc_id, media_ref,
+       list_transform(range(0, 16),
+         j -> CAST(len(list_filter(range(1, 17),
+                i -> (strpos('0123456789abcdef', substr(hx, 2*i, 1)) - 1) = j)) / 16.0 AS FLOAT)) AS features
+FROM h
+"""
+
+
+@register("media_features", _MEDIA_FEAT_ORACLE)
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal pipeline: span media_refs -> binary fetch -> feature
+    extraction (mapInPandas Arrow plumbing; codec layer is the
+    clearly-marked deterministic stub, which the oracle reproduces)."""
+    from gdal_spark.operators.media import fetch_media, image_features, media_refs
+
+    docs = corpus.load_docs(spark, sf_dir)
+    return image_features(fetch_media(media_refs(docs)))
 
 
 _ANN_K = 3
@@ -740,6 +853,63 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return lsh_topk(e, e, k=_ANN_K, dim=64).select("query_id", "neighbor_id", "rnk")
+
+
+def _ann_det_duck_proj(t: int, p: int) -> str:
+    sign = (
+        f"(CASE WHEN ((({t}) * 73856093 + {p} * 19349663 + d * 83492791) % 97) % 2 = 0"
+        f" THEN 1.0e0 ELSE (0.0e0 - 1.0e0) END)"
+    )
+    return (
+        f"list_sum(list_transform(range(1, 65),"
+        f" d -> CAST(embedding[d] AS DOUBLE) * {sign}))"
+    )
+
+
+_ANN_DET_SIG = " UNION ALL ".join(
+    "SELECT vec_id, {t} AS tbl, CAST({b} AS INT) AS bucket FROM embeddings".format(
+        t=t,
+        b=" + ".join(
+            f"(CASE WHEN {_ann_det_duck_proj(t, p)} > 0.0e0 THEN {1 << p} ELSE 0 END)"
+            for p in range(8)
+        ),
+    )
+    for t in range(4)
+)
+
+_ANN_DET_ORACLE = f"""
+WITH sig AS ({_ANN_DET_SIG}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+  FROM sig a JOIN sig b
+    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id <> b.vec_id
+),
+s AS (
+  SELECT c.query_id, c.neighbor_id,
+         list_cosine_similarity(qa.embedding, qb.embedding) AS cos
+  FROM cand c
+  JOIN embeddings qa ON c.query_id = qa.vec_id
+  JOIN embeddings qb ON c.neighbor_id = qb.vec_id
+),
+r AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+  FROM s
+)
+SELECT query_id, neighbor_id, CAST(rnk AS int) AS rnk FROM r WHERE rnk <= {_ANN_K}
+"""
+
+
+@register("ann_lsh_det", _ANN_DET_ORACLE)
+def q_ann_lsh_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-CHECKED ANN: deterministic ±1 hyperplanes (integer-hash
+    signs), signatures whole-stage-codegen JVM-side, bucket equi-join +
+    exact re-score + window top-k — the full approximate-similarity
+    pipeline reproduced value-for-value by DuckDB."""
+    from gdal_spark.operators.similarity import lsh_topk_det
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return lsh_topk_det(e, e, k=_ANN_K, dim=64)
 
 
 # --------------------------------------------------------------------------
