@@ -1364,6 +1364,48 @@ def q_grid_average(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GRID_METRICS_ORACLE = f"""
+WITH px AS (
+  SELECT (i % {_GRID_W}) AS gx,
+         CAST(((i - (i % {_GRID_W})) / {_GRID_W}) AS BIGINT) AS gy
+  FROM range(0, {_GRID_W * _GRID_H}) t(i)
+),
+pc AS (SELECT gx, gy, {_GLON_SQL} AS lon, {_GLAT_SQL} AS lat FROM px),
+t AS (SELECT target_id, tlon, tlat, {_TVAL_SQL} AS tval
+      FROM ({duckdb_targets_cte()}) raw)
+SELECT pc.gx, pc.gy, count(*) AS n_pts,
+       CAST(min(t.tval) AS BIGINT) AS vmin,
+       CAST(max(t.tval) AS BIGINT) AS vmax,
+       CAST(max(t.tval) - min(t.tval) AS BIGINT) AS vrange
+FROM pc JOIN t
+  ON (pc.lon - t.tlon) * (pc.lon - t.tlon)
+   + (pc.lat - t.tlat) * (pc.lat - t.tlat) < {_GRID_AVG_RADIUS2}
+GROUP BY pc.gx, pc.gy
+"""
+
+
+@register("grid_metrics", _GRID_METRICS_ORACLE)
+def q_grid_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdalgrid data-metrics modes (GDALGridDataMetric* —
+    alg/gdalgrid.cpp:2780-3160): count / minimum / maximum / range of
+    the targets inside the search radius, per grid cell."""
+    from gdal_spark.operators.knn import knn_targets, radius_join
+
+    px = spark.range(_GRID_W * _GRID_H).select(
+        (F.col("id") % _GRID_W).alias("gx"),
+        ((F.col("id") - (F.col("id") % _GRID_W)) / _GRID_W).cast("long").alias("gy"),
+    )
+    pc = px.select("gx", "gy", F.expr(_GLON_SQL).alias("lon"), F.expr(_GLAT_SQL).alias("lat"))
+    j = radius_join(pc, knn_targets(spark), radius2_sql=_GRID_AVG_RADIUS2)
+    tv = F.expr(_TVAL_SQL).cast("long")
+    return j.groupBy("gx", "gy").agg(
+        F.count("*").alias("n_pts"),
+        F.min(tv).alias("vmin"),
+        F.max(tv).alias("vmax"),
+        (F.max(tv) - F.min(tv)).alias("vrange"),
+    )
+
+
 # --------------------------------------------------------------------------
 # General overlays on the RICH method layer — concave L-shapes with holes
 # that OVERLAP each other (zones.rich_zones).  The engine runs the general
