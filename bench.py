@@ -139,9 +139,29 @@ def run_scaling_probe() -> dict:
     hi = int(os.environ.get("SPARK_GRAFT_SCALE_HI", "8"))
     attempts = int(os.environ.get("SPARK_GRAFT_PROBE_ATTEMPTS", "3"))
 
+    def _wait_for_quiet(max_wait: float = 300.0, window: float = 5.0) -> None:
+        """Block until the host's hypervisor steal RATE is low (< ~0.5
+        stolen cores over a sampling window), or give up after
+        ``max_wait`` s.  The 2-core probe level is hypersensitive to
+        steal bursts (a 30 steal-s window doubles its wall time and
+        fabricates efficiency > 1), so starting an attempt inside a
+        burst just burns one of the retry slots."""
+        deadline = time.monotonic() + max_wait
+        while time.monotonic() < deadline:
+            s0 = _steal_seconds()
+            time.sleep(window)
+            if _steal_seconds() - s0 < 0.5 * window:
+                return
+            print(
+                "[bench] steal burst in progress; delaying probe attempt",
+                file=sys.stderr,
+                flush=True,
+            )
+
     def one_attempt():
         out = {}
         for cpus in (lo, hi):
+            _wait_for_quiet()
             env = dict(os.environ)
             env["SPARK_GRAFT_CPUS"] = str(cpus)
             r = subprocess.run(
@@ -174,6 +194,15 @@ def run_scaling_probe() -> dict:
             result["efficiency"] = round((m_hi / m_lo) / (hi / lo), 3)
         else:
             result["efficiency"] = result["efficiency_raw"]
+        # dirty-attempt ranking proxy: steal seen by the quietest windows
+        # at each level (the windows min-of-N actually picks from)
+        result["steal_proxy"] = round(
+            sum(
+                sum(sorted(out[c].get("steal_s", [0.0]))[:2])
+                for c in (lo, hi)
+            ),
+            1,
+        )
         return result
 
     # steal-aware retry: a probe whose chosen windows were all noisy (or
@@ -187,14 +216,21 @@ def run_scaling_probe() -> dict:
             break
     clean = [r for r in tried if r["steal_ok"]]
     best_clean = max(clean, key=lambda r: r["efficiency"]) if clean else None
-    best_any = max(tried, key=lambda r: r["efficiency"])
-    # prefer the clean attempt when it passes the bar; otherwise report
-    # the best attempt with its steal flag — noise only ever SLOWS runs,
-    # so a higher number from a noisy window is still a lower bound on
-    # capability (its flag records the caveat)
-    chosen = best_clean if (best_clean and best_clean["efficiency"] >= 0.8) else best_any
+    # selection: a clean attempt always beats a dirty one (steal at the
+    # SLOW level inflates efficiency, so a dirty high number is
+    # fabricated, not conservative); among dirty attempts prefer the one
+    # whose chosen windows saw the least steal, not the highest number
+    if best_clean is not None:
+        chosen = best_clean
+    else:
+        chosen = min(tried, key=lambda r: r.get("steal_proxy", 1e9))
     chosen["attempts"] = [
-        {"efficiency": r["efficiency"], "steal_ok": r["steal_ok"]} for r in tried
+        {
+            "efficiency": r["efficiency"],
+            "steal_ok": r["steal_ok"],
+            "steal_proxy": r.get("steal_proxy"),
+        }
+        for r in tried
     ]
     return chosen
 
@@ -217,6 +253,7 @@ def main() -> None:
         # min-of-N per QUERY (first run also warms that query's plan +
         # Python workers) with per-run steal, so one hypervisor burst
         # can't misreport a single line (the BENCH_r01 ann_topk lesson)
+        print(f"[bench] {name} ...", file=sys.stderr, flush=True)
         ts, ss, n = [], [], 0
         for _ in range(runs):
             s0 = _steal_seconds()
@@ -224,6 +261,11 @@ def main() -> None:
             n = fn()
             ts.append(round(time.monotonic() - t0, 3))
             ss.append(round(_steal_seconds() - s0, 1))
+            print(
+                f"[bench] {name} run: {ts[-1]}s steal={ss[-1]}s",
+                file=sys.stderr,
+                flush=True,
+            )
         quiet = [t for t, s in zip(ts, ss) if s <= STEAL_THR]
         timings[name] = min(quiet) if quiet else min(ts)
         steals[name] = ss

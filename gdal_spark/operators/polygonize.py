@@ -253,7 +253,9 @@ _RING_SCHEMA = StructType(
 )
 
 
-def component_rings(pixels: DataFrame, width: int, height: int) -> DataFrame:
+def component_rings(
+    pixels: DataFrame, width: int, height: int, min_ring_area: float = 0.0
+) -> DataFrame:
     """(label, ring_wkt): exact boundary polygon per component — the ring
     extraction GDALPolygonize performs (alg/polygonize.cpp:500 arc
     collection + RPolygonizer), distributed:
@@ -337,9 +339,17 @@ def component_rings(pixels: DataFrame, width: int, height: int) -> DataFrame:
         from gdal_spark.geometry.clip import shoelace_area
 
         areas = [abs(shoelace_area(r.astype(np.float64))) for r in rings]
-        order = [int(np.argmax(areas))] + [
-            i for i in range(len(rings)) if i != int(np.argmax(areas))
+        # -min_ring_area (apps/gdal_footprint_lib.cpp): drop interior
+        # rings below the area threshold; the outer ring always survives.
+        # Holes are ordered by their canonical start vertex (y, x) — the
+        # chase order depends on shuffle arrival and would otherwise make
+        # multi-hole WKT nondeterministic.
+        outer = int(np.argmax(areas))
+        holes = [
+            i for i in range(len(rings)) if i != outer and areas[i] >= min_ring_area
         ]
+        holes.sort(key=lambda i: (int(rings[i][0, 1]), int(rings[i][0, 0])))
+        order = [outer] + holes
         parts = []
         for i in order:
             coords = ",".join(f"{int(x)} {int(y)}" for x, y in rings[i])
@@ -442,3 +452,21 @@ def polygonize(pixels: DataFrame, width: int, height: int) -> DataFrame:
         F.max("px").alias("pxmax"),
         F.max("py").alias("pymax"),
     )
+
+
+def footprint(
+    mask: DataFrame, width: int, height: int, min_ring_area: float = 0.0
+) -> DataFrame:
+    """gdal_footprint analog (apps/gdal_footprint_lib.cpp): the polygon
+    footprint of the mask (non-nodata) pixels in pixel coordinates —
+    connected components of the mask, exact boundary rings per component
+    (outer ring first, holes after), interior rings smaller than
+    ``min_ring_area`` dropped (the tool's -min_ring_area option,
+    apps/gdal_footprint_lib.cpp min ring area filter).
+
+    ``mask`` is the (px, py) table of footprint-member pixels; absent
+    pixels are outside.  Distributed shape is component_rings': tile-
+    local union-find + min-label merge, perimeter-sized edge output,
+    one groupBy(label) ring chase."""
+    m = mask.select("px", "py", F.lit(1).cast("long").alias("value"))
+    return component_rings(m, width, height, min_ring_area=min_ring_area)

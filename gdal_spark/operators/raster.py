@@ -298,7 +298,7 @@ def base_tiles(
 def overview_tiles(tiles: DataFrame, method: str = "average") -> DataFrame:
     """One overview level: parent (tx>>1, ty>>1) from <=4 children.
 
-    ``method`` (5 of the reference's 9 overview resamplers,
+    ``method`` (all 9 of the reference's overview resamplers,
     gcore/overview.cpp:4188-4272):
       * average — 2x2 box mean, floor(mean + 0.5);
       * nearest — top-left sample of the quad;
@@ -309,7 +309,14 @@ def overview_tiles(tiles: DataFrame, method: str = "average") -> DataFrame:
       * mode    — most frequent of the 4 samples; ties break to the
                   SMALLEST value (made deterministic — the reference
                   keeps the first-seen in scan order, which is
-                  partition-order-dependent; documented divergence)."""
+                  partition-order-dependent; documented divergence);
+      * bilinear / cubic / cubicspline / lanczos — the convolution
+        resamplers (GDALResampleChunk32R_Convolution,
+        gcore/overview.cpp resampler kernels shared with the warp path)
+        evaluated at the exact 2x downsample offsets through the same
+        ``_resample_window`` kernel the warp uses: output pixel (r, c)
+        samples the 512x512 mosaic at continuous coords (2c+1, 2r+1) —
+        the center of its 2x2 source quad — with edge-clamped taps."""
 
     def reduce4(key, pdf: pd.DataFrame) -> pd.DataFrame:
         band, zoom, ptx, pty = int(key[0]), int(key[1]), int(key[2]), int(key[3])
@@ -349,6 +356,18 @@ def overview_tiles(tiles: DataFrame, method: str = "average") -> DataFrame:
             img = np.take_along_axis(s, best[:, :, None], axis=2)[:, :, 0].astype(
                 np.uint8
             )
+        elif method in ("bilinear", "cubic", "cubicspline", "lanczos"):
+            # exact-2x convolution overview: dest (r, c) center maps to
+            # mosaic continuous coords (2c+1, 2r+1); reuse the warp
+            # kernel (identical tap weights to the reference's shared
+            # convolution resampler)
+            coords = 2.0 * np.arange(TILE) + 1.0
+            have = np.ones_like(mosaic, dtype=bool)
+            img = np.clip(
+                _resample_window(mosaic.astype(np.int64), have, coords, coords, method),
+                0,
+                255,
+            ).astype(np.uint8)
         else:
             raise ValueError(f"unknown overview method: {method}")
         return pd.DataFrame(
@@ -368,6 +387,224 @@ def overview_tiles(tiles: DataFrame, method: str = "average") -> DataFrame:
         F.shiftright("ty", 1).alias("pty"),
     )
     return parents.applyInPandas(reduce4, _tile_schema())
+
+
+# --------------------------------------------------------------------------
+# Aggregate warp resamplers (GRA_Min/Max/Med/Q1/Q3/Sum/Average/RMS/Mode,
+# alg/gdalwarper.h:37-67, kernels alg/gdalwarpkernel.cpp GWKAverageOrMode
+# :6760-7640 + GWKSumPreserving).  Unlike the convolution resamplers above
+# these aggregate over ALL source pixels in the destination pixel's source
+# footprint, so the Spark-natural plan is not a per-tile kernel but a plain
+# shuffle aggregation: each source pixel is exploded to the destination
+# pixels whose footprint contains it, then one groupBy computes every
+# statistic JVM-side (whole-stage codegen; no Python in the path).
+#
+# Footprint rule ported exactly (gdalwarpkernel.cpp:6811-6837): dest pixel
+# gx covers source columns [floor(dfXMin+EPS), ceil(dfXMax-EPS)) where
+# dfXMin/dfXMax are the source x-coords of the dest pixel's edges and
+# EPS=1e-10; inverted to the source side this makes source column px a
+# member of dest pixels gx in [floor(u(px+EPS)), ceil(u(px+1-EPS))-1]
+# where u() maps source x-coords to continuous dest pixel coords.  The
+# same rule applies on y through the (nonlinear, monotone) mercator map.
+# (The reference's expand-empty-footprint fallback at :6822 can only
+# trigger when a dest pixel is narrower than 2*EPS source pixels —
+# unreachable below zoom ~40 — and is intentionally not reproduced.)
+#
+# Edge weights ported from the COMPUTE_WEIGHT macros (:6838-6852): interior
+# source pixels weigh 1.0, the first/last pixel of a footprint weighs its
+# fractional overlap, a single-pixel footprint weighs 1.0.  Min/Max and the
+# quantiles (quantIdx = ceil(q*n - 1) on the sorted values, :7635) ignore
+# weights, exactly like the reference branches.  Mode accumulates weight
+# per value; ties resolve to the SMALLEST value (the reference's
+# GWKTS_Min tie strategy, applied as a final argmax rather than the
+# running scan max).
+#
+# Every formula below is emitted as SQL TEXT shared verbatim by the Spark
+# side (F.expr -> whole-stage codegen) and the DuckDB oracle, so the
+# arithmetic (IEEE +-*/, floor/ceil) is bit-identical; only ln/tan/atan/exp
+# on the y-axis are implementation-defined, and the EPS offsets keep every
+# floor/ceil argument ~1e-7 away from integer boundaries so last-ulp
+# differences cannot flip a footprint.
+# --------------------------------------------------------------------------
+
+_W_EPS = "1.0e-10"
+
+
+def _sql_lat_of_my(my: str) -> str:
+    """Inverse mercator in SQL, op-for-op the numpy meters_to_lat_lon."""
+    _os = mercator.sql_double(mercator.ORIGIN_SHIFT)
+    inner = f"((({my}) / {_os}) * 1.8e2)"
+    return f"(1.8e2 / pi() * (2.0e0 * atan(exp({inner} * pi() / 1.8e2)) - pi() / 2.0e0))"
+
+
+def warp_agg_fragments(zoom: int) -> dict[str, str]:
+    """SQL text fragments for the aggregate-warp footprint mapping at
+    ``zoom``; shared verbatim between the Spark plan and the DuckDB
+    oracle (column refs: px, py for source, gx, gy for dest)."""
+    _os = mercator.sql_double(mercator.ORIGIN_SHIFT)
+    res = mercator.sql_double(mercator.resolution(zoom))
+    x0 = mercator.sql_double(GT_X0)
+    dx = mercator.sql_double(GT_DX)
+    y0 = mercator.sql_double(GT_Y0)
+    dy = mercator.sql_double(GT_DY)
+    eps = _W_EPS
+
+    # source x-coord s -> continuous dest pixel coord (linear)
+    def u(s: str) -> str:
+        return f"((({x0} + ({s}) * {dx}) * {_os} / 1.8e2 + {_os}) / {res})"
+
+    # source row r -> continuous dest pixel coord (mercator, decreasing)
+    def v(r: str) -> str:
+        lat = f"({y0} + ({r}) * {dy})"
+        return f"(({mercator.sql_my(lat)} + {_os}) / {res})"
+
+    # dest pixel edge g -> source x-coord / source row
+    def scol(g: str) -> str:
+        return f"(((({g}) * {res} - {_os}) / {_os} * 1.8e2 - {x0}) / {dx})"
+
+    def srow(g: str) -> str:
+        return f"(({_sql_lat_of_my(f'(({g}) * {res} - {_os})')} - {y0}) / {dy})"
+
+    return {
+        # dest-pixel index ranges of one source pixel (pre-clamp)
+        "gx_lo": f"CAST(floor({u(f'CAST(px AS DOUBLE) + {eps}')}) AS BIGINT)",
+        "gx_hi": f"(CAST(ceiling({u(f'CAST(px AS DOUBLE) + 1.0e0 - {eps}')}) AS BIGINT) - 1)",
+        "gy_lo": f"CAST(floor({v(f'CAST(py AS DOUBLE) + 1.0e0 - {eps}')}) AS BIGINT)",
+        "gy_hi": f"(CAST(ceiling({v(f'CAST(py AS DOUBLE) + {eps}')}) AS BIGINT) - 1)",
+        # dest pixel's source-footprint bounds (per (src, dest) pair)
+        "sx0": scol("CAST(gx AS DOUBLE)"),
+        "sx1": scol("CAST(gx AS DOUBLE) + 1.0e0"),
+        "sy0": srow("CAST(gy AS DOUBLE) + 1.0e0"),  # north edge -> low row
+        "sy1": srow("CAST(gy AS DOUBLE)"),  # south edge -> high row
+    }
+
+
+# COMPUTE_WEIGHT (first pixel: 1-(dfMin-iMin); last: 1-(iMax-dfMax);
+# single-pixel footprint and interior pixels: 1.0)
+_WX_SQL = f"""CASE
+  WHEN ixmin + 1 >= ixmax THEN 1.0e0
+  WHEN px = ixmin THEN 1.0e0 - (sx0 - CAST(ixmin AS DOUBLE))
+  WHEN px + 1 = ixmax THEN 1.0e0 - (CAST(ixmax AS DOUBLE) - sx1)
+  ELSE 1.0e0 END"""
+_WY_SQL = f"""CASE
+  WHEN iymin + 1 >= iymax THEN 1.0e0
+  WHEN py = iymin THEN 1.0e0 - (sy0 - CAST(iymin AS DOUBLE))
+  WHEN py + 1 = iymax THEN 1.0e0 - (CAST(iymax AS DOUBLE) - sy1)
+  ELSE 1.0e0 END"""
+
+
+def warp_aggregate(spark: SparkSession, zoom: int = 0, band: int = 2) -> DataFrame:
+    """All eight aggregate warp resamplers in one pass: per destination
+    pixel (global mercator pixel coords gx, gy at ``zoom``; gy is TMS,
+    south-origin) the footprint count plus min / max / q1 / med / q3 /
+    weighted sum / weighted average / weighted rms / mode.
+
+    Plan shape: codegen projection -> two explodes (footprint ranges,
+    1-3 pixels per axis at z0) -> ONE hash aggregation on (band, gx, gy)
+    + a value-level aggregation and window for the mode — no Python, no
+    driver collect; survives any scale the shuffle does."""
+    f = warp_agg_fragments(zoom)
+    npx = mercator.TILE_SIZE * (2**zoom)
+    eps = _W_EPS
+    w = mercator.sql_double(float(SRC_W))
+    h = mercator.sql_double(float(SRC_H))
+
+    src = source_grid(spark).filter(F.col("band") == band)
+    bounded = src.selectExpr(
+        "band",
+        "px",
+        "py",
+        "value",
+        f"{f['gx_lo']} AS gx_lo",
+        f"{f['gx_hi']} AS gx_hi",
+        f"{f['gy_lo']} AS gy_lo",
+        f"{f['gy_hi']} AS gy_hi",
+    ).filter(
+        f"gx_hi >= gx_lo AND gx_hi >= 0 AND gx_lo < {npx}"
+        f" AND gy_hi >= gy_lo AND gy_hi >= 0 AND gy_lo < {npx}"
+    )
+    pairs = (
+        bounded.withColumn(
+            "gx",
+            F.explode(
+                F.expr(f"sequence(greatest(gx_lo, 0L), least(gx_hi, {npx - 1}L))")
+            ),
+        )
+        .withColumn(
+            "gy",
+            F.explode(
+                F.expr(f"sequence(greatest(gy_lo, 0L), least(gy_hi, {npx - 1}L))")
+            ),
+        )
+        .selectExpr(
+            "band",
+            "px",
+            "py",
+            "value",
+            "gx",
+            "gy",
+            f"{f['sx0']} AS sx0",
+            f"{f['sx1']} AS sx1",
+            f"{f['sy0']} AS sy0",
+            f"{f['sy1']} AS sy1",
+        )
+        .selectExpr(
+            "*",
+            f"CAST(greatest(floor(sx0 + {eps}), 0.0e0) AS INT) AS ixmin",
+            f"CAST(least(ceiling(sx1 - {eps}), {w}) AS INT) AS ixmax",
+            f"CAST(greatest(floor(sy0 + {eps}), 0.0e0) AS INT) AS iymin",
+            f"CAST(least(ceiling(sy1 - {eps}), {h}) AS INT) AS iymax",
+        )
+        .selectExpr(
+            "band",
+            "value",
+            "gx",
+            "gy",
+            f"(({_WX_SQL}) * ({_WY_SQL})) AS wgt",
+        )
+    )
+    stats = (
+        pairs.groupBy("band", "gx", "gy")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+            F.expr("array_sort(collect_list(value))").alias("vals"),
+            F.sum(F.expr("wgt * CAST(value AS DOUBLE)")).alias("wv"),
+            F.sum("wgt").alias("wtot"),
+            F.sum(F.expr("wgt * CAST(value AS DOUBLE) * CAST(value AS DOUBLE)")).alias(
+                "wv2"
+            ),
+        )
+        .selectExpr(
+            "band",
+            "gx",
+            "gy",
+            "CAST(n AS BIGINT) AS n",
+            "vmin",
+            "vmax",
+            "element_at(vals, CAST(ceiling(2.5e-1 * CAST(n AS DOUBLE) - 1.0e0) AS INT) + 1) AS vq1",
+            "element_at(vals, CAST(ceiling(5.0e-1 * CAST(n AS DOUBLE) - 1.0e0) AS INT) + 1) AS vmed",
+            "element_at(vals, CAST(ceiling(7.5e-1 * CAST(n AS DOUBLE) - 1.0e0) AS INT) + 1) AS vq3",
+            "round(wv, 6) AS sum_w6",
+            "round(wv / wtot, 6) AS avg_w6",
+            "round(sqrt(wv2 / wtot), 6) AS rms_w6",
+        )
+    )
+    from pyspark.sql.window import Window
+
+    per_value = pairs.groupBy("band", "gx", "gy", "value").agg(
+        F.round(F.sum("wgt"), 9).alias("wsum9")
+    )
+    win = Window.partitionBy("band", "gx", "gy").orderBy(
+        F.col("wsum9").desc(), F.col("value").asc()
+    )
+    mode = (
+        per_value.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") == 1)
+        .select("band", "gx", "gy", F.col("value").alias("vmode"))
+    )
+    return stats.join(mode, ["band", "gx", "gy"])
 
 
 def tile_pyramid_checksums(

@@ -2336,6 +2336,244 @@ def q_raster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Conic projections (OGRCoordinateTransformation via PROJ in the
+# reference, ogr/ogrct.cpp; here the Snyder closed forms rendered as
+# shared SQL text — geometry/conic.py): RGF93/Lambert-93 (EPSG:2154
+# params) and NAD83/Conus Albers (EPSG:5070 params), decimeter floors.
+# Rows limited to |lat| <= 60 — beyond that the Albers cone apex makes
+# sqrt(C - n*q) undefined (projection domain, not an engine limit).
+# --------------------------------------------------------------------------
+from gdal_spark.geometry import conic as _conic  # noqa: E402
+
+_L93_E = _conic.sql_lcc_easting("lat", "lon")
+_L93_N = _conic.sql_lcc_northing("lat", "lon")
+_ALB_E = _conic.sql_albers_easting("lat", "lon")
+_ALB_N = _conic.sql_albers_northing("lat", "lon")
+
+_CONIC_ORACLE = f"""
+WITH docs AS ({_DOCS_CTE})
+SELECT doc_id,
+       CAST(floor({_L93_E} * 1.0e1) AS BIGINT) AS l93_e_dm,
+       CAST(floor({_L93_N} * 1.0e1) AS BIGINT) AS l93_n_dm,
+       CAST(floor({_ALB_E} * 1.0e1) AS BIGINT) AS alb_e_dm,
+       CAST(floor({_ALB_N} * 1.0e1) AS BIGINT) AS alb_n_dm
+FROM docs WHERE lat BETWEEN -6.0e1 AND 6.0e1
+"""
+
+
+@register("conic_transform", _CONIC_ORACLE)
+def q_conic_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """-t_srs EPSG:2154 / EPSG:5070 analog: LCC + Albers forward,
+    whole-stage codegen (constants folded to double literals)."""
+    docs = corpus.load_docs(spark, sf_dir).filter(
+        F.col("lat").between(-60.0, 60.0)
+    )
+    return docs.select(
+        "doc_id",
+        F.expr(f"CAST(floor({_L93_E} * 1.0e1) AS BIGINT)").alias("l93_e_dm"),
+        F.expr(f"CAST(floor({_L93_N} * 1.0e1) AS BIGINT)").alias("l93_n_dm"),
+        F.expr(f"CAST(floor({_ALB_E} * 1.0e1) AS BIGINT)").alias("alb_e_dm"),
+        F.expr(f"CAST(floor({_ALB_N} * 1.0e1) AS BIGINT)").alias("alb_n_dm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Viewshed (alg/viewshed.cpp): single-observer line-of-sight visibility
+# over the band-1 grid as DEM.  DDA-ray sampling puts sample k at exactly
+# k/n of the target distance, so the blocking comparison
+# (z_k - z0)*n >= (z_t - z0)*k is pure INTEGER arithmetic — the whole
+# operator is bit-exact and the oracle is plain SQL (no trig/sqrt).
+# --------------------------------------------------------------------------
+_VS_OX, _VS_OY, _VS_R = 200, 100, 80
+_VS_Z0 = ((_VS_OX * 7 + _VS_OY * 13 + 29) % 256) + 20  # terrain + 20 mast
+
+_VIEWSHED_ORACLE = f"""
+WITH g AS (
+  SELECT CAST(px.i AS int) AS px, CAST(py.j AS int) AS py
+  FROM range(0, {SRC_W}) px(i), range(0, {SRC_H}) py(j)
+),
+v AS (SELECT px, py, CAST((px * 7 + py * 13 + 29) % 256 AS BIGINT) AS z FROM g),
+d AS (
+  SELECT px, py, z,
+         CAST(greatest(abs(px - {_VS_OX}), abs(py - {_VS_OY})) AS BIGINT) AS n
+  FROM v
+  WHERE (px - {_VS_OX}) * (px - {_VS_OX}) + (py - {_VS_OY}) * (py - {_VS_OY})
+        <= {_VS_R * _VS_R}
+),
+blocked AS (
+  SELECT DISTINCT t.px, t.py
+  FROM d t, range(1, {_VS_R}) kk(k), v s
+  WHERE kk.k < t.n
+    AND s.px = {_VS_OX} + CAST(floor(CAST(kk.k * (t.px - {_VS_OX}) AS DOUBLE)
+                                     / CAST(greatest(t.n, 1) AS DOUBLE) + 0.5) AS INT)
+    AND s.py = {_VS_OY} + CAST(floor(CAST(kk.k * (t.py - {_VS_OY}) AS DOUBLE)
+                                     / CAST(greatest(t.n, 1) AS DOUBLE) + 0.5) AS INT)
+    AND (s.z - {_VS_Z0}) * t.n >= (t.z - {_VS_Z0}) * kk.k
+)
+SELECT t.px, t.py,
+       CAST(CASE WHEN b.px IS NULL THEN 1 ELSE 0 END AS INT) AS visible
+FROM d t LEFT JOIN blocked b ON t.px = b.px AND t.py = b.py
+"""
+
+
+@register("viewshed", _VIEWSHED_ORACLE)
+def q_viewshed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal_viewshed analog: observer at grid center, 20-unit mast,
+    radius 80; azimuth-wedge distributed DDA line of sight."""
+    from gdal_spark.operators.raster import source_grid
+    from gdal_spark.operators.viewshed import viewshed
+
+    dem = (
+        source_grid(spark)
+        .filter(F.col("band") == 1)
+        .select("px", "py", F.col("value").alias("z"))
+    )
+    return viewshed(dem, _VS_OX, _VS_OY, _VS_Z0, max_dist=_VS_R)
+
+
+# --------------------------------------------------------------------------
+# Footprint (apps/gdal_footprint_lib.cpp): polygon footprint of the mask
+# pixels with -min_ring_area hole filtering.  Closed-form fixture: two
+# rectangles plus a donut whose second (tiny) hole falls under the area
+# threshold and is filled in; components/labels/rings are all exact.
+# --------------------------------------------------------------------------
+_FP_MASK = (
+    "((px >= 10 AND px < 60 AND py >= 20 AND py < 50)"
+    " OR (px >= 100 AND px < 180 AND py >= 40 AND py < 160"
+    "     AND NOT (px >= 120 AND px < 150 AND py >= 60 AND py < 100)"
+    "     AND NOT (px >= 160 AND px < 163 AND py >= 140 AND py < 143))"
+    " OR (px >= 300 AND px < 310 AND py >= 5 AND py < 9))"
+)
+
+_FOOTPRINT_ORACLE = """
+SELECT CAST(2300 AS BIGINT) AS label,
+       'POLYGON ((300 5,310 5,310 9,300 9,300 5))' AS ring_wkt
+UNION ALL
+SELECT CAST(8010 AS BIGINT),
+       'POLYGON ((10 20,60 20,60 50,10 50,10 20))'
+UNION ALL
+SELECT CAST(16100 AS BIGINT),
+       'POLYGON ((100 40,180 40,180 160,100 160,100 40),(120 60,120 100,150 100,150 60,120 60))'
+"""
+
+
+@register("footprint", _FOOTPRINT_ORACLE)
+def q_footprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal_footprint with -min_ring_area: mask -> components -> rings;
+    the 3x3 hole (area 9 < 10) is filled in, the big hole survives."""
+    from gdal_spark.operators.polygonize import footprint
+
+    g = spark.range(SRC_W * SRC_H).select(
+        (F.col("id") % SRC_W).cast("int").alias("px"),
+        ((F.col("id") - (F.col("id") % SRC_W)) / SRC_W).cast("int").alias("py"),
+    )
+    mask = g.filter(_FP_MASK).select("px", "py")
+    return footprint(mask, SRC_W, SRC_H, min_ring_area=10.0)
+
+
+# --------------------------------------------------------------------------
+# Aggregate warp resamplers (GRA_Min/Max/Med/Q1/Q3/Sum/Average/RMS/Mode,
+# alg/gdalwarper.h:37-67; kernels alg/gdalwarpkernel.cpp:6760-7640).  All
+# eight statistics over each destination pixel's source footprint in one
+# shuffle aggregation; footprint + COMPUTE_WEIGHT formulas are shared SQL
+# text (operators/raster.py warp_agg_fragments) so Spark and DuckDB agree
+# bit-for-bit on membership and weights.
+# --------------------------------------------------------------------------
+
+
+def _warp_agg_oracle() -> str:
+    from gdal_spark.operators.raster import (
+        _W_EPS,
+        _WX_SQL,
+        _WY_SQL,
+        warp_agg_fragments,
+    )
+
+    f = warp_agg_fragments(0)
+    npx = 256
+    eps = _W_EPS
+    w, h = f"{float(SRC_W):.17e}", f"{float(SRC_H):.17e}"
+    return f"""
+WITH g AS ({_SRC_GRID_CTE}),
+src AS (SELECT band, px, py, CAST({_SRC_VAL} AS int) AS value FROM g WHERE band = 2),
+b AS (
+  SELECT band, px, py, value,
+         {f["gx_lo"]} AS gx_lo, {f["gx_hi"]} AS gx_hi,
+         {f["gy_lo"]} AS gy_lo, {f["gy_hi"]} AS gy_hi
+  FROM src
+),
+bf AS (
+  SELECT * FROM b
+  WHERE gx_hi >= gx_lo AND gx_hi >= 0 AND gx_lo < {npx}
+    AND gy_hi >= gy_lo AND gy_hi >= 0 AND gy_lo < {npx}
+),
+ex AS (
+  SELECT band, px, py, value, ux.gx AS gx, uy.gy AS gy
+  FROM bf,
+       unnest(generate_series(greatest(gx_lo, 0), least(gx_hi, {npx - 1}))) ux(gx),
+       unnest(generate_series(greatest(gy_lo, 0), least(gy_hi, {npx - 1}))) uy(gy)
+),
+sb AS (
+  SELECT band, px, py, value, gx, gy,
+         {f["sx0"]} AS sx0, {f["sx1"]} AS sx1,
+         {f["sy0"]} AS sy0, {f["sy1"]} AS sy1
+  FROM ex
+),
+ib AS (
+  SELECT *,
+         CAST(greatest(floor(sx0 + {eps}), 0.0e0) AS INT) AS ixmin,
+         CAST(least(ceiling(sx1 - {eps}), {w}) AS INT) AS ixmax,
+         CAST(greatest(floor(sy0 + {eps}), 0.0e0) AS INT) AS iymin,
+         CAST(least(ceiling(sy1 - {eps}), {h}) AS INT) AS iymax
+  FROM sb
+),
+pairs AS (
+  SELECT band, value, gx, gy, (({_WX_SQL}) * ({_WY_SQL})) AS wgt
+  FROM ib
+),
+agg AS (
+  SELECT band, gx, gy,
+         CAST(count(*) AS BIGINT) AS n,
+         min(value) AS vmin, max(value) AS vmax,
+         list_sort(list(value)) AS vals,
+         sum(wgt * CAST(value AS DOUBLE)) AS wv,
+         sum(wgt) AS wtot,
+         sum(wgt * CAST(value AS DOUBLE) * CAST(value AS DOUBLE)) AS wv2
+  FROM pairs GROUP BY band, gx, gy
+),
+per_value AS (
+  SELECT band, gx, gy, value, round(sum(wgt), 9) AS wsum9
+  FROM pairs GROUP BY band, gx, gy, value
+),
+mode AS (
+  SELECT band, gx, gy, value AS vmode FROM (
+    SELECT band, gx, gy, value,
+           row_number() OVER (PARTITION BY band, gx, gy
+                              ORDER BY wsum9 DESC, value ASC) AS rn
+    FROM per_value
+  ) WHERE rn = 1
+)
+SELECT a.band, a.gx, a.gy, a.n, a.vmin, a.vmax,
+       vals[CAST(ceiling(2.5e-1 * CAST(n AS DOUBLE) - 1.0e0) AS INT) + 1] AS vq1,
+       vals[CAST(ceiling(5.0e-1 * CAST(n AS DOUBLE) - 1.0e0) AS INT) + 1] AS vmed,
+       vals[CAST(ceiling(7.5e-1 * CAST(n AS DOUBLE) - 1.0e0) AS INT) + 1] AS vq3,
+       round(wv, 6) AS sum_w6,
+       round(wv / wtot, 6) AS avg_w6,
+       round(sqrt(wv2 / wtot), 6) AS rms_w6,
+       m.vmode
+FROM agg a JOIN mode m ON a.band = m.band AND a.gx = m.gx AND a.gy = m.gy
+"""
+
+
+@register("warp_aggregate", _warp_agg_oracle())
+def q_warp_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdalwarp -r min/max/med/q1/q3/sum/average/rms/mode in one pass."""
+    from gdal_spark.operators.raster import warp_aggregate
+
+    return warp_aggregate(spark, zoom=0, band=2)
+
+
+# --------------------------------------------------------------------------
 # public surface used by __spark_entry__
 # --------------------------------------------------------------------------
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -64,3 +64,74 @@ def run_available_now(stream_df: DataFrame, query_name: str):
     )
     q.awaitTermination()
     return q
+
+
+def stream_dedup(
+    spark: SparkSession,
+    docs_dir: str,
+    schema,
+    n_buckets: int = 64,
+):
+    """Custom STATEFUL streaming operator: cross-micro-batch exact dedup
+    (the streaming twin of the batch ``dedup_exact`` query) through
+    ``applyInPandasWithState`` — the extension point the reference's
+    batch-only engine has no analog for (SURVEY §2.10).
+
+    Shape: docs stream -> md5(text) content hash -> groupBy hash BUCKET
+    (stable xxhash64 % n_buckets, so state partitioning survives any
+    input order) -> per-bucket GroupState holding the set of seen hashes;
+    a doc is emitted only the first time its hash appears across the
+    whole stream's lifetime.  State size is bounded by distinct-hash
+    count / n_buckets per group; at scale n_buckets rises with
+    parallelism and the state store shards with the shuffle.
+
+    Returns the streaming DataFrame (doc_id, h) of first-seen docs;
+    caller attaches sink + trigger (Trigger.AvailableNow in tests).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    src = spark.readStream.schema(schema).parquet(docs_dir)
+    hashed = src.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.md5(F.col("text")).alias("h"),
+        (F.abs(F.xxhash64(F.md5(F.col("text")))) % n_buckets).alias("bucket"),
+    )
+
+    out_schema = StructType(
+        [StructField("doc_id", LongType()), StructField("h", StringType())]
+    )
+    state_schema = StructType([StructField("seen", StringType())])
+
+    def dedup_fn(key, pdfs, state: GroupState):
+        seen = set()
+        if state.exists:
+            (blob,) = state.get
+            if blob:
+                seen = set(blob.split(","))
+        for pdf in pdfs:
+            # within a batch keep the min doc_id per new hash
+            pdf = pdf.sort_values("doc_id")
+            fresh = pdf[~pdf["h"].isin(seen) & ~pdf.duplicated("h")]
+            if len(fresh):
+                seen.update(fresh["h"].tolist())
+                yield fresh[["doc_id", "h"]]
+        state.update((",".join(sorted(seen)),))
+
+    return (
+        hashed.groupBy("bucket")
+        .applyInPandasWithState(
+            dedup_fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        .select("doc_id", "h")
+    )

@@ -231,3 +231,64 @@ class TestResamplers:
             vals, cnt = np.unique(q, return_counts=True)
             assert pm[y, x] == vals[np.argmax(cnt)]  # ties -> smallest value
             assert pr[y, x] == int(np.floor(np.sqrt((q**2).mean()) + 0.5))
+
+
+class TestConvolutionOverviews:
+    """Convolution overview resamplers (bilinear/cubic/cubicspline/
+    lanczos; gcore/overview.cpp shared-kernel convolution path) through
+    the exact-2x _resample_window evaluation."""
+
+    def test_bilinear_overview_equals_box_average(self, spark, base):
+        # at the exact quad center the bilinear tap weights are all 1/4,
+        # so a 2x bilinear overview IS the box average — same rounding
+        bl = raster.overview_tiles(base, method="bilinear")
+        av = raster.overview_tiles(base, method="average")
+        key = lambda r: (r.band, r.tx, r.ty)  # noqa: E731
+        b = {key(r): r.data for r in bl.collect()}
+        a = {key(r): r.data for r in av.collect()}
+        assert b.keys() == a.keys() and len(b) >= 4
+        assert all(b[k] == a[k] for k in b)
+
+    def test_cubic_overview_interior_recompute(self, spark, base):
+        cu = raster.overview_tiles(base, method="cubic")
+        row = cu.filter(
+            (F.col("band") == 1) & (F.col("tx") == 0) & (F.col("ty") == 1)
+        ).first()
+        img = np.frombuffer(row.data, dtype=np.uint8).reshape(256, 256)
+        children = {
+            (r.tx, r.ty): np.frombuffer(r.data, dtype=np.uint8).reshape(256, 256)
+            for r in base.filter(
+                (F.col("band") == 1) & (F.col("tx") < 2) & (F.col("ty") >= 2)
+            ).collect()
+        }
+        mosaic = np.zeros((512, 512))
+        for (tx, ty), child in children.items():
+            r0 = 0 if (ty & 1) == 1 else 256
+            mosaic[r0 : r0 + 256, tx * 256 : (tx + 1) * 256] = child
+        # hand-evaluate the Catmull-Rom 4x4 at one interior output pixel
+        def k(t):
+            at = abs(t)
+            if at <= 1:
+                return 1.5 * at**3 - 2.5 * at**2 + 1
+            if at < 2:
+                return -0.5 * at**3 + 2.5 * at**2 - 4 * at + 2
+            return 0.0
+
+        y, x = 97, 131
+        gx, gy = 2 * x + 0.5, 2 * y + 0.5  # coords - 0.5
+        i0, j0 = int(np.floor(gx)), int(np.floor(gy))
+        acc = 0.0
+        for dj in range(-1, 3):
+            wy = k(gy - j0 - dj)
+            for di in range(-1, 3):
+                acc += wy * k(gx - i0 - di) * mosaic[j0 + dj, i0 + di]
+        assert img[y, x] == int(np.clip(np.floor(acc + 0.5), 0, 255))
+
+    def test_all_convolution_methods_preserve_constant(self, spark):
+        const = raster.source_grid(spark).withColumn("value", F.lit(93))
+        b = raster.base_tiles(spark, const, zoom=1)
+        for m in ("bilinear", "cubic", "cubicspline", "lanczos"):
+            ov = raster.overview_tiles(b, method=m)
+            row = ov.filter((F.col("band") == 1) & (F.col("tx") == 0)).first()
+            img = np.frombuffer(row.data, dtype=np.uint8).reshape(256, 256)
+            assert (img[64:192, 64:192] == 93).all(), m

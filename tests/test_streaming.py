@@ -38,3 +38,47 @@ def test_stream_rollup_matches_batch(spark, sf_dir):
     for k in want:
         assert got[k][0] == want[k][0], k
         assert abs(got[k][1] - want[k][1]) < 1e-6, k
+
+
+def test_stream_dedup_stateful_across_batches(spark):
+    """applyInPandasWithState dedup: a hash seen in batch 1 must NOT be
+    re-emitted by batch 2 (state crosses micro-batches)."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from gdal_spark.streaming import stream_dedup
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    rows1 = [(i, f"text-{i % 10}") for i in range(0, 30)]  # 10 distinct
+    rows2 = [(i, f"text-{i % 25}") for i in range(30, 80)]  # 15 new
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(f"{d}/in")
+        spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(
+            f"{d}/in"
+        )
+        out = stream_dedup(spark, f"{d}/in", schema)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("dedup_test")
+            .outputMode("append")
+            .option("checkpointLocation", f"{d}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = spark.sql("SELECT * FROM dedup_test").collect()
+    # exactly one row per distinct text across the whole stream
+    assert len(got) == 25
+    assert len({r.h for r in got}) == 25
+    # every emitted doc_id actually carries the text it represents
+    texts = {}
+    for i, t in rows1 + rows2:
+        texts.setdefault(t, set()).add(i)
+    import hashlib
+
+    h2ids = {
+        hashlib.md5(t.encode()).hexdigest(): ids for t, ids in texts.items()
+    }
+    for r in got:
+        assert r.doc_id in h2ids[r.h]
