@@ -114,6 +114,89 @@ def dem_gradient(
     )
 
 
+_TPI_SCHEMA = StructType(
+    [
+        StructField("px", IntegerType()),
+        StructField("py", IntegerType()),
+        StructField("tri_wilson8", LongType()),
+        StructField("tri_riley2", LongType()),
+        StructField("tpi8", LongType()),
+        StructField("rough", LongType()),
+    ]
+)
+
+
+def dem_tpi_tri(pixels: DataFrame, width: int, height: int) -> DataFrame:
+    """gdaldem TRI/TPI/roughness (apps/gdaldem_lib.cpp:2351-2417) for
+    interior pixels, in integer-exact form:
+
+      * tri_wilson8 = sum |neighbor - center| over the 8 neighbors
+        (= 8x GDALTRIAlgWilson's mean-abs-difference);
+      * tri_riley2  = sum (neighbor - center)^2
+        (= GDALTRIAlgRiley squared — monotone in the reference value);
+      * tpi8        = 8*center - sum(neighbors) (= 8x GDALTPIAlg);
+      * rough       = max - min over the full 3x3 (GDALRoughnessAlg).
+
+    Keeping the pre-float integer forms makes the DuckDB oracle bit-exact
+    (the /8, sqrt are display transforms, same policy as dem_gradient)."""
+
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        gtx, gty = int(key[0]), int(key[1])
+        spx = pdf["px"].to_numpy(np.int64)
+        spy = pdf["py"].to_numpy(np.int64)
+        val = pdf["value"].to_numpy(np.int64)
+        x0 = gtx * GRID_TILE - 1
+        y0 = gty * GRID_TILE - 1
+        w = GRID_TILE + 2
+        win = np.zeros((w, w), dtype=np.int64)
+        sel = (spx >= x0) & (spx < x0 + w) & (spy >= y0) & (spy < y0 + w)
+        win[spy[sel] - y0, spx[sel] - x0] = val[sel]
+        pxs = np.arange(gtx * GRID_TILE, min((gtx + 1) * GRID_TILE, width))
+        pys = np.arange(gty * GRID_TILE, min((gty + 1) * GRID_TILE, height))
+        pxs = pxs[(pxs >= 1) & (pxs <= width - 2)]
+        pys = pys[(pys >= 1) & (pys <= height - 2)]
+        empty = {
+            "px": "int32", "py": "int32", "tri_wilson8": "int64",
+            "tri_riley2": "int64", "tpi8": "int64", "rough": "int64",
+        }
+        if pxs.size == 0 or pys.size == 0:
+            return pd.DataFrame({k: [] for k in empty}).astype(empty)
+        cx = pxs - x0
+        cy = pys - y0
+        center = win[np.ix_(cy, cx)]
+        tri_w = np.zeros_like(center)
+        tri_r = np.zeros_like(center)
+        nsum = np.zeros_like(center)
+        nmax = center.copy()
+        nmin = center.copy()
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dx == 0 and dy == 0:
+                    continue
+                nb = win[np.ix_(cy + dy, cx + dx)]
+                d = nb - center
+                tri_w += np.abs(d)
+                tri_r += d * d
+                nsum += nb
+                np.maximum(nmax, nb, out=nmax)
+                np.minimum(nmin, nb, out=nmin)
+        gx, gy = np.meshgrid(pxs, pys)
+        return pd.DataFrame(
+            {
+                "px": gx.ravel().astype(np.int32),
+                "py": gy.ravel().astype(np.int32),
+                "tri_wilson8": tri_w.ravel(),
+                "tri_riley2": tri_r.ravel(),
+                "tpi8": (8 * center - nsum).ravel(),
+                "rough": (nmax - nmin).ravel(),
+            }
+        )
+
+    return _with_halo_tiles(pixels).groupBy("gtx", "gty").applyInPandas(
+        kernel, _TPI_SCHEMA
+    )
+
+
 _CONTOUR_SCHEMA = StructType(
     [
         StructField("level", DoubleType()),

@@ -1407,6 +1407,102 @@ def q_grid_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# gdalgrid average-distance data metrics (GDALGridDataMetricAverageDistance
+# alg/gdalgrid.cpp:2014 — node->point mean — and ...AverageDistancePts
+# :2283 — unordered pairwise mean within the search circle).  Sums are
+# reported in micro units (round(sum * 1e6)) so double summation-order
+# noise (~1e-13 abs) cannot flip the hash; per-distance bits are exact
+# (same sqrt/d2 formula text both engines).
+# --------------------------------------------------------------------------
+_GRID_ADIST_ORACLE = f"""
+WITH px AS (
+  SELECT (i % {_GRID_W}) AS gx,
+         CAST(((i - (i % {_GRID_W})) / {_GRID_W}) AS BIGINT) AS gy
+  FROM range(0, {_GRID_W * _GRID_H}) t(i)
+),
+pc AS (SELECT gx, gy, {_GLON_SQL} AS lon, {_GLAT_SQL} AS lat FROM px),
+t AS (SELECT target_id, tlon, tlat FROM ({duckdb_targets_cte()}) raw),
+j AS (
+  SELECT pc.gx, pc.gy, t.target_id, t.tlon, t.tlat,
+         sqrt((pc.lon - t.tlon) * (pc.lon - t.tlon)
+            + (pc.lat - t.tlat) * (pc.lat - t.tlat)) AS r
+  FROM pc JOIN t
+    ON (pc.lon - t.tlon) * (pc.lon - t.tlon)
+     + (pc.lat - t.tlat) * (pc.lat - t.tlat) < {_GRID_AVG_RADIUS2}
+),
+node AS (
+  SELECT gx, gy, CAST(count(*) AS BIGINT) AS n_pts,
+         CAST(round(sum(r) * 1.0e6) AS BIGINT) AS micro_rsum
+  FROM j GROUP BY gx, gy
+),
+pairs AS (
+  SELECT a.gx, a.gy, CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(round(sum(sqrt((a.tlon - b.tlon) * (a.tlon - b.tlon)
+                           + (a.tlat - b.tlat) * (a.tlat - b.tlat))) * 1.0e6)
+              AS BIGINT) AS micro_psum
+  FROM j a JOIN j b
+    ON a.gx = b.gx AND a.gy = b.gy AND a.target_id < b.target_id
+  GROUP BY a.gx, a.gy
+)
+SELECT node.gx, node.gy, node.n_pts, node.micro_rsum,
+       COALESCE(pairs.n_pairs, 0) AS n_pairs,
+       COALESCE(pairs.micro_psum, 0) AS micro_psum
+FROM node LEFT JOIN pairs ON node.gx = pairs.gx AND node.gy = pairs.gy
+"""
+
+
+@register("grid_avg_dist", _GRID_ADIST_ORACLE)
+def q_grid_avg_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdalgrid avg-distance metrics: node->point mean distance and
+    pairwise mean distance among points in the search circle."""
+    from gdal_spark.operators.knn import knn_targets, radius_join
+
+    px = spark.range(_GRID_W * _GRID_H).select(
+        (F.col("id") % _GRID_W).alias("gx"),
+        ((F.col("id") - (F.col("id") % _GRID_W)) / _GRID_W).cast("long").alias("gy"),
+    )
+    pc = px.select(
+        "gx", "gy", F.expr(_GLON_SQL).alias("lon"), F.expr(_GLAT_SQL).alias("lat")
+    )
+    t = knn_targets(spark)
+    j = (
+        radius_join(pc, t, radius2_sql=_GRID_AVG_RADIUS2)
+        .join(F.broadcast(t), "target_id")
+        .select("gx", "gy", "target_id", "tlon", "tlat", F.expr("sqrt(d2)").alias("r"))
+        .persist()
+    )
+    node = j.groupBy("gx", "gy").agg(
+        F.count("*").cast("long").alias("n_pts"),
+        F.expr("CAST(round(sum(r) * 1.0e6) AS BIGINT)").alias("micro_rsum"),
+    )
+    a = j.select(
+        "gx", "gy", F.col("target_id").alias("tid_a"),
+        F.col("tlon").alias("alon"), F.col("tlat").alias("alat"),
+    )
+    b = j.select(
+        "gx", "gy", F.col("target_id").alias("tid_b"),
+        F.col("tlon").alias("blon"), F.col("tlat").alias("blat"),
+    )
+    pairs = (
+        a.join(b, ["gx", "gy"])
+        .filter(F.col("tid_a") < F.col("tid_b"))
+        .groupBy("gx", "gy")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.expr(
+                "CAST(round(sum(sqrt((alon - blon) * (alon - blon)"
+                " + (alat - blat) * (alat - blat))) * 1.0e6) AS BIGINT)"
+            ).alias("micro_psum"),
+        )
+    )
+    return node.join(pairs, ["gx", "gy"], "left").select(
+        "gx", "gy", "n_pts", "micro_rsum",
+        F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+        F.coalesce("micro_psum", F.lit(0)).cast("long").alias("micro_psum"),
+    )
+
+
+# --------------------------------------------------------------------------
 # General overlays on the RICH method layer — concave L-shapes with holes
 # that OVERLAP each other (zones.rich_zones).  The engine runs the general
 # fan-triangle kernel + per-key coordinate-compressed unions; the oracle
@@ -2133,6 +2229,110 @@ def q_dem_derivatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(dzdx * dzdx + dzdy * dzdy AS BIGINT)").alias("slope_p2q2"),
         F.expr(_ASPECT_OCTANT).alias("aspect_octant"),
         F.expr(f"CAST(floor({_HS_EXPR} * 1.0e4) AS BIGINT)").alias("hs4"),
+    )
+
+
+# --------------------------------------------------------------------------
+# gdaldem TRI / TPI / roughness (apps/gdaldem_lib.cpp:2351-2417) — same
+# halo-focal shape as the gradient; integer-exact forms (x8 / squared)
+# so the synthetic-value oracle is bit-identical.
+# --------------------------------------------------------------------------
+_TPI_ORACLE = f"""
+WITH g AS (
+  SELECT CAST(px.i AS int) AS px, CAST(py.j AS int) AS py
+  FROM range(1, {SRC_W - 1}) px(i), range(1, {SRC_H - 1}) py(j)
+),
+n AS (
+  SELECT CAST(dx.v AS int) AS dx, CAST(dy.v AS int) AS dy
+  FROM range(-1, 2) dx(v), range(-1, 2) dy(v)
+),
+v AS (
+  SELECT g.px, g.py, n.dx, n.dy,
+         (((g.px + n.dx) * 7 + (g.py + n.dy) * 13 + 29) % 256) AS nv,
+         ((g.px * 7 + g.py * 13 + 29) % 256) AS cv
+  FROM g, n
+)
+SELECT px, py,
+  CAST(sum(CASE WHEN dx = 0 AND dy = 0 THEN 0 ELSE abs(nv - cv) END) AS BIGINT) AS tri_wilson8,
+  CAST(sum(CASE WHEN dx = 0 AND dy = 0 THEN 0 ELSE (nv - cv) * (nv - cv) END) AS BIGINT) AS tri_riley2,
+  CAST(sum(CASE WHEN dx = 0 AND dy = 0 THEN 0 ELSE cv - nv END) AS BIGINT) AS tpi8,
+  CAST(max(nv) - min(nv) AS BIGINT) AS rough
+FROM v GROUP BY px, py
+"""
+
+
+@register("dem_tpi", _TPI_ORACLE)
+def q_dem_tpi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdaldem TRI (Wilson x8 + Riley squared), TPI x8, roughness."""
+    from gdal_spark.operators.focal import dem_tpi_tri
+    from gdal_spark.operators.raster import source_grid
+
+    band1 = source_grid(spark).filter(F.col("band") == 1).select("px", "py", "value")
+    return dem_tpi_tri(band1, SRC_W, SRC_H)
+
+
+# --------------------------------------------------------------------------
+# gdaldem color-relief (apps/gdaldem_lib.cpp:1611-1777
+# GDALColorReliefGetRGBA, COLOR_SELECTION_INTERPOLATE): piecewise-linear
+# LUT per channel, channel = clamp(floor(0.5 + c0 + ratio*(c1-c0)), 0,
+# 255).  Pure whole-stage-codegen column math — the generated CASE text
+# runs identically in F.expr and DuckDB (no Python anywhere).
+# --------------------------------------------------------------------------
+_RELIEF_LUT = [  # (elevation, r, g, b) — terrain-style ramp
+    (0, 0, 0, 255),
+    (64, 0, 255, 255),
+    (128, 0, 255, 0),
+    (192, 255, 255, 0),
+    (255, 255, 0, 0),
+]
+
+
+def _relief_channel_expr(chan: int) -> str:
+    """CASE text for one RGB channel over the sorted _RELIEF_LUT."""
+    e0, *_ = _RELIEF_LUT[0]
+    c_first = _RELIEF_LUT[0][chan]
+    parts = [f"WHEN v <= {e0} THEN CAST({c_first} AS BIGINT)"]
+    for (ea, *ca), (eb, *cb) in zip(_RELIEF_LUT, _RELIEF_LUT[1:]):
+        c0, c1 = ca[chan - 1], cb[chan - 1]
+        interp = (
+            f"least(2.55e2, greatest(0.0e0, floor(5.0e-1 + {c0} + "
+            f"((CAST(v AS DOUBLE) - {ea}) / ({eb} - {ea})) * ({c1} - {c0}))))"
+        )
+        parts.append(f"WHEN v <= {eb} THEN CAST({interp} AS BIGINT)")
+    c_last = _RELIEF_LUT[-1][chan]
+    return "CASE " + " ".join(parts) + f" ELSE CAST({c_last} AS BIGINT) END"
+
+
+_RELIEF_ORACLE = f"""
+WITH g AS (
+  SELECT CAST(px.i AS int) AS px, CAST(py.j AS int) AS py,
+         ((px.i * 7 + py.j * 13 + 29) % 256) AS v
+  FROM range(0, {SRC_W}) px(i), range(0, {SRC_H}) py(j)
+)
+SELECT px, py,
+       {_relief_channel_expr(1)} AS cr,
+       {_relief_channel_expr(2)} AS cg,
+       {_relief_channel_expr(3)} AS cb
+FROM g
+"""
+
+
+@register("color_relief", _RELIEF_ORACLE)
+def q_color_relief(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdaldem color-relief over band 1 — LUT interpolation as JVM CASE."""
+    from gdal_spark.operators.raster import source_grid
+
+    band1 = source_grid(spark).filter(F.col("band") == 1)
+    return band1.select(
+        "px",
+        "py",
+        F.col("value").alias("v"),
+    ).select(
+        "px",
+        "py",
+        F.expr(_relief_channel_expr(1)).alias("cr"),
+        F.expr(_relief_channel_expr(2)).alias("cg"),
+        F.expr(_relief_channel_expr(3)).alias("cb"),
     )
 
 
