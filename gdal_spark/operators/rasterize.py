@@ -61,12 +61,62 @@ def _pixel_centers(tx: int, ty: int, zoom: int):
     return lon, lat
 
 
+def _pixel_edges(tx: int, ty: int, zoom: int):
+    """(lon[257] column edges, lat[257] TMS row edges bottom-up)."""
+    res = mercator.resolution(zoom)
+    i = np.arange(TILE + 1)
+    mx = (tx * TILE + i) * res - mercator.ORIGIN_SHIFT
+    my = (ty * TILE + i) * res - mercator.ORIGIN_SHIFT
+    lat = mercator.meters_to_lat_lon(np.zeros(1), my)[0]
+    lon = mercator.meters_to_lat_lon(mx, np.zeros(1))[1]
+    return lon, lat
+
+
+def _supercover_mask(ring: np.ndarray, lon_e: np.ndarray, lat_e: np.ndarray):
+    """Cells the ring's edges pass through (GDALdllImageLineAllTouched,
+    alg/llrasterize.cpp): per edge, split [0,1] at every cell-boundary
+    crossing and mark the cell each sub-segment midpoint falls in.
+    Per-edge loop is per-unique-geometry (bounded by ring length), the
+    inner work is vectorized."""
+    mask = np.zeros((TILE, TILE), dtype=bool)
+    for k in range(ring.shape[0] - 1):
+        x0, y0 = float(ring[k, 0]), float(ring[k, 1])
+        x1, y1 = float(ring[k + 1, 0]), float(ring[k + 1, 1])
+        parts = [np.array([0.0, 1.0])]
+        xlo, xhi = (x0, x1) if x0 <= x1 else (x1, x0)
+        bx = lon_e[np.searchsorted(lon_e, xlo, "right"):
+                   np.searchsorted(lon_e, xhi, "left")]
+        if bx.size and x1 != x0:
+            parts.append((bx - x0) / (x1 - x0))
+        ylo, yhi = (y0, y1) if y0 <= y1 else (y1, y0)
+        by = lat_e[np.searchsorted(lat_e, ylo, "right"):
+                   np.searchsorted(lat_e, yhi, "left")]
+        if by.size and y1 != y0:
+            parts.append((by - y0) / (y1 - y0))
+        ts = np.unique(np.clip(np.concatenate(parts), 0.0, 1.0))
+        # open-rectangle semantics: drop zero-measure subsegments (an
+        # edge passing exactly through a grid corner yields two crossing
+        # parameters 1 ulp apart — without this, the corner-diagonal
+        # neighbors get spuriously marked)
+        dt = np.diff(ts)
+        keep = dt > 1e-12
+        tm = (ts[:-1] + ts[1:])[keep] * 0.5
+        px = x0 + tm * (x1 - x0)
+        py = y0 + tm * (y1 - y0)
+        ix = np.searchsorted(lon_e, px) - 1
+        iy = np.searchsorted(lat_e, py) - 1
+        ok = (ix >= 0) & (ix < TILE) & (iy >= 0) & (iy < TILE)
+        mask[iy[ok], ix[ok]] = True
+    return mask
+
+
 def rasterize(
     zones: DataFrame,
     zoom: int,
     merge: str = "replace",
     wkt_col: str = "geom_wkt",
     zone_id_col: str = "zone_id",
+    all_touched: bool = False,
 ) -> DataFrame:
     """(zoom, tx, ty, n_burned, data) — data is the 256x256 uint8 burn
     raster (burn value = zone_id % 255 + 1, 0 = nodata), row 0 = north.
@@ -79,6 +129,8 @@ def rasterize(
     def burn_tile(key, pdf: pd.DataFrame) -> pd.DataFrame:
         tx, ty = int(key[0]), int(key[1])
         lon, lat = _pixel_centers(tx, ty, zoom)
+        if all_touched:
+            lon_e, lat_e = _pixel_edges(tx, ty, zoom)
         img = np.zeros((TILE, TILE), dtype=np.uint16)
         any_mask = np.zeros((TILE, TILE), dtype=bool)
         wkt_of = dict(zip(pdf[zone_id_col], pdf[wkt_col]))
@@ -93,7 +145,14 @@ def rasterize(
                     and len(np.unique(ring0[:, 0])) == 2
                     and len(np.unique(ring0[:, 1])) == 2
                 )
-                if is_rect:
+                if is_rect and all_touched:
+                    x0, x1 = ring0[:, 0].min(), ring0[:, 0].max()
+                    y0, y1 = ring0[:, 1].min(), ring0[:, 1].max()
+                    mask |= np.outer(
+                        (lat_e[:-1] < y1) & (y0 < lat_e[1:]),
+                        (lon_e[:-1] < x1) & (x0 < lon_e[1:]),
+                    )
+                elif is_rect:
                     x0, x1 = ring0[:, 0].min(), ring0[:, 0].max()
                     y0, y1 = ring0[:, 1].min(), ring0[:, 1].max()
                     mask |= np.outer(
@@ -103,6 +162,9 @@ def rasterize(
                     gx, gy = np.meshgrid(lon, lat)
                     hit = points_in_polygon(gx.ravel(), gy.ravel(), rings)
                     mask |= hit.reshape(TILE, TILE)
+                    if all_touched:
+                        for ring in rings:
+                            mask |= _supercover_mask(ring, lon_e, lat_e)
             burn = np.uint16(int(zid) % 255 + 1)
             if merge == "add":
                 img[mask] += burn

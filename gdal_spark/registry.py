@@ -419,6 +419,20 @@ def q_date_string_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# OGR SQL's EXCEPT keyword is projection EXCLUSION, not the relational
+# set op (ogr/swq_parser.y:861-867: SELECT * EXCEPT(f1, ...)) — mapped
+# to DataFrame.drop.
+_EXCEPT_ORACLE = """
+SELECT * EXCLUDE (n_name) FROM nation
+"""
+
+
+@register("except_project", _EXCEPT_ORACLE)
+def q_except_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return n.drop("n_name")
+
+
 _EXPR_ORACLE = """
 SELECT o_orderkey,
        concat(substr(o_orderpriority, 1, 3), '-', CAST(o_orderkey % 7 AS VARCHAR)) AS tag,
@@ -1082,6 +1096,103 @@ def q_raster_probe_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# cubic + cubic-spline interpolation at point (GDALInterpolateAtPoint,
+# alg/gdal_interpolateatpoint.cpp:303-366 apply4x4Kernel; kernels
+# alg/gdalresamplingkernels.h:23-60).  Every arithmetic op mirrors the
+# C sequence (same literals, same association) so the shared text is
+# bit-identical in F.expr and DuckDB, including the Σw normalization.
+
+
+def _ck_val(k: int, d: str) -> str:
+    """fPoint component: (k-1) - delta, k in 0..3."""
+    return f"(CAST({k - 1} AS DOUBLE) - {d})"
+
+
+def _cubic_w(val: str) -> str:
+    """CubicKernel (Catmull-Rom, a=-0.5), gdalresamplingkernels.h:23."""
+    ax = f"abs({val})"
+    x2 = f"({val} * {val})"
+    b1 = f"(({x2} * ((1.5e0 * {ax}) - 2.5e0)) + 1.0e0)"
+    b2 = (
+        f"((({x2} * (((0.0e0 - 5.0e-1) * {ax}) + 2.5e0))"
+        f" - (4.0e0 * {ax})) + 2.0e0)"
+    )
+    return (
+        f"(CASE WHEN {ax} <= 1.0e0 THEN {b1}"
+        f" WHEN {ax} <= 2.0e0 THEN {b2} ELSE 0.0e0 END)"
+    )
+
+
+def _spline_w(val: str) -> str:
+    """CubicSplineKernel (cardinal B-spline), gdalresamplingkernels.h:45."""
+    xm1 = f"({val} - 1.0e0)"
+    xp1 = f"({val} + 1.0e0)"
+    xp2 = f"({val} + 2.0e0)"
+    a = f"(CASE WHEN {xp2} <= 0.0e0 THEN 0.0e0 ELSE {xp2} * {xp2} * {xp2} END)"
+    b = f"(CASE WHEN {xp1} <= 0.0e0 THEN 0.0e0 ELSE {xp1} * {xp1} * {xp1} END)"
+    c = f"(CASE WHEN {val} <= 0.0e0 THEN 0.0e0 ELSE {val} * {val} * {val} END)"
+    d = f"(CASE WHEN {xm1} <= 0.0e0 THEN 0.0e0 ELSE {xm1} * {xm1} * {xm1} END)"
+    body = f"1.6666666666666666667e-1 * ((({a} - (4.0e0 * {b})) + (6.0e0 * {c})) - (4.0e0 * {d}))"
+    return f"(CASE WHEN {val} > 2.0e0 THEN 0.0e0 ELSE {body} END)"
+
+
+def _probe4x4(weight_fn) -> str:
+    """sumH / sumW over the 4x4 window, C accumulation order
+    (k_i outer over y, k_j inner over x)."""
+    wx = [weight_fn(_ck_val(k, _BL_FX)) for k in range(4)]
+    wy = [weight_fn(_ck_val(k, _BL_FY)) for k in range(4)]
+    hterms, wterms = [], []
+    for ki in range(4):
+        for kj in range(4):
+            src = _bl_src(f"{_BL_I0} - 1 + {kj}", f"{_BL_J0} - 1 + {ki}")
+            w = f"({wx[kj]} * {wy[ki]})"
+            hterms.append(f"({src} * {w})")
+            wterms.append(w)
+    return f"(({' + '.join(hterms)}) / ({' + '.join(wterms)}))"
+
+
+_CUBIC_INTERIOR = (
+    f"{_BL_PXF} > 1 AND {_BL_PXF} < {SRC_W - 2}"
+    f" AND {_BL_PYF} > 1 AND {_BL_PYF} < {SRC_H - 2}"
+)
+
+_PROBE_CUBIC_ORACLE = f"""
+WITH docs AS ({_DOCS_CTE}),
+b AS (SELECT i + 1 AS band FROM range(0, {N_BANDS}) t(i)),
+p AS (
+  SELECT doc_id, CAST(band AS int) AS band,
+         {_probe4x4(_cubic_w)} AS vc,
+         {_probe4x4(_spline_w)} AS vs
+  FROM docs, b
+  WHERE {_CUBIC_INTERIOR}
+)
+SELECT doc_id, band,
+       CAST(floor(vc * 1.0e4) AS BIGINT) AS v4_cubic,
+       CAST(floor(vs * 1.0e4) AS BIGINT) AS v4_spline
+FROM p
+"""
+
+
+@register("raster_probe_cubic", _PROBE_CUBIC_ORACLE)
+def q_raster_probe_cubic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cubic (Catmull-Rom) + cubic-B-spline point probe — the 4x4
+    apply4x4Kernel as whole-stage-codegen column math, interior-only
+    (full window in range; border drag handled by the warp kernel)."""
+    docs = corpus.load_docs(spark, sf_dir).select("doc_id", "lon", "lat")
+    bands = spark.range(N_BANDS).select((F.col("id") + 1).cast("int").alias("band"))
+    p = docs.crossJoin(F.broadcast(bands)).filter(F.expr(_CUBIC_INTERIOR))
+    return p.select(
+        "doc_id",
+        "band",
+        F.expr(f"CAST(floor({_probe4x4(_cubic_w)} * 1.0e4) AS BIGINT)").alias(
+            "v4_cubic"
+        ),
+        F.expr(f"CAST(floor({_probe4x4(_spline_w)} * 1.0e4) AS BIGINT)").alias(
+            "v4_spline"
+        ),
+    )
+
+
 _BAND_STATS_ORACLE = f"""
 WITH g AS ({_SRC_GRID_CTE}), v AS (SELECT band, {_SRC_VAL} AS value FROM g)
 SELECT band, count(*) AS cnt, min(value) AS vmin, max(value) AS vmax,
@@ -1500,6 +1611,124 @@ def q_grid_avg_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
         F.coalesce("micro_psum", F.lit(0)).cast("long").alias("micro_psum"),
     )
+
+
+# --------------------------------------------------------------------------
+# Linear (Delaunay) grid interpolation — GDALGridLinear
+# (alg/gdalgrid.cpp GGA_Linear; triangulation alg/delaunay.c).  The
+# engine triangulates the scattered target set with the pure-numpy
+# Bowyer-Watson kernel and barycentric-interpolates map-side
+# (operators/gridding.py).  Oracle: a JITTERED-GRID fixture whose
+# Delaunay is closed-form — every cell keeps its four grid edges and
+# one diagonal, chosen by the incircle determinant (jitter 0.32 of a
+# 4.0 spacing cannot flip edges across cells) — so plain SQL can emit
+# the exact triangle set; barycentric formula text is shared, outputs
+# floor(v*1e6) bit-identical.
+# --------------------------------------------------------------------------
+_GL_TX = "(tgx * 4 + (((tgx * 7 + tgy * 13) % 9) - 4) * 8.0e-2)"
+_GL_TY = "(tgy * 4 + (((tgx * 11 + tgy * 5) % 9) - 4) * 8.0e-2)"
+_GL_TZ = "CAST((tgx * 31 + tgy * 17) % 50 AS DOUBLE)"
+_GL_NX = "(i * 5.0e-1 + 2.5005e-1)"
+_GL_NY = "(j * 5.0e-1 + 2.5005e-1)"
+
+
+def _gl_icdet() -> str:
+    """Incircle determinant: p01 vs circumcircle of CCW (p00,p10,p11)."""
+    adx, ady = "(x00 - x01)", "(y00 - y01)"
+    bdx, bdy = "(x10 - x01)", "(y10 - y01)"
+    cdx, cdy = "(x11 - x01)", "(y11 - y01)"
+    ad2 = f"(({adx} * {adx}) + ({ady} * {ady}))"
+    bd2 = f"(({bdx} * {bdx}) + ({bdy} * {bdy}))"
+    cd2 = f"(({cdx} * {cdx}) + ({cdy} * {cdy}))"
+    return (
+        f"((({adx} * (({bdy} * {cd2}) - ({cdy} * {bd2})))"
+        f" - ({ady} * (({bdx} * {cd2}) - ({cdx} * {bd2}))))"
+        f" + ({ad2} * (({bdx} * {cdy}) - ({cdx} * {bdy}))))"
+    )
+
+
+_GL_D = "(((t.y2 - t.y3) * (t.x1 - t.x3)) + ((t.x3 - t.x2) * (t.y1 - t.y3)))"
+_GL_L1 = f"((((t.y2 - t.y3) * (nd.x - t.x3)) + ((t.x3 - t.x2) * (nd.y - t.y3))) / {_GL_D})"
+_GL_L2 = f"((((t.y3 - t.y1) * (nd.x - t.x3)) + ((t.x1 - t.x3) * (nd.y - t.y3))) / {_GL_D})"
+
+_GRID_LINEAR_ORACLE = f"""
+WITH pt AS (
+  SELECT tgx, tgy, {_GL_TX} AS x, {_GL_TY} AS y, {_GL_TZ} AS z
+  FROM (SELECT a.i AS tgx, b.j AS tgy FROM range(0, 20) a(i), range(0, 20) b(j))
+),
+q AS (
+  SELECT p00.x AS x00, p00.y AS y00, p00.z AS z00,
+         p10.x AS x10, p10.y AS y10, p10.z AS z10,
+         p01.x AS x01, p01.y AS y01, p01.z AS z01,
+         p11.x AS x11, p11.y AS y11, p11.z AS z11
+  FROM (SELECT a.i AS cx, b.j AS cy FROM range(0, 19) a(i), range(0, 19) b(j)) c
+  JOIN pt p00 ON p00.tgx = c.cx AND p00.tgy = c.cy
+  JOIN pt p10 ON p10.tgx = c.cx + 1 AND p10.tgy = c.cy
+  JOIN pt p01 ON p01.tgx = c.cx AND p01.tgy = c.cy + 1
+  JOIN pt p11 ON p11.tgx = c.cx + 1 AND p11.tgy = c.cy + 1
+),
+ic AS (SELECT *, {_gl_icdet()} AS icdet FROM q),
+tri AS (
+  SELECT x00 AS x1, y00 AS y1, z00 AS z1, x10 AS x2, y10 AS y2, z10 AS z2,
+         x11 AS x3, y11 AS y3, z11 AS z3 FROM ic WHERE icdet <= 0.0e0
+  UNION ALL
+  SELECT x00, y00, z00, x01, y01, z01, x11, y11, z11 FROM ic WHERE icdet <= 0.0e0
+  UNION ALL
+  SELECT x00, y00, z00, x01, y01, z01, x10, y10, z10 FROM ic WHERE icdet > 0.0e0
+  UNION ALL
+  SELECT x01, y01, z01, x10, y10, z10, x11, y11, z11 FROM ic WHERE icdet > 0.0e0
+),
+tr2 AS (
+  SELECT tri.*, least(x1, x2, x3) AS bxmin, greatest(x1, x2, x3) AS bxmax,
+         least(y1, y2, y3) AS bymin, greatest(y1, y2, y3) AS bymax
+  FROM tri
+),
+nd AS (
+  -- i,j >= 1: the first node row/column (x or y = 0.25) can fall in a
+  -- convex-hull cap triangle over a concave boundary dip (within the
+  -- 0.32 jitter strip), which the per-cell closed form cannot express;
+  -- every node at >= 0.75 is beyond jitter reach of the hull boundary
+  SELECT a.i AS i, b.j AS j, {_GL_NX} AS x, {_GL_NY} AS y
+  FROM range(1, 150) a(i), range(1, 150) b(j)
+),
+b0 AS (
+  SELECT nd.i, nd.j, t.z1, t.z2, t.z3, {_GL_L1} AS l1, {_GL_L2} AS l2
+  FROM nd JOIN tr2 t
+    ON nd.x >= t.bxmin AND nd.x <= t.bxmax
+   AND nd.y >= t.bymin AND nd.y <= t.bymax
+),
+b1 AS (SELECT i, j, z1, z2, z3, l1, l2, ((1.0e0 - l1) - l2) AS l3 FROM b0)
+SELECT CAST(i AS int) AS i, CAST(j AS int) AS j,
+       CAST(floor((((z1 * l1) + (z2 * l2)) + (z3 * l3)) * 1.0e6) AS BIGINT) AS v6
+FROM b1 WHERE l1 > 0.0e0 AND l2 > 0.0e0 AND l3 > 0.0e0
+"""
+
+
+@register("grid_linear", _GRID_LINEAR_ORACLE)
+def q_grid_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDALGridLinear: Bowyer-Watson Delaunay of the target set +
+    map-side barycentric interpolation of the output nodes."""
+    from gdal_spark.operators.gridding import grid_linear
+
+    targets = spark.range(400).select(
+        (F.col("id") / 20).cast("long").alias("tgx"),
+        (F.col("id") % 20).alias("tgy"),
+    ).select(
+        (F.col("tgx") * 20 + F.col("tgy")).alias("pid"),
+        F.expr(_GL_TX).alias("x"),
+        F.expr(_GL_TY).alias("y"),
+        F.expr(_GL_TZ).alias("z"),
+    )
+    nodes = (
+        spark.range(150 * 150)
+        .select(
+            (F.col("id") % 150).cast("int").alias("i"),
+            (F.col("id") / 150).cast("long").cast("int").alias("j"),
+        )
+        .filter((F.col("i") >= 1) & (F.col("j") >= 1))
+        .select("i", "j", F.expr(_GL_NX).alias("x"), F.expr(_GL_NY).alias("y"))
+    )
+    return grid_linear(nodes, targets)
 
 
 # --------------------------------------------------------------------------
@@ -2145,6 +2374,47 @@ def q_rasterize_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     z = zones.rect_zones(spark).drop("zxmin", "zymin", "zxmax", "zymax")
     out = rasterize_counts(z.select("zone_id", "geom_wkt"), _RZOOM)
+    return out.filter(F.col("n_burned") > 0)
+
+
+# ALL_TOUCHED rasterize (GDAL_ALL_TOUCHED, alg/llrasterize.cpp
+# GDALdllImageLineAllTouched): a pixel burns when its CELL overlaps the
+# polygon, not just its center.  Rect-zone oracle: open-interval overlap
+# of the pixel cell [lon(e), lon(e+1)] x [lat(r), lat(r+1)] (same
+# inverse-mercator text, edge offsets instead of +0.5 centers).
+_RASTERIZE_T_ORACLE = f"""
+WITH z AS ({_ZONES_CTE}),
+t AS (SELECT a.tx, b.ty FROM range(0, {2**_RZOOM}) a(tx), range(0, {2**_RZOOM}) b(ty)),
+px AS (
+  SELECT t.tx, t.ty, i.ci, j.rj FROM t, range(0, 256) i(ci), range(0, 256) j(rj)
+),
+c AS (
+  SELECT tx, ty, ci, rj,
+         (((tx * 256 + ci) * {_R_RES} - {_R_OS}) / {_R_OS}) * 1.8e2 AS lon0,
+         (((tx * 256 + ci + 1) * {_R_RES} - {_R_OS}) / {_R_OS}) * 1.8e2 AS lon1,
+         1.8e2 / pi() * (2.0e0 * atan(exp(((((ty * 256 + rj) * {_R_RES} - {_R_OS}) / {_R_OS}) * 1.8e2) * pi() / 1.8e2)) - pi() / 2.0e0) AS lat0,
+         1.8e2 / pi() * (2.0e0 * atan(exp(((((ty * 256 + rj + 1) * {_R_RES} - {_R_OS}) / {_R_OS}) * 1.8e2) * pi() / 1.8e2)) - pi() / 2.0e0) AS lat1
+  FROM px
+),
+hit AS (
+  SELECT DISTINCT c.tx, c.ty, c.ci, c.rj
+  FROM c JOIN z
+    ON c.lon0 < z.zxmax AND z.zxmin < c.lon1
+   AND c.lat0 < z.zymax AND z.zymin < c.lat1
+)
+SELECT CAST({_RZOOM} AS int) AS zoom, tx, ty, CAST(count(*) AS int) AS n_burned
+FROM hit GROUP BY tx, ty
+"""
+
+
+@register("rasterize_touched", _RASTERIZE_T_ORACLE)
+def q_rasterize_touched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.operators.rasterize import rasterize_counts
+
+    z = zones.rect_zones(spark).drop("zxmin", "zymin", "zxmax", "zymax")
+    out = rasterize_counts(
+        z.select("zone_id", "geom_wkt"), _RZOOM, all_touched=True
+    )
     return out.filter(F.col("n_burned") > 0)
 
 
