@@ -63,6 +63,13 @@ __all__ = [
     "st_makevalid",
     "st_boundary",
     "st_buffer",
+    "st_setprecision",
+    "st_normalize",
+    "st_pointonsurface_x",
+    "st_pointonsurface_y",
+    "st_vertex_x",
+    "st_vertex_y",
+    "st_signed_shell_area",
     "register_sql_functions",
 ]
 
@@ -372,6 +379,81 @@ def _boundary_wkt(wkt: str) -> str:
     raise ValueError("st_boundary v1 supports single-ring POLYGON")
 
 
+def _setprecision_wkt(wkt: str, grid: float) -> str:
+    """OGRGeometry::SetPrecision subset (ogrgeometry.cpp:6610 / GEOS
+    SetPrecision): snap every coordinate to the grid
+    (floor(v/grid + 0.5) * grid), drop repeated consecutive vertices.
+    No topology repair — raises if a ring degenerates."""
+    typ, payload = _parsed(wkt)
+    if typ != "POLYGON":
+        raise ValueError("st_setprecision v1 supports POLYGON")
+    rings = []
+    for r in payload:
+        snapped = np.floor(r / grid + 0.5) * grid
+        keep = np.r_[True, (np.abs(np.diff(snapped, axis=0)).sum(axis=1) > 0)]
+        snapped = snapped[keep]
+        if not np.array_equal(snapped[0], snapped[-1]):
+            snapped = np.vstack([snapped, snapped[:1]])
+        if snapped.shape[0] < 4 or shoelace_area(snapped) == 0.0:
+            raise ValueError("st_setprecision: ring degenerated at this grid")
+        rings.append(snapped)
+    return polygon_wkt(rings)
+
+
+def _normalize_wkt(wkt: str) -> str:
+    """OGRGeometry::Normalize (ogrgeometry.cpp:4108 / JTS convention):
+    each ring rotated to start at its lexicographically smallest vertex;
+    shell oriented CW, holes CCW."""
+    typ, payload = _parsed(wkt)
+    if typ != "POLYGON":
+        raise ValueError("st_normalize v1 supports POLYGON")
+    rings = []
+    for k, r in enumerate(payload):
+        open_r = r[:-1]
+        i0 = np.lexsort((open_r[:, 1], open_r[:, 0]))[0]
+        rot = np.roll(open_r, -i0, axis=0)
+        rot = np.vstack([rot, rot[:1]])
+        want_ccw = k != 0  # shell CW, holes CCW
+        if (shoelace_area(rot) > 0) != want_ccw:
+            # reverse the closed ring keeping the same start vertex
+            rot = np.vstack([rot[0:1], rot[-2::-1]])
+        rings.append(rot)
+    return polygon_wkt(rings)
+
+
+def _pointonsurface(wkt: str) -> tuple[float, float]:
+    """OGRGeometry::PointOnSurface (ogrgeometry.cpp:6313 / JTS
+    InteriorPointArea): midpoint of the widest run of the horizontal
+    envelope bisector inside the polygon; when the bisector passes
+    within 1e-9 of a vertex y, it shifts to the midpoint between the
+    envelope center and the next distinct vertex y above (vertex-safe
+    bisector)."""
+    typ, payload = _parsed(wkt)
+    if typ != "POLYGON":
+        raise ValueError("st_pointonsurface v1 supports POLYGON")
+    allv = np.vstack(payload)
+    ymin, ymax = allv[:, 1].min(), allv[:, 1].max()
+    cy = (ymin + ymax) / 2.0
+    vys = np.unique(allv[:, 1])
+    if np.abs(vys - cy).min() < 1e-9:
+        above = vys[vys > cy + 1e-9]
+        cy = (cy + above.min()) / 2.0
+    xs = []
+    for r in payload:
+        y0, y1 = r[:-1, 1], r[1:, 1]
+        x0, x1 = r[:-1, 0], r[1:, 0]
+        lo = np.minimum(y0, y1)
+        hi = np.maximum(y0, y1)
+        m = (lo < cy) & (cy < hi)
+        if m.any():
+            t = (cy - y0[m]) / (y1[m] - y0[m])
+            xs.append(x0[m] + t * (x1[m] - x0[m]))
+    cross = np.sort(np.concatenate(xs))
+    widths = cross[1::2] - cross[0::2]
+    w = int(np.argmax(widths))
+    return (cross[0::2][w] + cross[1::2][w]) / 2.0, cy
+
+
 def _buffer_wkt(wkt: str, r: float) -> str:
     """POINT -> 32-gon circle; CONVEX POLYGON -> hull of per-vertex
     circles (exact chorded offset for convex input)."""
@@ -464,6 +546,59 @@ def st_buffer(col, r: float) -> Column:
     )(col)
 
 
+_st_normalize_udf = F.pandas_udf(_per_unique(_normalize_wkt, object), StringType())
+_st_posurf_x_udf = F.pandas_udf(
+    _per_unique(lambda w: _pointonsurface(w)[0], np.float64), DoubleType()
+)
+_st_posurf_y_udf = F.pandas_udf(
+    _per_unique(lambda w: _pointonsurface(w)[1], np.float64), DoubleType()
+)
+
+
+def _vertex(wkt: str, k: int, ax: int) -> float:
+    return float(_parsed(wkt)[1][0][k, ax])
+
+
+def _signed_shell_area(wkt: str) -> float:
+    return float(shoelace_area(_parsed(wkt)[1][0]))
+
+
+def st_vertex_x(col, k: int) -> Column:
+    return F.pandas_udf(
+        _per_unique(lambda w: _vertex(w, k, 0), np.float64), DoubleType()
+    )(col)
+
+
+def st_vertex_y(col, k: int) -> Column:
+    return F.pandas_udf(
+        _per_unique(lambda w: _vertex(w, k, 1), np.float64), DoubleType()
+    )(col)
+
+
+def st_signed_shell_area(col) -> Column:
+    return F.pandas_udf(
+        _per_unique(_signed_shell_area, np.float64), DoubleType()
+    )(col)
+
+
+def st_setprecision(col, grid: float) -> Column:
+    return F.pandas_udf(
+        _per_unique(lambda w: _setprecision_wkt(w, grid), object), StringType()
+    )(col)
+
+
+def st_normalize(col) -> Column:
+    return _st_normalize_udf(col)
+
+
+def st_pointonsurface_x(col) -> Column:
+    return _st_posurf_x_udf(col)
+
+
+def st_pointonsurface_y(col) -> Column:
+    return _st_posurf_y_udf(col)
+
+
 def register_sql_functions(spark: SparkSession) -> None:
     """Make the family callable from spark.sql strings."""
     spark.udf.register("st_area", _st_area_udf)
@@ -483,3 +618,6 @@ def register_sql_functions(spark: SparkSession) -> None:
     spark.udf.register("st_convexhull", _st_hull_udf)
     spark.udf.register("st_makevalid", _st_makevalid_udf)
     spark.udf.register("st_boundary", _st_boundary_udf)
+    spark.udf.register("st_normalize", _st_normalize_udf)
+    spark.udf.register("st_pointonsurface_x", _st_posurf_x_udf)
+    spark.udf.register("st_pointonsurface_y", _st_posurf_y_udf)

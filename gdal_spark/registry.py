@@ -2188,6 +2188,177 @@ def q_st_constructors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Constructor family, part 2 (ogrgeometry.cpp SetPrecision :6610,
+# Normalize :4108, PointOnSurface :6313) on the rich zones — all three
+# have closed forms on the L-with-hole fixture:
+#   * SetPrecision(0.5): every part bound snaps via the SAME
+#     floor(v*2+0.5)*0.5 text -> exact integer areas;
+#   * Normalize: shell rotates to start at (bx,by) and flips CW, so
+#     vertex #1 is (bx, y_top) and the signed shell area is
+#     -(w1*h1 + w2*ha);
+#   * PointOnSurface: envelope-bisector midpoint; the vertex-safe shift
+#     (ha = h1 makes the bisector graze the arm boundary) is a CASE.
+# --------------------------------------------------------------------------
+def _snap05(expr: str) -> str:
+    return f"(floor({expr} * 2.0e0 + 5.0e-1) * 5.0e-1)"
+
+
+_RZ = zones._R
+_SC2_CY = f"(({_RZ['by']} + {_RZ['y_top']}) / 2.0e0)"
+_SC2_ORACLE = f"""
+WITH z AS (SELECT i FROM range(0, {zones.NRICH}) t(i))
+SELECT {zones.RICH_ID_SQL} AS zone_id,
+  CAST(round((({_snap05(_RZ['x_w1'])} - {_snap05(_RZ['bx'])}) * ({_snap05(_RZ['y_h1'])} - {_snap05(_RZ['by'])})
+      + ({_snap05(_RZ['x_w2'])} - {_snap05(_RZ['bx'])}) * ({_snap05(_RZ['y_top'])} - {_snap05(_RZ['y_h1'])})
+      - ({_snap05(_RZ['hx1'])} - {_snap05(_RZ['hx0'])}) * ({_snap05(_RZ['hy1'])} - {_snap05(_RZ['hy0'])})) * 4.0e0) AS BIGINT) AS snap4,
+  CAST(round({_RZ['bx']} * 1.0e4) AS BIGINT) AS nv1x4,
+  CAST(round({_RZ['y_top']} * 1.0e4) AS BIGINT) AS nv1y4,
+  CAST(round((0 - ({zones.RW1_SQL} * {zones.RH1_SQL} + {zones.RW2_SQL} * {zones.RHA_SQL})) * 4.0e0) AS BIGINT) AS nsa4,
+  CAST(round((CASE WHEN {zones.RHA_SQL} < {zones.RH1_SQL}
+         THEN (({_RZ['bx']} + {_RZ['x_w1']}) / 2.0e0)
+         ELSE (({_RZ['bx']} + {_RZ['x_w2']}) / 2.0e0) END) * 1.0e4) AS BIGINT) AS psx4,
+  CAST(round((CASE WHEN {zones.RHA_SQL} = {zones.RH1_SQL}
+         THEN (({_SC2_CY} + {_RZ['y_top']}) / 2.0e0)
+         ELSE {_SC2_CY} END) * 1.0e4) AS BIGINT) AS psy4
+FROM z
+"""
+
+
+@register("st_constructors2", _SC2_ORACLE)
+def q_st_constructors2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SetPrecision / Normalize / PointOnSurface probes: snapped area,
+    normalized-shell vertex #1 + signed area, interior point."""
+    from gdal_spark.functions import (
+        st_area,
+        st_normalize,
+        st_pointonsurface_x,
+        st_pointonsurface_y,
+        st_setprecision,
+        st_signed_shell_area,
+        st_vertex_x,
+        st_vertex_y,
+    )
+
+    rz = zones.rich_zones(spark)
+    norm = st_normalize(F.col("geom_wkt"))
+    return rz.select(
+        "zone_id",
+        F.round(st_area(st_setprecision(F.col("geom_wkt"), 0.5)) * 4.0e0)
+        .cast("long")
+        .alias("snap4"),
+        F.round(st_vertex_x(norm, 1) * 1.0e4).cast("long").alias("nv1x4"),
+        F.round(st_vertex_y(norm, 1) * 1.0e4).cast("long").alias("nv1y4"),
+        F.round(st_signed_shell_area(norm) * 4.0e0).cast("long").alias("nsa4"),
+        F.round(st_pointonsurface_x(F.col("geom_wkt")) * 1.0e4)
+        .cast("long")
+        .alias("psx4"),
+        F.round(st_pointonsurface_y(F.col("geom_wkt")) * 1.0e4)
+        .cast("long")
+        .alias("psy4"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Geodesic ST_Length(g,1) / ST_Area(g,1)
+# (ogrsqlitesqlfunctions.cpp:1228-1240 two-arg ST_Area; PROJ-backed
+# geod_polygonarea in the reference).  Engine = straight-line column
+# program (geometry/geodesic.py: Vincenty unrolled x6 + l'Huilier
+# authalic excess) run through whole-stage codegen; oracle replays the
+# identical step text as a DuckDB subquery chain.  Each edge/triangle
+# is rounded BEFORE the per-zone integer sum, so double summation order
+# cannot flip the hash.
+# --------------------------------------------------------------------------
+from gdal_spark.geometry import geodesic as _geod  # noqa: E402
+
+
+def _geod_edge_arms(src: str) -> str:
+    arms = [
+        "SELECT zone_id, zymin AS lat1, zxmin AS lon1, zymin AS lat2, zxmax AS lon2 FROM {s}",
+        "SELECT zone_id, zymin AS lat1, zxmax AS lon1, zymax AS lat2, zxmax AS lon2 FROM {s}",
+        "SELECT zone_id, zymax AS lat1, zxmax AS lon1, zymax AS lat2, zxmin AS lon2 FROM {s}",
+        "SELECT zone_id, zymax AS lat1, zxmin AS lon1, zymin AS lat2, zxmin AS lon2 FROM {s}",
+    ]
+    return " UNION ALL ".join(a.format(s=src) for a in arms)
+
+
+def _geod_tri_arms(src: str) -> str:
+    arms = [
+        "SELECT zone_id, zymin AS la0, zxmin AS lo0, zymin AS la1, zxmax AS lo1, zymax AS la2, zxmax AS lo2 FROM {s}",
+        "SELECT zone_id, zymin AS la0, zxmin AS lo0, zymax AS la1, zxmax AS lo1, zymax AS la2, zxmin AS lo2 FROM {s}",
+    ]
+    return " UNION ALL ".join(a.format(s=src) for a in arms)
+
+
+_GEOD_ORACLE = f"""
+WITH zz AS ({_ZONES_CTE}),
+ln0 AS (
+  SELECT zone_id, CAST(round(s_m) AS BIGINT) AS e_m
+  FROM {_geod.steps_to_sql(_geod_edge_arms("zz"), _geod.vincenty_steps())} v
+),
+ar0 AS (
+  SELECT zone_id, CAST(round(tri_area / 1.0e4) AS BIGINT) AS t_a
+  FROM {_geod.steps_to_sql(_geod_tri_arms("zz"), _geod.TRI_AREA_STEPS)} w
+),
+ln1 AS (SELECT zone_id, sum(e_m) AS geod_len_m FROM ln0 GROUP BY zone_id),
+ar1 AS (SELECT zone_id, sum(t_a) AS geod_area_k FROM ar0 GROUP BY zone_id)
+SELECT ln1.zone_id, geod_len_m, geod_area_k
+FROM ln1 JOIN ar1 ON ln1.zone_id = ar1.zone_id
+"""
+
+
+@register("st_geodesic", _GEOD_ORACLE)
+def q_st_geodesic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geodesic perimeter (Vincenty, WGS84) + authalic-sphere area per
+    rect zone — JVM column math end to end."""
+    z = zones.rect_zones(spark).select("zone_id", "zxmin", "zymin", "zxmax", "zymax")
+    arms = [
+        ("zymin", "zxmin", "zymin", "zxmax"),
+        ("zymin", "zxmax", "zymax", "zxmax"),
+        ("zymax", "zxmax", "zymax", "zxmin"),
+        ("zymax", "zxmin", "zymin", "zxmin"),
+    ]
+    e = None
+    for la1, lo1, la2, lo2 in arms:
+        arm = z.select(
+            "zone_id",
+            F.col(la1).alias("lat1"), F.col(lo1).alias("lon1"),
+            F.col(la2).alias("lat2"), F.col(lo2).alias("lon2"),
+        )
+        e = arm if e is None else e.unionByName(arm)
+    for name, text in _geod.vincenty_steps():
+        e = e.withColumn(name, F.expr(text))
+    ln = (
+        e.select("zone_id", F.expr("CAST(round(s_m) AS BIGINT)").alias("e_m"))
+        .groupBy("zone_id")
+        .agg(F.sum("e_m").alias("geod_len_m"))
+    )
+    tri_arms = [
+        ("zymin", "zxmin", "zymin", "zxmax", "zymax", "zxmax"),
+        ("zymin", "zxmin", "zymax", "zxmax", "zymax", "zxmin"),
+    ]
+    t = None
+    for la0, lo0, la1, lo1, la2, lo2 in tri_arms:
+        arm = z.select(
+            "zone_id",
+            F.col(la0).alias("la0"), F.col(lo0).alias("lo0"),
+            F.col(la1).alias("la1"), F.col(lo1).alias("lo1"),
+            F.col(la2).alias("la2"), F.col(lo2).alias("lo2"),
+        )
+        t = arm if t is None else t.unionByName(arm)
+    for name, text in _geod.TRI_AREA_STEPS:
+        t = t.withColumn(name, F.expr(text))
+    ar = (
+        t.select(
+            "zone_id",
+            F.expr("CAST(round(tri_area / 1.0e4) AS BIGINT)").alias("t_a"),
+        )
+        .groupBy("zone_id")
+        .agg(F.sum("t_a").alias("geod_area_k"))
+    )
+    return ln.join(ar, "zone_id")
+
+
+# --------------------------------------------------------------------------
 # Windowed event aggregation (events table): tumbling hourly windows —
 # the batch analog of the streaming rollup surface.
 # --------------------------------------------------------------------------
@@ -2844,6 +3015,46 @@ def q_conic_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"CAST(floor({_L93_N} * 1.0e1) AS BIGINT)").alias("l93_n_dm"),
         F.expr(f"CAST(floor({_ALB_E} * 1.0e1) AS BIGINT)").alias("alb_e_dm"),
         F.expr(f"CAST(floor({_ALB_N} * 1.0e1) AS BIGINT)").alias("alb_n_dm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Polar Stereographic variant B (geometry/polar.py — EPSG:3413 north /
+# EPSG:3032 south parameter sets; the EPSG worked example pins the
+# constants to mm).  Docs carry no polar points, so polar latitudes are
+# DERIVED from doc lat with the same shared text both engines.
+# --------------------------------------------------------------------------
+from gdal_spark.geometry import polar as _polar  # noqa: E402
+
+_PLAT_N = "(6.0e1 + abs(lat) / 3.0e0)"
+_PLAT_S = "(0.0e0 - (6.0e1 + abs(lat) / 3.0e0))"
+_PS_N_E = _polar.sql_ps_easting(_PLAT_N, "lon", _polar.NSIDC_NORTH)
+_PS_N_N = _polar.sql_ps_northing(_PLAT_N, "lon", _polar.NSIDC_NORTH)
+_PS_S_E = _polar.sql_ps_easting(_PLAT_S, "lon", _polar.ANT_POLAR)
+_PS_S_N = _polar.sql_ps_northing(_PLAT_S, "lon", _polar.ANT_POLAR)
+
+_POLAR_ORACLE = f"""
+WITH docs AS ({_DOCS_CTE})
+SELECT doc_id,
+       CAST(floor({_PS_N_E} * 1.0e1) AS BIGINT) AS psn_e_dm,
+       CAST(floor({_PS_N_N} * 1.0e1) AS BIGINT) AS psn_n_dm,
+       CAST(floor({_PS_S_E} * 1.0e1) AS BIGINT) AS pss_e_dm,
+       CAST(floor({_PS_S_N} * 1.0e1) AS BIGINT) AS pss_n_dm
+FROM docs
+"""
+
+
+@register("polar_transform", _POLAR_ORACLE)
+def q_polar_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """-t_srs EPSG:3413 / EPSG:3032 analog: polar stereographic forward
+    both aspects, whole-stage codegen."""
+    docs = corpus.load_docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        F.expr(f"CAST(floor({_PS_N_E} * 1.0e1) AS BIGINT)").alias("psn_e_dm"),
+        F.expr(f"CAST(floor({_PS_N_N} * 1.0e1) AS BIGINT)").alias("psn_n_dm"),
+        F.expr(f"CAST(floor({_PS_S_E} * 1.0e1) AS BIGINT)").alias("pss_e_dm"),
+        F.expr(f"CAST(floor({_PS_S_N} * 1.0e1) AS BIGINT)").alias("pss_n_dm"),
     )
 
 
