@@ -1704,6 +1704,79 @@ FROM b1 WHERE l1 > 0.0e0 AND l2 > 0.0e0 AND l3 > 0.0e0
 """
 
 
+# DelaunayTriangulation constructor (ogrgeometry.cpp:6706, GEOS
+# delaunay) — the triangle SET of the jittered-grid multipoint,
+# restricted to interior triangles (every vertex off the boundary
+# ring): exactly the per-cell diagonal decomposition of the 17x17
+# interior cells, enumerable in closed form.  Hull-cap triangles along
+# the jittered boundary have at least one ring vertex and are excluded
+# symmetrically on both sides.
+_ST_DELAUNAY_ORACLE = f"""
+WITH pt AS (
+  SELECT tgx, tgy, {_GL_TX} AS x, {_GL_TY} AS y
+  FROM (SELECT a.i AS tgx, b.j AS tgy FROM range(0, 20) a(i), range(0, 20) b(j))
+),
+q AS (
+  SELECT c.cx, c.cy,
+         p00.x AS x00, p00.y AS y00, p10.x AS x10, p10.y AS y10,
+         p01.x AS x01, p01.y AS y01, p11.x AS x11, p11.y AS y11
+  FROM (SELECT a.i AS cx, b.j AS cy FROM range(1, 18) a(i), range(1, 18) b(j)) c
+  JOIN pt p00 ON p00.tgx = c.cx AND p00.tgy = c.cy
+  JOIN pt p10 ON p10.tgx = c.cx + 1 AND p10.tgy = c.cy
+  JOIN pt p01 ON p01.tgx = c.cx AND p01.tgy = c.cy + 1
+  JOIN pt p11 ON p11.tgx = c.cx + 1 AND p11.tgy = c.cy + 1
+),
+ic AS (SELECT *, {_gl_icdet()} AS icdet FROM q)
+SELECT CAST(cx * 20 + cy AS BIGINT) AS pa,
+       CAST((cx + 1) * 20 + cy AS BIGINT) AS pb,
+       CAST((cx + 1) * 20 + cy + 1 AS BIGINT) AS pc
+FROM ic WHERE icdet <= 0.0e0
+UNION ALL
+SELECT CAST(cx * 20 + cy AS BIGINT), CAST(cx * 20 + cy + 1 AS BIGINT),
+       CAST((cx + 1) * 20 + cy + 1 AS BIGINT)
+FROM ic WHERE icdet <= 0.0e0
+UNION ALL
+SELECT CAST(cx * 20 + cy AS BIGINT), CAST(cx * 20 + cy + 1 AS BIGINT),
+       CAST((cx + 1) * 20 + cy AS BIGINT)
+FROM ic WHERE icdet > 0.0e0
+UNION ALL
+SELECT CAST(cx * 20 + cy + 1 AS BIGINT), CAST((cx + 1) * 20 + cy AS BIGINT),
+       CAST((cx + 1) * 20 + cy + 1 AS BIGINT)
+FROM ic WHERE icdet > 0.0e0
+"""
+
+
+@register("st_delaunay", _ST_DELAUNAY_ORACLE)
+def q_st_delaunay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DelaunayTriangulation of the jittered-grid multipoint — interior
+    triangle set as sorted pid triples (Bowyer-Watson kernel)."""
+    import pandas as pd
+
+    from gdal_spark.geometry.delaunay import delaunay
+
+    targets = spark.range(400).select(
+        (F.col("id") / 20).cast("long").alias("tgx"),
+        (F.col("id") % 20).alias("tgy"),
+    ).select(
+        (F.col("tgx") * 20 + F.col("tgy")).alias("pid"),
+        F.col("tgx"), F.col("tgy"),
+        F.expr(_GL_TX).alias("x"),
+        F.expr(_GL_TY).alias("y"),
+    )
+    tpd = targets.toPandas().sort_values("pid")
+    tris = delaunay(
+        tpd["x"].to_numpy("float64"), tpd["y"].to_numpy("float64")
+    )
+    tgx = tpd["tgx"].to_numpy("int64")[tris]
+    tgy = tpd["tgy"].to_numpy("int64")[tris]
+    interior = (
+        (tgx >= 1).all(axis=1) & (tgx <= 18).all(axis=1)
+        & (tgy >= 1).all(axis=1) & (tgy <= 18).all(axis=1)
+    )
+    out = pd.DataFrame(tris[interior], columns=["pa", "pb", "pc"]).astype("int64")
+    return spark.createDataFrame(out)
+
+
 @register("grid_linear", _GRID_LINEAR_ORACLE)
 def q_grid_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GDALGridLinear: Bowyer-Watson Delaunay of the target set +
