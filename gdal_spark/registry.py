@@ -1777,6 +1777,94 @@ def q_st_delaunay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(out)
 
 
+# ConcaveHull constructor (ogrgeometry.cpp:4307, GEOS ConcaveHull) —
+# chi-shape edge peeling over the Delaunay triangulation
+# (geometry/concave.py).  Fixture: an L-SHAPED jittered grid (jitter
+# +-0.16 of spacing 4) with threshold 6.7, chosen so kept edges (grid
+# edges <= 4.33, cell diagonals <= 6.11) and peeled edges (2-span
+# bridges >= 7.36) are separated — the peel provably stops exactly at
+# the L outline, so the surviving triangle set is closed-form: the two
+# per-cell triangles of every full L cell plus the single triangle of
+# the 3-corner notch cell.
+_CH_TX = "(tgx * 4 + (((tgx * 7 + tgy * 13) % 9) - 4) * 4.0e-2)"
+_CH_TY = "(tgy * 4 + (((tgx * 11 + tgy * 5) % 9) - 4) * 4.0e-2)"
+_CH_TRI_AREA6 = (
+    "CAST(round(abs((x2 - x1) * (y3 - y1) - (x3 - x1) * (y2 - y1))"
+    " / 2.0e0 * 1.0e6) AS BIGINT)"
+)
+
+_ST_CONCAVE_ORACLE = f"""
+WITH pt AS (
+  SELECT tgx, tgy, {_CH_TX} AS x, {_CH_TY} AS y
+  FROM (SELECT a.i AS tgx, b.j AS tgy FROM range(0, 20) a(i), range(0, 20) b(j))
+  WHERE NOT (tgx >= 11 AND tgy >= 11)
+),
+q AS (
+  SELECT c.cx, c.cy,
+         p00.x AS x00, p00.y AS y00, p10.x AS x10, p10.y AS y10,
+         p01.x AS x01, p01.y AS y01, p11.x AS x11, p11.y AS y11
+  FROM (SELECT a.i AS cx, b.j AS cy FROM range(0, 19) a(i), range(0, 19) b(j)) c
+  JOIN pt p00 ON p00.tgx = c.cx AND p00.tgy = c.cy
+  JOIN pt p10 ON p10.tgx = c.cx + 1 AND p10.tgy = c.cy
+  JOIN pt p01 ON p01.tgx = c.cx AND p01.tgy = c.cy + 1
+  JOIN pt p11 ON p11.tgx = c.cx + 1 AND p11.tgy = c.cy + 1
+),
+ic AS (SELECT *, {_gl_icdet()} AS icdet FROM q),
+tri AS (
+  SELECT x00 AS x1, y00 AS y1, x10 AS x2, y10 AS y2, x11 AS x3, y11 AS y3
+  FROM ic WHERE icdet <= 0.0e0
+  UNION ALL
+  SELECT x00, y00, x01, y01, x11, y11 FROM ic WHERE icdet <= 0.0e0
+  UNION ALL
+  SELECT x00, y00, x01, y01, x10, y10 FROM ic WHERE icdet > 0.0e0
+  UNION ALL
+  SELECT x01, y01, x10, y10, x11, y11 FROM ic WHERE icdet > 0.0e0
+  UNION ALL
+  SELECT p00.x, p00.y, p01.x, p01.y, p10.x, p10.y
+  FROM pt p00
+  JOIN pt p10 ON p10.tgx = 11 AND p10.tgy = 10
+  JOIN pt p01 ON p01.tgx = 10 AND p01.tgy = 11
+  WHERE p00.tgx = 10 AND p00.tgy = 10
+)
+SELECT CAST(count(*) AS BIGINT) AS n_tris,
+       CAST(sum({_CH_TRI_AREA6}) AS BIGINT) AS area6
+FROM tri
+"""
+
+
+@register("st_concavehull", _ST_CONCAVE_ORACLE)
+def q_st_concavehull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ConcaveHull of the L-shaped multipoint: surviving triangle count
+    + region area at edge threshold 6.7."""
+    import numpy as np
+    import pandas as pd
+
+    from gdal_spark.geometry.concave import concave_hull_tris
+
+    pts = spark.range(400).select(
+        (F.col("id") / 20).cast("long").alias("tgx"),
+        (F.col("id") % 20).alias("tgy"),
+    ).filter(~((F.col("tgx") >= 11) & (F.col("tgy") >= 11))).select(
+        F.col("tgx"), F.col("tgy"),
+        F.expr(_CH_TX).alias("x"),
+        F.expr(_CH_TY).alias("y"),
+    )
+    pdf = pts.toPandas().sort_values(["tgx", "tgy"]).reset_index(drop=True)
+    px = pdf["x"].to_numpy("float64")
+    py = pdf["y"].to_numpy("float64")
+    tris = concave_hull_tris(px, py, 6.7)
+    x1, y1 = px[tris[:, 0]], py[tris[:, 0]]
+    x2, y2 = px[tris[:, 1]], py[tris[:, 1]]
+    x3, y3 = px[tris[:, 2]], py[tris[:, 2]]
+    area6 = np.round(
+        np.abs((x2 - x1) * (y3 - y1) - (x3 - x1) * (y2 - y1)) / 2.0e0 * 1.0e6
+    ).astype("int64")
+    out = pd.DataFrame(
+        {"n_tris": [np.int64(tris.shape[0])], "area6": [area6.sum()]}
+    )
+    return spark.createDataFrame(out)
+
+
 @register("grid_linear", _GRID_LINEAR_ORACLE)
 def q_grid_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GDALGridLinear: Bowyer-Watson Delaunay of the target set +
