@@ -22,7 +22,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 # ------------------------------------------------------------------ targets
@@ -196,6 +196,161 @@ def knn_join(
             yield out
 
     return docs.mapInPandas(kernel, out_schema)
+
+
+def knn_join_shuffle(
+    docs: DataFrame,
+    targets: DataFrame,
+    k: int = 5,
+    cell_deg: float = CELL_DEG,
+    id_col: str = "doc_id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    max_rounds: int = 9,
+) -> DataFrame:
+    """Shuffle-strategy kNN for target tables BEYOND broadcast/driver
+    size: no driver collect anywhere.
+
+    Iterative ring doubling (the distributed analog of the map-side
+    kernel's adaptive quadtree search, and of GDALGridNearestNeighbor's
+    growing search radius, alg/gdalgrid.cpp:241-330):
+
+      1. docs and targets both carry JVM cell keys (floor(coord/cell));
+      2. round r joins the still-pending docs' NEW ring band
+         (Chebyshev radius in (R_prev, R]) against targets on the cell
+         key — an ordinary shuffled equi-join, skew handled by AQE;
+      3. a doc is FINAL once it has >= k candidates with kth distance
+         strictly under (R*cell)^2 — every unexplored cell lies at
+         Chebyshev >= R+1, hence euclidean >= R*cell from anywhere in
+         the doc's cell — or once R covers the world;
+      4. rings double (1, 2, 4, ...) so sparse regions converge in
+         O(log world) rounds; every round ends in an eager
+         localCheckpoint (iterative-lineage rule).
+
+    Tie-break (d2, target_id) matches knn_join bit-for-bit: d2 uses the
+    same (dx*dx + dy*dy) op order JVM-side."""
+    world_r = int(np.ceil(360.0 / cell_deg))
+    d2_expr = (
+        f"(({lon_col} - tlon) * ({lon_col} - tlon)"
+        f" + ({lat_col} - tlat) * ({lat_col} - tlat))"
+    )
+    doc_cols = [f.name for f in docs.schema.fields]
+    dd = docs.withColumn(
+        "_qcx", F.expr(f"CAST(floor({lon_col} / {cell_deg!r}) AS BIGINT)")
+    ).withColumn(
+        "_qcy", F.expr(f"CAST(floor({lat_col} / {cell_deg!r}) AS BIGINT)")
+    )
+    tt = targets.select(
+        "target_id", "tlon", "tlat",
+        F.expr(f"CAST(floor(tlon / {cell_deg!r}) AS BIGINT)").alias("_tcx"),
+        F.expr(f"CAST(floor(tlat / {cell_deg!r}) AS BIGINT)").alias("_tcy"),
+    )
+    pending = dd
+    acc = None
+    r_prev, radius = -1, 1
+    for _ in range(max_rounds):
+        band = (
+            pending.withColumn(
+                "_dx", F.explode(F.sequence(F.lit(-radius), F.lit(radius)))
+            )
+            .withColumn(
+                "_dy", F.explode(F.sequence(F.lit(-radius), F.lit(radius)))
+            )
+            .filter(F.expr(f"greatest(abs(_dx), abs(_dy)) > {r_prev}"))
+            .withColumn("_jcx", F.col("_qcx") + F.col("_dx"))
+            .withColumn("_jcy", F.col("_qcy") + F.col("_dy"))
+            .select(*doc_cols, "_jcx", "_jcy")
+        )
+        cand = band.join(
+            tt, (band._jcx == tt._tcx) & (band._jcy == tt._tcy)
+        ).select(*doc_cols, "target_id", F.expr(d2_expr).alias("d2"))
+        acc = cand if acc is None else acc.unionByName(cand)
+        acc = acc.localCheckpoint(eager=True)
+        if radius >= world_r:
+            pending = None
+            break
+        lim2 = float(radius * cell_deg) ** 2
+        stats = (
+            acc.groupBy(id_col)
+            .agg(
+                F.count("*").alias("_n"),
+                F.expr(f"get(array_sort(collect_list(d2)), {k - 1})").alias(
+                    "_kth"
+                ),
+            )
+            .filter((F.col("_n") >= k) & (F.col("_kth") < F.lit(lim2)))
+            .select(F.col(id_col).alias("_done_id"))
+        )
+        pending = (
+            pending.join(
+                stats, pending[id_col] == stats._done_id, "left_anti"
+            ).localCheckpoint(eager=True)
+        )
+        if pending.limit(1).count() == 0:
+            pending = None
+            break
+        r_prev, radius = radius, min(radius * 2, world_r)
+    if pending is not None and pending.limit(1).count() != 0:
+        raise RuntimeError(
+            "knn_join_shuffle: ring expansion did not converge "
+            f"within {max_rounds} rounds"
+        )
+    w = Window.partitionBy(id_col).orderBy(F.col("d2").asc(), F.col("target_id").asc())
+    return (
+        acc.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            *doc_cols, "target_id", F.col("rnk").cast("int").alias("rnk"), "d2"
+        )
+    )
+
+
+def radius_join_shuffle(
+    docs: DataFrame,
+    targets: DataFrame,
+    radius2_sql: str | float,
+    cell_deg: float = CELL_DEG,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Shuffle-strategy fixed-radius join (huge-target-table path, no
+    driver collect): docs explode to every cell within ceil(r/cell)+1
+    Chebyshev rings (JVM sequence explode), one shuffled equi-join on
+    the cell key, exact d2 filter with the same op order as the
+    map-side kernel."""
+    radius2 = float(radius2_sql)
+    rmax = int(np.ceil(float(np.sqrt(radius2)) / cell_deg)) + 1
+    doc_cols = [f.name for f in docs.schema.fields]
+    d2_expr = (
+        f"(({lon_col} - tlon) * ({lon_col} - tlon)"
+        f" + ({lat_col} - tlat) * ({lat_col} - tlat))"
+    )
+    band = (
+        docs.withColumn("_dx", F.explode(F.sequence(F.lit(-rmax), F.lit(rmax))))
+        .withColumn("_dy", F.explode(F.sequence(F.lit(-rmax), F.lit(rmax))))
+        .withColumn(
+            "_jcx",
+            F.expr(f"CAST(floor({lon_col} / {cell_deg!r}) AS BIGINT)")
+            + F.col("_dx"),
+        )
+        .withColumn(
+            "_jcy",
+            F.expr(f"CAST(floor({lat_col} / {cell_deg!r}) AS BIGINT)")
+            + F.col("_dy"),
+        )
+        .select(*doc_cols, "_jcx", "_jcy")
+    )
+    tt = targets.select(
+        "target_id", "tlon", "tlat",
+        F.expr(f"CAST(floor(tlon / {cell_deg!r}) AS BIGINT)").alias("_tcx"),
+        F.expr(f"CAST(floor(tlat / {cell_deg!r}) AS BIGINT)").alias("_tcy"),
+    )
+    return (
+        band.join(tt, (band._jcx == tt._tcx) & (band._jcy == tt._tcy))
+        .withColumn("d2", F.expr(d2_expr))
+        .filter(F.col("d2") < radius2)
+        .select(*doc_cols, "target_id", "d2")
+    )
 
 
 def radius_join(

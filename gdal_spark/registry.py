@@ -140,6 +140,18 @@ def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "target_id", "rnk")
 
 
+@register("knn_shuffle", _KNN_ORACLE)
+def q_knn_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same kNN semantics via the SHUFFLE strategy (no driver collect,
+    no broadcast of the target table): iterative ring-doubling cell
+    equi-join — the huge-target-table scale path.  Same oracle as knn."""
+    from gdal_spark.operators.knn import knn_join_shuffle, knn_targets
+
+    docs = corpus.load_docs(spark, sf_dir).select("doc_id", "lon", "lat")
+    out = knn_join_shuffle(docs, knn_targets(spark), k=_KNN_K)
+    return out.select("doc_id", "target_id", "rnk")
+
+
 # --------------------------------------------------------------------------
 # Tile pyramid (gdal2tiles base + overview reduce)
 # --------------------------------------------------------------------------
