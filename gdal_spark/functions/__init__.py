@@ -454,23 +454,83 @@ def _pointonsurface(wkt: str) -> tuple[float, float]:
     return (cross[0::2][w] + cross[1::2][w]) / 2.0, cy
 
 
+def _offset_ring(ring: np.ndarray, r: float, outward_right: bool) -> np.ndarray:
+    """Offset a closed simple ring by r to its right (outward_right) or
+    left side, GEOS-buffer style: straight offset edges, polygonal arcs
+    (8 segments per quadrant, the GEOS quadrantSegments default) at
+    separating corners, line-intersection meet points at overlapping
+    corners.  Valid while r stays under the local feature size (no
+    global self-intersection repair — documented contract)."""
+    import math
+
+    v = ring[:-1]
+    n = v.shape[0]
+    d = np.roll(v, -1, axis=0) - v
+    ln = np.hypot(d[:, 0], d[:, 1])
+    u = d / ln[:, None]
+    if outward_right:
+        nrm = np.column_stack([u[:, 1], -u[:, 0]])
+    else:
+        nrm = np.column_stack([-u[:, 1], u[:, 0]])
+    out: list[np.ndarray] = []
+    skip_a = False
+    for i in range(n):
+        j = (i + 1) % n
+        a = v[i] + r * nrm[i]
+        b = v[j] + r * nrm[i]
+        if not skip_a:
+            out.append(a)
+        skip_a = False
+        cross = u[i, 0] * u[j, 1] - u[i, 1] * u[j, 0]
+        dot = u[i, 0] * u[j, 0] + u[i, 1] * u[j, 1]
+        turn = math.atan2(cross, dot)
+        is_arc = (cross > 0) if outward_right else (cross < 0)
+        if abs(turn) < 1e-12:
+            out.append(b)
+        elif is_arc:
+            out.append(b)
+            k = max(1, int(np.ceil(abs(turn) / (math.pi / 2.0) * 8)))
+            ang0 = math.atan2(nrm[i, 1], nrm[i, 0])
+            for t in range(1, k):
+                ang = ang0 + turn * t / k
+                out.append(v[j] + r * np.array([math.cos(ang), math.sin(ang)]))
+        else:
+            # meet point: intersect offset lines i and next
+            a2 = v[j] + r * nrm[j]
+            den = u[i, 0] * u[j, 1] - u[i, 1] * u[j, 0]
+            t = ((a2[0] - a[0]) * u[j, 1] - (a2[1] - a[1]) * u[j, 0]) / den
+            out.append(a + t * u[i])
+            skip_a = True
+    arr = np.vstack(out)
+    return np.vstack([arr, arr[:1]])
+
+
 def _buffer_wkt(wkt: str, r: float) -> str:
-    """POINT -> 32-gon circle; CONVEX POLYGON -> hull of per-vertex
-    circles (exact chorded offset for convex input)."""
+    """POINT -> 32-gon circle; POLYGON (general simple, with holes) ->
+    offset outline per ring (shell grows, holes shrink; holes that
+    erode away are dropped), the outward-offset analog of
+    OGRGeometry::Buffer (ogrgeometry.cpp:4528) for r below the local
+    feature size."""
     typ, payload = _parsed(wkt)
     if typ == "POINT":
         x, y = payload[0][0]
         return polygon_wkt([buffer_point(float(x), float(y), r)])
-    if typ == "POLYGON" and len(payload) == 1:
-        from gdal_spark.geometry.clip import is_convex
-
-        if not is_convex(payload[0]):
-            raise ValueError("st_buffer v1 supports POINT or convex POLYGON")
-        pts = np.vstack(
-            [buffer_point(float(x), float(y), r)[:-1] for x, y in payload[0][:-1]]
-        )
-        return polygon_wkt([convex_hull(pts)])
-    raise ValueError("st_buffer v1 supports POINT or convex POLYGON")
+    if typ == "POLYGON":
+        rings = []
+        for kk, ring in enumerate(payload):
+            ccw = shoelace_area(ring) > 0
+            rr = ring if ccw else ring[::-1]
+            off = _offset_ring(rr, r, outward_right=kk == 0)
+            if kk > 0:
+                # hole must survive erosion with consistent orientation
+                if shoelace_area(off) <= 0:
+                    continue
+                env = off.max(axis=0) - off.min(axis=0)
+                if env.min() <= 0:
+                    continue
+            rings.append(off if ccw else off[::-1])
+        return polygon_wkt(rings)
+    raise ValueError("st_buffer supports POINT or POLYGON")
 
 
 _st_intersects_udf = F.pandas_udf(_pairwise(_intersects, bool), BooleanType())

@@ -2532,6 +2532,45 @@ def q_st_geodesic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# General-polygon Buffer (ogrgeometry.cpp:4528) on the CONCAVE rich
+# zones: offset-outline walk (functions._offset_ring — straight offset
+# edges, 8-segment quadrant arcs at convex corners, meet points at the
+# reflex corner, holes eroded).  Closed-form oracle: for a rectilinear
+# simple polygon with r under the feature size,
+#   area = A + P*r + n_convex*S8 - n_reflex*r^2  (S8 = 4 r^2 sin(pi/16),
+# the 8-segment quarter-arc sector), and the rect hole erodes to
+# (hw-2r)(hh-2r).  The L shell has 5 convex + 1 reflex corner.
+# --------------------------------------------------------------------------
+_BUF_R = "5.0e-1"
+_ST_BUFFER_ORACLE = f"""
+SELECT {zones.RICH_ID_SQL} AS zone_id,
+  CAST(round((
+    ({zones.RW1_SQL} * {zones.RH1_SQL} + {zones.RW2_SQL} * {zones.RHA_SQL})
+    + 2 * ({zones.RW1_SQL} + {zones.RH1_SQL} + {zones.RHA_SQL}) * {_BUF_R}
+    + 5.0e0 * (4.0e0 * {_BUF_R} * {_BUF_R} * sin(pi() / 1.6e1))
+    - {_BUF_R} * {_BUF_R}
+    - ({zones.RHW_SQL} - 2.0e0 * {_BUF_R}) * (2 - 2.0e0 * {_BUF_R})
+  ) * 1.0e6) AS BIGINT) AS buf6
+FROM range(0, {zones.NRICH}) t(i)
+"""
+
+
+@register("st_buffer_area", _ST_BUFFER_ORACLE)
+def q_st_buffer_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Buffer(0.5) of the concave L-with-hole zones — offset-outline
+    area vs the closed rectilinear formula."""
+    from gdal_spark.functions import st_area, st_buffer
+
+    rz = zones.rich_zones(spark)
+    return rz.select(
+        "zone_id",
+        F.round(st_area(st_buffer(F.col("geom_wkt"), 0.5)) * 1.0e6)
+        .cast("long")
+        .alias("buf6"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Windowed event aggregation (events table): tumbling hourly windows —
 # the batch analog of the streaming rollup surface.
 # --------------------------------------------------------------------------
