@@ -372,11 +372,21 @@ def _makevalid_wkt(wkt: str) -> str:
 
 
 def _boundary_wkt(wkt: str) -> str:
+    """OGRGeometry::Boundary (ogrgeometry.cpp:4403): polygon boundary is
+    its ring set — LINESTRING for a single ring, MULTILINESTRING when
+    holes or multiple parts exist (matches GEOS)."""
     typ, payload = _parsed(wkt)
-    if typ == "POLYGON" and len(payload) == 1:
-        coords = ",".join(f"{x!r} {y!r}" for x, y in payload[0])
-        return f"LINESTRING ({coords})"
-    raise ValueError("st_boundary v1 supports single-ring POLYGON")
+    polys = [payload] if typ == "POLYGON" else payload
+    if typ not in ("POLYGON", "MULTIPOLYGON"):
+        raise ValueError("st_boundary supports POLYGON/MULTIPOLYGON")
+    rings = [r for poly in polys for r in poly]
+
+    def _ls(r):
+        return "(" + ",".join(f"{x!r} {y!r}" for x, y in r) + ")"
+
+    if len(rings) == 1:
+        return f"LINESTRING {_ls(rings[0])}"
+    return "MULTILINESTRING (" + ",".join(_ls(r) for r in rings) + ")"
 
 
 def _setprecision_wkt(wkt: str, grid: float) -> str:
