@@ -70,6 +70,9 @@ __all__ = [
     "st_vertex_x",
     "st_vertex_y",
     "st_signed_shell_area",
+    "st_isvalid",
+    "st_issimple",
+    "st_isring",
     "register_sql_functions",
 ]
 
@@ -625,6 +628,94 @@ _st_posurf_y_udf = F.pandas_udf(
 )
 
 
+def _ring_self_intersects(pts: np.ndarray, closed: bool) -> bool:
+    """Proper crossing between any two NON-adjacent segments of a path
+    (adjacency wraps when closed)."""
+    E0, E1 = pts[:-1], pts[1:]
+    n = E0.shape[0]
+    if n < 2:
+        return False
+    a1 = E0[:, None]
+    a2 = E1[:, None]
+    b1 = E0[None, :]
+    b2 = E1[None, :]
+
+    def cross(o, p, q):
+        return (p[..., 0] - o[..., 0]) * (q[..., 1] - o[..., 1]) - (
+            p[..., 1] - o[..., 1]
+        ) * (q[..., 0] - o[..., 0])
+
+    d1 = cross(b1, b2, a1)
+    d2 = cross(b1, b2, a2)
+    d3 = cross(a1, a2, b1)
+    d4 = cross(a1, a2, b2)
+    proper = ((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0))
+    i = np.arange(n)
+    adj = np.abs(i[:, None] - i[None, :]) <= 1
+    if closed:
+        adj |= np.abs(i[:, None] - i[None, :]) == n - 1
+    return bool((proper & ~adj).any())
+
+
+def _is_valid(wkt: str) -> bool:
+    """IsValid subset (ogrgeometry.cpp:2297): rings closed, >= 4 points,
+    nonzero area, no ring self-intersection (no cross-ring checks)."""
+    typ, payload = _parsed(wkt)
+    if typ in ("POINT", "LINESTRING"):
+        return True
+    polys = [payload] if typ == "POLYGON" else payload
+    for poly in polys:
+        for ring in poly:
+            if ring.shape[0] < 4 or not np.array_equal(ring[0], ring[-1]):
+                return False
+            if shoelace_area(ring) == 0.0:
+                return False
+            if _ring_self_intersects(ring, closed=True):
+                return False
+    return True
+
+
+def _is_simple(wkt: str) -> bool:
+    """IsSimple (ogrgeometry.cpp:2416): no self-intersection."""
+    typ, payload = _parsed(wkt)
+    if typ == "POINT":
+        return True
+    if typ == "LINESTRING":
+        closed = np.array_equal(payload[0][0], payload[0][-1])
+        return not _ring_self_intersects(payload[0], closed=closed)
+    return _is_valid(wkt)
+
+
+def _is_ring(wkt: str) -> bool:
+    """IsRing (ogrgeometry.cpp:2487): a closed, simple LINESTRING."""
+    typ, payload = _parsed(wkt)
+    if typ != "LINESTRING":
+        return False
+    pts = payload[0]
+    return bool(
+        pts.shape[0] >= 4
+        and np.array_equal(pts[0], pts[-1])
+        and not _ring_self_intersects(pts, closed=True)
+    )
+
+
+_st_isvalid_udf = F.pandas_udf(_per_unique(_is_valid, bool), BooleanType())
+_st_issimple_udf = F.pandas_udf(_per_unique(_is_simple, bool), BooleanType())
+_st_isring_udf = F.pandas_udf(_per_unique(_is_ring, bool), BooleanType())
+
+
+def st_isvalid(col) -> Column:
+    return _st_isvalid_udf(col)
+
+
+def st_issimple(col) -> Column:
+    return _st_issimple_udf(col)
+
+
+def st_isring(col) -> Column:
+    return _st_isring_udf(col)
+
+
 def _vertex(wkt: str, k: int, ax: int) -> float:
     return float(_parsed(wkt)[1][0][k, ax])
 
@@ -689,5 +780,8 @@ def register_sql_functions(spark: SparkSession) -> None:
     spark.udf.register("st_makevalid", _st_makevalid_udf)
     spark.udf.register("st_boundary", _st_boundary_udf)
     spark.udf.register("st_normalize", _st_normalize_udf)
+    spark.udf.register("st_isvalid", _st_isvalid_udf)
+    spark.udf.register("st_issimple", _st_issimple_udf)
+    spark.udf.register("st_isring", _st_isring_udf)
     spark.udf.register("st_pointonsurface_x", _st_posurf_x_udf)
     spark.udf.register("st_pointonsurface_y", _st_posurf_y_udf)

@@ -2571,6 +2571,67 @@ def q_st_buffer_area(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Validity predicates IsValid / IsSimple / IsRing
+# (ogrgeometry.cpp:2297,2416,2487) over a fixed WKT corpus with known
+# answers (bowtie polygon, closed/crossing linestrings).
+# --------------------------------------------------------------------------
+_VALIDITY_FIXTURE = [
+    (1, "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))", True, True, False),
+    (2, "POLYGON ((0 0, 4 4, 4 0, 0 4, 0 0))", False, False, False),  # bowtie
+    (3, "LINESTRING (0 0, 4 0, 4 4, 0 4, 0 0)", True, True, True),
+    (4, "LINESTRING (0 0, 4 4, 4 0, 0 4)", True, False, False),  # crossing
+    (5, "POINT (1 2)", True, True, False),
+    (
+        6,
+        "POLYGON ((0 0, 20 0, 20 20, 0 20, 0 0), (8 8, 12 8, 12 12, 8 12, 8 8))",
+        True,
+        True,
+        False,
+    ),
+]
+
+_VALIDITY_ORACLE = "SELECT * FROM (VALUES " + ", ".join(
+    f"({gid}, {str(v).lower()}, {str(s).lower()}, {str(r).lower()})"
+    for gid, _, v, s, r in _VALIDITY_FIXTURE
+) + ") t(gid, is_valid, is_simple, is_ring)"
+
+
+@register("st_validity", _VALIDITY_ORACLE)
+def q_st_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.functions import st_isring, st_issimple, st_isvalid
+
+    df = spark.createDataFrame(
+        [(gid, wkt) for gid, wkt, *_ in _VALIDITY_FIXTURE], "gid int, wkt string"
+    )
+    return df.select(
+        "gid",
+        st_isvalid("wkt").alias("is_valid"),
+        st_issimple("wkt").alias("is_simple"),
+        st_isring("wkt").alias("is_ring"),
+    )
+
+
+# --------------------------------------------------------------------------
+# ORDER BY ... LIMIT 1 — the reference's explicit streaming top-1 path
+# (ogr_gensql.cpp:2219-2247); Catalyst's TakeOrderedAndProject analog.
+# --------------------------------------------------------------------------
+_TOP1_ORACLE = """
+SELECT o_orderkey, o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 1
+"""
+
+
+@register("top1", _TOP1_ORACLE)
+def q_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(1)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+# --------------------------------------------------------------------------
 # Windowed event aggregation (events table): tumbling hourly windows —
 # the batch analog of the streaming rollup surface.
 # --------------------------------------------------------------------------
