@@ -125,3 +125,48 @@ def wkb_envelope(buf: bytes):
     else:
         raise ValueError(f"unsupported WKB geometry type: {gtype}")
     return (float(xmin), float(ymin), float(xmax), float(ymax))
+
+
+def wkb_intersects_pessimistic(
+    buf: bytes, xmin: float, ymin: float, xmax: float, ymax: float
+) -> bool:
+    """OGRWKBIntersectsPessimistic analog (ogr/ogr_wkb.cpp:687,796):
+    sure-ACCEPT prefilter straight off the WKB bytes — True means the
+    geometry DEFINITELY intersects the envelope (a vertex of the point /
+    exterior ring lies inside, inclusive bounds, inner rings skipped per
+    the reference); False means "unknown, run the exact test"."""
+    gtype = wkb_type(buf)
+    if gtype == _POINT:
+        x, y = struct.unpack_from("<dd", buf, 5)
+        return xmin <= x <= xmax and ymin <= y <= ymax
+
+    def ring0_hit(off):
+        """(hit, offset_after_polygon) for the polygon at ``off``."""
+        (nrings,) = struct.unpack_from("<I", buf, off + 5)
+        o = off + 9
+        hit = False
+        for k in range(nrings):
+            (npts,) = struct.unpack_from("<I", buf, o)
+            o += 4
+            if k == 0:
+                pts = np.frombuffer(buf, dtype="<f8", count=2 * npts, offset=o)
+                xs = pts[0::2]
+                ys = pts[1::2]
+                hit = bool(
+                    ((xs >= xmin) & (xs <= xmax) & (ys >= ymin) & (ys <= ymax))
+                    .any()
+                )
+            o += 16 * npts
+        return hit, o
+
+    if gtype == _POLYGON:
+        return ring0_hit(0)[0]
+    if gtype == _MULTIPOLYGON:
+        (npolys,) = struct.unpack_from("<I", buf, 5)
+        off = 9
+        for _ in range(npolys):
+            hit, off = ring0_hit(off)
+            if hit:
+                return True
+        return False
+    raise ValueError(f"unsupported WKB geometry type: {gtype}")

@@ -2259,6 +2259,68 @@ FROM range(0, {zones.NRICH}) t(i)
 """
 
 
+# WKB pessimistic-intersects prefilter (ogr_wkb.cpp:687,796): sure-
+# ACCEPT straight off the WKB bytes — True iff an exterior-ring vertex
+# falls in the filter envelope (inclusive).  For rect polydocs the
+# exterior vertices are the 4 corners, so the oracle enumerates them.
+_WKB_PESS_ORACLE = f"""
+WITH d AS ({{polydocs}}), z AS ({{zones}})
+SELECT d.doc_id, z.zone_id
+FROM d JOIN z
+  ON (d.xmin >= z.zxmin AND d.xmin <= z.zxmax AND d.ymin >= z.zymin AND d.ymin <= z.zymax)
+  OR (d.xmax >= z.zxmin AND d.xmax <= z.zxmax AND d.ymin >= z.zymin AND d.ymin <= z.zymax)
+  OR (d.xmax >= z.zxmin AND d.xmax <= z.zxmax AND d.ymax >= z.zymin AND d.ymax <= z.zymax)
+  OR (d.xmin >= z.zxmin AND d.xmin <= z.zxmax AND d.ymax >= z.zymin AND d.ymax <= z.zymax)
+""".format(polydocs=corpus.duckdb_polydocs_cte(), zones=zones.duckdb_zones_cte())
+
+
+@register("wkb_pessimistic_scan", _WKB_PESS_ORACLE)
+def q_wkb_pessimistic_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WKB sure-accept pairs: polydocs serialized to WKB, prefilter run
+    on the raw bytes per zone envelope (no geometry objects built)."""
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from gdal_spark.geometry.wkb import (
+        wkb_intersects_pessimistic,
+        wkt_payload_to_wkb,
+    )
+
+    zpd = (
+        zones.rect_zones(spark)
+        .select("zone_id", "zxmin", "zymin", "zxmax", "zymax")
+        .toPandas()
+    )
+    pd_docs = corpus.load_polydocs(spark, sf_dir)
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("zone_id", LongType())]
+    )
+
+    def kernel(batches):
+        import numpy as np
+
+        zid = zpd["zone_id"].to_numpy(np.int64)
+        zx0 = zpd["zxmin"].to_numpy(np.float64)
+        zy0 = zpd["zymin"].to_numpy(np.float64)
+        zx1 = zpd["zxmax"].to_numpy(np.float64)
+        zy1 = zpd["zymax"].to_numpy(np.float64)
+        for pdf in batches:
+            rows = []
+            for did, x0, y0, x1, y1 in zip(
+                pdf["doc_id"], pdf["xmin"], pdf["ymin"], pdf["xmax"], pdf["ymax"]
+            ):
+                ring = [(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)]
+                buf = wkt_payload_to_wkb("POLYGON", [ring])
+                for j in range(zid.size):
+                    if wkb_intersects_pessimistic(
+                        buf, zx0[j], zy0[j], zx1[j], zy1[j]
+                    ):
+                        rows.append((int(did), int(zid[j])))
+            yield pd.DataFrame(rows, columns=["doc_id", "zone_id"])
+
+    return pd_docs.mapInPandas(kernel, schema)
+
+
 @register("wkb_envelope_scan", _WKB_ENV_ORACLE)
 def q_wkb_envelope_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WKB geometry path: WKT -> WKB BinaryType -> envelope computed
