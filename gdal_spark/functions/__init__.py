@@ -73,6 +73,7 @@ __all__ = [
     "st_isvalid",
     "st_issimple",
     "st_isring",
+    "st_distance3d",
     "register_sql_functions",
 ]
 
@@ -628,6 +629,25 @@ _st_posurf_y_udf = F.pandas_udf(
 )
 
 
+def _point_z(wkt: str) -> tuple[float, float, float]:
+    s = wkt.strip()
+    vals = [float(v) for v in s[s.find("(") + 1 : s.rfind(")")].split()]
+    return vals[0], vals[1], (vals[2] if len(vals) > 2 else 0.0)
+
+
+def _distance3d(aw: str, bw: str) -> float:
+    """OGRGeometry::Distance3D (ogrgeometry.cpp:3695) for POINT Z pairs
+    (missing Z treated as 0, matching the engine's 2D default)."""
+    ax, ay, az = _point_z(aw)
+    bx, by, bz = _point_z(bw)
+    return float(
+        np.sqrt(
+            ((ax - bx) * (ax - bx) + (ay - by) * (ay - by))
+            + (az - bz) * (az - bz)
+        )
+    )
+
+
 def _ring_self_intersects(pts: np.ndarray, closed: bool) -> bool:
     """Proper crossing between any two NON-adjacent segments of a path
     (adjacency wraps when closed)."""
@@ -697,6 +717,13 @@ def _is_ring(wkt: str) -> bool:
         and np.array_equal(pts[0], pts[-1])
         and not _ring_self_intersects(pts, closed=True)
     )
+
+
+_st_distance3d_udf = F.pandas_udf(_pairwise(_distance3d, np.float64), DoubleType())
+
+
+def st_distance3d(a, b) -> Column:
+    return _st_distance3d_udf(a, b)
 
 
 _st_isvalid_udf = F.pandas_udf(_per_unique(_is_valid, bool), BooleanType())

@@ -2383,6 +2383,33 @@ def q_st_distance_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Distance3D (ogrgeometry.cpp:3695) — POINT Z built from doc columns
+# (z = n_chars/100), distance to a fixed 3D point; identical formula
+# text + the WKT double round-trip keep every bit aligned.
+_ST_D3_ORACLE = f"""
+WITH docs AS ({_DOCS_CTE})
+SELECT doc_id,
+       CAST(floor(sqrt(((lon - 1.00005e1) * (lon - 1.00005e1)
+                      + (lat - 2.00005e1) * (lat - 2.00005e1))
+                     + ((n_chars / 1.0e2) - 5.0e0) * ((n_chars / 1.0e2) - 5.0e0)) * 1.0e6) AS BIGINT) AS d3_6
+FROM docs
+"""
+
+
+@register("st_distance3d_fixed", _ST_D3_ORACLE)
+def q_st_distance3d_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.functions import st_distance3d
+
+    docs = corpus.load_docs(spark, sf_dir)
+    s = F.lit(" ")
+    pt_z = F.concat(
+        F.lit("POINT Z ("), F.col("lon"), s, F.col("lat"), s,
+        F.col("n_chars") / F.lit(1.0e2), F.lit(")"),
+    )
+    d = st_distance3d(pt_z, F.lit("POINT Z (10.0005 20.0005 5.0)"))
+    return docs.select("doc_id", F.floor(d * 1.0e6).cast("long").alias("d3_6"))
+
+
 _ST_CONSTR_ORACLE = f"""
 WITH z AS (
   SELECT {zones.RICH_ID_SQL} AS zone_id,
