@@ -251,3 +251,67 @@ def lsh_topk(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", F.col("rnk").cast("int").alias("rnk"), "cosine")
     )
+
+
+def cosine_pairs(
+    emb: DataFrame,
+    tau: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """EXACT embedding-cosine near-dup pairs (id_a < id_b, cos >= tau)
+    with a LOSSLESS grid prefilter — the scale shape for threshold
+    dedup over an embedding column:
+
+      cos(x, y) >= tau  =>  ||x_hat - y_hat|| <= sqrt(2(1-tau)) =: delta
+      =>  |x_hat[0] - y_hat[0]| <= delta,
+
+    so bucketing the normalized first coordinate at width delta and
+    joining each vector's {b-1, b, b+1} buckets against the other
+    side's home bucket cannot miss a qualifying pair (each candidate
+    pair is generated exactly once).  Exact cosine re-score runs
+    JVM-side (zip_with/aggregate fold over DOUBLE-cast elements) — no
+    Python anywhere.  At aggressive thresholds (0.9+) delta shrinks to
+    ~0.45 and the prefilter prunes hard; brute force remains O(N^2)
+    only inside a bucket neighborhood."""
+    import math
+
+    delta = math.sqrt(2.0 * (1.0 - tau))
+    dot_self = (
+        f"aggregate(zip_with({vec_col}, {vec_col},"
+        " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        " CAST(0.0 AS DOUBLE), (a, v) -> a + v)"
+    )
+    e = emb.select(
+        F.col(id_col), F.col(vec_col), F.expr(f"sqrt({dot_self})").alias("nrm")
+    ).withColumn(
+        "b0",
+        F.expr(
+            f"CAST(floor((CAST(element_at({vec_col}, 1) AS DOUBLE) / nrm)"
+            f" / {delta!r}) AS BIGINT)"
+        ),
+    )
+    a = e.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+        F.col("nrm").alias("na"),
+        F.explode(
+            F.array(F.col("b0") - 1, F.col("b0"), F.col("b0") + 1)
+        ).alias("jb"),
+    )
+    b = e.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+        F.col("nrm").alias("nb"), F.col("b0").alias("bb"),
+    )
+    cos = F.expr(
+        "aggregate(zip_with(va, vb, (x, y) -> CAST(x AS DOUBLE)"
+        " * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (a, v) -> a + v)"
+    ) / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, (a.jb == b.bb) & (a.id_a < b.id_b))
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= tau)
+        .select(
+            "id_a", "id_b",
+            F.expr("CAST(floor(cos * 1.0e6) AS BIGINT)").alias("cos6"),
+        )
+    )

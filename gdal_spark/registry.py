@@ -2721,6 +2721,38 @@ def q_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Embedding-cosine near-dup pairs (driver-mandated dedup family): EXACT
+# threshold pairs over the embeddings table via the lossless
+# projected-grid prefilter (operators/similarity.cosine_pairs); oracle
+# = DuckDB all-pairs with DOUBLE-cast dot products.  tau = 0.35 sits
+# >= 2.9e-5 from every pair's cosine at both driver scales, so the
+# 1e-14 cross-engine FP spread cannot flip membership.
+# --------------------------------------------------------------------------
+_COS_TAU = 0.35
+_COSINE_DEDUP_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_dot_product(a.v, b.v)
+           / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS c
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, CAST(floor(c * 1.0e6) AS BIGINT) AS cos6
+FROM p WHERE c >= {_COS_TAU!r}
+"""
+
+
+@register("cosine_dedup", _COSINE_DEDUP_ORACLE)
+def q_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.operators.similarity import cosine_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_pairs(emb, _COS_TAU)
+
+
+# --------------------------------------------------------------------------
 # Windowed event aggregation (events table): tumbling hourly windows —
 # the batch analog of the streaming rollup surface.
 # --------------------------------------------------------------------------
