@@ -28,7 +28,12 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import BooleanType, DoubleType, StringType
+from pyspark.sql.types import (
+    BinaryType,
+    BooleanType,
+    DoubleType,
+    StringType,
+)
 
 from gdal_spark.geometry.boolean import (
     buffer_point,
@@ -37,11 +42,13 @@ from gdal_spark.geometry.boolean import (
     min_distance,
     polys_pair_intersection_area,
     ring_edges,
+    segment_intersections,
     segments_intersect_any,
 )
 from gdal_spark.geometry.clip import shoelace_area
 from gdal_spark.geometry.pip import points_in_polygon
-from gdal_spark.geometry.wkt import parse_wkt, polygon_wkt
+from gdal_spark.geometry.wkb import wkb_to_payload, wkt_payload_to_wkb
+from gdal_spark.geometry.wkt import parse_wkt, payload_to_wkt, polygon_wkt
 
 __all__ = [
     "st_area",
@@ -74,6 +81,14 @@ __all__ = [
     "st_issimple",
     "st_isring",
     "st_distance3d",
+    "st_crosses",
+    "st_astext",
+    "st_geomfromtext",
+    "st_asbinary",
+    "st_geomfromwkb",
+    "st_isempty",
+    "st_makepoint",
+    "st_srid",
     "register_sql_functions",
 ]
 
@@ -304,6 +319,90 @@ def _touches(aw, bw):
 def _equals(aw, bw):
     ia = _inter_area(aw, bw)
     return abs(ia - _area(aw)) <= _TOL and abs(ia - _area(bw)) <= _TOL
+
+
+def _line_edges(V: np.ndarray) -> np.ndarray:
+    return np.stack([V[:-1], V[1:]], axis=1)
+
+
+def _interior_line_pt(p: np.ndarray, V: np.ndarray, eps: float = 1e-9) -> bool:
+    """Is p in the INTERIOR of linestring V (everything but the two
+    terminal endpoints; a closed line has no boundary)?"""
+    if np.abs(V[0] - V[-1]).max() <= eps:
+        return True
+    return not (
+        np.abs(p - V[0]).max() <= eps or np.abs(p - V[-1]).max() <= eps
+    )
+
+
+def _pt_edges_mindist(p: np.ndarray, E: np.ndarray) -> float:
+    s = E[:, 0]
+    d = E[:, 1] - E[:, 0]
+    L2 = (d**2).sum(axis=1)
+    num = ((p - s) * d).sum(axis=1)
+    t = np.zeros_like(num)
+    np.divide(num, L2, out=t, where=L2 != 0)
+    proj = s + np.clip(t, 0, 1)[:, None] * d
+    return float(np.sqrt(((p - proj) ** 2).sum(axis=1)).min())
+
+
+def _inside_any_poly(x: float, y: float, polys: list) -> bool:
+    for rings in polys:
+        if points_in_polygon(np.array([x]), np.array([y]), rings)[0]:
+            return True
+    return False
+
+
+def _crosses(aw: str, bw: str) -> bool:
+    """DE-9IM Crosses (OGRGeometry::Crosses, ogrgeometry.cpp:5711 ->
+    GEOSCrosses_r).  line/line: the interiors meet in a 0-dim point and
+    share no 1-dim stretch.  line/area (either order, like JTS): the
+    line's interior meets both the interior and the exterior of the
+    area.  point and area/area combinations: always false.  Exact for
+    simple linestrings: the line is split at every boundary
+    intersection and each residual piece's midpoint is classified
+    strictly-inside / on-boundary / outside."""
+    ta = _parsed(aw)[0]
+    tb = _parsed(bw)[0]
+    areas = ("POLYGON", "MULTIPOLYGON")
+    if ta in areas and tb == "LINESTRING":
+        return _crosses(bw, aw)
+    if ta == "LINESTRING" and tb == "LINESTRING":
+        A = _parsed(aw)[1][0]
+        B = _parsed(bw)[1][0]
+        pts, _, _, spans = segment_intersections(_line_edges(A), _line_edges(B))
+        if spans:
+            return False  # shared 1-dim stretch => dim(I∩I) != 0
+        return any(
+            _interior_line_pt(p, A) and _interior_line_pt(p, B) for p in pts
+        )
+    if ta == "LINESTRING" and tb in areas:
+        A = _parsed(aw)[1][0]
+        polys = _as_polys(bw)
+        E = ring_edges(polys)
+        ea = _line_edges(A)
+        pts, ai, t, spans = segment_intersections(ea, E)
+        cuts: dict[int, list[float]] = {i: [0.0, 1.0] for i in range(len(ea))}
+        for i, tt in zip(ai, t):
+            cuts[int(i)].append(float(tt))
+        for i, s0, s1 in spans:
+            cuts[i].extend([s0, s1])
+        has_in = has_out = False
+        for i, ts in cuts.items():
+            for t0, t1 in zip(ts := sorted(ts), ts[1:]):
+                if t1 - t0 <= 1e-9:
+                    continue
+                m = ea[i, 0] + ((t0 + t1) / 2.0) * (ea[i, 1] - ea[i, 0])
+                if _pt_edges_mindist(m, E) <= 1e-9:
+                    continue  # piece runs along the boundary: neither side
+                if _inside_any_poly(m[0], m[1], polys):
+                    has_in = True
+                else:
+                    has_out = True
+                if has_in and has_out:
+                    return True
+        return False
+    return False
 
 
 def _distance(aw, bw) -> float:
@@ -545,6 +644,88 @@ def _buffer_wkt(wkt: str, r: float) -> str:
             rings.append(off if ccw else off[::-1])
         return polygon_wkt(rings)
     raise ValueError("st_buffer supports POINT or POLYGON")
+
+
+def _canon_wkt(w: str) -> str:
+    """ST_GeomFromText + ST_AsText in a WKT-native engine: parse then
+    re-serialize to the one canonical spelling
+    (ogrsqlitesqlfunctions.cpp:1188 AsText/GeomFromText pair)."""
+    typ, payload = _parsed(w)
+    return payload_to_wkt(typ, payload)
+
+
+def _asbinary(w: str) -> bytes:
+    typ, payload = _parsed(w)
+    return wkt_payload_to_wkb(typ, payload)
+
+
+def _fromwkb(b) -> str:
+    typ, payload = wkb_to_payload(bytes(b))
+    return payload_to_wkt(typ, payload)
+
+
+_st_crosses_udf = F.pandas_udf(_pairwise(_crosses, bool), BooleanType())
+_st_astext_udf = F.pandas_udf(_per_unique(_canon_wkt, object), StringType())
+_st_asbinary_udf = F.pandas_udf(_per_unique(_asbinary, object), BinaryType())
+_st_geomfromwkb_udf = F.pandas_udf(_per_unique(_fromwkb, object), StringType())
+
+
+def st_crosses(a, b) -> Column:
+    return _st_crosses_udf(a, b)
+
+
+def st_astext(col) -> Column:
+    return _st_astext_udf(col)
+
+
+# parsing and canonical serialization are one normalization step here,
+# so GeomFromText IS AsText (the reference's pair splits only because
+# its geometries are binary objects)
+st_geomfromtext = st_astext
+
+
+def st_asbinary(col) -> Column:
+    return _st_asbinary_udf(col)
+
+
+def st_geomfromwkb(col) -> Column:
+    return _st_geomfromwkb_udf(col)
+
+
+def _ascol(col) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def st_isempty(col) -> Column:
+    """ST_IsEmpty — WKT-level: the EMPTY token is the representation
+    (pure JVM, no parse)."""
+    c = _ascol(col)
+    return F.when(c.isNull(), F.lit(None).cast("boolean")).otherwise(
+        F.upper(F.trim(c)).endswith(F.lit("EMPTY"))
+    )
+
+
+def st_makepoint(x, y) -> Column:
+    """ST_MakePoint(x, y) -> 2-D point WKT, integral doubles collapsed
+    exactly like geometry/wkt._fmt — pure JVM string build."""
+
+    def _f(c: Column) -> Column:
+        i = c.cast("bigint")
+        return F.when(
+            i.cast("double") == c, i.cast("string")
+        ).otherwise(c.cast("string"))
+
+    return F.concat(
+        F.lit("POINT ("), _f(_ascol(x)), F.lit(" "), _f(_ascol(y)), F.lit(")")
+    )
+
+
+def st_srid(col) -> Column:
+    """ST_SRID: geometries here carry no per-value SRS (engine-level
+    CRS, like layers without an assigned SRS) -> 0, the reference's
+    value for SRS-less geometry."""
+    c = _ascol(col)
+    return F.when(c.isNull(), F.lit(None).cast("int")).otherwise(F.lit(0))
 
 
 _st_intersects_udf = F.pandas_udf(_pairwise(_intersects, bool), BooleanType())
@@ -812,3 +993,8 @@ def register_sql_functions(spark: SparkSession) -> None:
     spark.udf.register("st_isring", _st_isring_udf)
     spark.udf.register("st_pointonsurface_x", _st_posurf_x_udf)
     spark.udf.register("st_pointonsurface_y", _st_posurf_y_udf)
+    spark.udf.register("st_crosses", _st_crosses_udf)
+    spark.udf.register("st_astext", _st_astext_udf)
+    spark.udf.register("st_geomfromtext", _st_astext_udf)
+    spark.udf.register("st_asbinary", _st_asbinary_udf)
+    spark.udf.register("st_geomfromwkb", _st_geomfromwkb_udf)

@@ -41,6 +41,7 @@ __all__ = [
     "rects_polys_intersection_area",
     "polys_pair_intersection_area",
     "polys_area",
+    "segment_intersections",
     "is_rectilinear",
     "rectilinear_rects",
 ]
@@ -326,6 +327,66 @@ def segments_intersect_any(ea: np.ndarray, eb: np.ndarray) -> bool:
         | ((d4 == 0) & on_seg(a1, a2, b2))
     )
     return bool(touch.any())
+
+
+def segment_intersections(ea: np.ndarray, eb: np.ndarray, eps: float = 1e-9):
+    """All 0-dim intersections between segment sets ea (N,2,2) and
+    eb (M,2,2), plus collinear-overlap spans — the exact-arithmetic
+    substrate of the Crosses predicate (DE-9IM dim(I∩I) tests,
+    ogr/ogrgeometry.cpp:5711 via GEOSCrosses_r).
+
+    Returns ``(pts, ai, t, spans)``:
+
+      * ``pts`` (K,2): point intersections (proper crossings AND
+        endpoint touches — the caller classifies interior vs boundary);
+      * ``ai`` (K,): index of the ea segment each point lies on;
+      * ``t``  (K,): parameter of the point along that ea segment;
+      * ``spans``: list of ``(ai, s0, s1)`` collinear overlaps of
+        POSITIVE length (s-params along the ea segment, clipped to
+        [0,1]).  A degenerate overlap (segments collinear, touching at
+        one point) is emitted as a point, not a span.
+    """
+    if not len(ea) or not len(eb):
+        return np.empty((0, 2)), np.empty(0, np.int64), np.empty(0), []
+    a0 = ea[:, None, 0]
+    a1 = ea[:, None, 1]
+    b0 = eb[None, :, 0]
+    b1 = eb[None, :, 1]
+    d1 = a1 - a0
+    d2 = b1 - b0
+    den = d1[..., 0] * d2[..., 1] - d1[..., 1] * d2[..., 0]
+    r = b0 - a0
+    c1 = r[..., 0] * d2[..., 1] - r[..., 1] * d2[..., 0]
+    c2 = r[..., 0] * d1[..., 1] - r[..., 1] * d1[..., 0]
+    nonpar = np.abs(den) > eps
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = np.where(nonpar, c1 / np.where(nonpar, den, 1.0), np.nan)
+        u = np.where(nonpar, c2 / np.where(nonpar, den, 1.0), np.nan)
+    hit = nonpar & (t >= -eps) & (t <= 1 + eps) & (u >= -eps) & (u <= 1 + eps)
+    ai_h, bi_h = np.nonzero(hit)
+    th = np.clip(t[ai_h, bi_h], 0.0, 1.0)
+    pts = [ea[ai_h, 0] + th[:, None] * (ea[ai_h, 1] - ea[ai_h, 0])]
+    ais = [ai_h]
+    ts = [th]
+    # collinear pairs: parallel AND b0 on the a-line
+    col = (~nonpar) & (np.abs(c2) <= eps)
+    spans: list[tuple[int, float, float]] = []
+    if col.any():
+        L2 = (d1[..., 0] ** 2 + d1[..., 1] ** 2)
+        for i, j in zip(*np.nonzero(col)):
+            if L2[i, 0] <= eps:
+                continue
+            s0 = float(((eb[j, 0] - ea[i, 0]) * (ea[i, 1] - ea[i, 0])).sum() / L2[i, 0])
+            s1 = float(((eb[j, 1] - ea[i, 0]) * (ea[i, 1] - ea[i, 0])).sum() / L2[i, 0])
+            lo, hi = max(0.0, min(s0, s1)), min(1.0, max(s0, s1))
+            if hi - lo > eps:
+                spans.append((int(i), lo, hi))
+            elif -eps <= lo <= 1 + eps and hi >= lo - eps:
+                tt = np.clip((lo + hi) / 2.0, 0.0, 1.0)
+                pts.append((ea[i, 0] + tt * (ea[i, 1] - ea[i, 0]))[None, :])
+                ais.append(np.array([i]))
+                ts.append(np.array([tt]))
+    return np.vstack(pts), np.concatenate(ais), np.concatenate(ts), spans
 
 
 def ring_edges(polys: list) -> np.ndarray:

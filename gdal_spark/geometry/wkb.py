@@ -22,6 +22,7 @@ import numpy as np
 __all__ = ["wkt_payload_to_wkb", "wkb_to_payload", "wkb_envelope", "wkb_type"]
 
 _POINT = 1
+_LINESTRING = 2
 _POLYGON = 3
 _MULTIPOLYGON = 6
 
@@ -31,6 +32,11 @@ def wkt_payload_to_wkb(typ: str, payload) -> bytes:
     if typ == "POINT":
         x, y = payload[0][0]
         return struct.pack("<BIdd", 1, _POINT, float(x), float(y))
+    if typ == "LINESTRING":
+        pts = np.asarray(payload[0], dtype="<f8")
+        return (
+            struct.pack("<BII", 1, _LINESTRING, len(pts)) + pts.tobytes()
+        )
     if typ == "POLYGON":
         out = [struct.pack("<BII", 1, _POLYGON, len(payload))]
         for ring in payload:
@@ -71,6 +77,14 @@ def wkb_to_payload(buf: bytes):
     if gtype == _POINT:
         x, y = struct.unpack_from("<dd", buf, 5)
         return "POINT", [np.array([[x, y]])]
+    if gtype == _LINESTRING:
+        (npts,) = struct.unpack_from("<I", buf, 5)
+        pts = (
+            np.frombuffer(buf, dtype="<f8", count=2 * npts, offset=9)
+            .reshape(npts, 2)
+            .astype(np.float64)
+        )
+        return "LINESTRING", [pts]
     if gtype == _POLYGON:
         (nrings,) = struct.unpack_from("<I", buf, 5)
         rings, _ = _read_rings(buf, 9, nrings)

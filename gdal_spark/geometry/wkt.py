@@ -102,3 +102,32 @@ def polygon_wkt(rings: list[np.ndarray]) -> str:
         coords = ",".join(f"{_fmt(x)} {_fmt(y)}" for x, y in ring)
         parts.append(f"({coords})")
     return "POLYGON (" + ",".join(parts) + ")"
+
+
+def payload_to_wkt(typ: str, payload) -> str:
+    """Canonical serialization of a parsed payload — the AsText half of
+    the reference's ST_AsText/ST_GeomFromText pair
+    (ogrsqlitesqlfunctions.cpp:1188 REGISTER_ST_op AsText/GeomFromText).
+    Round-tripping messy WKT through parse + this emits one spelling:
+    single space after the tag, no space after commas, integral floats
+    collapsed (``_fmt``)."""
+    if not payload:
+        return f"{typ} EMPTY"
+    if typ == "POINT":
+        x, y = payload[0][0]
+        return point_wkt(float(x), float(y))
+    if typ == "LINESTRING":
+        coords = ",".join(f"{_fmt(x)} {_fmt(y)}" for x, y in payload[0])
+        return f"LINESTRING ({coords})"
+    if typ == "POLYGON":
+        return polygon_wkt(payload)
+    if typ == "MULTIPOLYGON":
+        parts = []
+        for rings in payload:
+            inner = ",".join(
+                "(" + ",".join(f"{_fmt(x)} {_fmt(y)}" for x, y in r) + ")"
+                for r in rings
+            )
+            parts.append(f"({inner})")
+        return "MULTIPOLYGON (" + ",".join(parts) + ")"
+    raise ValueError(f"unsupported geometry type for WKT: {typ}")

@@ -2753,6 +2753,132 @@ def q_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# ST_Crosses — the last predicate of the reference's matrix
+# (ogrgeometry.cpp:5711 OGRGeometry::Crosses -> GEOSCrosses_r) over a
+# known-answer corpus: proper line/line crossing, endpoint touch,
+# collinear overlap, line through / inside / along a polygon, crossing
+# at an interior vertex, area×area and point cases.
+# --------------------------------------------------------------------------
+_CROSS_SQ = "POLYGON ((0 0,4 0,4 4,0 4,0 0))"
+_CROSSES_FIXTURE = [
+    (1, "LINESTRING (0 0,4 4)", "LINESTRING (0 4,4 0)", True),
+    (2, "LINESTRING (0 0,4 4)", "LINESTRING (4 4,8 0)", False),
+    (3, "LINESTRING (0 0,4 0)", "LINESTRING (2 0,6 0)", False),
+    (4, "LINESTRING (-1 2,5 2)", _CROSS_SQ, True),
+    (5, _CROSS_SQ, "LINESTRING (-1 2,5 2)", True),
+    (6, "LINESTRING (1 1,3 3)", _CROSS_SQ, False),
+    (7, "LINESTRING (0 0,4 0)", _CROSS_SQ, False),
+    (8, "LINESTRING (0 0,2 2,4 0)", "LINESTRING (2 0,2 4)", True),
+    (9, _CROSS_SQ, "POLYGON ((2 2,6 2,6 6,2 6,2 2))", False),
+    (10, "LINESTRING (2 2,6 2)", _CROSS_SQ, True),
+    (11, "POINT (2 2)", _CROSS_SQ, False),
+    (12, "LINESTRING (0 0,2 2)", "LINESTRING (0 4,4 0)", False),
+]
+
+_CROSSES_ORACLE = "SELECT * FROM (VALUES " + ", ".join(
+    f"({gid}, {str(x).lower()})" for gid, _, _, x in _CROSSES_FIXTURE
+) + ") t(gid, crosses)"
+
+
+@register("st_crosses", _CROSSES_ORACLE)
+def q_st_crosses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.functions import st_crosses
+
+    df = spark.createDataFrame(
+        [(gid, a, b) for gid, a, b, _ in _CROSSES_FIXTURE],
+        "gid int, wa string, wb string",
+    )
+    return df.select("gid", st_crosses("wa", "wb").alias("crosses"))
+
+
+# --------------------------------------------------------------------------
+# ST basics — the codec / constructor half of the reference's minimal
+# spatial-function set (ogrsqlitesqlfunctions.cpp:1188-1224: AsText,
+# GeomFromText, AsBinary, GeomFromWKB, IsEmpty, SRID, MakePoint):
+# canonical re-serialization of messy WKT, WKB roundtrip (hand-checked
+# NDR hex expectations), EMPTY detection, point construction —
+# IsEmpty / MakePoint / SRID run pure-JVM.
+# --------------------------------------------------------------------------
+_BASIC_FIXTURE = [
+    # (gid, messy wkt, canon, empty, wkb hex or None)
+    (
+        1,
+        "  POINT( 1.0   2.00 )",
+        "POINT (1 2)",
+        False,
+        "0101000000000000000000F03F0000000000000040",
+    ),
+    (
+        2,
+        "POLYGON(( 0 0 ,4.0 0,4 4, 0 4 ,0 0 ))",
+        "POLYGON ((0 0,4 0,4 4,0 4,0 0))",
+        False,
+        "010300000001000000050000000000000000000000000000000000000000"
+        "000000000010400000000000000000000000000000104000000000000010"
+        "400000000000000000000000000000104000000000000000000000000000"
+        "000000",
+    ),
+    (
+        3,
+        "LINESTRING(0 0, 1 1)",
+        "LINESTRING (0 0,1 1)",
+        False,
+        "01020000000200000000000000000000000000000000000000"
+        "000000000000F03F000000000000F03F",
+    ),
+    (4, "POLYGON EMPTY", "POLYGON EMPTY", True, None),
+]
+
+_BASIC_ORACLE = "SELECT * FROM (VALUES " + ", ".join(
+    "({}, '{}', {}, {}, {}, {}, '{}', 0)".format(
+        gid,
+        canon,
+        str(empty).lower(),
+        "NULL" if hx is None else f"'{hx}'",
+        "NULL" if hx is None else "true",
+        "NULL" if hx is None else f"'{canon}'",
+        f"POINT ({gid + 2} {gid * 3 // 2 if gid % 2 == 0 else str(gid * 1.5)})",
+    )
+    for gid, _, canon, empty, hx in _BASIC_FIXTURE
+) + ") t(gid, canon, empty, wkb_hex, rt_ok, rt_wkt, mk, srid)"
+
+
+@register("st_basic", _BASIC_ORACLE)
+def q_st_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.functions import (
+        st_asbinary,
+        st_astext,
+        st_geomfromwkb,
+        st_isempty,
+        st_makepoint,
+        st_srid,
+    )
+
+    df = spark.createDataFrame(
+        [(gid, w) for gid, w, *_ in _BASIC_FIXTURE], "gid int, wkt string"
+    )
+    canon = st_astext("wkt")
+    nonempty = ~st_isempty(F.col("wkt"))
+    # codecs run on every row (EMPTY encodes to a 0-ring WKB and back);
+    # the EMPTY row's outputs are nulled at projection to match the
+    # reference's NULL-for-empty behaviour
+    wkb = st_asbinary(canon)
+    rt = st_geomfromwkb(wkb)
+    return df.select(
+        "gid",
+        canon.alias("canon"),
+        st_isempty(F.col("wkt")).alias("empty"),
+        F.when(nonempty, F.hex(wkb)).alias("wkb_hex"),
+        F.when(nonempty, rt == canon).alias("rt_ok"),
+        F.when(nonempty, rt).alias("rt_wkt"),
+        st_makepoint(F.col("gid") + F.lit(2.0), F.col("gid") * F.lit(1.5)).alias(
+            "mk"
+        ),
+        st_srid(F.col("wkt")).alias("srid"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Windowed event aggregation (events table): tumbling hourly windows —
 # the batch analog of the streaming rollup surface.
 # --------------------------------------------------------------------------

@@ -251,3 +251,94 @@ class TestChecksum:
             r = int(math.fmod(iv, primes[i]))
             acc = (acc + r) & 0xFFFF
         assert checksum_image(arr) == acc
+
+
+class TestSegmentIntersections:
+    """segment_intersections — the Crosses substrate (boolean.py)."""
+
+    def test_proper_crossing_point(self):
+        from gdal_spark.geometry.boolean import segment_intersections
+
+        ea = np.array([[[0.0, 0.0], [4.0, 4.0]]])
+        eb = np.array([[[0.0, 4.0], [4.0, 0.0]]])
+        pts, ai, t, spans = segment_intersections(ea, eb)
+        assert not spans
+        assert len(pts) == 1
+        np.testing.assert_allclose(pts[0], [2.0, 2.0])
+        assert ai[0] == 0 and abs(t[0] - 0.5) < 1e-12
+
+    def test_collinear_overlap_is_span_not_point(self):
+        from gdal_spark.geometry.boolean import segment_intersections
+
+        ea = np.array([[[0.0, 0.0], [4.0, 0.0]]])
+        eb = np.array([[[2.0, 0.0], [6.0, 0.0]]])
+        pts, _, _, spans = segment_intersections(ea, eb)
+        assert len(pts) == 0
+        assert spans == [(0, 0.5, 1.0)]
+
+    def test_collinear_endpoint_touch_is_point(self):
+        from gdal_spark.geometry.boolean import segment_intersections
+
+        ea = np.array([[[0.0, 0.0], [4.0, 0.0]]])
+        eb = np.array([[[4.0, 0.0], [8.0, 0.0]]])
+        pts, _, t, spans = segment_intersections(ea, eb)
+        assert not spans
+        assert len(pts) == 1 and abs(t[0] - 1.0) < 1e-12
+
+    def test_disjoint_collinear_far_segment_ignored(self):
+        from gdal_spark.geometry.boolean import segment_intersections
+
+        ea = np.array([[[0.0, 0.0], [1.0, 0.0]]])
+        eb = np.array([[[5.0, 0.0], [9.0, 0.0]]])
+        pts, _, _, spans = segment_intersections(ea, eb)
+        assert len(pts) == 0 and not spans
+
+
+class TestCrossesKernel:
+    """_crosses vs hand-derived DE-9IM answers (see registry fixture —
+    this duplicates the tricky cases at kernel level)."""
+
+    SQ = "POLYGON ((0 0,4 0,4 4,0 4,0 0))"
+
+    def test_matrix(self):
+        from gdal_spark.functions import _crosses
+
+        assert _crosses("LINESTRING (0 0,4 4)", "LINESTRING (0 4,4 0)")
+        assert not _crosses("LINESTRING (0 0,4 4)", "LINESTRING (4 4,8 0)")
+        assert not _crosses("LINESTRING (0 0,4 0)", "LINESTRING (2 0,6 0)")
+        assert _crosses("LINESTRING (-1 2,5 2)", self.SQ)
+        assert _crosses(self.SQ, "LINESTRING (-1 2,5 2)")  # symmetric
+        assert not _crosses("LINESTRING (1 1,3 3)", self.SQ)  # inside only
+        assert not _crosses("LINESTRING (0 0,4 0)", self.SQ)  # along edge
+        # crossing at an interior VERTEX of one line is still interior
+        assert _crosses("LINESTRING (0 0,2 2,4 0)", "LINESTRING (2 0,2 4)")
+        assert not _crosses(self.SQ, "POLYGON ((2 2,6 2,6 6,2 6,2 2))")
+        assert _crosses("LINESTRING (2 2,6 2)", self.SQ)  # endpoint inside
+        assert not _crosses("POINT (2 2)", self.SQ)
+
+    def test_donut_hole_line(self):
+        from gdal_spark.functions import _crosses
+
+        donut = (
+            "POLYGON ((0 0,20 0,20 20,0 20,0 0),"
+            "(8 8,12 8,12 12,8 12,8 8))"
+        )
+        # chord crossing the hole: interior parts on both rims + the
+        # hole (exterior) between them
+        assert _crosses("LINESTRING (4 10,16 10)", donut)
+        # segment fully inside the hole = fully exterior
+        assert not _crosses("LINESTRING (9 10,11 10)", donut)
+
+
+class TestWkbLinestringCodec:
+    def test_roundtrip_and_hex(self):
+        from gdal_spark.geometry.wkb import wkb_to_payload, wkt_payload_to_wkb
+        from gdal_spark.geometry.wkt import parse_wkt, payload_to_wkt
+
+        w = "LINESTRING (0 0,1 1)"
+        buf = wkt_payload_to_wkb(*parse_wkt(w))
+        assert buf.hex().upper() == (
+            "01020000000200000000000000000000000000000000000000"
+            "000000000000F03F000000000000F03F"
+        )
+        assert payload_to_wkt(*wkb_to_payload(buf)) == w
