@@ -89,6 +89,10 @@ __all__ = [
     "st_isempty",
     "st_makepoint",
     "st_srid",
+    "st_intersection",
+    "st_difference",
+    "st_union2",
+    "st_symdifference",
     "register_sql_functions",
 ]
 
@@ -646,6 +650,47 @@ def _buffer_wkt(wkt: str, r: float) -> str:
     raise ValueError("st_buffer supports POINT or POLYGON")
 
 
+def _setop_wkt(aw: str, bw: str, op: str) -> str:
+    """Scalar geometry set op RETURNING geometry WKT — the
+    function-form Intersection/Difference/Union/SymDifference the
+    reference registers (ogrsqlitesqlfunctions.cpp:1208-1214; GEOS
+    ogrgeometry.cpp:4895,5014,5229).  Exact for two classes:
+    RECTILINEAR pairs (any concavity/holes/multipart — compressed-grid
+    kernel, geometry/rectbool.py) and, for intersection only,
+    convex×convex (Sutherland-Hodgman).  Results canonical: shell CCW,
+    holes CW, rings start at the lexicographic min vertex."""
+    from gdal_spark.geometry.boolean import is_rectilinear
+    from gdal_spark.geometry.clip import clip_polygon_convex, is_convex
+    from gdal_spark.geometry.rectbool import canonical_polys, rect_bool_op
+
+    pa, pb = _as_polys(aw), _as_polys(bw)
+    if is_rectilinear(pa) and is_rectilinear(pb):
+        polys = rect_bool_op(pa, pb, op)
+    elif (
+        op == "intersection"
+        and len(pa) == 1 == len(pb)
+        and len(pa[0]) == 1 == len(pb[0])
+        and is_convex(pa[0][0])
+        and is_convex(pb[0][0])
+    ):
+        out = clip_polygon_convex(pa[0][0], pb[0][0])
+        polys = (
+            canonical_polys([[out]])
+            if len(out) >= 3 and abs(shoelace_area(np.vstack([out, out[:1]]))) > _TOL
+            else []
+        )
+    else:
+        raise ValueError(
+            f"st_{op}: supported classes are rectilinear x rectilinear "
+            "(any shape) and convex x convex (intersection only)"
+        )
+    if not polys:
+        return "POLYGON EMPTY"
+    if len(polys) == 1:
+        return payload_to_wkt("POLYGON", polys[0])
+    return payload_to_wkt("MULTIPOLYGON", polys)
+
+
 def _canon_wkt(w: str) -> str:
     """ST_GeomFromText + ST_AsText in a WKT-native engine: parse then
     re-serialize to the one canonical spelling
@@ -665,6 +710,34 @@ def _fromwkb(b) -> str:
 
 
 _st_crosses_udf = F.pandas_udf(_pairwise(_crosses, bool), BooleanType())
+_st_intersection_udf = F.pandas_udf(
+    _pairwise(lambda a, b: _setop_wkt(a, b, "intersection"), object), StringType()
+)
+_st_difference_udf = F.pandas_udf(
+    _pairwise(lambda a, b: _setop_wkt(a, b, "difference"), object), StringType()
+)
+_st_union2_udf = F.pandas_udf(
+    _pairwise(lambda a, b: _setop_wkt(a, b, "union"), object), StringType()
+)
+_st_symdifference_udf = F.pandas_udf(
+    _pairwise(lambda a, b: _setop_wkt(a, b, "symdifference"), object), StringType()
+)
+
+
+def st_intersection(a, b) -> Column:
+    return _st_intersection_udf(a, b)
+
+
+def st_difference(a, b) -> Column:
+    return _st_difference_udf(a, b)
+
+
+def st_union2(a, b) -> Column:
+    return _st_union2_udf(a, b)
+
+
+def st_symdifference(a, b) -> Column:
+    return _st_symdifference_udf(a, b)
 _st_astext_udf = F.pandas_udf(_per_unique(_canon_wkt, object), StringType())
 _st_asbinary_udf = F.pandas_udf(_per_unique(_asbinary, object), BinaryType())
 _st_geomfromwkb_udf = F.pandas_udf(_per_unique(_fromwkb, object), StringType())
@@ -998,3 +1071,7 @@ def register_sql_functions(spark: SparkSession) -> None:
     spark.udf.register("st_geomfromtext", _st_astext_udf)
     spark.udf.register("st_asbinary", _st_asbinary_udf)
     spark.udf.register("st_geomfromwkb", _st_geomfromwkb_udf)
+    spark.udf.register("st_intersection", _st_intersection_udf)
+    spark.udf.register("st_difference", _st_difference_udf)
+    spark.udf.register("st_union", _st_union2_udf)
+    spark.udf.register("st_symdifference", _st_symdifference_udf)

@@ -2879,6 +2879,103 @@ def q_st_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Scalar geometry set ops RETURNING geometry (ST_Intersection /
+# ST_Difference / ST_Union / ST_SymDifference,
+# ogrsqlitesqlfunctions.cpp:1208-1214; GEOS ogrgeometry.cpp:4895,5014,
+# 5229): exact compressed-grid kernel for rectilinear pairs (concave /
+# holes / multipart results) + Sutherland-Hodgman for convex
+# intersection.  Expected WKT literals are hand-derived (areas
+# cross-checked: e.g. L⊕R = 20+16-2*7 = 13+9).
+# --------------------------------------------------------------------------
+_SETOP_FIXTURE = [
+    # (gid, wkt_a, wkt_b, inter, diff, uni, sym) — rectilinear rows
+    (
+        1,
+        "POLYGON ((0 0,4 0,4 4,0 4,0 0))",
+        "POLYGON ((2 2,6 2,6 6,2 6,2 2))",
+        "POLYGON ((2 2,4 2,4 4,2 4,2 2))",
+        "POLYGON ((0 0,4 0,4 2,2 2,2 4,0 4,0 0))",
+        "POLYGON ((0 0,4 0,4 2,6 2,6 6,2 6,2 4,0 4,0 0))",
+        "MULTIPOLYGON (((0 0,4 0,4 2,2 2,2 4,0 4,0 0)),"
+        "((2 4,4 4,4 2,6 2,6 6,2 6,2 4)))",
+    ),
+    (
+        2,
+        "POLYGON ((0 0,10 0,10 10,0 10,0 0))",
+        "POLYGON ((3 3,5 3,5 5,3 5,3 3))",
+        "POLYGON ((3 3,5 3,5 5,3 5,3 3))",
+        "POLYGON ((0 0,10 0,10 10,0 10,0 0),(3 3,3 5,5 5,5 3,3 3))",
+        "POLYGON ((0 0,10 0,10 10,0 10,0 0))",
+        "POLYGON ((0 0,10 0,10 10,0 10,0 0),(3 3,3 5,5 5,5 3,3 3))",
+    ),
+    (
+        3,
+        "POLYGON ((0 0,4 0,4 4,0 4,0 0))",
+        "POLYGON ((20 0,24 0,24 4,20 4,20 0))",
+        "POLYGON EMPTY",
+        "POLYGON ((0 0,4 0,4 4,0 4,0 0))",
+        "MULTIPOLYGON (((0 0,4 0,4 4,0 4,0 0)),((20 0,24 0,24 4,20 4,20 0)))",
+        "MULTIPOLYGON (((0 0,4 0,4 4,0 4,0 0)),((20 0,24 0,24 4,20 4,20 0)))",
+    ),
+    (
+        4,
+        "POLYGON ((0 0,6 0,6 2,2 2,2 6,0 6,0 0))",
+        "POLYGON ((1 1,5 1,5 5,1 5,1 1))",
+        "POLYGON ((1 1,5 1,5 2,2 2,2 5,1 5,1 1))",
+        "POLYGON ((0 0,6 0,6 2,5 2,5 1,1 1,1 5,2 5,2 6,0 6,0 0))",
+        "POLYGON ((0 0,6 0,6 2,5 2,5 5,2 5,2 6,0 6,0 0))",
+        "MULTIPOLYGON (((0 0,6 0,6 2,5 2,5 1,1 1,1 5,2 5,2 6,0 6,0 0)),"
+        "((2 2,5 2,5 5,2 5,2 2)))",
+    ),
+]
+# convex (non-rectilinear) row: intersection only — the documented
+# contract of the S-H path
+_SETOP_CONVEX = (
+    5,
+    "POLYGON ((0 0,8 0,0 8,0 0))",
+    "POLYGON ((0 0,4 0,4 4,0 4,0 0))",
+    "POLYGON ((0 0,4 0,4 4,0 4,0 0))",
+)
+
+_SETOPS_ORACLE = "SELECT * FROM (VALUES " + ", ".join(
+    f"({gid}, '{i}', '{d}', '{u}', '{s}')"
+    for gid, _, _, i, d, u, s in _SETOP_FIXTURE
+) + f", ({_SETOP_CONVEX[0]}, '{_SETOP_CONVEX[3]}', NULL, NULL, NULL)" \
+    ") t(gid, inter, diff, uni, sym)"
+
+
+@register("st_setops", _SETOPS_ORACLE)
+def q_st_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.functions import (
+        st_difference,
+        st_intersection,
+        st_symdifference,
+        st_union2,
+    )
+
+    rect = spark.createDataFrame(
+        [(gid, a, b) for gid, a, b, *_ in _SETOP_FIXTURE],
+        "gid int, wa string, wb string",
+    ).select(
+        "gid",
+        st_intersection("wa", "wb").alias("inter"),
+        st_difference("wa", "wb").alias("diff"),
+        st_union2("wa", "wb").alias("uni"),
+        st_symdifference("wa", "wb").alias("sym"),
+    )
+    conv = spark.createDataFrame(
+        [_SETOP_CONVEX[:3]], "gid int, wa string, wb string"
+    ).select(
+        "gid",
+        st_intersection("wa", "wb").alias("inter"),
+        F.lit(None).cast("string").alias("diff"),
+        F.lit(None).cast("string").alias("uni"),
+        F.lit(None).cast("string").alias("sym"),
+    )
+    return rect.unionByName(conv)
+
+
+# --------------------------------------------------------------------------
 # Windowed event aggregation (events table): tumbling hourly windows —
 # the batch analog of the streaming rollup surface.
 # --------------------------------------------------------------------------

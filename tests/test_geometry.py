@@ -342,3 +342,40 @@ class TestWkbLinestringCodec:
             "000000000000F03F000000000000F03F"
         )
         assert payload_to_wkt(*wkb_to_payload(buf)) == w
+
+
+class TestRectBoolOp:
+    """Compressed-grid boolean ops emitting geometry (rectbool.py)."""
+
+    def _wkt(self, a, b, op):
+        from gdal_spark.functions import _setop_wkt
+
+        return _setop_wkt(a, b, op)
+
+    def test_corner_touch_xor_is_two_parts(self):
+        a = "POLYGON ((0 0,2 0,2 2,0 2,0 0))"
+        b = "POLYGON ((2 2,4 2,4 4,2 4,2 2))"
+        assert self._wkt(a, b, "symdifference") == (
+            "MULTIPOLYGON (((0 0,2 0,2 2,0 2,0 0)),((2 2,4 2,4 4,2 4,2 2)))"
+        )
+        assert self._wkt(a, b, "intersection") == "POLYGON EMPTY"
+
+    def test_hole_input_respected(self):
+        donut = "POLYGON ((0 0,10 0,10 10,0 10,0 0),(3 3,3 7,7 7,7 3,3 3))"
+        probe = "POLYGON ((4 4,6 4,6 6,4 6,4 4))"  # inside the hole
+        assert self._wkt(donut, probe, "intersection") == "POLYGON EMPTY"
+
+    def test_union_with_island_in_hole(self):
+        donut = "POLYGON ((0 0,10 0,10 10,0 10,0 0),(3 3,3 7,7 7,7 3,3 3))"
+        probe = "POLYGON ((4 4,6 4,6 6,4 6,4 4))"
+        assert self._wkt(donut, probe, "union") == (
+            "MULTIPOLYGON (((0 0,10 0,10 10,0 10,0 0),"
+            "(3 3,3 7,7 7,7 3,3 3)),((4 4,6 4,6 6,4 6,4 4)))"
+        )
+
+    def test_difference_splitting_into_two(self):
+        a = "POLYGON ((0 0,6 0,6 2,0 2,0 0))"
+        b = "POLYGON ((2 -1,4 -1,4 3,2 3,2 -1))"  # vertical cut through
+        assert self._wkt(a, b, "difference") == (
+            "MULTIPOLYGON (((0 0,2 0,2 2,0 2,0 0)),((4 0,6 0,6 2,4 2,4 0)))"
+        )
