@@ -512,6 +512,59 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# HSTORE_GET_VALUE — the real OGR hstore grammar
+# (swq_op_general.cpp:291 OGRHStoreGetValue over 'k=>v, "k 2"=>"v 2"'
+# pairs: optionally double-quoted keys/values, spaces tolerated around
+# '=>' and ',', FIRST matching key wins, missing key -> NULL).  Pure
+# JVM: one regexp_extract per key with a backslash-free pattern (the
+# same literal text parses identically in Java regex and RE2), unquote
+# via substr.  Escape sequences inside quoted strings are out of the
+# exercised grammar (documented; the reference's backslash handling
+# needs a stateful scan).
+# --------------------------------------------------------------------------
+_HSTORE_H = (
+    "('lang=>' || lang || ' , \"src name\" => \"' || source || '\" ,"
+    " n=>' || CAST(n_chars AS VARCHAR(20)) || ' , lang=>dup')"
+)
+
+
+def _hstore_get(h_sql: str, key: str, alias: str) -> str:
+    pat = f'(?:^|,) *(?:"{key}"|{key}) *=> *("[^"]*"|[^, ]+)'
+    raw = f"nullif(regexp_extract({h_sql}, '{pat}', 1), '')"
+    return (
+        f"CASE WHEN {raw} IS NULL THEN NULL"
+        f" WHEN substr({raw}, 1, 1) = '\"'"
+        f" THEN substr({raw}, 2, length({raw}) - 2)"
+        f" ELSE {raw} END AS {alias}"
+    )
+
+
+_HSTORE_ORACLE = f"""
+SELECT doc_id,
+       {_hstore_get(_HSTORE_H, "lang", "v_lang")},
+       {_hstore_get(_HSTORE_H, "src name", "v_src")},
+       {_hstore_get(_HSTORE_H, "n", "v_n")},
+       {_hstore_get(_HSTORE_H, "nope", "v_nope")}
+FROM documents
+"""
+
+
+@register("hstore_value", _HSTORE_ORACLE)
+def q_hstore_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The duplicate trailing 'lang=>dup' pair proves first-match-wins;
+    'src name' exercises a quoted key + quoted value; 'nope' the NULL
+    path."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.select(
+        "doc_id",
+        F.expr(_hstore_get(_HSTORE_H, "lang", "v_lang")),
+        F.expr(_hstore_get(_HSTORE_H, "src name", "v_src")),
+        F.expr(_hstore_get(_HSTORE_H, "n", "v_n")),
+        F.expr(_hstore_get(_HSTORE_H, "nope", "v_nope")),
+    )
+
+
+# --------------------------------------------------------------------------
 # Training-data pipeline ops over documents / embeddings
 # --------------------------------------------------------------------------
 
