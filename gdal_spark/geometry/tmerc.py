@@ -163,3 +163,75 @@ def sql_utm_northing(
         )
     base = f"({_d(K0 * A_RECT)} * ({' + '.join(terms)}))"
     return f"({base} + {_d(N0_SOUTH)})" if south else base
+
+
+def sql_utm_inverse_stages(
+    e: str, n: str, lon0_sql: str, south: bool = False
+) -> list[tuple[str, str]]:
+    """The INVERSE transform as an ordered list of ``(column, expr)``
+    stages, each expr referencing only input columns and earlier stage
+    columns.  Karney's Newton loop (:func:`_tauf`) has a FIXED iteration
+    count, so it unrolls into a straight-line column chain — apply with
+    successive ``SELECT *, expr AS column`` (Spark ``selectExpr`` or a
+    nested-select DuckDB oracle).  Identical text in both engines, same
+    term order as the numpy kernel, so a warp query can inverse-project
+    target pixels fully JVM-side (whole-stage codegen) while the oracle
+    evaluates the same expressions.  Final columns: ``u_lat``/``u_lon``
+    (degrees)."""
+    st: list[tuple[str, str]] = []
+    fn = N0_SOUTH if south else 0.0
+    st.append(("u_xi", f"((({n}) - {_d(fn)}) / {_d(K0 * A_RECT)})"))
+    st.append(("u_eta", f"((({e}) - {_d(E0)}) / {_d(K0 * A_RECT)})"))
+    xip = "(u_xi)"
+    etap = "(u_eta)"
+    for j, b in enumerate(BETA, start=1):
+        xip = (
+            f"({xip} - {_d(b)} * sin({2 * j}.0e0 * u_xi)"
+            f" * {_cosh(f'({2 * j}.0e0 * u_eta)')})"
+        )
+        etap = (
+            f"({etap} - {_d(b)} * cos({2 * j}.0e0 * u_xi)"
+            f" * {_sinh(f'({2 * j}.0e0 * u_eta)')})"
+        )
+    st.append(("u_xip", xip))
+    st.append(("u_etap", etap))
+    st.append(("u_shp", _sinh("u_etap")))
+    st.append(("u_cxp", "cos(u_xip)"))
+    st.append(
+        ("u_taup", "(sin(u_xip) / sqrt(u_shp * u_shp + u_cxp * u_cxp))")
+    )
+    st.append(("u_tau0", f"(u_taup / {_d(math.sqrt(1.0 - _E2))})"))
+    one_m_e2 = _d(1.0 - _E2)
+    for k in range(6):
+        t = f"u_tau{k}"
+        s = f"u_s{k}"
+        ti = f"u_ti{k}"
+        st.append(
+            (
+                s,
+                _sinh(
+                    f"({_d(_E)} * "
+                    f"{_atanh(f'({_d(_E)} * {t} / sqrt(1.0e0 + {t} * {t}))')})"
+                ),
+            )
+        )
+        st.append(
+            (
+                ti,
+                f"({t} * sqrt(1.0e0 + {s} * {s})"
+                f" - {s} * sqrt(1.0e0 + {t} * {t}))",
+            )
+        )
+        st.append(
+            (
+                f"u_tau{k + 1}",
+                f"({t} + (u_taup - {ti}) * (1.0e0 + {one_m_e2} * {t} * {t})"
+                f" / ({one_m_e2} * sqrt((1.0e0 + {ti} * {ti})"
+                f" * (1.0e0 + {t} * {t}))))",
+            )
+        )
+    st.append(("u_lat", "(atan(u_tau6) * 1.8e2 / pi())"))
+    st.append(
+        ("u_lon", f"(atan2(u_shp, u_cxp) * 1.8e2 / pi() + ({lon0_sql}))")
+    )
+    return st

@@ -3925,6 +3925,53 @@ def q_warp_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# warp_utm — gdalwarp -t_srs EPSG:32633: output-driven NN warp of the
+# synthetic world raster into a UTM zone-33N target grid (48 x 50 px,
+# 12.5 km x 50 km cells over E 200-800 km, N 4.0-6.5 Mm).  The warp
+# direction is the reference's (alg/gdalwarpkernel.cpp: iterate TARGET
+# pixels, inverse-transform the center, sample the source): the Krüger
+# inverse with its fixed-count Newton loop unrolls into a straight-line
+# column chain (tmerc.sql_utm_inverse_stages), so the whole warp —
+# inverse projection, NN snap, value — is ONE whole-stage-codegen
+# projection over a range relation.  No Python, no shuffle, no join
+# (the synthetic source value is closed-form in the pixel index); at
+# 100 TB the same plan partitions by target-pixel ranges with a
+# broadcast or closed-form source lookup.  Oracle: identical expression
+# text nested-select by nested-select in DuckDB.
+# --------------------------------------------------------------------------
+def _warp_utm_stages() -> list[tuple[str, str]]:
+    st = [
+        ("band", "(CAST(floor(CAST(i AS DOUBLE) / 2.4e3) AS INT) + 1)"),
+        ("gx", "CAST((i % 2400) % 48 AS INT)"),
+        ("gy", "CAST(floor(CAST(i % 2400 AS DOUBLE) / 4.8e1) AS INT)"),
+        ("e_m", "(2.0e5 + (CAST(gx AS DOUBLE) + 5.0e-1) * 1.25e4)"),
+        ("n_m", "(6.5e6 - (CAST(gy AS DOUBLE) + 5.0e-1) * 5.0e4)"),
+    ]
+    st += tmerc.sql_utm_inverse_stages("e_m", "n_m", "1.5e1")
+    st += [
+        ("sx", "CAST(floor((u_lon + 1.8e2) / 9.0e-1) AS BIGINT)"),
+        ("sy", "CAST(floor((9.0e1 - u_lat) / 9.0e-1) AS BIGINT)"),
+        ("value", "CAST((sx * 7 + sy * 13 + band * 29) % 256 AS INT)"),
+    ]
+    return st
+
+
+def _warp_utm_oracle() -> str:
+    sql = "SELECT i FROM range(0, 7200) t(i)"
+    for name, expr in _warp_utm_stages():
+        sql = f"SELECT *, {expr} AS {name} FROM ({sql})"
+    return f"SELECT band, gx, gy, sx, sy, value FROM ({sql})"
+
+
+@register("warp_utm", _warp_utm_oracle())
+def q_warp_utm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = spark.range(7200).select(F.col("id").alias("i"))
+    for name, expr in _warp_utm_stages():
+        df = df.selectExpr("*", f"{expr} AS {name}")
+    return df.select("band", "gx", "gy", "sx", "sy", "value")
+
+
+# --------------------------------------------------------------------------
 # public surface used by __spark_entry__
 # --------------------------------------------------------------------------
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -65,3 +65,18 @@ class TestSqlParity:
         E, N = tmerc.utm_forward(lat, lon, 31)
         assert np.abs(E - [r[2] for r in rows]).max() < 1e-6
         assert np.abs(N - [r[3] for r in rows]).max() < 1e-6
+
+    def test_duckdb_inverse_stages_match_numpy(self):
+        import duckdb
+
+        sql = "SELECT 2.0e5 + i * 1.234e4 AS E, 4.0e6 + i * 5.1e4 AS N FROM range(0, 49) t(i)"
+        for name, expr in tmerc.sql_utm_inverse_stages("E", "N", "1.5e1"):
+            sql = f"SELECT *, {expr} AS {name} FROM ({sql})"
+        rows = duckdb.connect().execute(
+            f"SELECT E, N, u_lat, u_lon FROM ({sql})"
+        ).fetchall()
+        E = np.array([r[0] for r in rows])
+        N = np.array([r[1] for r in rows])
+        lat, lon = tmerc.utm_inverse(E, N, 33)
+        assert np.abs(lat - [r[2] for r in rows]).max() < 1e-11
+        assert np.abs(lon - [r[3] for r in rows]).max() < 1e-11
