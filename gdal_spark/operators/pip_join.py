@@ -41,7 +41,7 @@ from pyspark.sql.types import (
 )
 
 from gdal_spark.geometry import mercator
-from gdal_spark.geometry.envelope import wkt_envelope
+from gdal_spark.geometry.envelope import wkt_envelope, wkt_is_rectangle
 from gdal_spark.geometry.wkt import parse_wkt
 
 DEFAULT_ZOOM = 6  # ~5.6° cells at equator; zone envelopes span O(10) cells
@@ -66,42 +66,49 @@ def _cover_cells(env, zoom):
 
 
 def zone_cell_index(
-    zones: DataFrame, zoom: int = DEFAULT_ZOOM, wkt_col: str = "geom_wkt"
+    zones: DataFrame,
+    zoom: int = DEFAULT_ZOOM,
+    wkt_col: str = "geom_wkt",
+    with_rect_flag: bool = False,
 ) -> DataFrame:
     """Explode a zone layer into one row per covered mercator cell, with
-    the zone envelope attached for the JVM-side prefilter."""
+    the zone envelope attached for the JVM-side prefilter.
+
+    ``with_rect_flag`` adds an ``is_rect`` column (``IsRectangle``,
+    ogrgeometry.cpp:8822) so the join can route rectangle zones to the
+    envelope-only refine (the reference's ``m_bFilterIsEnvelope`` fast
+    path, ogrlayer.cpp:2171,2287-2299)."""
     from pyspark.sql.types import DoubleType
 
     in_schema = zones.schema
-    out_schema = StructType(
-        list(in_schema.fields)
-        + [
-            StructField("cell_tx", LongType()),
-            StructField("cell_ty", LongType()),
-            StructField("env_xmin", DoubleType()),
-            StructField("env_ymin", DoubleType()),
-            StructField("env_xmax", DoubleType()),
-            StructField("env_ymax", DoubleType()),
-        ]
-    )
+    extra = [
+        StructField("cell_tx", LongType()),
+        StructField("cell_ty", LongType()),
+        StructField("env_xmin", DoubleType()),
+        StructField("env_ymin", DoubleType()),
+        StructField("env_xmax", DoubleType()),
+        StructField("env_ymax", DoubleType()),
+    ]
+    if with_rect_flag:
+        extra.append(StructField("is_rect", BooleanType()))
+    out_schema = StructType(list(in_schema.fields) + extra)
+    extra_names = [f.name for f in extra]
 
     def expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for idx, wkt in enumerate(pdf[wkt_col]):
                 env = wkt_envelope(wkt)
+                tail = (wkt_is_rectangle(wkt),) if with_rect_flag else ()
                 for tx, ty in _cover_cells(env, zoom):
-                    rows.append((idx, tx, ty, *env))
+                    rows.append((idx, tx, ty, *env, *tail))
             if not rows:
                 yield pd.DataFrame(columns=out_schema.names)
                 continue
-            expd = pd.DataFrame(
-                rows,
-                columns=["_i", "cell_tx", "cell_ty", "env_xmin", "env_ymin", "env_xmax", "env_ymax"],
-            )
+            expd = pd.DataFrame(rows, columns=["_i"] + extra_names)
             base = pdf.reset_index(drop=True)
             joined = base.iloc[expd["_i"]].reset_index(drop=True)
-            for c in ("cell_tx", "cell_ty", "env_xmin", "env_ymin", "env_xmax", "env_ymax"):
+            for c in extra_names:
                 joined[c] = expd[c].values
             yield joined[out_schema.names]
 
@@ -175,13 +182,30 @@ def pip_join(
     salt: int = 8,
     zone_id_col: str = "zone_id",
     wkt_col: str = "geom_wkt",
+    rect_fast: bool = True,
 ) -> DataFrame:
     """Spatial inner join: point docs x polygon zones.
 
     Returns points.* ⊕ zones.* (minus helper columns) for every (point,
     zone) pair where the point lies strictly inside the zone polygon.
+
+    ``rect_fast`` mirrors the reference's rectangle-filter short-circuit
+    (``InstallFilter`` → ``m_bFilterIsEnvelope``, ogrlayer.cpp:2171;
+    envelope-only accept ogrlayer.cpp:2287-2299): zones whose geometry IS
+    an axis-aligned rectangle skip the Python ray-cast entirely.  The
+    ray-cast (ogrlinearring.cpp:499-532 half-open crossing rule) on a
+    rectangle reduces EXACTLY to ``xmin <= x < xmax AND ymin <= y < ymax``
+    — horizontal edges never straddle the +x ray, each vertical edge at
+    ``xe`` crosses iff ``ymin <= y < ymax`` and ``x < xe`` — so the fast
+    branch is bit-identical to the slow path, evaluated as pure JVM
+    whole-stage codegen.  Rect and non-rect zones split into two
+    branches; with AQE on, an empty branch (all-rect or all-poly layers,
+    the common cases) collapses at runtime via empty-relation propagation
+    so the point corpus is scanned once.  Mixed layers scan the corpus
+    once per branch but transfer only genuinely non-rect candidates
+    through Arrow.
     """
-    cells = zone_cell_index(zones, zoom, wkt_col)
+    cells = zone_cell_index(zones, zoom, wkt_col, with_rect_flag=rect_fast)
     pts = with_point_cell(points, zoom)
     if strategy == "broadcast":
         cand = pts.join(F.broadcast(cells), ["cell_tx", "cell_ty"], "inner")
@@ -195,17 +219,32 @@ def pip_join(
     else:
         raise ValueError(f"unknown strategy: {strategy}")
 
-    cand = cand.filter(
+    env_pre = (
         (F.col("lon") >= F.col("env_xmin"))
         & (F.col("lon") <= F.col("env_xmax"))
         & (F.col("lat") >= F.col("env_ymin"))
         & (F.col("lat") <= F.col("env_ymax"))
     )
+    helper = ["cell_tx", "cell_ty", "env_xmin", "env_ymin", "env_xmax", "env_ymax"]
     # exact refine reads the zone WKT carried through the join — both
     # strategies are driver-collect-free, so the method layer is never
     # materialized on the driver
     refine = _make_refine_udf()
-    out = cand.filter(refine(F.col("lon"), F.col("lat"), F.col(wkt_col)))
-    return out.drop(
-        "cell_tx", "cell_ty", "env_xmin", "env_ymin", "env_xmax", "env_ymax"
+    if not rect_fast:
+        out = cand.filter(env_pre).filter(
+            refine(F.col("lon"), F.col("lat"), F.col(wkt_col))
+        )
+        return out.drop(*helper)
+    # half-open envelope accept == ray-cast result on a rectangle
+    rect_branch = cand.filter(F.col("is_rect")).filter(
+        (F.col("lon") >= F.col("env_xmin"))
+        & (F.col("lon") < F.col("env_xmax"))
+        & (F.col("lat") >= F.col("env_ymin"))
+        & (F.col("lat") < F.col("env_ymax"))
     )
+    poly_branch = (
+        cand.filter(~F.col("is_rect"))
+        .filter(env_pre)
+        .filter(refine(F.col("lon"), F.col("lat"), F.col(wkt_col)))
+    )
+    return rect_branch.unionByName(poly_branch).drop(*helper, "is_rect")

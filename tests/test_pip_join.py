@@ -133,3 +133,75 @@ class TestPipJoinGoldens:
         assert len(rows) >= z.count()  # at least one cell per zone
         for r in rows:
             assert r.env_xmax >= r.env_xmin and r.env_ymax >= r.env_ymin
+
+
+class TestRectFastPath:
+    """rect_fast mirrors m_bFilterIsEnvelope (ogrlayer.cpp:2171,2287):
+    rectangle zones skip the Python ray-cast.  The fast branch must be
+    BIT-IDENTICAL to the ray-cast, including points exactly on edges and
+    corners (half-open: left/bottom in, right/top out)."""
+
+    def _mixed_layer(self, spark):
+        rows = [
+            (1, "POLYGON ((10 10, 20 10, 20 18, 10 18, 10 10))"),  # rect
+            (2, "POLYGON ((30 10, 40 10, 40 20, 34 20, 34 14, 30 14, 30 10))"),  # L
+            (3, "POLYGON ((12 11, 18 11, 18 17, 12 17, 12 11))"),  # rect overlap
+        ]
+        return spark.createDataFrame(rows, "zone_id long, geom_wkt string")
+
+    def _boundary_points(self, spark):
+        pts = [
+            (0, 15.0, 14.0),   # interior of 1 and 3
+            (1, 10.0, 10.0),   # corner (xmin,ymin) of 1 — IN (half-open)
+            (2, 20.0, 18.0),   # corner (xmax,ymax) of 1 — OUT
+            (3, 10.0, 14.0),   # left edge of 1 — IN
+            (4, 20.0, 14.0),   # right edge of 1 — OUT
+            (5, 15.0, 10.0),   # bottom edge of 1 — IN
+            (6, 15.0, 18.0),   # top edge of 1 — OUT
+            (7, 31.0, 12.0),   # inside L
+            (8, 31.0, 17.0),   # in L's notch (envelope yes), outside L
+            (9, 18.0, 11.0),   # corner (xmax,ymin) of 3 — OUT for 3, in 1
+        ]
+        return spark.createDataFrame(pts, "doc_id long, lon double, lat double")
+
+    def _pairs(self, df):
+        return sorted((r.doc_id, r.zone_id) for r in df.select("doc_id", "zone_id").collect())
+
+    def test_bit_parity_with_raycast_on_boundary_points(self, spark):
+        z = self._mixed_layer(spark)
+        p = self._boundary_points(spark)
+        fast = self._pairs(pip_join(p, z, rect_fast=True))
+        slow = self._pairs(pip_join(p, z, rect_fast=False))
+        assert fast == slow
+        # spot-check the half-open semantics derived from the ray-cast
+        assert (1, 1) in fast and (3, 1) in fast and (5, 1) in fast
+        assert (2, 1) not in fast and (4, 1) not in fast and (6, 1) not in fast
+        assert (7, 2) in fast and (8, 2) not in fast
+        assert (9, 1) in fast and (9, 3) not in fast
+
+    def test_bit_parity_shuffle_strategy(self, spark):
+        z = self._mixed_layer(spark)
+        p = self._boundary_points(spark)
+        fast = self._pairs(pip_join(p, z, strategy="shuffle", salt=4, rect_fast=True))
+        slow = self._pairs(pip_join(p, z, strategy="shuffle", salt=4, rect_fast=False))
+        assert fast == slow
+
+    def test_all_rect_layer_matches_oracle(self, spark, sf_dir, docs, rect_zones_df):
+        out = pip_join(
+            docs, rect_zones_df.drop("zxmin", "zymin", "zxmax", "zymax"), rect_fast=True
+        )
+        got = sorted(
+            (r.doc_id, r.zone_id) for r in out.select("doc_id", "zone_id").collect()
+        )
+        assert got == oracle_pairs(sf_dir)
+
+    def test_is_rectangle_detector(self, spark):
+        from gdal_spark.geometry.envelope import wkt_is_rectangle
+
+        assert wkt_is_rectangle("POLYGON ((0 0, 4 0, 4 2, 0 2, 0 0))")
+        assert wkt_is_rectangle("POLYGON ((0 0, 0 2, 4 2, 4 0, 0 0))")  # y-first
+        assert not wkt_is_rectangle("POLYGON ((0 0, 4 0, 4 2, 1 3, 0 0))")
+        assert not wkt_is_rectangle(
+            "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))"
+        )  # hole
+        assert not wkt_is_rectangle("POLYGON ((0 0, 4 0, 4 2, 2 2, 0 2, 0 0))")  # 6 pts
