@@ -3972,6 +3972,34 @@ def q_warp_utm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# ogr_codec — ogr_deflate/ogr_inflate blob codec
+# (ogrsqlitesqlfunctions.cpp:1117-1126).  The compressed byte stream is
+# zlib-implementation-defined (reference may link libdeflate), so the
+# portable, oracle-checkable contract is LOSSLESS ROUNDTRIP including
+# the reference's strlen+1 TEXT quirk: the trailing NUL rides through
+# the stream, so md5(inflate(deflate(text))) == md5(text || chr(0)).
+# --------------------------------------------------------------------------
+_CODEC_ORACLE = """
+SELECT doc_id, md5(text || chr(0)) AS rt_md5,
+       strlen(text) + 1 AS raw_bytes
+FROM documents
+"""
+
+
+@register("ogr_codec", _CODEC_ORACLE)
+def q_ogr_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.functions.codec import ogr_deflate, ogr_inflate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    rt = ogr_inflate(ogr_deflate(F.col("text")))
+    return docs.select(
+        "doc_id",
+        F.md5(rt).alias("rt_md5"),
+        (F.octet_length("text") + F.lit(1)).cast("long").alias("raw_bytes"),
+    )
+
+
+# --------------------------------------------------------------------------
 # public surface used by __spark_entry__
 # --------------------------------------------------------------------------
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
