@@ -253,6 +253,104 @@ def lsh_topk(
     )
 
 
+def _sql_dot(a: str, b: str) -> str:
+    """Sequential left-fold dot product — same element order in Spark and
+    (via list_transform/list_sum) DuckDB, so sums agree to the ulp."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE)"
+        " * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (s, v) -> s + v)"
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    targets: DataFrame,
+    k: int = 3,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) ANN — the coarse-quantizer scale path next to
+    the LSH variant.
+
+    The codebook is the ``n_cells`` lowest-id target vectors (a
+    deterministic coarse quantizer — no RNG, so a DuckDB oracle can
+    reproduce the whole pipeline).  The codebook rides to executors as a
+    single broadcast array column; cell assignment is a pure JVM
+    ``transform``+``array_sort`` over that array — ZERO shuffle on
+    either side's assignment, exactly the shape a 100 TB IVF needs
+    (codebook broadcast, map-side assign).  Queries probe their
+    ``n_probe`` nearest cells; candidates meet in ONE data-proportional
+    equi-join on cell id.  Unlike banded LSH there is no dedup shuffle:
+    each target lives in exactly one cell, so every (query, neighbor)
+    candidate is generated exactly once.  Exact cosine re-score runs
+    JVM-side, window top-k per query.
+
+    Reference analog: the gdalgrid quadtree-bucketed nearest search
+    (alg/gdalgridapi.h, search bounded to candidate cells) re-expressed
+    as a declarative cell equi-join."""
+    nrm = f"sqrt({_sql_dot(vec_col, vec_col)})"
+    cents = (
+        targets.orderBy(id_col)
+        .limit(n_cells)
+        .select(
+            F.expr(
+                f"named_struct('cid', CAST({id_col} AS BIGINT), 'nrm', {nrm},"
+                f" 'emb', transform({vec_col}, x -> CAST(x AS DOUBLE)))"
+            ).alias("c")
+        )
+        .agg(F.expr("array_sort(collect_list(c))").alias("cents"))
+    )
+    # per-row (cid, cos) over the codebook; comparator sorts by
+    # (cos DESC, cid ASC) so ties take the lowest centroid id
+    ccos = (
+        "transform(cents, c -> named_struct('cid', c.cid, 'cos', "
+        + _sql_dot(vec_col, "c.emb")
+        + " / (vnrm * c.nrm)))"
+    )
+    ranked = (
+        f"array_sort({ccos}, (l, r) -> CASE"
+        " WHEN l.cos > r.cos THEN -1 WHEN l.cos < r.cos THEN 1"
+        " WHEN l.cid < r.cid THEN -1 WHEN l.cid > r.cid THEN 1 ELSE 0 END)"
+    )
+
+    def assign(df: DataFrame, out_id: str, n: int) -> DataFrame:
+        return (
+            df.crossJoin(F.broadcast(cents))
+            .withColumn("vnrm", F.expr(nrm))
+            .select(
+                F.col(id_col).alias(out_id),
+                F.col(vec_col).alias(f"{out_id[0]}v"),
+                F.col("vnrm").alias(f"{out_id[0]}n"),
+                F.explode(F.expr(f"transform(slice({ranked}, 1, {n}), c -> c.cid)")).alias(
+                    "cell"
+                ),
+            )
+        )
+
+    qs = assign(queries, "query_id", n_probe)
+    ts = assign(targets, "neighbor_id", 1)
+    scored = (
+        qs.join(ts, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            F.expr(_sql_dot("qv", "nv")) / (F.col("qn") * F.col("nn")),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
 def cosine_pairs(
     emb: DataFrame,
     tau: float,

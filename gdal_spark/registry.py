@@ -979,6 +979,59 @@ SELECT query_id, neighbor_id, CAST(rnk AS int) AS rnk FROM r WHERE rnk <= {_ANN_
 """
 
 
+_IVF_CELLS = 16
+_IVF_PROBE = 2
+_ANN_IVF_ORACLE = f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding FROM embeddings ORDER BY vec_id LIMIT {_IVF_CELLS}
+),
+allcos AS (
+  SELECT e.vec_id, c.cid, list_cosine_similarity(e.embedding, c.embedding) AS cos
+  FROM embeddings e CROSS JOIN cents c
+),
+tassign AS (
+  SELECT vec_id AS neighbor_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+    FROM allcos) WHERE rn = 1
+),
+qprobe AS (
+  SELECT vec_id AS query_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+    FROM allcos) WHERE rn <= {_IVF_PROBE}
+),
+s AS (
+  SELECT q.query_id, t.neighbor_id,
+         list_cosine_similarity(a.embedding, b.embedding) AS cos
+  FROM qprobe q
+  JOIN tassign t ON q.cell = t.cell AND q.query_id <> t.neighbor_id
+  JOIN embeddings a ON q.query_id = a.vec_id
+  JOIN embeddings b ON t.neighbor_id = b.vec_id
+),
+r AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+  FROM s
+)
+SELECT query_id, neighbor_id, CAST(rnk AS int) AS rnk FROM r WHERE rnk <= {_ANN_K}
+"""
+
+
+@register("ann_ivf", _ANN_IVF_ORACLE)
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer ANN (the other scale path next to LSH):
+    deterministic codebook = lowest-id vectors, broadcast to executors
+    as one array column, zero-shuffle JVM cell assignment, queries probe
+    top-{_IVF_PROBE} cells, ONE equi-join on cell id (no dedup — each
+    candidate pair is generated exactly once), exact re-score + window
+    top-k.  Full pipeline reproduced value-for-value by DuckDB."""
+    from gdal_spark.operators.similarity import ivf_topk
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivf_topk(e, e, k=_ANN_K, n_cells=_IVF_CELLS, n_probe=_IVF_PROBE)
+
+
 @register("ann_lsh_det", _ANN_DET_ORACLE)
 def q_ann_lsh_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORACLE-CHECKED ANN: deterministic ±1 hyperplanes (integer-hash

@@ -142,6 +142,34 @@ class TestSimilarity:
         recall = len(exact & approx) / len(exact)
         assert recall > 0.5, f"LSH recall too low: {recall}"
 
+    def test_ivf_planted_neighbor_and_recall(self, spark):
+        # 5 planted clusters x 8 members: IVF with enough cells + probes
+        # must recover intra-cluster neighbors near-perfectly
+        from gdal_spark.operators.similarity import ivf_topk
+
+        rng = np.random.default_rng(11)
+        centers = rng.standard_normal((5, 16)) * 4.0
+        rows = []
+        for i in range(40):
+            v = centers[i % 5] + rng.standard_normal(16) * 0.05
+            rows.append((int(i), [float(x) for x in v]))
+        vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        exact = {
+            (r.query_id, r.neighbor_id)
+            for r in brute_force_topk(vecs, vecs, k=3).collect()
+        }
+        approx = {
+            (r.query_id, r.neighbor_id)
+            for r in ivf_topk(vecs, vecs, k=3, n_cells=10, n_probe=3).collect()
+        }
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.9, f"IVF recall too low: {recall}"
+        # every query got exactly k ranked rows 1..k
+        out = ivf_topk(vecs, vecs, k=3, n_cells=10, n_probe=3).toPandas()
+        assert out.groupby("query_id").rnk.apply(
+            lambda s: sorted(s) == [1, 2, 3]
+        ).all()
+
     def test_quality_features(self, spark):
         df = spark.createDataFrame(
             [(1, "the cat, and a dog!")], "doc_id long, text string"
