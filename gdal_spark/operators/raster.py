@@ -651,3 +651,58 @@ def tile_pyramid_checksums(
 
     all_tiles = _reduce(DataFrame.unionByName, levels)
     return all_tiles.mapInPandas(to_checksum, out_schema)
+
+
+# --------------------------------------------------------------------------
+# Mosaic (gdal_merge analog)
+# --------------------------------------------------------------------------
+
+# synthetic mosaic inputs: MOSAIC_SOURCES rasters, each MOSAIC_W x
+# MOSAIC_H, source k offset by (k*MOSAIC_DX, k*MOSAIC_DY) in the shared
+# output pixel grid; value 0 is the nodata marker (FIXTURES.md analog of
+# gdal_merge's -n flag)
+MOSAIC_SOURCES = 3
+MOSAIC_W, MOSAIC_H = 280, 120
+MOSAIC_DX, MOSAIC_DY = 40, 20
+
+
+def mosaic_sources(spark: SparkSession) -> DataFrame:
+    """(src_idx, px, py, value) for the synthetic overlapping sources;
+    value = (px*7 + py*13 + (src_idx+1)*17) % 256 on source src_idx."""
+    n = MOSAIC_SOURCES * MOSAIC_W * MOSAIC_H
+    df = spark.range(n)
+    per = MOSAIC_W * MOSAIC_H
+    k = (F.col("id") / per).cast("int")
+    lx = (F.col("id") % MOSAIC_W).cast("int")
+    ly = ((F.col("id") / MOSAIC_W).cast("long") % MOSAIC_H).cast("int")
+    px = lx + k * MOSAIC_DX
+    py = ly + k * MOSAIC_DY
+    value = ((px * 7 + py * 13 + (k + 1) * 17) % 256).cast("int")
+    return df.select(
+        k.alias("src_idx"), px.alias("px"), py.alias("py"), value.alias("value")
+    )
+
+
+def mosaic(sources: DataFrame, nodata: int = 0) -> DataFrame:
+    """gdal_merge composite (osgeo_utils/gdal_merge.py raster_copy_with_nodata:
+    ``np.where(src == nodata, dst, src)`` applied in file order): per output
+    pixel, the value of the LAST source (highest src_idx) whose pixel is not
+    nodata; pixels covered only by nodata keep the init value (0).
+
+    Spark shape: ONE hash aggregation on the pixel key with map-side
+    partial combine — the struct max(when(...)) folds "last non-nodata in
+    file order" into an associative/commutative agg, so the composite of
+    N sources is a single shuffle regardless of N (vs the reference's
+    sequential per-file paint)."""
+    s = F.when(
+        F.col("value") != nodata, F.struct("src_idx", "value")
+    )
+    return (
+        sources.groupBy("px", "py")
+        .agg(F.max(s).alias("s"))
+        .select(
+            "px",
+            "py",
+            F.coalesce(F.col("s.value"), F.lit(nodata)).cast("int").alias("value"),
+        )
+    )

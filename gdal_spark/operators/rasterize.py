@@ -187,3 +187,78 @@ def rasterize(
 
 def rasterize_counts(zones: DataFrame, zoom: int, **kw) -> DataFrame:
     return rasterize(zones, zoom, **kw).select("zoom", "tx", "ty", "n_burned")
+
+
+_PIXEL_SCHEMA = StructType(
+    [
+        StructField("zoom", IntegerType()),
+        StructField("tx", LongType()),
+        StructField("ty", LongType()),
+        StructField("ci", IntegerType()),
+        StructField("rj", IntegerType()),
+        StructField("burn", IntegerType()),
+    ]
+)
+
+
+def rasterize_values(
+    zones: DataFrame,
+    zoom: int,
+    merge: str = "replace",
+    wkt_col: str = "geom_wkt",
+    zone_id_col: str = "zone_id",
+) -> DataFrame:
+    """gdal_rasterize -a <attr>: sparse burned pixels with their burned
+    VALUE (alg/gdalrasterize.cpp:573 burn-attribute path).  Burn value =
+    zone_id % 255 + 1; REPLACE burns in ascending zone order (max zone
+    wins at overlaps), ADD accumulates.  Emits (zoom, tx, ty, ci, rj,
+    burn) for hit pixels only; rj is the TMS (south-up) row index, same
+    convention as the rasterize_counts oracle."""
+    cells = zone_cell_index(zones.select(zone_id_col, wkt_col), zoom, wkt_col)
+
+    def burn_tile(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        tx, ty = int(key[0]), int(key[1])
+        lon, lat = _pixel_centers(tx, ty, zoom)
+        img = np.zeros((TILE, TILE), dtype=np.int64)  # TMS rows (south-up)
+        wkt_of = dict(zip(pdf[zone_id_col], pdf[wkt_col]))
+        for zid in np.sort(pdf[zone_id_col].unique()):
+            polys = _polys_cached(wkt_of[zid])
+            mask = np.zeros((TILE, TILE), dtype=bool)
+            for rings in polys:
+                ring0 = rings[0]
+                is_rect = (
+                    len(rings) == 1
+                    and ring0.shape[0] == 5
+                    and len(np.unique(ring0[:, 0])) == 2
+                    and len(np.unique(ring0[:, 1])) == 2
+                )
+                if is_rect:
+                    x0, x1 = ring0[:, 0].min(), ring0[:, 0].max()
+                    y0, y1 = ring0[:, 1].min(), ring0[:, 1].max()
+                    mask |= np.outer(
+                        (lat > y0) & (lat < y1), (lon > x0) & (lon < x1)
+                    )
+                else:
+                    gx, gy = np.meshgrid(lon, lat)
+                    hit = points_in_polygon(gx.ravel(), gy.ravel(), rings)
+                    mask |= hit.reshape(TILE, TILE)
+            burn = int(zid) % 255 + 1
+            if merge == "add":
+                img[mask] += burn
+            else:
+                img[mask] = burn
+        ys, xs = np.nonzero(img)
+        return pd.DataFrame(
+            {
+                "zoom": np.full(ys.size, zoom, dtype=np.int32),
+                "tx": np.full(ys.size, tx, dtype=np.int64),
+                "ty": np.full(ys.size, ty, dtype=np.int64),
+                "ci": xs.astype(np.int32),
+                "rj": ys.astype(np.int32),
+                "burn": img[ys, xs].astype(np.int32),
+            }
+        )
+
+    return cells.groupBy("cell_tx", "cell_ty").applyInPandas(
+        burn_tile, _PIXEL_SCHEMA
+    )

@@ -4061,3 +4061,150 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return dict(ORACLES)
+
+
+# --------------------------------------------------------------------------
+# Mosaic (gdal_merge: swig/python/gdal-utils/osgeo_utils/gdal_merge.py,
+# raster_copy_with_nodata :126 — later files paint over earlier ones,
+# source nodata pixels are skipped) — one shuffle composite.
+# --------------------------------------------------------------------------
+from gdal_spark.operators.raster import (  # noqa: E402
+    MOSAIC_DX,
+    MOSAIC_DY,
+    MOSAIC_H,
+    MOSAIC_SOURCES,
+    MOSAIC_W,
+)
+
+_MOSAIC_ORACLE = f"""
+WITH src AS (
+  SELECT k.k AS src_idx,
+         CAST(i % {MOSAIC_W} + k.k * {MOSAIC_DX} AS int) AS px,
+         CAST(CAST((i - (i % {MOSAIC_W})) / {MOSAIC_W} AS BIGINT) % {MOSAIC_H}
+              + k.k * {MOSAIC_DY} AS int) AS py
+  FROM range(0, {MOSAIC_SOURCES}) k(k), range(0, {MOSAIC_W * MOSAIC_H}) t(i)
+),
+v AS (
+  SELECT src_idx, px, py,
+         CAST((px * 7 + py * 13 + (src_idx + 1) * 17) % 256 AS int) AS value
+  FROM src
+)
+SELECT px, py,
+       CAST(coalesce((max(CASE WHEN value <> 0
+                          THEN {{'src_idx': src_idx, 'value': value}} END)).value,
+                     0) AS int) AS value
+FROM v GROUP BY px, py
+"""
+
+
+@register("mosaic", _MOSAIC_ORACLE)
+def q_mosaic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal_merge composite of 3 overlapping offset sources with nodata=0
+    (last non-nodata in file order wins; init value elsewhere)."""
+    from gdal_spark.operators.raster import mosaic, mosaic_sources
+
+    return mosaic(mosaic_sources(spark), nodata=0)
+
+
+# --------------------------------------------------------------------------
+# gdal_translate -srcwin + -scale + -ot Byte (apps/gdal_translate_lib.cpp:
+# srcwin subset, linear -scale dfScale/dfOffset, Byte clamp+round of
+# GDALAdjustValueToDataType) — pure whole-stage-codegen projection; the
+# window filter pushes into the range scan.
+# --------------------------------------------------------------------------
+_TW_X0, _TW_Y0, _TW_W, _TW_H = 50, 30, 200, 100
+# -scale 20 220 0 255: dfScale = 255/200 = 1.275, dfOffset = -20*1.275
+_TS_EXPR = (
+    "floor(least(greatest(CAST({v} AS DOUBLE) * 1.275e0 + (-2.55e1), 0.0e0),"
+    " 2.55e2) + 5.0e-1)"
+)
+
+_TRANSLATE_ORACLE = f"""
+WITH g AS ({_SRC_GRID_CTE})
+SELECT CAST(band AS int) AS band,
+       CAST(px - {_TW_X0} AS int) AS px,
+       CAST(py - {_TW_Y0} AS int) AS py,
+       CAST({_TS_EXPR.format(v=_SRC_VAL)} AS int) AS value
+FROM g
+WHERE px >= {_TW_X0} AND px < {_TW_X0 + _TW_W}
+  AND py >= {_TW_Y0} AND py < {_TW_Y0 + _TW_H}
+"""
+
+
+@register("translate_scale", _TRANSLATE_ORACLE)
+def q_translate_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal_translate -srcwin 50 30 200 100 -scale 20 220 0 255 -ot Byte:
+    window subset (coords rebased to the window origin), linear rescale,
+    Byte clamp + half-up round — SAME formula text both engines."""
+    from gdal_spark.operators.raster import source_grid
+
+    g = source_grid(spark).filter(
+        (F.col("px") >= _TW_X0)
+        & (F.col("px") < _TW_X0 + _TW_W)
+        & (F.col("py") >= _TW_Y0)
+        & (F.col("py") < _TW_Y0 + _TW_H)
+    )
+    return g.select(
+        F.col("band").cast("int").alias("band"),
+        (F.col("px") - _TW_X0).cast("int").alias("px"),
+        (F.col("py") - _TW_Y0).cast("int").alias("py"),
+        F.expr(_TS_EXPR.format(v="value")).cast("int").alias("value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# gdal_rasterize -a <attribute> (alg/gdalrasterize.cpp burn-attribute
+# path): per-pixel burned VALUES, not just counts.  REPLACE = ascending
+# feature order, later overwrites (max zone_id wins); ADD accumulates.
+# --------------------------------------------------------------------------
+_RAST_PX_CTE = f"""
+WITH z AS ({_ZONES_CTE}),
+t AS (SELECT a.tx, b.ty FROM range(0, {2**_RZOOM}) a(tx), range(0, {2**_RZOOM}) b(ty)),
+px AS (
+  SELECT t.tx, t.ty, i.ci, j.rj FROM t, range(0, 256) i(ci), range(0, 256) j(rj)
+),
+c AS (
+  SELECT tx, ty, ci, rj,
+         (((tx * 256 + ci + 5.0e-1) * {_R_RES} - {_R_OS}) / {_R_OS}) * 1.8e2 AS lon,
+         1.8e2 / pi() * (2.0e0 * atan(exp(((((ty * 256 + rj + 5.0e-1) * {_R_RES} - {_R_OS}) / {_R_OS}) * 1.8e2) * pi() / 1.8e2)) - pi() / 2.0e0) AS lat
+  FROM px
+),
+hit AS (
+  SELECT c.tx, c.ty, c.ci, c.rj, z.zone_id
+  FROM c JOIN z
+    ON c.lon > z.zxmin AND c.lon < z.zxmax AND c.lat > z.zymin AND c.lat < z.zymax
+)"""
+
+_RASTERIZE_ATTR_ORACLE = f"""{_RAST_PX_CTE}
+SELECT CAST({_RZOOM} AS int) AS zoom, tx, ty, CAST(ci AS int) AS ci,
+       CAST(rj AS int) AS rj, CAST(max(zone_id) % 255 + 1 AS int) AS burn
+FROM hit GROUP BY tx, ty, ci, rj
+"""
+
+
+@register("rasterize_attr", _RASTERIZE_ATTR_ORACLE)
+def q_rasterize_attr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal_rasterize -a: burned attribute value per pixel, REPLACE
+    merge (last feature in id order wins at overlaps)."""
+    from gdal_spark.operators.rasterize import rasterize_values
+
+    z = zones.rect_zones(spark).drop("zxmin", "zymin", "zxmax", "zymax")
+    return rasterize_values(z.select("zone_id", "geom_wkt"), _RZOOM)
+
+
+_RASTERIZE_ADD_ORACLE = f"""{_RAST_PX_CTE}
+SELECT CAST({_RZOOM} AS int) AS zoom, tx, ty, CAST(ci AS int) AS ci,
+       CAST(rj AS int) AS rj,
+       CAST(sum(zone_id % 255 + 1) AS int) AS burn
+FROM hit GROUP BY tx, ty, ci, rj
+"""
+
+
+@register("rasterize_add", _RASTERIZE_ADD_ORACLE)
+def q_rasterize_add(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal_rasterize MERGE_ALG=ADD: overlapping burns accumulate
+    (alg/gdalrasterize.cpp GRMA_Add)."""
+    from gdal_spark.operators.rasterize import rasterize_values
+
+    z = zones.rect_zones(spark).drop("zxmin", "zymin", "zxmax", "zymax")
+    return rasterize_values(z.select("zone_id", "geom_wkt"), _RZOOM, merge="add")
