@@ -164,16 +164,6 @@ def _make_refine_udf():
     return refine
 
 
-def collect_zone_geoms(zones: DataFrame, id_col="zone_id", wkt_col="geom_wkt") -> dict:
-    """Driver-side parse of the zone layer (small dim by contract —
-    the reference likewise materializes the method layer's spatial index)."""
-    out: dict = {}
-    for row in zones.select(id_col, wkt_col).collect():
-        typ, payload = parse_wkt(row[wkt_col])
-        out[row[id_col]] = payload if typ == "MULTIPOLYGON" else [payload]
-    return out
-
-
 def pip_join(
     points: DataFrame,
     zones: DataFrame,
