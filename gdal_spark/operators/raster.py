@@ -706,3 +706,137 @@ def mosaic(sources: DataFrame, nodata: int = 0) -> DataFrame:
             F.coalesce(F.col("s.value"), F.lit(nodata)).cast("int").alias("value"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Pansharpening (weighted Brovey, alg/gdalpansharpen.cpp)
+# --------------------------------------------------------------------------
+
+# synthetic pansharpen fixture: pan band at full source resolution,
+# multispectral bands at exactly half resolution (the classic 2x
+# pan/MS ratio); both grids share the geotransform origin
+PAN_W, PAN_H = SRC_W, SRC_H  # 400 x 200
+MS_W, MS_H = SRC_W // 2, SRC_H // 2  # 200 x 100
+MS_BANDS = 3
+
+
+def pan_grid(spark: SparkSession) -> DataFrame:
+    """(px, py, pan) full-resolution panchromatic band;
+    pan = (px*11 + py*3) % 256."""
+    df = spark.range(PAN_W * PAN_H)
+    px = (F.col("id") % PAN_W).cast("int")
+    py = (F.col("id") / PAN_W).cast("int")
+    return df.select(
+        px.alias("px"),
+        py.alias("py"),
+        ((px * 11 + py * 3) % 256).cast("int").alias("pan"),
+    )
+
+
+def ms_grid(spark: SparkSession) -> DataFrame:
+    """(band, mx, my, value) half-resolution multispectral bands;
+    value = (mx*7 + my*13 + band*29) % 256 (source-grid formula on the
+    coarse grid)."""
+    n = MS_W * MS_H * MS_BANDS
+    df = spark.range(n)
+    mx = (F.col("id") % MS_W).cast("int")
+    my = ((F.col("id") / MS_W).cast("long") % MS_H).cast("int")
+    band = (F.col("id") / (MS_W * MS_H)).cast("int") + 1
+    value = ((mx * 7 + my * 13 + band * 29) % 256).cast("int")
+    return df.select(
+        band.alias("band"), mx.alias("mx"), my.alias("my"), value.alias("value")
+    )
+
+
+def pansharpen(pan: DataFrame, ms: DataFrame) -> DataFrame:
+    """Weighted-Brovey pansharpening (GDALPansharpenOperation::
+    WeightedBrovey, alg/gdalpansharpen.cpp:597-640): MS bands are
+    bilinearly upsampled onto the pan grid, pseudo-pan = equal-weighted
+    mean of the upsampled bands, factor = pan / pseudo-pan (0 when the
+    pseudo-pan is 0, ComputeFactor), out_band = Byte(ms_up * factor)
+    with GDALCopyWord round-half-up + [0,255] clamp.
+
+    Spark shape (scales to co-gridded rasters of any size):
+      1. each pan pixel EXPLODES to its 4 bilinear MS neighbours
+         (weights are exact sixteenths at the 2x ratio: fx,fy in
+         {1/4, 3/4}, edge-clamped) — map-side, no driver state;
+      2. ONE equi-join on the MS pixel key (mx,my) fans the 3 bands in;
+      3. ONE hash aggregation on (px,py) folds the weighted sum and the
+         band pivot together (sum of exact sixteenth-weighted ints —
+         order-insensitive, so the shuffle cannot change the value);
+      4. the Brovey arithmetic is a pure whole-stage-codegen projection.
+    """
+    # bilinear anchor at the 2x ratio: continuous MS coord of the pan
+    # center u = (p+0.5)/2; m0 = floor(u-0.5), frac = u-0.5-m0.
+    # p-2+(p%2) is always even, so the division is exact (p=0 -> m0=-1)
+    def anchor(p):
+        m0 = ((F.col(p) - 2 + (F.col(p) % 2)) / 2).cast("int")
+        frac = F.when(F.col(p) % 2 == 0, F.lit(0.75)).otherwise(F.lit(0.25))
+        return m0, frac
+
+    mx0, fx = anchor("px")
+    my0, fy = anchor("py")
+
+    def clamp(c, hi):
+        return F.least(F.greatest(c, F.lit(0)), F.lit(hi))
+
+    nbrs = F.array(
+        *[
+            F.struct(
+                clamp(mx0 + dx, MS_W - 1).alias("mx"),
+                clamp(my0 + dy, MS_H - 1).alias("my"),
+                (
+                    (fx if dx else 1.0 - fx) * (fy if dy else 1.0 - fy)
+                ).alias("w"),
+            )
+            for dy in (0, 1)
+            for dx in (0, 1)
+        ]
+    )
+    scattered = pan.select(
+        "px", "py", "pan", F.explode(nbrs).alias("nb")
+    ).select("px", "py", "pan", "nb.mx", "nb.my", "nb.w")
+
+    joined = scattered.join(ms, ["mx", "my"])
+    up = (
+        joined.groupBy("px", "py")
+        .agg(
+            F.first("pan").alias("pan"),
+            *[
+                F.sum(
+                    F.when(F.col("band") == b, F.col("w") * F.col("value"))
+                ).alias(f"b{b}")
+                for b in range(1, MS_BANDS + 1)
+            ],
+        )
+    )
+    pseudo = (F.col("b1") + F.col("b2") + F.col("b3")) / F.lit(3.0)
+    factor = F.when(pseudo != 0.0, F.col("pan") / pseudo).otherwise(F.lit(0.0))
+    sharp = up.select(
+        "px",
+        "py",
+        *[
+            F.floor(
+                F.least(
+                    F.greatest(F.col(f"b{b}") * factor, F.lit(0.0)),
+                    F.lit(255.0),
+                )
+                + F.lit(0.5)
+            )
+            .cast("int")
+            .alias(f"v{b}")
+            for b in range(1, MS_BANDS + 1)
+        ],
+    )
+    # long form (band, px, py, value) to match the raster table shape
+    out = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("int").alias("band"), F.col(f"v{b}").alias("value")
+            )
+            for b in range(1, MS_BANDS + 1)
+        ]
+    )
+    return sharp.select("px", "py", F.explode(out).alias("o")).select(
+        F.col("o.band").alias("band"), "px", "py", F.col("o.value").alias("value")
+    )

@@ -4208,3 +4208,87 @@ def q_rasterize_add(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     z = zones.rect_zones(spark).drop("zxmin", "zymin", "zxmax", "zymax")
     return rasterize_values(z.select("zone_id", "geom_wkt"), _RZOOM, merge="add")
+
+
+# --------------------------------------------------------------------------
+# Pansharpening (weighted Brovey, alg/gdalpansharpen.cpp:597-640).
+# The Spark side is the real distributed pipeline (explode-to-neighbour
+# scatter, one MS equi-join, one pivot aggregation); the oracle computes
+# the same value closed-form.  Exactness argument: every bilinear weight
+# at the 2x ratio is a sixteenth (fx,fy in {1/4,3/4}), so each weighted
+# term and each partial sum is an exact binary rational — the shuffle's
+# addition order cannot change the double, and both engines reach the
+# SAME exact ms_up before the (identical) Brovey arithmetic.
+# --------------------------------------------------------------------------
+from gdal_spark.operators.raster import (  # noqa: E402
+    MS_BANDS,
+    MS_H,
+    MS_W,
+    PAN_H,
+    PAN_W,
+)
+
+
+def _ps_v(band: int, x: str, y: str) -> str:
+    cx = f"LEAST(GREATEST({x}, 0), {MS_W - 1})"
+    cy = f"LEAST(GREATEST({y}, 0), {MS_H - 1})"
+    return f"CAST(({cx} * 7 + {cy} * 13 + {band} * 29) % 256 AS DOUBLE)"
+
+
+def _ps_up(band: int) -> str:
+    v00 = _ps_v(band, "mx0", "my0")
+    v10 = _ps_v(band, "mx0 + 1", "my0")
+    v01 = _ps_v(band, "mx0", "my0 + 1")
+    v11 = _ps_v(band, "mx0 + 1", "my0 + 1")
+    return (
+        f"((1.0e0 - fy) * ((1.0e0 - fx) * {v00} + fx * {v10})"
+        f" + fy * ((1.0e0 - fx) * {v01} + fx * {v11}))"
+    )
+
+
+_PANSHARPEN_ORACLE = f"""
+WITH p AS (
+  SELECT CAST(i % {PAN_W} AS int) AS px,
+         CAST((i - i % {PAN_W}) / {PAN_W} AS int) AS py
+  FROM range(0, {PAN_W * PAN_H}) t(i)
+),
+a AS (
+  SELECT px, py,
+         CAST((px * 11 + py * 3) % 256 AS DOUBLE) AS pan,
+         CAST((px - 2 + (px % 2)) / 2 AS int) AS mx0,
+         CAST((py - 2 + (py % 2)) / 2 AS int) AS my0,
+         CASE WHEN px % 2 = 0 THEN 7.5e-1 ELSE 2.5e-1 END AS fx,
+         CASE WHEN py % 2 = 0 THEN 7.5e-1 ELSE 2.5e-1 END AS fy
+  FROM p
+),
+up AS (
+  SELECT px, py, pan,
+         {_ps_up(1)} AS b1, {_ps_up(2)} AS b2, {_ps_up(3)} AS b3
+  FROM a
+),
+f AS (
+  SELECT px, py, b1, b2, b3,
+         CASE WHEN (b1 + b2 + b3) / 3.0e0 <> 0.0e0
+              THEN pan / ((b1 + b2 + b3) / 3.0e0) ELSE 0.0e0 END AS factor
+  FROM up
+),
+long AS (
+  SELECT px, py, k.band,
+         CASE k.band WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END AS b, factor
+  FROM f, (SELECT CAST(j + 1 AS int) AS band FROM range(0, {MS_BANDS}) t(j)) k
+)
+SELECT CAST(band AS int) AS band, px, py,
+       CAST(floor(LEAST(GREATEST(b * factor, 0.0e0), 2.55e2) + 5.0e-1) AS int)
+         AS value
+FROM long
+"""
+
+
+@register("pansharpen", _PANSHARPEN_ORACLE)
+def q_pansharpen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted-Brovey pansharpen of 3 half-res MS bands with a full-res
+    pan band (GDALPansharpenOperation::WeightedBrovey): bilinear MS
+    upsample, factor = pan/pseudo-pan, Byte clamp + half-up round."""
+    from gdal_spark.operators.raster import ms_grid, pan_grid, pansharpen
+
+    return pansharpen(pan_grid(spark), ms_grid(spark))
