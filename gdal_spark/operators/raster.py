@@ -840,3 +840,75 @@ def pansharpen(pan: DataFrame, ms: DataFrame) -> DataFrame:
     return sharp.select("px", "py", F.explode(out).alias("o")).select(
         F.col("o.band").alias("band"), "px", "py", F.col("o.value").alias("value")
     )
+
+
+# --------------------------------------------------------------------------
+# Cutline crop (gdalwarp -cutline ... -crop_to_cutline)
+# --------------------------------------------------------------------------
+
+
+def cutline_crop(
+    src: DataFrame,
+    cutline: DataFrame,
+    wkt_col: str = "geom_wkt",
+    nodata: int = 0,
+) -> DataFrame:
+    """gdalwarp -cutline <polygon> -crop_to_cutline (apps/gdalwarp_lib.cpp
+    CropToCutline + alg/gdalcutline.cpp blanking, -cblend 0): the output
+    window is the cutline envelope snapped OUTWARD to the source pixel
+    grid; pixels whose CENTER falls inside the cutline keep their value,
+    all other window pixels are written as ``nodata``.  Output pixel
+    coords are rebased to the window origin.
+
+    ``cutline`` must be a single-feature layer (the reference unions
+    multi-feature cutlines first; compose with the overlay union for
+    that).  The polygon may be concave and have holes — the inside test
+    is the engine's ray-cast refine on the WKT carried through the plan
+    (no driver-side geometry).
+
+    Spark shape: the 1-row cutline broadcasts; the window filter
+    (px/py BETWEEN) folds into the source scan as a pushed predicate;
+    the ray-cast refine runs Arrow-batched on window pixels only.
+    """
+    from gdal_spark.geometry.envelope import wkt_envelope
+    from gdal_spark.operators.pip_join import _make_refine_udf
+
+    def add_env(it):
+        for pdf in it:
+            envs = [wkt_envelope(w) for w in pdf[wkt_col]]
+            pdf = pdf.copy()
+            pdf["cxmin"] = [e[0] for e in envs]
+            pdf["cymin"] = [e[1] for e in envs]
+            pdf["cxmax"] = [e[2] for e in envs]
+            pdf["cymax"] = [e[3] for e in envs]
+            yield pdf
+
+    cut = cutline.select(wkt_col).limit(1).mapInPandas(
+        add_env,
+        f"{wkt_col} string, cxmin double, cymin double, "
+        "cxmax double, cymax double",
+    )
+    # window snapped outward to the pixel grid (GT_DY < 0: ymax -> py0)
+    px0 = F.floor((F.col("cxmin") - GT_X0) / GT_DX).cast("int")
+    px1 = (F.ceil((F.col("cxmax") - GT_X0) / GT_DX) - 1).cast("int")
+    py0 = F.floor((F.col("cymax") - GT_Y0) / GT_DY).cast("int")
+    py1 = (F.ceil((F.col("cymin") - GT_Y0) / GT_DY) - 1).cast("int")
+    win = src.crossJoin(F.broadcast(cut)).filter(
+        F.col("px").between(px0, px1) & F.col("py").between(py0, py1)
+    )
+    # E-notation keeps the literals DOUBLE in both SQL dialects (plain
+    # 0.9 parses as DECIMAL in Spark SQL) — same rule as the oracles
+    lon = F.expr("(-1.8e2) + (px + 5.0e-1) * 9.0e-1")
+    lat = F.expr("9.0e1 + (py + 5.0e-1) * (-9.0e-1)")
+    refine = _make_refine_udf()
+    return win.select(
+        "band",
+        (F.col("px") - px0).alias("px"),
+        (F.col("py") - py0).alias("py"),
+        F.when(
+            refine(lon, lat, F.col(wkt_col)), F.col("value")
+        )
+        .otherwise(F.lit(nodata))
+        .cast("int")
+        .alias("value"),
+    )

@@ -4292,3 +4292,163 @@ def q_pansharpen(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gdal_spark.operators.raster import ms_grid, pan_grid, pansharpen
 
     return pansharpen(pan_grid(spark), ms_grid(spark))
+
+
+# --------------------------------------------------------------------------
+# Cutline crop (gdalwarp -cutline -crop_to_cutline, alg/gdalcutline.cpp).
+# Fixture: a concave L-shaped cutline WITH a hole; corner doubles are
+# computed once in Python and serialized with repr()/_sd() so the WKT the
+# engine ray-casts and the SQL the oracle compares carry IDENTICAL bits.
+# Pixel centers sit at *.05/*.55 degrees while cutline edges sit at
+# *.9995-ish offsets, so no center ever lies on an edge and the strict
+# rectangle decomposition equals the ray-cast exactly.
+# --------------------------------------------------------------------------
+import math  # noqa: E402
+
+from gdal_spark.operators.raster import GT_DX, GT_DY  # noqa: E402
+
+_CUT_BX, _CUT_BY = -169.9995, -54.9995
+_CUT_X1, _CUT_X2 = _CUT_BX + 40.0, _CUT_BX + 15.0
+_CUT_Y1, _CUT_Y2 = _CUT_BY + 25.0, _CUT_BY + 45.0
+_CUT_HX0, _CUT_HX1 = _CUT_BX + 4.0, _CUT_BX + 12.0
+_CUT_HY0, _CUT_HY1 = _CUT_BY + 4.0, _CUT_BY + 16.0
+
+CUTLINE_WKT = (
+    f"POLYGON (({_CUT_BX!r} {_CUT_BY!r}, {_CUT_X1!r} {_CUT_BY!r}, "
+    f"{_CUT_X1!r} {_CUT_Y1!r}, {_CUT_X2!r} {_CUT_Y1!r}, "
+    f"{_CUT_X2!r} {_CUT_Y2!r}, {_CUT_BX!r} {_CUT_Y2!r}, "
+    f"{_CUT_BX!r} {_CUT_BY!r}), "
+    f"({_CUT_HX0!r} {_CUT_HY0!r}, {_CUT_HX1!r} {_CUT_HY0!r}, "
+    f"{_CUT_HX1!r} {_CUT_HY1!r}, {_CUT_HX0!r} {_CUT_HY1!r}, "
+    f"{_CUT_HX0!r} {_CUT_HY0!r}))"
+)
+
+# window indices: same floor/ceil arithmetic the operator runs on the
+# envelope (identical doubles -> identical ints)
+_CW_PX0 = math.floor((_CUT_BX - GT_X0) / GT_DX)
+_CW_PX1 = math.ceil((_CUT_X1 - GT_X0) / GT_DX) - 1
+_CW_PY0 = math.floor((_CUT_Y2 - GT_Y0) / GT_DY)
+_CW_PY1 = math.ceil((_CUT_BY - GT_Y0) / GT_DY) - 1
+
+_CUT_IN = (
+    f"((lon > {_sd(_CUT_BX)} AND lon < {_sd(_CUT_X1)}"
+    f" AND lat > {_sd(_CUT_BY)} AND lat < {_sd(_CUT_Y1)})"
+    f" OR (lon > {_sd(_CUT_BX)} AND lon < {_sd(_CUT_X2)}"
+    f" AND lat > {_sd(_CUT_Y1)} AND lat < {_sd(_CUT_Y2)}))"
+    f" AND NOT (lon > {_sd(_CUT_HX0)} AND lon < {_sd(_CUT_HX1)}"
+    f" AND lat > {_sd(_CUT_HY0)} AND lat < {_sd(_CUT_HY1)})"
+)
+
+_CUTLINE_ORACLE = f"""
+WITH g AS ({_SRC_GRID_CTE}),
+w AS (
+  SELECT band, px, py, CAST({_SRC_VAL} AS int) AS value,
+         ((-1.8e2) + (px + 5.0e-1) * 9.0e-1) AS lon,
+         (9.0e1 + (py + 5.0e-1) * (-9.0e-1)) AS lat
+  FROM g
+  WHERE px BETWEEN {_CW_PX0} AND {_CW_PX1}
+    AND py BETWEEN {_CW_PY0} AND {_CW_PY1}
+)
+SELECT band, CAST(px - {_CW_PX0} AS int) AS px,
+       CAST(py - {_CW_PY0} AS int) AS py,
+       CAST(CASE WHEN {_CUT_IN} THEN value ELSE 0 END AS int) AS value
+FROM w
+"""
+
+
+@register("cutline_crop", _CUTLINE_ORACLE)
+def q_cutline_crop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdalwarp -cutline (concave, holed) -crop_to_cutline: window pixels
+    keep their value iff their center ray-casts inside the cutline."""
+    from gdal_spark.operators.raster import cutline_crop, source_grid
+
+    cut = spark.createDataFrame([(CUTLINE_WKT,)], "geom_wkt string")
+    return cutline_crop(source_grid(spark), cut)
+
+
+# --------------------------------------------------------------------------
+# Fill nodata (GDALFillNodata, alg/rasterfill.cpp:348): quadrant-nearest
+# inverse-distance fill.  Three masked regions: a 7x7 hole and a 16x3
+# slot (fully filled at maxdist=8) and a 20x20 hole whose core is beyond
+# reach (stays NULL).  Exactness: both engines pick the same neighbour
+# per quadrant (deterministic (d2, vy, vx) tie-break), compute w=1/sqrt
+# of identical ints, and accumulate in the same TL,BL,TR,BR order, so
+# the double is shuffle-invariant and floor(v*1e4) matches bit-for-bit.
+# --------------------------------------------------------------------------
+_FILL_MASK = (
+    "(px BETWEEN 197 AND 203 AND py BETWEEN 97 AND 103)"
+    " OR (px BETWEEN 60 AND 75 AND py BETWEEN 40 AND 42)"
+    " OR (px BETWEEN 300 AND 319 AND py BETWEEN 100 AND 119)"
+)
+_FILL_R = 8
+
+
+def _fill_w(qx: int, qy: int) -> str:
+    return (
+        f"max(CASE WHEN qx = {qx} AND qy = {qy}"
+        f" THEN 1.0e0 / sqrt(CAST(d2 AS DOUBLE)) END)"
+    )
+
+
+def _fill_v(qx: int, qy: int) -> str:
+    return f"max(CASE WHEN qx = {qx} AND qy = {qy} THEN vv END)"
+
+
+_FILL_ORACLE = f"""
+WITH g AS ({_SRC_GRID_CTE}),
+v0 AS (SELECT px, py, CAST({_SRC_VAL} AS int) AS value FROM g WHERE band = 1),
+m AS (SELECT px, py, CASE WHEN {_FILL_MASK} THEN NULL ELSE value END AS value
+      FROM v0),
+nod AS (SELECT px, py FROM m WHERE value IS NULL),
+val AS (SELECT px AS vx, py AS vy, value AS vv FROM m WHERE value IS NOT NULL),
+pr AS (
+  SELECT n.px, n.py, v.vx, v.vy, v.vv,
+         (v.vx - n.px) * (v.vx - n.px) + (v.vy - n.py) * (v.vy - n.py) AS d2,
+         CASE WHEN v.vx - n.px <= 0 THEN 0 ELSE 1 END AS qx,
+         CASE WHEN v.vy - n.py <= 0 THEN 0 ELSE 1 END AS qy
+  FROM nod n JOIN val v
+    ON v.vx BETWEEN n.px - {_FILL_R} AND n.px + {_FILL_R}
+   AND v.vy BETWEEN n.py - {_FILL_R} AND n.py + {_FILL_R}
+  WHERE (v.vx - n.px) * (v.vx - n.px) + (v.vy - n.py) * (v.vy - n.py)
+        <= {_FILL_R * _FILL_R}
+),
+b AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY px, py, qx, qy ORDER BY d2, vy, vx) AS rn
+  FROM pr
+),
+piv AS (
+  SELECT px, py,
+         {_fill_w(0, 0)} AS wtl, {_fill_v(0, 0)} AS vtl,
+         {_fill_w(0, 1)} AS wbl, {_fill_v(0, 1)} AS vbl,
+         {_fill_w(1, 0)} AS wtr, {_fill_v(1, 0)} AS vtr,
+         {_fill_w(1, 1)} AS wbr, {_fill_v(1, 1)} AS vbr
+  FROM b WHERE rn = 1 GROUP BY px, py
+)
+SELECT n.px, n.py,
+       CAST(floor(
+         ((coalesce(p.wtl * p.vtl, 0.0e0) + coalesce(p.wbl * p.vbl, 0.0e0))
+          + coalesce(p.wtr * p.vtr, 0.0e0) + coalesce(p.wbr * p.vbr, 0.0e0))
+         / ((coalesce(p.wtl, 0.0e0) + coalesce(p.wbl, 0.0e0))
+            + coalesce(p.wtr, 0.0e0) + coalesce(p.wbr, 0.0e0))
+         * 1.0e4) AS BIGINT) AS v4
+FROM nod n LEFT JOIN piv p ON n.px = p.px AND n.py = p.py
+"""
+
+
+@register("fillnodata", _FILL_ORACLE)
+def q_fillnodata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDALFillNodata: 4-quadrant nearest-valid IDW fill of three masked
+    holes (one too deep to fill -> NULL), maxdist=8."""
+    from gdal_spark.operators.focal import fill_nodata
+    from gdal_spark.operators.raster import SRC_H, SRC_W, source_grid
+
+    g = source_grid(spark).filter(F.col("band") == 1)
+    pixels = g.select(
+        "px",
+        "py",
+        F.when(F.expr(_FILL_MASK), F.lit(None)).otherwise(F.col("value"))
+        .cast("int")
+        .alias("value"),
+    )
+    return fill_nodata(pixels, SRC_W, SRC_H, maxdist=_FILL_R)
