@@ -4452,3 +4452,68 @@ def q_fillnodata(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("value"),
     )
     return fill_nodata(pixels, SRC_W, SRC_H, maxdist=_FILL_R)
+
+
+# --------------------------------------------------------------------------
+# GCP polynomial transformer (alg/gdal_crs.cpp GDALCreateGCPTransformer,
+# order 2 = [1, p, l, p², p·l, l²] per gdal_crs.cpp:751).  The fixture's
+# GCPs lie exactly on an INTEGER-coefficient order-2 polynomial, so the
+# oracle is exact integer arithmetic; the engine must recover the
+# coefficients through its unit-scaled least-squares solve (recovery
+# error ~1e-7 absolute, absorbed by the half-up integer quantization).
+# --------------------------------------------------------------------------
+_GCP_AX = [500, 3, -2, 2, 1, -1]  # x = a0 + a1·p + a2·l + a3·p² + a4·p·l + a5·l²
+_GCP_AY = [-1000, -1, 4, -1, 2, 3]
+_GCP_PS = [0, 100, 200, 300, 399]
+_GCP_LS = [0, 50, 100, 150, 199]
+
+
+def _gcp_poly_int(c: list[int], p: str, ln: str) -> str:
+    return (
+        f"({c[0]} + {c[1]} * {p} + {c[2]} * {ln} + {c[3]} * {p} * {p}"
+        f" + {c[4]} * {p} * {ln} + {c[5]} * {ln} * {ln})"
+    )
+
+
+_GCP_ORACLE = f"""
+WITH g AS ({_SRC_GRID_CTE})
+SELECT px, py,
+       CAST({_gcp_poly_int(_GCP_AX, "px", "py")} AS BIGINT) AS gx,
+       CAST({_gcp_poly_int(_GCP_AY, "px", "py")} AS BIGINT) AS gy
+FROM g WHERE band = 1
+"""
+
+
+@register("gcp_transform", _GCP_ORACLE)
+def q_gcp_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-2 GCP polynomial transform of the full pixel grid; the 25
+    control points are collected once for the solve and the fitted
+    coefficients fold into the plan as literals (whole-stage codegen)."""
+    from gdal_spark.operators.gcp import gcp_transform
+    from gdal_spark.operators.raster import source_grid
+
+    def poly(c, p, ln):
+        return (
+            c[0] + c[1] * p + c[2] * ln + c[3] * p * p + c[4] * p * ln
+            + c[5] * ln * ln
+        )
+
+    gcps = spark.createDataFrame(
+        [
+            (float(p), float(ln), float(poly(_GCP_AX, p, ln)),
+             float(poly(_GCP_AY, p, ln)))
+            for p in _GCP_PS
+            for ln in _GCP_LS
+        ],
+        "pixel double, line double, x double, y double",
+    )
+    pts = source_grid(spark).filter(F.col("band") == 1).select(
+        F.col("px"), F.col("py")
+    )
+    out = gcp_transform(pts, gcps, order=2, pixel_col="px", line_col="py")
+    return out.select(
+        "px",
+        "py",
+        F.expr("CAST(floor(gx + 5.0e-1) AS BIGINT)").alias("gx"),
+        F.expr("CAST(floor(gy + 5.0e-1) AS BIGINT)").alias("gy"),
+    )
