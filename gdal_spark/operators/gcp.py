@@ -93,3 +93,84 @@ def gcp_transform(
     return points.withColumn("gx", _poly_col(cx, p, ln)).withColumn(
         "gy", _poly_col(cy, p, ln)
     )
+
+
+# --------------------------------------------------------------------------
+# Thin plate spline transformer (alg/gdal_tps.cpp / thinplatespline.cpp)
+# --------------------------------------------------------------------------
+
+
+def fit_tps(gcps: DataFrame):
+    """Solve the TPS system for (pixel, line) -> (x, y) GCPs
+    (VizGeorefSpline2D::solve): kernel U(d²) = d²·ln(d²) with U(0) = 0
+    (thinplatespline.cpp:180 uses dist·log(dist) on the SQUARED
+    distance), plus an affine part [1, p, l]; side conditions Σw = 0,
+    Σw·p = 0, Σw·l = 0.  Returns (points, x_params, y_params) where
+    params = [a0, a1, a2, w_0..w_{n-1}] over UNIT-SCALED coords and
+    scales = (ps, ls).  GCPs are a dim table by contract (the reference
+    holds them all in the spline struct).
+
+    DOCUMENTED DIVERGENCE: the system is assembled on coordinates
+    scaled to the unit square (raw 400-pixel ranges push the bordered
+    TPS matrix towards cond ~1e10 and the recovered weights poison the
+    evaluation); for non-affine GCPs the anisotropic normalization
+    yields a slightly different spline than the reference's
+    raw-coordinate solve."""
+    pdf = gcps.select("pixel", "line", "x", "y").toPandas()
+    ps = max(float(pdf["pixel"].abs().max()), 1.0)
+    ls = max(float(pdf["line"].abs().max()), 1.0)
+    p = pdf["pixel"].to_numpy(np.float64) / ps
+    ln = pdf["line"].to_numpy(np.float64) / ls
+    n = len(p)
+    d2 = (p[:, None] - p[None, :]) ** 2 + (ln[:, None] - ln[None, :]) ** 2
+    with np.errstate(divide="ignore", invalid="ignore"):
+        k = np.where(d2 > 0.0, d2 * np.log(d2), 0.0)
+    a = np.zeros((n + 3, n + 3))
+    a[:n, :n] = k
+    a[:n, n] = 1.0
+    a[:n, n + 1] = p
+    a[:n, n + 2] = ln
+    a[n, :n] = 1.0
+    a[n + 1, :n] = p
+    a[n + 2, :n] = ln
+    rhs = np.zeros((n + 3, 2))
+    rhs[:n, 0] = pdf["x"].to_numpy(np.float64)
+    rhs[:n, 1] = pdf["y"].to_numpy(np.float64)
+    sol = np.linalg.solve(a, rhs)
+    px_params = [float(sol[n, 0]), float(sol[n + 1, 0]), float(sol[n + 2, 0])] + [
+        float(v) for v in sol[:n, 0]
+    ]
+    py_params = [float(sol[n, 1]), float(sol[n + 1, 1]), float(sol[n + 2, 1])] + [
+        float(v) for v in sol[:n, 1]
+    ]
+    return list(zip(p.tolist(), ln.tolist())), (ps, ls), px_params, py_params
+
+
+def _tps_col(
+    centers: list[tuple[float, float]], params: list[float], p: Column, ln: Column
+) -> Column:
+    out = F.lit(params[0]) + F.lit(params[1]) * p + F.lit(params[2]) * ln
+    for (cx, cy), w in zip(centers, params[3:]):
+        d2 = (p - F.lit(cx)) * (p - F.lit(cx)) + (ln - F.lit(cy)) * (ln - F.lit(cy))
+        out = out + F.lit(w) * F.when(d2 > 0.0, d2 * F.log(d2)).otherwise(F.lit(0.0))
+    return out
+
+
+def tps_transform(
+    points: DataFrame,
+    gcps: DataFrame,
+    pixel_col: str = "pixel",
+    line_col: str = "line",
+) -> DataFrame:
+    """gdalwarp -tps: append (gx, gy) = thin-plate-spline of
+    (pixel, line).  The solved weights and centers UNROLL into the plan
+    as literal expression terms (one CASE-guarded kernel term per GCP),
+    so evaluation is whole-stage codegen — the same unroll strategy as
+    the Krüger/Vincenty series, viable for the dim-sized GCP sets the
+    transformer contract allows."""
+    centers, (ps, ls), cx, cy = fit_tps(gcps)
+    p = F.col(pixel_col).cast("double") / F.lit(ps)
+    ln = F.col(line_col).cast("double") / F.lit(ls)
+    return points.withColumn("gx", _tps_col(centers, cx, p, ln)).withColumn(
+        "gy", _tps_col(centers, cy, p, ln)
+    )

@@ -4517,3 +4517,54 @@ def q_gcp_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(floor(gx + 5.0e-1) AS BIGINT)").alias("gx"),
         F.expr("CAST(floor(gy + 5.0e-1) AS BIGINT)").alias("gy"),
     )
+
+
+# --------------------------------------------------------------------------
+# Thin plate spline transformer (gdalwarp -tps; alg/gdal_tps.cpp,
+# thinplatespline.cpp:180 kernel U = d²·ln d²).  Fixture GCPs lie on an
+# exact INTEGER affine map: the TPS affine part must reproduce it and
+# the RBF weights must vanish (numerically ~1e-12), so the oracle is
+# exact integer arithmetic — an end-to-end check of the bordered-system
+# solve, the weight unroll, and the codegen evaluation.
+# --------------------------------------------------------------------------
+_TPS_AX = [10, 2, 3]  # x = 10 + 2p + 3l
+_TPS_AY = [-5, 1, -2]  # y = -5 + p - 2l
+
+
+_TPS_ORACLE = f"""
+WITH g AS ({_SRC_GRID_CTE})
+SELECT px, py,
+       CAST({_TPS_AX[0]} + {_TPS_AX[1]} * px + {_TPS_AX[2]} * py AS BIGINT) AS gx,
+       CAST({_TPS_AY[0]} + {_TPS_AY[1]} * px + {_TPS_AY[2]} * py AS BIGINT) AS gy
+FROM g WHERE band = 1
+"""
+
+
+@register("tps_transform", _TPS_ORACLE)
+def q_tps_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPS transform of the full pixel grid from 25 affine-consistent
+    GCPs; the solved weights/centers unroll into codegen terms."""
+    from gdal_spark.operators.gcp import tps_transform
+    from gdal_spark.operators.raster import source_grid
+
+    gcps = spark.createDataFrame(
+        [
+            (
+                float(p),
+                float(ln),
+                float(_TPS_AX[0] + _TPS_AX[1] * p + _TPS_AX[2] * ln),
+                float(_TPS_AY[0] + _TPS_AY[1] * p + _TPS_AY[2] * ln),
+            )
+            for p in _GCP_PS
+            for ln in _GCP_LS
+        ],
+        "pixel double, line double, x double, y double",
+    )
+    pts = source_grid(spark).filter(F.col("band") == 1).select("px", "py")
+    out = tps_transform(pts, gcps, pixel_col="px", line_col="py")
+    return out.select(
+        "px",
+        "py",
+        F.expr("CAST(floor(gx + 5.0e-1) AS BIGINT)").alias("gx"),
+        F.expr("CAST(floor(gy + 5.0e-1) AS BIGINT)").alias("gy"),
+    )
