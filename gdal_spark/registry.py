@@ -4568,3 +4568,94 @@ def q_tps_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(floor(gx + 5.0e-1) AS BIGINT)").alias("gx"),
         F.expr("CAST(floor(gy + 5.0e-1) AS BIGINT)").alias("gy"),
     )
+
+
+# --------------------------------------------------------------------------
+# Segmentize (ogr2ogr -segmentize; OGRSimpleCurve::segmentize,
+# ogr/ogrlinestring.cpp): densify rings so no segment exceeds maxlen.
+# Closed rings never trigger the reference's direction canonicalization
+# (first == last), so the oracle walks edges in stored order with the
+# SAME split rule (d² − m² > 1e-5·m², k = floor(sqrt(d²/m²) − 1e-2)) and
+# the SAME interpolation (x + j·(dx/(k+1))) — bit-identical doubles.
+# --------------------------------------------------------------------------
+_SEG_MAXLEN = 2.5
+_SEG_M2 = "6.25e0"  # maxlen² as a shared literal
+
+
+def _seg_verts_cte(n: int) -> str:
+    r = zones._R
+    shell = [
+        (r["bx"], r["by"]),
+        (r["x_w1"], r["by"]),
+        (r["x_w1"], r["y_h1"]),
+        (r["x_w2"], r["y_h1"]),
+        (r["x_w2"], r["y_top"]),
+        (r["bx"], r["y_top"]),
+        (r["bx"], r["by"]),
+    ]
+    hole = [
+        (r["hx0"], r["hy0"]),
+        (r["hx1"], r["hy0"]),
+        (r["hx1"], r["hy1"]),
+        (r["hx0"], r["hy1"]),
+        (r["hx0"], r["hy0"]),
+    ]
+    rows = []
+    for ring, verts in ((0, shell), (1, hole)):
+        for vidx, (xe, ye) in enumerate(verts):
+            rows.append(
+                f"SELECT {zones.RICH_ID_SQL} AS zone_id, {ring} AS ring, "
+                f"{vidx} AS vidx, CAST({xe} AS DOUBLE) AS x, "
+                f"CAST({ye} AS DOUBLE) AS y FROM range(0, {n}) t(i)"
+            )
+    return " UNION ALL ".join(rows)
+
+
+_SEGMENTIZE_ORACLE = f"""
+WITH verts AS ({_seg_verts_cte(zones.NRICH)}),
+last AS (
+  SELECT zone_id, ring, max(vidx) AS nmax FROM verts GROUP BY zone_id, ring
+),
+e AS (
+  SELECT a.zone_id, a.ring, a.vidx, a.x, a.y,
+         b.x - a.x AS dx, b.y - a.y AS dy,
+         (b.x - a.x) * (b.x - a.x) + (b.y - a.y) * (b.y - a.y) AS d2
+  FROM verts a JOIN verts b
+    ON a.zone_id = b.zone_id AND a.ring = b.ring AND b.vidx = a.vidx + 1
+),
+k AS (
+  SELECT *, CASE WHEN d2 - {_SEG_M2} > 1.0e-5 * {_SEG_M2}
+                 THEN CAST(floor(sqrt(d2 / {_SEG_M2}) - 1.0e-2) AS int)
+                 ELSE 0 END AS nk
+  FROM e
+),
+c AS (
+  SELECT *, CAST(sum(1 + nk) OVER (PARTITION BY zone_id, ring ORDER BY vidx
+              ROWS UNBOUNDED PRECEDING) - (1 + nk) AS int) AS start
+  FROM k
+),
+mid AS (
+  SELECT zone_id, ring, CAST(start + j.j AS int) AS seq,
+         x + CAST(j.j AS DOUBLE) * (dx / (CAST(nk AS DOUBLE) + 1.0e0)) AS x,
+         y + CAST(j.j AS DOUBLE) * (dy / (CAST(nk AS DOUBLE) + 1.0e0)) AS y
+  FROM c, range(0, 32) j(j) WHERE j.j <= nk
+),
+fin AS (
+  SELECT v.zone_id, v.ring,
+         CAST((SELECT sum(1 + nk) FROM k
+               WHERE k.zone_id = v.zone_id AND k.ring = v.ring) AS int) AS seq,
+         v.x, v.y
+  FROM verts v JOIN last l
+    ON v.zone_id = l.zone_id AND v.ring = l.ring AND v.vidx = l.nmax
+)
+SELECT * FROM mid UNION ALL SELECT * FROM fin
+"""
+
+
+@register("segmentize", _SEGMENTIZE_ORACLE)
+def q_segmentize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Densify the concave L-with-hole layer's rings at maxlen=2.5; one
+    row per output vertex, reference split rule and interpolation."""
+    from gdal_spark.operators.densify import segmentize
+
+    return segmentize(zones.rich_zones(spark), _SEG_MAXLEN)
