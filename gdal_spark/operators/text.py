@@ -559,3 +559,67 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
             )
 
     return df.select(id_col, text_col).mapInPandas(kernel, schema)
+
+
+# --------------------------------------------------------------------------
+# Training-data pipeline: deterministic stratified sampling + dedup
+# keeper selection
+# --------------------------------------------------------------------------
+
+
+def stratified_sample(
+    docs: DataFrame,
+    thresholds: dict[str, str],
+    default_threshold: str,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "s1",
+) -> DataFrame:
+    """Deterministic per-stratum downsampling: keep a row iff
+    md5(salt|id) sorts below the stratum's hex threshold.  Thresholds
+    are hex-prefix strings ('4' = 25%, '8' = 50%, 'c' = 75%) — md5 is
+    uniform, so the kept fraction equals the prefix value / 16**len.
+
+    This is the reproducible sampler a corpus pipeline needs: no RNG
+    state, stable under re-partitioning, re-runs, and resumes (the
+    decision is a pure function of the row id), tunable per language /
+    source without reshuffling.  Pure JVM column exprs — zero Python."""
+    thr = F.lit(default_threshold)
+    for k, v in sorted(thresholds.items()):
+        thr = F.when(F.col(strata_col) == k, F.lit(v)).otherwise(thr)
+    h = F.md5(F.concat(F.lit(salt + "|"), F.col(id_col).cast("string")))
+    return docs.filter(h < thr)
+
+
+def dedup_keeper(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Retention policy over near-dup clusters: per cluster keep the
+    highest-quality doc (longest text; ties -> smallest id).  Output
+    (doc_id, cluster_id, keeper_id, keep).
+
+    The per-cluster argmax folds into min(struct(-len, id)) —
+    associative/commutative, map-side combined — and joins back on the
+    cluster key.  Both the aggregation and the join shuffle on
+    cluster_id, so AQE reuses the partitioning; clusters are NOT
+    broadcast (singleton clusters make the keeper table as large as the
+    corpus)."""
+    lab = docs.select(id_col, F.length(text_col).alias("_len")).join(
+        clusters, id_col
+    )
+    keep = lab.groupBy("cluster_id").agg(
+        F.min(F.struct((-F.col("_len")).alias("nl"), F.col(id_col).alias("kid")))
+        .alias("s")
+    ).select("cluster_id", F.col("s.kid").alias("keeper_id"))
+    return (
+        lab.join(keep, "cluster_id")
+        .select(
+            id_col,
+            "cluster_id",
+            "keeper_id",
+            (F.col(id_col) == F.col("keeper_id")).alias("keep"),
+        )
+    )

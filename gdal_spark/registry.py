@@ -4659,3 +4659,104 @@ def q_segmentize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gdal_spark.operators.densify import segmentize
 
     return segmentize(zones.rich_zones(spark), _SEG_MAXLEN)
+
+
+# --------------------------------------------------------------------------
+# Training-data pipeline: deterministic stratified sampling, dedup
+# retention policy; SQLite-dialect GROUP BY ... HAVING.
+# --------------------------------------------------------------------------
+_SAMPLE_THR = {"en": "4", "de": "8", "fr": "c", "es": "f"}
+_SAMPLE_DEF = "2"
+_SAMPLE_CASE = (
+    "CASE "
+    + " ".join(f"WHEN lang = '{k}' THEN '{v}'" for k, v in sorted(_SAMPLE_THR.items()))
+    + f" ELSE '{_SAMPLE_DEF}' END"
+)
+
+_STRAT_SAMPLE_ORACLE = f"""
+SELECT doc_id, lang
+FROM documents
+WHERE md5('s1|' || CAST(doc_id AS VARCHAR)) < {_SAMPLE_CASE}
+"""
+
+
+@register("stratified_sample", _STRAT_SAMPLE_ORACLE)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language downsampling (md5-threshold, no RNG
+    state — stable under repartitioning and resume): en 25%, de 50%,
+    fr 75%, es 100%, everything else 12.5%."""
+    from gdal_spark.operators.text import stratified_sample
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return stratified_sample(d, _SAMPLE_THR, _SAMPLE_DEF).select("doc_id", "lang")
+
+
+_DEDUP_KEEPER_ORACLE = f"""
+WITH RECURSIVE {_MM_PIPELINE_CTE},
+sym AS (
+  SELECT id_a AS n, id_b AS m FROM mm_pairs
+  UNION
+  SELECT id_b AS n, id_a AS m FROM mm_pairs
+),
+reach AS (
+  SELECT n, m FROM sym
+  UNION
+  SELECT r.n, s2.m FROM reach r JOIN sym s2 ON r.m = s2.n
+),
+cl AS (SELECT n AS cdoc, min(m) AS mn FROM reach GROUP BY n),
+lab AS (
+  SELECT d.doc_id,
+         CAST(least(COALESCE(cl.mn, d.doc_id), d.doc_id) AS BIGINT) AS cluster_id,
+         length(d.text) AS len
+  FROM documents d LEFT JOIN cl ON d.doc_id = cl.cdoc
+),
+k AS (
+  SELECT cluster_id, doc_id AS keeper_id,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY len DESC, doc_id) AS rn
+  FROM lab
+)
+SELECT lab.doc_id, lab.cluster_id, k.keeper_id,
+       lab.doc_id = k.keeper_id AS keep
+FROM lab JOIN k ON lab.cluster_id = k.cluster_id AND k.rn = 1
+"""
+
+
+@register("dedup_keeper", _DEDUP_KEEPER_ORACLE)
+def q_dedup_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention policy over the oracle-checked near-dup clusters: keep
+    the longest doc per cluster (ties -> smallest id)."""
+    from gdal_spark.operators.text import (
+        dedup_clusters,
+        dedup_keeper,
+        minhash_md5_pairs,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    clusters = dedup_clusters(d, minhash_md5_pairs(d))
+    return dedup_keeper(d, clusters)
+
+
+_HAVING_ORACLE = """
+SELECT lang, source, count(*) AS n_docs,
+       CAST(round(avg(CAST(n_chars AS DOUBLE)), 6) AS DOUBLE) AS avg_chars
+FROM documents
+GROUP BY lang, source
+HAVING count(*) >= 20 AND avg(CAST(n_chars AS DOUBLE)) > 1.0e2
+"""
+
+
+@register("having_filter", _HAVING_ORACLE)
+def q_having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQLite-dialect GROUP BY ... HAVING (the OGR SQLite dialect
+    delegates HAVING to sqlite; filter-after-aggregate here)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    g = d.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.avg(F.col("n_chars").cast("double")).alias("_avg"),
+    )
+    return g.filter(
+        (F.col("n_docs") >= 20) & (F.col("_avg") > 100.0)
+    ).select(
+        "lang", "source", "n_docs", F.round("_avg", 6).alias("avg_chars")
+    )
