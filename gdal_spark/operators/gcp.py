@@ -174,3 +174,126 @@ def tps_transform(
     return points.withColumn("gx", _tps_col(centers, cx, p, ln)).withColumn(
         "gy", _tps_col(centers, cy, p, ln)
     )
+
+
+# --------------------------------------------------------------------------
+# RPC transformer (alg/gdal_rpc.cpp, RPC00B rational polynomial model)
+# --------------------------------------------------------------------------
+
+# term basis in the reference's exact order (gdal_rpc.cpp:196-217);
+# L = normalized longitude, P = normalized latitude, H = normalized height
+_RPC_TERMS = [
+    "1.0e0", "L", "P", "H", "(L * P)", "(L * H)", "(P * H)", "(L * L)",
+    "(P * P)", "(H * H)", "(L * P * H)", "(L * L * L)", "(L * P * P)",
+    "(L * H * H)", "(L * L * P)", "(P * P * P)", "(P * H * H)",
+    "(L * L * H)", "(P * P * H)", "(H * H * H)",
+]
+
+
+def rpc_evaluate_sql(coeffs: list[float], sd) -> str:
+    """Render RPCEvaluate (gdal_rpc.cpp:219-231) as SQL text: the
+    reference accumulates EVEN-index and ODD-index terms in two
+    separate sums and adds them at the end (an SSE2 layout artifact) —
+    mirrored here so the float result is bit-identical.  ``sd`` is the
+    double->E-notation literal formatter."""
+    if len(coeffs) != 20:
+        raise ValueError("RPC model has exactly 20 coefficients")
+    s1 = " + ".join(
+        f"{_RPC_TERMS[i]} * {sd(coeffs[i])}" for i in range(0, 20, 2)
+    )
+    s2 = " + ".join(
+        f"{_RPC_TERMS[i]} * {sd(coeffs[i])}" for i in range(1, 20, 2)
+    )
+    return f"(({s1}) + ({s2}))"
+
+
+def rpc_transform_sql(rpc: dict, sd) -> tuple[str, str, str, str, str]:
+    """Shared SQL text for RPCTransformPoint (gdal_rpc.cpp:360-460):
+    returns (L_def, P_def, H_def, pixel_expr, line_expr) where the defs
+    normalize columns lon/lat/h and the exprs expect L/P/H in scope.
+    Includes the reference's dateline unwrap of diffLong (±360 when the
+    offset-relative longitude leaves ±270)."""
+    diff = f"(lon - {sd(rpc['LONG_OFF'])})"
+    unwrap = (
+        f"(CASE WHEN {diff} < -2.7e2 THEN {diff} + 3.6e2 "
+        f"WHEN {diff} > 2.7e2 THEN {diff} - 3.6e2 ELSE {diff} END)"
+    )
+    l_def = f"({unwrap} / {sd(rpc['LONG_SCALE'])})"
+    p_def = f"((lat - {sd(rpc['LAT_OFF'])}) / {sd(rpc['LAT_SCALE'])})"
+    h_def = f"((h - {sd(rpc['HEIGHT_OFF'])}) / {sd(rpc['HEIGHT_SCALE'])})"
+    px = (
+        f"({rpc_evaluate_sql(rpc['SAMP_NUM_COEFF'], sd)}"
+        f" / {rpc_evaluate_sql(rpc['SAMP_DEN_COEFF'], sd)})"
+        f" * {sd(rpc['SAMP_SCALE'])} + {sd(rpc['SAMP_OFF'])}"
+    )
+    ln = (
+        f"({rpc_evaluate_sql(rpc['LINE_NUM_COEFF'], sd)}"
+        f" / {rpc_evaluate_sql(rpc['LINE_DEN_COEFF'], sd)})"
+        f" * {sd(rpc['LINE_SCALE'])} + {sd(rpc['LINE_OFF'])}"
+    )
+    return l_def, p_def, h_def, px, ln
+
+
+# --------------------------------------------------------------------------
+# Homography transformer (alg/gdal_homography.cpp)
+# --------------------------------------------------------------------------
+
+
+def fit_homography(gcps: DataFrame) -> list[float]:
+    """Fit the 9-element homography h (gdal_homography.cpp:387-394
+    parameterization: gx = (h0 + p·h1 + l·h2)/(h6 + p·h7 + l·h8),
+    gy = (h3 + p·h4 + l·h5)/(same)) from >= 4 GCPs by the normalized
+    DLT least squares, fixing h6 = 1.  GCP dim-table contract."""
+    pdf = gcps.select("pixel", "line", "x", "y").toPandas()
+    if len(pdf) < 4:
+        raise ValueError("homography needs >= 4 GCPs")
+    p = pdf["pixel"].to_numpy(np.float64)
+    ln = pdf["line"].to_numpy(np.float64)
+    x = pdf["x"].to_numpy(np.float64)
+    y = pdf["y"].to_numpy(np.float64)
+    ps = max(float(np.abs(p).max()), 1.0)
+    ls = max(float(np.abs(ln).max()), 1.0)
+    xs = max(float(np.abs(x).max()), 1.0)
+    ys = max(float(np.abs(y).max()), 1.0)
+    pn, lnn, xn, yn = p / ps, ln / ls, x / xs, y / ys
+    n = len(pn)
+    a = np.zeros((2 * n, 8))
+    rhs = np.zeros(2 * n)
+    one = np.ones(n)
+    a[:n, 0], a[:n, 1], a[:n, 2] = one, pn, lnn
+    a[:n, 6], a[:n, 7] = -xn * pn, -xn * lnn
+    rhs[:n] = xn
+    a[n:, 3], a[n:, 4], a[n:, 5] = one, pn, lnn
+    a[n:, 6], a[n:, 7] = -yn * pn, -yn * lnn
+    rhs[n:] = yn
+    th = np.linalg.lstsq(a, rhs, rcond=None)[0]
+    # undo the normalization: numerators rescale by the output scale,
+    # denominator terms by the input scales
+    return [
+        float(th[0]) * xs,
+        float(th[1]) * xs / ps,
+        float(th[2]) * xs / ls,
+        float(th[3]) * ys,
+        float(th[4]) * ys / ps,
+        float(th[5]) * ys / ls,
+        1.0,
+        float(th[6]) / ps,
+        float(th[7]) / ls,
+    ]
+
+
+def homography_transform(
+    points: DataFrame,
+    gcps: DataFrame,
+    pixel_col: str = "pixel",
+    line_col: str = "line",
+) -> DataFrame:
+    """GDALHomographyTransform: append (gx, gy); the fitted 9 parameters
+    fold into a pure codegen projection."""
+    h = fit_homography(gcps)
+    p = F.col(pixel_col).cast("double")
+    ln = F.col(line_col).cast("double")
+    den = F.lit(h[6]) + p * F.lit(h[7]) + ln * F.lit(h[8])
+    return points.withColumn(
+        "gx", (F.lit(h[0]) + p * F.lit(h[1]) + ln * F.lit(h[2])) / den
+    ).withColumn("gy", (F.lit(h[3]) + p * F.lit(h[4]) + ln * F.lit(h[5])) / den)

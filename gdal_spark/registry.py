@@ -4760,3 +4760,113 @@ def q_having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "lang", "source", "n_docs", F.round("_avg", 6).alias("avg_chars")
     )
+
+
+# --------------------------------------------------------------------------
+# RPC transformer (alg/gdal_rpc.cpp RPC00B): (lon, lat, h) -> (pixel,
+# line) via 20-term rational cubics.  The ENTIRE evaluation — term
+# basis order (gdal_rpc.cpp:196-217), the even/odd split-sum of
+# RPCEvaluate (:219-231), the dateline unwrap, normalization and
+# de-normalization — renders once as SQL text (operators/gcp.py) that
+# BOTH engines execute, so outputs are bit-identical doubles and the
+# Spark side is a pure whole-stage-codegen projection.
+# --------------------------------------------------------------------------
+from gdal_spark.operators.gcp import rpc_transform_sql  # noqa: E402
+
+_RPC_MODEL = {
+    "LONG_OFF": 9.0, "LONG_SCALE": 10.0,
+    "LAT_OFF": 45.0, "LAT_SCALE": 5.0,
+    "HEIGHT_OFF": 100.0, "HEIGHT_SCALE": 500.0,
+    "SAMP_OFF": 5000.0, "SAMP_SCALE": 5000.0,
+    "LINE_OFF": 10000.0, "LINE_SCALE": 10000.0,
+    # a plausible pushbroom-ish model: sample driven by longitude, line
+    # by latitude, with mild rational distortion terms
+    "SAMP_NUM_COEFF": [0.001, 1.0, 0.0, 0.0, 2e-4, 0.0, 0.0, 1.5e-4, 0.0, 0.0,
+                       3e-6, 1e-5, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+    "SAMP_DEN_COEFF": [1.0, 1e-4, 0.0, 0.0, 0.0, 0.0, 0.0, 2e-5, 0.0, 0.0,
+                       0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+    "LINE_NUM_COEFF": [0.002, 0.0, -1.0, 0.0, 3e-4, 0.0, 0.0, 0.0, 1e-4, 0.0,
+                       2e-6, 0.0, 0.0, 0.0, 0.0, 2e-5, 0.0, 0.0, 0.0, 0.0],
+    "LINE_DEN_COEFF": [1.0, 0.0, 1e-4, 0.0, 0.0, 0.0, 0.0, 0.0, 1e-5, 0.0,
+                       0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+}
+
+_RPC_GRID = """
+SELECT CAST(i AS BIGINT) AS pid,
+       4.0e0 + CAST(i % 100 AS DOUBLE) * 1.0e-1 AS lon,
+       4.25e1 + CAST((i - i % 100) / 100 AS DOUBLE) * 1.0e-1 AS lat,
+       1.0e2 + CAST(i % 7 AS DOUBLE) * 5.0e1 AS h
+FROM range(0, 5000) t(i)
+"""
+
+_RPC_L, _RPC_P, _RPC_H, _RPC_PX, _RPC_LN = rpc_transform_sql(_RPC_MODEL, _sd)
+
+_RPC_ORACLE = f"""
+WITH g AS ({_RPC_GRID}),
+n AS (SELECT pid, {_RPC_L} AS L, {_RPC_P} AS P, {_RPC_H} AS H FROM g)
+SELECT pid, {_RPC_PX} AS pixel, {_RPC_LN} AS line FROM n
+"""
+
+
+@register("rpc_transform", _RPC_ORACLE)
+def q_rpc_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RPC00B forward transform of a 100x50x7-height grid; one shared
+    rational-cubic expression, zero Python rows."""
+    g = spark.range(5000).selectExpr(
+        "CAST(id AS BIGINT) AS pid",
+        "4.0e0 + CAST(id % 100 AS DOUBLE) * 1.0e-1 AS lon",
+        "4.25e1 + CAST((id - id % 100) / 100 AS DOUBLE) * 1.0e-1 AS lat",
+        "1.0e2 + CAST(id % 7 AS DOUBLE) * 5.0e1 AS h",
+    )
+    n = g.selectExpr("pid", f"{_RPC_L} AS L", f"{_RPC_P} AS P", f"{_RPC_H} AS H")
+    return n.selectExpr("pid", f"{_RPC_PX} AS pixel", f"{_RPC_LN} AS line")
+
+
+# --------------------------------------------------------------------------
+# Homography transformer (alg/gdal_homography.cpp:387-394): projective
+# map fitted from GCPs by normalized DLT.  Affine-consistent GCPs force
+# the projective row to [1, 0, 0] (numerically ~1e-14), so the integer
+# affine is the exact oracle — end-to-end check of the DLT solve and
+# the rational codegen apply.
+# --------------------------------------------------------------------------
+_HOMO_AX = [7, 3, -1]  # x = 7 + 3p - l
+_HOMO_AY = [-2, 2, 4]  # y = -2 + 2p + 4l
+
+
+_HOMOGRAPHY_ORACLE = f"""
+WITH g AS ({_SRC_GRID_CTE})
+SELECT px, py,
+       CAST({_HOMO_AX[0]} + {_HOMO_AX[1]} * px + {_HOMO_AX[2]} * py AS BIGINT) AS gx,
+       CAST({_HOMO_AY[0]} + {_HOMO_AY[1]} * px + {_HOMO_AY[2]} * py AS BIGINT) AS gy
+FROM g WHERE band = 1
+"""
+
+
+@register("homography_transform", _HOMOGRAPHY_ORACLE)
+def q_homography_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Homography fitted from 25 affine-consistent GCPs, applied to the
+    full pixel grid as a rational codegen projection."""
+    from gdal_spark.operators.gcp import homography_transform
+    from gdal_spark.operators.raster import source_grid
+
+    gcps = spark.createDataFrame(
+        [
+            (
+                float(p),
+                float(ln),
+                float(_HOMO_AX[0] + _HOMO_AX[1] * p + _HOMO_AX[2] * ln),
+                float(_HOMO_AY[0] + _HOMO_AY[1] * p + _HOMO_AY[2] * ln),
+            )
+            for p in _GCP_PS
+            for ln in _GCP_LS
+        ],
+        "pixel double, line double, x double, y double",
+    )
+    pts = source_grid(spark).filter(F.col("band") == 1).select("px", "py")
+    out = homography_transform(pts, gcps, pixel_col="px", line_col="py")
+    return out.select(
+        "px",
+        "py",
+        F.expr("CAST(floor(gx + 5.0e-1) AS BIGINT)").alias("gx"),
+        F.expr("CAST(floor(gy + 5.0e-1) AS BIGINT)").alias("gy"),
+    )

@@ -78,3 +78,33 @@ def test_polynomial_rejects_underdetermined(spark):
     pts = spark.createDataFrame([(1.0, 1.0)], "px double, py double")
     with pytest.raises(ValueError):
         gcp_transform(pts, gcps, order=2, pixel_col="px", line_col="py")
+
+
+def test_homography_recovers_projective_map(spark):
+    """GCPs generated from a homography with a non-trivial projective
+    row must be reproduced at arbitrary points (DLT exact recovery)."""
+    from gdal_spark.operators.gcp import homography_transform
+
+    h = [10.0, 2.0, 1.0, -4.0, 0.5, 3.0, 1.0, 0.001, -0.0005]
+
+    def apply(p, ln):
+        den = h[6] + p * h[7] + ln * h[8]
+        return (
+            (h[0] + p * h[1] + ln * h[2]) / den,
+            (h[3] + p * h[4] + ln * h[5]) / den,
+        )
+
+    gcps = spark.createDataFrame(
+        [
+            (float(p), float(ln), *apply(p, ln))
+            for p in (0.0, 100.0, 200.0, 399.0)
+            for ln in (0.0, 66.0, 199.0)
+        ],
+        "pixel double, line double, x double, y double",
+    )
+    pts = spark.createDataFrame([(37.0, 151.0), (313.0, 18.0)], "px double, py double")
+    out = homography_transform(pts, gcps, pixel_col="px", line_col="py")
+    for r in out.collect():
+        ex, ey = apply(r.px, r.py)
+        assert r.gx == pytest.approx(ex, abs=1e-8)
+        assert r.gy == pytest.approx(ey, abs=1e-8)
