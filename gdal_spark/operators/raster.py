@@ -912,3 +912,70 @@ def cutline_crop(
         .cast("int")
         .alias("value"),
     )
+
+
+# --------------------------------------------------------------------------
+# Reclassify (apps/gdalalg_raster_reclassify.cpp) and clean-collar
+# (apps/nearblack_lib.cpp)
+# --------------------------------------------------------------------------
+
+
+def reclassify(
+    src: DataFrame, rules: DataFrame, default: int | None = 255
+) -> DataFrame:
+    """gdal raster reclassify: map [lo, hi) value ranges to new values.
+
+    ``rules`` is a dim table (lo, hi, out) — the mapping is DATA, not a
+    baked CASE, so rule sets ship per-job without a plan rebuild.  The
+    plan is a broadcast range join (BroadcastNestedLoopJoin on the two
+    inequalities — rules are dim-sized by contract, every source
+    partition streams once); unmatched pixels get ``default``
+    (the reference's DEFAULT=... fallback)."""
+    r = F.broadcast(rules)
+    j = src.join(
+        r,
+        (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+        "left",
+    )
+    return j.select(
+        "band",
+        "px",
+        "py",
+        F.coalesce(F.col("out"), F.lit(default)).cast("int").alias("value"),
+    )
+
+
+def nearblack(
+    pixels: DataFrame, near_dist: int = 2, fill: int = 0
+) -> DataFrame:
+    """Clean-collar / nearblack (apps/nearblack_lib.cpp ProcessLine with
+    nMaxNonBlack=0): per scanline, the maximal prefix and suffix runs of
+    near-black pixels (value <= near_dist from black) are collar and are
+    overwritten with ``fill``.
+
+    DOCUMENTED DIVERGENCE: only the reference's horizontal zero-
+    tolerance case — no nMaxNonBlack allowance and no cross-line count
+    propagation (nearblack_lib.cpp:358's coupled top-down/bottom-up
+    passes), which serialize rows and don't distribute.
+
+    Spark shape: ONE aggregation per scanline (min/max first-valid px,
+    map-side combined) re-joined on the line key — both sides shuffle on
+    py, AQE reuses the partitioning; rows that are entirely near-black
+    aggregate to NULL and blank completely."""
+    valid = F.when(F.col("value") > near_dist, F.col("px"))
+    bounds = pixels.groupBy("py").agg(
+        F.min(valid).alias("first_ok"), F.max(valid).alias("last_ok")
+    )
+    j = pixels.join(bounds, "py")
+    collar = (
+        F.col("first_ok").isNull()
+        | (F.col("px") < F.col("first_ok"))
+        | (F.col("px") > F.col("last_ok"))
+    )
+    return j.select(
+        "px",
+        "py",
+        F.when(collar, F.lit(fill)).otherwise(F.col("value"))
+        .cast("int")
+        .alias("value"),
+    )

@@ -4870,3 +4870,68 @@ def q_homography_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(floor(gx + 5.0e-1) AS BIGINT)").alias("gx"),
         F.expr("CAST(floor(gy + 5.0e-1) AS BIGINT)").alias("gy"),
     )
+
+
+# --------------------------------------------------------------------------
+# Reclassify (gdal raster reclassify): [lo,hi) ranges -> new values as a
+# DIM TABLE range join, DEFAULT fallback for unmatched pixels.
+# --------------------------------------------------------------------------
+_RECLASS_RULES = [(0, 50, 1), (50, 120, 2), (120, 200, 3), (200, 240, 4)]
+_RECLASS_VALUES = ", ".join(f"({lo}, {hi}, {out})" for lo, hi, out in _RECLASS_RULES)
+
+_RECLASSIFY_ORACLE = f"""
+WITH g AS ({_SRC_GRID_CTE}),
+s AS (SELECT band, px, py, CAST({_SRC_VAL} AS int) AS v FROM g),
+r(lo, hi, out) AS (VALUES {_RECLASS_VALUES})
+SELECT band, px, py, CAST(coalesce(r.out, 255) AS int) AS value
+FROM s LEFT JOIN r ON s.v >= r.lo AND s.v < r.hi
+"""
+
+
+@register("reclassify", _RECLASSIFY_ORACLE)
+def q_reclassify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range reclassification of all bands via a broadcast range join on
+    the rules dim table (mapping is data, not a baked CASE)."""
+    from gdal_spark.operators.raster import reclassify, source_grid
+
+    rules = spark.createDataFrame(_RECLASS_RULES, "lo int, hi int, out int")
+    return reclassify(source_grid(spark), rules)
+
+
+# --------------------------------------------------------------------------
+# Clean collar / nearblack (apps/nearblack_lib.cpp, nMaxNonBlack=0
+# horizontal case — see operators/raster.py:nearblack for the
+# documented divergence).  Fixture: a jagged near-black collar (widths
+# vary per row) plus three fully-near-black top rows that must blank
+# entirely.
+# --------------------------------------------------------------------------
+_NB_VAL = (
+    "CASE WHEN py < 3 OR px < 5 + py % 7 OR px > 394 - py % 5"
+    " THEN py % 3 ELSE 3 + (px * 7 + py * 13) % 250 END"
+)
+
+_NEARBLACK_ORACLE = f"""
+WITH g AS ({_SRC_GRID_CTE}),
+v AS (SELECT px, py, CAST({_NB_VAL} AS int) AS value FROM g WHERE band = 1),
+b AS (
+  SELECT py, min(CASE WHEN value > 2 THEN px END) AS first_ok,
+         max(CASE WHEN value > 2 THEN px END) AS last_ok
+  FROM v GROUP BY py
+)
+SELECT v.px, v.py,
+       CAST(CASE WHEN b.first_ok IS NULL OR v.px < b.first_ok
+                      OR v.px > b.last_ok
+                 THEN 0 ELSE v.value END AS int) AS value
+FROM v JOIN b ON v.py = b.py
+"""
+
+
+@register("nearblack", _NEARBLACK_ORACLE)
+def q_nearblack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trim the jagged near-black collar: per-scanline prefix/suffix
+    runs (value <= 2) overwritten with 0."""
+    from gdal_spark.operators.raster import nearblack, source_grid
+
+    g = source_grid(spark).filter(F.col("band") == 1)
+    pix = g.select("px", "py", F.expr(_NB_VAL).cast("int").alias("value"))
+    return nearblack(pix, near_dist=2)
