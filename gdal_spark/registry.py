@@ -4935,3 +4935,43 @@ def q_nearblack(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = source_grid(spark).filter(F.col("band") == 1)
     pix = g.select("px", "py", F.expr(_NB_VAL).cast("int").alias("value"))
     return nearblack(pix, near_dist=2)
+
+
+# --------------------------------------------------------------------------
+# Median-cut palette (rgb2pct; alg/gdalmediancut.cpp + nearest-color
+# assignment).  Oracle case: the fixture has exactly 216 distinct
+# colors (the web-safe cube) and n_colors=256, so every color becomes
+# its own box, the palette reproduces the colors exactly, and the
+# nearest-entry map is the IDENTITY — an end-to-end check of histogram
+# -> split loop -> palette -> assignment.  The >256-color split path is
+# pinned in tests/test_mediancut.py.
+# --------------------------------------------------------------------------
+_MC_C = "((px + py * 7) % 216)"
+_MC_R = f"(({_MC_C} % 6) * 51)"
+_MC_G = f"((CAST(({_MC_C} - {_MC_C} % 6) / 6 AS int) % 6) * 51)"
+_MC_B = f"(CAST(({_MC_C} - {_MC_C} % 36) / 36 AS int) * 51)"
+
+_MEDIANCUT_ORACLE = f"""
+WITH g AS ({_SRC_GRID_CTE})
+SELECT px, py, CAST({_MC_R} AS int) AS pr, CAST({_MC_G} AS int) AS pg,
+       CAST({_MC_B} AS int) AS pb
+FROM g WHERE band = 1
+"""
+
+
+@register("rgb_to_palette", _MEDIANCUT_ORACLE)
+def q_rgb_to_palette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-cut 256-color quantization of the 216-color web-safe
+    fixture (exact-color histogram, bits=8): identity mapping."""
+    from gdal_spark.operators.mediancut import rgb_to_palette
+    from gdal_spark.operators.raster import source_grid
+
+    g = source_grid(spark).filter(F.col("band") == 1)
+    pix = g.select(
+        "px",
+        "py",
+        F.expr(_MC_R).cast("int").alias("r"),
+        F.expr(_MC_G).cast("int").alias("g"),
+        F.expr(_MC_B).cast("int").alias("b"),
+    )
+    return rgb_to_palette(pix, n_colors=256, bits=8)
