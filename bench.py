@@ -49,9 +49,13 @@ def flagship_pip_count(
     return pip_join(docs, z).count()
 
 
-# probe size chosen so the 2-core big run stays ~45s; the slope method
-# (below) cancels fixed overhead so absolute size matters less
-PROBE_REPL = int(os.environ.get("SPARK_GRAFT_PROBE_REPL", "1600"))
+# probe size chosen so the 2-core big run stays ~30-60s: the rect
+# fast path (round 2) made the refine pure JVM and ~13x faster, so the
+# old 1600x replication finished in ~4s at 2 cores and the slope was
+# overhead-dominated (a recorded efficiency of 1.016 — superlinear =
+# noise, not evidence).  The slope method still cancels fixed overhead;
+# size just keeps the numerator compute-dominated.
+PROBE_REPL = int(os.environ.get("SPARK_GRAFT_PROBE_REPL", "12800"))
 PROBE_RUNS = int(os.environ.get("SPARK_GRAFT_PROBE_RUNS", "3"))
 
 
