@@ -135,3 +135,32 @@ def stream_dedup(
         )
         .select("doc_id", "h")
     )
+
+
+def stream_pip_counts(
+    spark: SparkSession,
+    docs_dir: str,
+    zones: DataFrame,
+    zoom: int | None = None,
+) -> DataFrame:
+    """Stream-static spatial join: a streaming corpus tail joined against
+    the STATIC zone layer through the same cell-key broadcast + refine
+    pipeline the batch ``pip_join`` uses (the join and the ray-cast
+    refine are stateless, so they run unchanged inside micro-batches),
+    then a streaming per-zone count.
+
+    This is the "zonal counters over an arriving corpus" shape: state is
+    one counter per zone (bounded by the method layer, not the stream),
+    and each micro-batch shuffles once into the zone aggregation —
+    identical to the batch plan, so batch/stream parity is testable 1:1
+    (tests/test_streaming.py)."""
+    from gdal_spark import corpus
+    from gdal_spark.operators.pip_join import DEFAULT_ZOOM, pip_join
+
+    schema = spark.read.parquet(docs_dir).schema
+    src = spark.readStream.schema(schema).parquet(docs_dir)
+    src = src.withColumn("lon", F.expr(corpus.LON_SQL)).withColumn(
+        "lat", F.expr(corpus.LAT_SQL)
+    )
+    joined = pip_join(src, zones, zoom=zoom or DEFAULT_ZOOM)
+    return joined.groupBy("zone_id").agg(F.count("*").alias("n_docs"))

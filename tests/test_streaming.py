@@ -82,3 +82,30 @@ def test_stream_dedup_stateful_across_batches(spark):
     }
     for r in got:
         assert r.doc_id in h2ids[r.h]
+
+
+def test_stream_pip_counts_match_batch(spark, sf_dir):
+    """Stream-static PIP join drained with AvailableNow must equal the
+    batch pip_join_agg zonal counts exactly."""
+    from gdal_spark import corpus, zones
+    from gdal_spark.operators.pip_join import pip_join
+    from gdal_spark.streaming import run_available_now, stream_pip_counts
+
+    z = zones.rect_zones(spark).drop("zxmin", "zymin", "zxmax", "zymax")
+    with tempfile.TemporaryDirectory() as d:
+        # the streaming file source tails a DIRECTORY of arrivals
+        shutil.copy(f"{sf_dir}/documents.parquet", f"{d}/part-0.parquet")
+        stream = stream_pip_counts(spark, d, z)
+        run_available_now(stream, "pipcounts")
+        got = {
+            r.zone_id: r.n_docs
+            for r in spark.sql("SELECT * FROM pipcounts").collect()
+        }
+    docs = corpus.load_docs(spark, sf_dir)
+    want = {
+        r.zone_id: r.n
+        for r in pip_join(docs, z).groupBy("zone_id").agg(
+            F.count("*").alias("n")
+        ).collect()
+    }
+    assert got == want and len(want) > 0
