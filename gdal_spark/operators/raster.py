@@ -979,3 +979,33 @@ def nearblack(
         .cast("int")
         .alias("value"),
     )
+
+
+def raster_resize(
+    src: DataFrame, out_w: int, out_h: int, method: str = "nearest"
+) -> DataFrame:
+    """gdal raster resize (apps/gdalalg_raster_resize.cpp): resample the
+    full grid to ``out_w x out_h``.  Nearest path: output center maps to
+    source pixel floor((o + 0.5) * ratio) — the arbitrary-ratio NN
+    sampling rule of GDALRasterIO.  The output grid is generated and
+    equi-joined against the source pixel table on (band, px, py): one
+    shuffle (or a broadcast when one side is dim-sized), no Python."""
+    if method != "nearest":
+        raise ValueError("resize v1 implements nearest (warp family has the rest)")
+    spark = src.sparkSession
+    n = out_w * out_h * N_BANDS
+    g = spark.range(n)
+    ox = (F.col("id") % out_w).cast("int")
+    oy = ((F.col("id") / out_w).cast("long") % out_h).cast("int")
+    band = (F.col("id") / (out_w * out_h)).cast("int") + 1
+    rx, ry = SRC_W / out_w, SRC_H / out_h
+    out = g.select(
+        band.alias("band"),
+        ox.alias("ox"),
+        oy.alias("oy"),
+        F.floor((ox + F.lit(0.5)) * F.lit(rx)).cast("int").alias("px"),
+        F.floor((oy + F.lit(0.5)) * F.lit(ry)).cast("int").alias("py"),
+    )
+    return out.join(src, ["band", "px", "py"]).select(
+        "band", "ox", "oy", "value"
+    )

@@ -4975,3 +4975,80 @@ def q_rgb_to_palette(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_MC_B).cast("int").alias("b"),
     )
     return rgb_to_palette(pix, n_colors=256, bits=8)
+
+
+# --------------------------------------------------------------------------
+# Resize (gdal raster resize, arbitrary-ratio nearest), explode
+# collections, swap XY (gdalalg_vector_*).
+# --------------------------------------------------------------------------
+_RSZ_W, _RSZ_H = 160, 80  # 2.5x downscale of the 400x200 source
+
+_RESIZE_ORACLE = f"""
+WITH o AS (
+  SELECT CAST((i % {_RSZ_W}) AS int) AS ox,
+         CAST((CAST(((i - (i % {_RSZ_W})) / {_RSZ_W}) AS BIGINT) % {_RSZ_H}) AS int) AS oy,
+         CAST((CAST(((i - (i % {_RSZ_W * _RSZ_H})) / {_RSZ_W * _RSZ_H}) AS BIGINT) + 1) AS int) AS band
+  FROM range(0, {_RSZ_W * _RSZ_H * 3}) t(i)
+),
+m AS (
+  SELECT band, ox, oy,
+         CAST(floor((ox + 5.0e-1) * 2.5e0) AS int) AS px,
+         CAST(floor((oy + 5.0e-1) * 2.5e0) AS int) AS py
+  FROM o
+)
+SELECT band, ox, oy, CAST({_SRC_VAL} AS int) AS value FROM m
+"""
+
+
+@register("raster_resize", _RESIZE_ORACLE)
+def q_raster_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest resize 400x200 -> 160x80 (non-integer 2.5x ratio)."""
+    from gdal_spark.operators.raster import raster_resize, source_grid
+
+    return raster_resize(source_grid(spark), _RSZ_W, _RSZ_H)
+
+
+# canonical part WKTs hand-derived from zones.FANCY_ZONES (independent of
+# the engine's writer — the strings below are written by eye, not code)
+_EXPLODE_ROWS = [
+    (9001, 0, "POLYGON ((0 0,20 0,20 20,0 20,0 0),(8 8,12 8,12 12,8 12,8 8))"),
+    (9002, 0, "POLYGON ((30 0,50 0,50 4,34 4,34 16,50 16,50 20,30 20,30 0))"),
+    (9003, 0, "POLYGON ((-40 -20,-30 -20,-30 -10,-40 -10,-40 -20))"),
+    (9004, 0, "POLYGON ((-30 -20,-20 -20,-20 -10,-30 -10,-30 -20))"),
+    (9005, 0, "POLYGON ((60 0,62 0,62 2,60 2,60 0))"),
+    (9005, 1, "POLYGON ((70 0,72 0,72 2,70 2,70 0))"),
+]
+
+_EXPLODE_ORACLE = "SELECT * FROM (VALUES " + ", ".join(
+    f"(CAST({z} AS BIGINT), CAST({p} AS int), '{w}')" for z, p, w in _EXPLODE_ROWS
+) + ") t(zone_id, part, geom_wkt)"
+
+
+@register("explode_collections", _EXPLODE_ORACLE)
+def q_explode_collections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ogr2ogr -explodecollections over the fancy layer (one
+    MULTIPOLYGON): one row per part, canonical WKT."""
+    from gdal_spark.operators.vector import explode_collections
+
+    return explode_collections(zones.fancy_zones(spark))
+
+
+_SWAP_ROWS = [
+    (9001, "POLYGON ((0 0,0 20,20 20,20 0,0 0),(8 8,8 12,12 12,12 8,8 8))"),
+    (9002, "POLYGON ((0 30,0 50,4 50,4 34,16 34,16 50,20 50,20 30,0 30))"),
+    (9003, "POLYGON ((-20 -40,-20 -30,-10 -30,-10 -40,-20 -40))"),
+    (9004, "POLYGON ((-20 -30,-20 -20,-10 -20,-10 -30,-20 -30))"),
+    (9005, "MULTIPOLYGON (((0 60,0 62,2 62,2 60,0 60)),((0 70,0 72,2 72,2 70,0 70)))"),
+]
+
+_SWAP_ORACLE = "SELECT * FROM (VALUES " + ", ".join(
+    f"(CAST({z} AS BIGINT), '{w}')" for z, w in _SWAP_ROWS
+) + ") t(zone_id, geom_wkt)"
+
+
+@register("swap_xy", _SWAP_ORACLE)
+def q_swap_xy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OGRGeometry::swapXY over the fancy layer, canonical WKT out."""
+    from gdal_spark.operators.vector import swap_xy
+
+    return swap_xy(zones.fancy_zones(spark))
