@@ -5052,3 +5052,99 @@ def q_swap_xy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gdal_spark.operators.vector import swap_xy
 
     return swap_xy(zones.fancy_zones(spark))
+
+
+# --------------------------------------------------------------------------
+# Linear referencing (apps/ogrlineref.cpp -get_pos / -get_coord).  The
+# reference polyline is integer-coordinate; every float op (projection,
+# clamp, prefix-sum of segment lengths, interpolation) follows the same
+# text order in the numpy kernel and the SQL below, so measures and
+# coordinates are bit-identical doubles.  Prefix lengths use ROWS ...
+# AND 1 PRECEDING (an inclusive-sum-minus-own would not be exact FP).
+# --------------------------------------------------------------------------
+_LR_LINE = [(-150, -60), (-100, -20), (-50, 10), (0, 0), (50, 30), (100, -10), (150, 60)]
+_LR_SEGS = ", ".join(
+    f"({i}, {a[0]}, {a[1]}, {b[0] - a[0]}, {b[1] - a[1]})"
+    for i, (a, b) in enumerate(zip(_LR_LINE[:-1], _LR_LINE[1:]))
+)
+
+_LR_CUM_CTE = f"""
+seg(seg, ax, ay, dx, dy) AS (VALUES {_LR_SEGS}),
+s2 AS (
+  SELECT seg, CAST(ax AS DOUBLE) AS ax, CAST(ay AS DOUBLE) AS ay,
+         CAST(dx AS DOUBLE) AS dx, CAST(dy AS DOUBLE) AS dy,
+         CAST(dx * dx + dy * dy AS DOUBLE) AS len2,
+         sqrt(CAST(dx * dx + dy * dy AS DOUBLE)) AS seglen
+  FROM seg
+),
+cum AS (
+  SELECT *, coalesce(sum(seglen) OVER (ORDER BY seg
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0e0) AS cum0
+  FROM s2
+)"""
+
+_LINEREF_POS_ORACLE = f"""
+WITH docs AS ({_DOCS_CTE}),
+{_LR_CUM_CTE},
+p AS (
+  SELECT d.doc_id, d.lon, d.lat, c.seg, c.ax, c.ay, c.dx, c.dy,
+         c.seglen, c.cum0,
+         LEAST(GREATEST(((d.lon - c.ax) * c.dx + (d.lat - c.ay) * c.dy)
+                        / c.len2, 0.0e0), 1.0e0) AS t
+  FROM docs d, cum c
+),
+q AS (
+  SELECT doc_id, seg, cum0, seglen, t,
+         (lon - (ax + t * dx)) * (lon - (ax + t * dx))
+         + (lat - (ay + t * dy)) * (lat - (ay + t * dy)) AS d2
+  FROM p
+),
+best AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY d2, seg) AS rn
+  FROM q
+)
+SELECT doc_id, cum0 + t * seglen AS measure, d2 AS dist2
+FROM best WHERE rn = 1
+"""
+
+
+@register("lineref_pos", _LINEREF_POS_ORACLE)
+def q_lineref_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ogrlineref -get_pos: measure + squared offset of every doc's
+    closest projection onto the reference polyline."""
+    from gdal_spark.operators.lineref import locate_along_line
+
+    docs = corpus.load_docs(spark, sf_dir).select("doc_id", "lon", "lat")
+    return locate_along_line(docs, _LR_LINE)
+
+
+_LINEREF_COORD_ORACLE = f"""
+WITH docs AS ({_DOCS_CTE}),
+{_LR_CUM_CTE},
+m AS (SELECT doc_id, CAST(doc_id % 400 AS DOUBLE) AS m FROM docs),
+sel AS (
+  SELECT m.doc_id, m.m, c.seg, c.ax, c.ay, c.dx, c.dy, c.seglen, c.cum0,
+         row_number() OVER (PARTITION BY m.doc_id ORDER BY c.seg DESC) AS rn
+  FROM m JOIN cum c ON c.cum0 <= m.m
+),
+t AS (
+  SELECT doc_id,
+         LEAST(GREATEST((m - cum0) / seglen, 0.0e0), 1.0e0) AS t,
+         ax, ay, dx, dy
+  FROM sel WHERE rn = 1
+)
+SELECT doc_id, ax + t * dx AS x, ay + t * dy AS y FROM t
+"""
+
+
+@register("lineref_coord", _LINEREF_COORD_ORACLE)
+def q_lineref_coord(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ogrlineref -get_coord: coordinate at measure m = doc_id % 400
+    (measures beyond the line clamp to its endpoint)."""
+    from gdal_spark.operators.lineref import point_at_measure
+
+    docs = corpus.load_docs(spark, sf_dir).select("doc_id")
+    ms = docs.select(
+        "doc_id", (F.col("doc_id") % 400).cast("double").alias("m")
+    )
+    return point_at_measure(ms, _LR_LINE)
