@@ -1,8 +1,12 @@
+import os
+
 import pytest
 
 from gdal_spark.session import get_spark
 
-SF_DIR = "/root/testdata/sf0.001"
+# override to re-run the oracle gate at another scale factor, e.g.
+# SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.01 (the driver's gate scale)
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
 @pytest.fixture(scope="session")
