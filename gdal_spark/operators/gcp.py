@@ -297,3 +297,84 @@ def homography_transform(
     return points.withColumn(
         "gx", (F.lit(h[0]) + p * F.lit(h[1]) + ln * F.lit(h[2])) / den
     ).withColumn("gy", (F.lit(h[3]) + p * F.lit(h[4]) + ln * F.lit(h[5])) / den)
+
+
+# --------------------------------------------------------------------------
+# Geolocation-array transformer (alg/gdalgeoloc.cpp)
+# --------------------------------------------------------------------------
+
+
+def geoloc_transform(
+    pixels: DataFrame,
+    geoloc: DataFrame,
+    pixel_step: float,
+    line_step: float,
+    pixel_offset: float = 0.0,
+    line_offset: float = 0.0,
+) -> DataFrame:
+    """Forward geolocation-array transform (GDALGeoLocTransform,
+    alg/gdalgeoloc.cpp:622 + PixelLineToXY:393): raster (px, py) ->
+    geoloc array coords g = (p - OFFSET)/STEP (GEOREF_CONVENTION
+    TOP_LEFT, i.e. zero convention offset), anchor iX = trunc(clamp(g)),
+    then the reference's NESTED bilinear
+    ``(1-fy)*(V00 + fx*(V10-V00)) + fy*(V01 + fx*(V11-V01))`` — kept in
+    that exact form, not the symmetric 4-term sum, so doubles match the
+    reference op-for-op.  Callers must keep pixels INTERIOR to the
+    geoloc grid (iX+1 < XS, iY+1 < YS); the reference's edge 1-D
+    fallbacks and dateline ShiftGeoX are not implemented (documented).
+
+    ``geoloc`` is a table (glx, gly, lon, lat) — the swath geolocation
+    arrays.  Spark shape: each pixel explodes to its 4 array neighbours,
+    ONE equi-join against the geoloc table (broadcast when subsampled
+    arrays are dim-sized, shuffle otherwise), then a pivot back to one
+    row per pixel — no value summation, so the shuffle cannot perturb
+    the floats."""
+    gx = (F.col("px").cast("double") - F.lit(pixel_offset)) / F.lit(pixel_step)
+    gy = (F.col("py").cast("double") - F.lit(line_offset)) / F.lit(line_step)
+    p = pixels.select(
+        "px",
+        "py",
+        F.floor(gx).cast("int").alias("ix"),
+        F.floor(gy).cast("int").alias("iy"),
+        (gx - F.floor(gx)).alias("fx"),
+        (gy - F.floor(gy)).alias("fy"),
+    )
+    nbrs = F.array(
+        *[
+            F.struct(
+                (F.col("ix") + dx).alias("glx"),
+                (F.col("iy") + dy).alias("gly"),
+                F.lit(f"v{dx}{dy}").alias("tag"),
+            )
+            for dy in (0, 1)
+            for dx in (0, 1)
+        ]
+    )
+    scattered = p.select(
+        "px", "py", "fx", "fy", F.explode(nbrs).alias("nb")
+    ).select("px", "py", "fx", "fy", "nb.glx", "nb.gly", "nb.tag")
+    j = scattered.join(geoloc, ["glx", "gly"])
+    wide = j.groupBy("px", "py").agg(
+        F.first("fx").alias("fx"),
+        F.first("fy").alias("fy"),
+        *[
+            f
+            for tag in ("v00", "v10", "v01", "v11")
+            for f in (
+                F.max(F.when(F.col("tag") == tag, F.col("lon"))).alias(f"x{tag}"),
+                F.max(F.when(F.col("tag") == tag, F.col("lat"))).alias(f"y{tag}"),
+            )
+        ],
+    )
+
+    def nested(a00, a10, a01, a11):
+        return (F.lit(1.0) - F.col("fy")) * (
+            F.col(a00) + F.col("fx") * (F.col(a10) - F.col(a00))
+        ) + F.col("fy") * (F.col(a01) + F.col("fx") * (F.col(a11) - F.col(a01)))
+
+    return wide.select(
+        "px",
+        "py",
+        nested("xv00", "xv10", "xv01", "xv11").alias("lon"),
+        nested("yv00", "yv10", "yv01", "yv11").alias("lat"),
+    )

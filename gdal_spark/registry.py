@@ -5148,3 +5148,73 @@ def q_lineref_coord(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", (F.col("doc_id") % 400).cast("double").alias("m")
     )
     return point_at_measure(ms, _LR_LINE)
+
+
+# --------------------------------------------------------------------------
+# Geolocation-array transform (alg/gdalgeoloc.cpp, GEOLOCATION metadata
+# domain): swath lon/lat arrays at 4x subsampling, forward transform of
+# the full pixel grid through the reference's NESTED bilinear.  All
+# array values are exact binary quarters and fx/fy are exact quarters,
+# so both engines produce identical doubles.
+# --------------------------------------------------------------------------
+_GL_XS, _GL_YS, _GL_STEP = 101, 51, 4
+_GL_LON = "(-1.8e2 + glx * 1.5e0 + CAST((glx * gly) % 5 AS DOUBLE) * 2.5e-1)"
+_GL_LAT = "(8.0e1 - gly * 2.0e0 + CAST((glx + gly) % 3 AS DOUBLE) * 5.0e-1)"
+
+
+def _gl_at(expr: str, x: str, y: str) -> str:
+    return expr.replace("glx", f"({x})").replace("gly", f"({y})")
+
+
+_GL_NEST_X = (
+    "(1.0e0 - fy) * ({v00} + fx * ({v10} - {v00}))"
+    " + fy * ({v01} + fx * ({v11} - {v01}))"
+)
+
+_GEOLOC_ORACLE = f"""
+WITH g AS ({_SRC_GRID_CTE}),
+a AS (
+  SELECT px, py,
+         CAST(floor((CAST(px AS DOUBLE) - 0.0e0) / 4.0e0) AS int) AS ix,
+         CAST(floor((CAST(py AS DOUBLE) - 0.0e0) / 4.0e0) AS int) AS iy,
+         (CAST(px AS DOUBLE) - 0.0e0) / 4.0e0
+           - floor((CAST(px AS DOUBLE) - 0.0e0) / 4.0e0) AS fx,
+         (CAST(py AS DOUBLE) - 0.0e0) / 4.0e0
+           - floor((CAST(py AS DOUBLE) - 0.0e0) / 4.0e0) AS fy
+  FROM g WHERE band = 1
+)
+SELECT px, py,
+       {_GL_NEST_X.format(
+           v00=_gl_at(_GL_LON, "ix", "iy"),
+           v10=_gl_at(_GL_LON, "ix + 1", "iy"),
+           v01=_gl_at(_GL_LON, "ix", "iy + 1"),
+           v11=_gl_at(_GL_LON, "ix + 1", "iy + 1"),
+       )} AS lon,
+       {_GL_NEST_X.format(
+           v00=_gl_at(_GL_LAT, "ix", "iy"),
+           v10=_gl_at(_GL_LAT, "ix + 1", "iy"),
+           v01=_gl_at(_GL_LAT, "ix", "iy + 1"),
+           v11=_gl_at(_GL_LAT, "ix + 1", "iy + 1"),
+       )} AS lat
+FROM a
+"""
+
+
+@register("geoloc_transform", _GEOLOC_ORACLE)
+def q_geoloc_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward geolocation-array transform of the pixel grid against a
+    101x51 synthetic swath geoloc table at 4x subsampling."""
+    from gdal_spark.operators.gcp import geoloc_transform
+    from gdal_spark.operators.raster import source_grid
+
+    n = _GL_XS * _GL_YS
+    gl = spark.range(n).select(
+        (F.col("id") % _GL_XS).cast("int").alias("glx"),
+        (F.col("id") / _GL_XS).cast("int").alias("gly"),
+    )
+    gl = gl.select(
+        "glx", "gly",
+        F.expr(_GL_LON).alias("lon"), F.expr(_GL_LAT).alias("lat"),
+    )
+    pix = source_grid(spark).filter(F.col("band") == 1).select("px", "py")
+    return geoloc_transform(pix, gl, _GL_STEP, _GL_STEP)
