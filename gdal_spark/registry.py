@@ -5218,3 +5218,34 @@ def q_geoloc_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pix = source_grid(spark).filter(F.col("band") == 1).select("px", "py")
     return geoloc_transform(pix, gl, _GL_STEP, _GL_STEP)
+
+
+# --------------------------------------------------------------------------
+# Wrap dateline (ogr2ogr -wrapdateline).  Hand-derived canonical WKT
+# literals: the S-H halfplane walk's output vertex order is traced by
+# hand for the crossing fixture.
+# --------------------------------------------------------------------------
+_WRAP_IN = [
+    (8101, "POLYGON ((170 10, 190 10, 190 20, 170 20, 170 10))"),  # crossing
+    (8102, "POLYGON ((10 0, 20 0, 20 5, 10 5, 10 0))"),  # untouched
+    (8103, "POLYGON ((185 0, 195 0, 195 5, 185 5, 185 0))"),  # all-east shift
+]
+_WRAP_OUT = [
+    (8101, 0, "POLYGON ((180 10,180 20,170 20,170 10,180 10))"),
+    (8101, 1, "POLYGON ((-180 10,-170 10,-170 20,-180 20,-180 10))"),
+    (8102, 0, "POLYGON ((10 0,20 0,20 5,10 5,10 0))"),
+    (8103, 0, "POLYGON ((-175 0,-165 0,-165 5,-175 5,-175 0))"),
+]
+
+_WRAP_ORACLE = "SELECT * FROM (VALUES " + ", ".join(
+    f"(CAST({z} AS BIGINT), CAST({p} AS int), '{w}')" for z, p, w in _WRAP_OUT
+) + ") t(zone_id, part, geom_wkt)"
+
+
+@register("wrap_dateline", _WRAP_ORACLE)
+def q_wrap_dateline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """-wrapdateline: split/shift polygons around lon 180."""
+    from gdal_spark.operators.vector import wrap_dateline
+
+    z = spark.createDataFrame(_WRAP_IN, "zone_id long, geom_wkt string")
+    return wrap_dateline(z)
