@@ -379,3 +379,27 @@ class TestRectBoolOp:
         assert self._wkt(a, b, "difference") == (
             "MULTIPOLYGON (((0 0,2 0,2 2,0 2,0 0)),((4 0,6 0,6 2,4 2,4 0)))"
         )
+
+
+class TestKnownCityTiles:
+    """Publicly known z10 Google XYZ tile coordinates — independent
+    known-answer checks of the whole lat/lon -> tile chain."""
+
+    CASES = [
+        ("SF", 37.7749, -122.4194, 163, 395),
+        ("Paris", 48.8566, 2.3522, 518, 352),
+        ("Sydney", -33.8688, 151.2093, 942, 614),
+    ]
+
+    def test_google_xyz_z10(self):
+        from gdal_spark.geometry import mercator
+
+        for name, lat, lon, gx, gy in self.CASES:
+            tx, ty = mercator.lat_lon_to_tile(lat, lon, 10)
+            assert (tx, mercator.google_ty(ty, 10)) == (gx, gy), name
+
+    def test_bing_quadkey_sf(self):
+        from gdal_spark.geometry import mercator
+
+        tx, ty = mercator.lat_lon_to_tile(37.7749, -122.4194, 10)
+        assert mercator.quadkey(tx, ty, 10) == "0230102033"
