@@ -623,3 +623,27 @@ def dedup_keeper(
             (F.col(id_col) == F.col("keeper_id")).alias("keep"),
         )
     )
+
+
+# GPT-2-style pretokenizer approximation, restricted to constructs RE2
+# (DuckDB) and java.util.regex share with identical leftmost-first
+# alternation semantics: contraction suffixes, space-prefixed
+# letter/digit runs, space-prefixed punctuation runs, whitespace runs.
+# ASCII classes on purpose — \p{L} unicode-class edge behavior is the
+# one place the two engines could disagree.
+BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9']+| +|'"
+
+
+def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace + BPE-ish token counts (the two tokenization passes a
+    training-data pipeline budgets with).  Pure JVM regexp — the count
+    is a codegen projection, no Python."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    ws = F.size(F.split(F.trim(t), " +")) - F.when(F.length(F.trim(t)) == 0, 1).otherwise(0)
+    pat = BPE_ISH_PATTERN.replace("'", "\\'")
+    bpe = F.expr(f"size(regexp_extract_all({text_col}, '{pat}', 0))")
+    return df.select(
+        id_col,
+        ws.cast("int").alias("n_ws_tokens"),
+        bpe.cast("int").alias("n_bpe_tokens"),
+    )

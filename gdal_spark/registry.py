@@ -5249,3 +5249,34 @@ def q_wrap_dateline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     z = spark.createDataFrame(_WRAP_IN, "zone_id long, geom_wkt string")
     return wrap_dateline(z)
+
+
+# --------------------------------------------------------------------------
+# Token counting: whitespace + the BPE-ish pretokenizer regex (the two
+# passes a corpus pipeline budgets with).  The pattern is restricted to
+# constructs where java.util.regex and RE2 agree (ASCII classes,
+# leftmost-first alternation).
+# --------------------------------------------------------------------------
+from gdal_spark.operators.text import BPE_ISH_PATTERN  # noqa: E402
+
+_TOKEN_PAT_SQL = BPE_ISH_PATTERN.replace("'", "''")
+
+_TOKEN_COUNT_ORACLE = f"""
+SELECT doc_id,
+       CAST(len(str_split_regex(trim(text), ' +'))
+            - CASE WHEN length(trim(text)) = 0 THEN 1 ELSE 0 END AS int)
+         AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '{_TOKEN_PAT_SQL}')) AS int)
+         AS n_bpe_tokens
+FROM documents
+"""
+
+
+@register("token_count", _TOKEN_COUNT_ORACLE)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish token counts per document (pure JVM regexp,
+    codegen projection)."""
+    from gdal_spark.operators.text import token_counts
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return token_counts(d)
