@@ -378,3 +378,79 @@ def geoloc_transform(
         nested("xv00", "xv10", "xv01", "xv11").alias("lon"),
         nested("yv00", "yv10", "yv01", "yv11").alias("lat"),
     )
+
+
+def geoloc_backmap(
+    geoloc: DataFrame,
+    x0: float,
+    dx: float,
+    y0: float,
+    dy: float,
+    width: int,
+    height: int,
+    fill_maxdist: int = 3,
+) -> DataFrame:
+    """Inverse geolocation backmap (GDALGeoLoc generation of the
+    backmap raster, alg/gdalgeoloc.cpp — which itself calls
+    GDALFillNodata on the backmap holes, :1486): scatter every geoloc
+    sample (glx, gly, lon, lat) into the target grid pixel containing
+    (lon, lat), keep the sample NEAREST the pixel center per pixel
+    (deterministic (d², gly, glx) tie-break — a documented divergence
+    from the reference's weighted splat accumulation), then fill
+    sampleless pixels with the engine's quadrant-IDW ``fill_nodata``,
+    channel by channel.
+
+    Output (tx, ty, bx4, by4): backmap array coords scaled by 1e4
+    (floor), NULL where unfillable.  Spark shape: one scatter
+    aggregation (min-struct argmin, map-side combined) + the two
+    fill_nodata tile kernels — every stage shuffles on the pixel/tile
+    key."""
+    from gdal_spark.operators.focal import fill_nodata
+
+    cx = F.lit(x0) + (F.col("tx") + F.lit(0.5)) * F.lit(dx)
+    cy = F.lit(y0) + (F.col("ty") + F.lit(0.5)) * F.lit(dy)
+    s = geoloc.select(
+        "glx",
+        "gly",
+        F.floor((F.col("lon") - F.lit(x0)) / F.lit(dx)).cast("int").alias("tx"),
+        F.floor((F.col("lat") - F.lit(y0)) / F.lit(dy)).cast("int").alias("ty"),
+        "lon",
+        "lat",
+    ).filter(
+        (F.col("tx") >= 0) & (F.col("tx") < width)
+        & (F.col("ty") >= 0) & (F.col("ty") < height)
+    )
+    d2 = (F.col("lon") - cx) * (F.col("lon") - cx) + (
+        F.col("lat") - cy
+    ) * (F.col("lat") - cy)
+    best = (
+        s.withColumn("d2", d2)
+        .groupBy("tx", "ty")
+        .agg(
+            F.min(F.struct("d2", "gly", "glx")).alias("b")
+        )
+        .select("tx", "ty", F.col("b.glx").alias("glx"), F.col("b.gly").alias("gly"))
+    )
+    spark = geoloc.sparkSession
+    grid = spark.range(width * height).select(
+        (F.col("id") % width).cast("int").alias("tx"),
+        (F.col("id") / width).cast("int").alias("ty"),
+    )
+    m = grid.join(best, ["tx", "ty"], "left")
+
+    def channel(col: str) -> DataFrame:
+        pix = m.select(
+            F.col("tx").alias("px"), F.col("ty").alias("py"),
+            F.col(col).cast("int").alias("value"),
+        )
+        filled = fill_nodata(pix, width, height, maxdist=fill_maxdist)
+        direct = pix.filter(F.col("value").isNotNull()).select(
+            "px", "py", (F.col("value").cast("bigint") * 10000).alias("v4")
+        )
+        return direct.unionByName(filled)
+
+    bx = channel("glx").withColumnRenamed("v4", "bx4")
+    by = channel("gly").withColumnRenamed("v4", "by4")
+    return bx.join(by, ["px", "py"]).select(
+        F.col("px").alias("tx"), F.col("py").alias("ty"), "bx4", "by4"
+    )

@@ -5280,3 +5280,129 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return token_counts(d)
+
+
+# --------------------------------------------------------------------------
+# Inverse geolocation backmap (alg/gdalgeoloc.cpp backmap generation,
+# which itself hole-fills via GDALFillNodata — :1486).  Coarse target
+# grid (~4 geoloc samples per pixel) exercises the nearest-to-center
+# argmin; the 4-column/1-row boundary strip of sampleless pixels
+# exercises the quadrant-IDW fill, with the far corner unfillable at
+# maxdist=3 (NULL).  Oracle = the scatter argmin (row_number) composed
+# with the fillnodata oracle pattern per channel.
+# --------------------------------------------------------------------------
+_BM_X0, _BM_DX, _BM_Y0, _BM_DY = -180.0, 3.0, 81.0, -4.0
+_BM_W, _BM_H, _BM_R = 55, 27, 3
+
+_BM_SCATTER = f"""
+gl AS (
+  SELECT CAST(i % {_GL_XS} AS int) AS glx, CAST((i - i % {_GL_XS}) / {_GL_XS} AS int) AS gly
+  FROM range(0, {_GL_XS * _GL_YS}) t(i)
+),
+gv AS (SELECT glx, gly, {_GL_LON} AS lon, {_GL_LAT} AS lat FROM gl),
+sc AS (
+  SELECT glx, gly, lon, lat,
+         CAST(floor((lon - ({_sd(_BM_X0)})) / {_sd(_BM_DX)}) AS int) AS tx,
+         CAST(floor((lat - {_sd(_BM_Y0)}) / ({_sd(_BM_DY)})) AS int) AS ty
+  FROM gv
+),
+sb AS (
+  SELECT *,
+         (lon - (({_sd(_BM_X0)}) + (tx + 5.0e-1) * {_sd(_BM_DX)}))
+           * (lon - (({_sd(_BM_X0)}) + (tx + 5.0e-1) * {_sd(_BM_DX)}))
+         + (lat - ({_sd(_BM_Y0)} + (ty + 5.0e-1) * ({_sd(_BM_DY)})))
+           * (lat - ({_sd(_BM_Y0)} + (ty + 5.0e-1) * ({_sd(_BM_DY)}))) AS d2
+  FROM sc
+  WHERE tx >= 0 AND tx < {_BM_W} AND ty >= 0 AND ty < {_BM_H}
+),
+bm AS (
+  SELECT tx, ty, glx, gly,
+         row_number() OVER (PARTITION BY tx, ty ORDER BY d2, gly, glx) AS rn
+  FROM sb
+),
+tg AS (
+  SELECT CAST(i % {_BM_W} AS int) AS tx, CAST((i - i % {_BM_W}) / {_BM_W} AS int) AS ty
+  FROM range(0, {_BM_W * _BM_H}) t(i)
+),
+mm AS (
+  SELECT tg.tx, tg.ty, b.glx, b.gly
+  FROM tg LEFT JOIN (SELECT * FROM bm WHERE rn = 1) b
+    ON tg.tx = b.tx AND tg.ty = b.ty
+)"""
+
+
+def _bm_fill(ch: str) -> str:
+    """Quadrant-IDW fill CTE chunk for backmap channel ``ch`` — the
+    fillnodata oracle pattern over the mm table."""
+    r = _BM_R
+    return f"""
+nod_{ch} AS (SELECT tx, ty FROM mm WHERE {ch} IS NULL),
+val_{ch} AS (SELECT tx AS vx, ty AS vy, {ch} AS vv FROM mm WHERE {ch} IS NOT NULL),
+pr_{ch} AS (
+  SELECT n.tx, n.ty, v.vx, v.vy, v.vv,
+         (v.vx - n.tx) * (v.vx - n.tx) + (v.vy - n.ty) * (v.vy - n.ty) AS d2,
+         CASE WHEN v.vx - n.tx <= 0 THEN 0 ELSE 1 END AS qx,
+         CASE WHEN v.vy - n.ty <= 0 THEN 0 ELSE 1 END AS qy
+  FROM nod_{ch} n JOIN val_{ch} v
+    ON v.vx BETWEEN n.tx - {r} AND n.tx + {r}
+   AND v.vy BETWEEN n.ty - {r} AND n.ty + {r}
+  WHERE (v.vx - n.tx) * (v.vx - n.tx) + (v.vy - n.ty) * (v.vy - n.ty) <= {r * r}
+),
+b_{ch} AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY tx, ty, qx, qy ORDER BY d2, vy, vx) AS rn
+  FROM pr_{ch}
+),
+piv_{ch} AS (
+  SELECT tx, ty,
+         {_fill_w(0, 0)} AS wtl, {_fill_v(0, 0)} AS vtl,
+         {_fill_w(0, 1)} AS wbl, {_fill_v(0, 1)} AS vbl,
+         {_fill_w(1, 0)} AS wtr, {_fill_v(1, 0)} AS vtr,
+         {_fill_w(1, 1)} AS wbr, {_fill_v(1, 1)} AS vbr
+  FROM b_{ch} WHERE rn = 1 GROUP BY tx, ty
+),
+f_{ch} AS (
+  SELECT n.tx, n.ty,
+         CAST(floor(
+           ((coalesce(p.wtl * p.vtl, 0.0e0) + coalesce(p.wbl * p.vbl, 0.0e0))
+            + coalesce(p.wtr * p.vtr, 0.0e0) + coalesce(p.wbr * p.vbr, 0.0e0))
+           / ((coalesce(p.wtl, 0.0e0) + coalesce(p.wbl, 0.0e0))
+              + coalesce(p.wtr, 0.0e0) + coalesce(p.wbr, 0.0e0))
+           * 1.0e4) AS BIGINT) AS v4
+  FROM nod_{ch} n LEFT JOIN piv_{ch} p ON n.tx = p.tx AND n.ty = p.ty
+)"""
+
+
+_BACKMAP_ORACLE = f"""
+WITH {_BM_SCATTER},
+{_bm_fill("glx")},
+{_bm_fill("gly")}
+SELECT mm.tx, mm.ty,
+       CASE WHEN mm.glx IS NOT NULL THEN CAST(mm.glx AS BIGINT) * 10000
+            ELSE fx.v4 END AS bx4,
+       CASE WHEN mm.gly IS NOT NULL THEN CAST(mm.gly AS BIGINT) * 10000
+            ELSE fy.v4 END AS by4
+FROM mm
+LEFT JOIN f_glx fx ON mm.tx = fx.tx AND mm.ty = fx.ty
+LEFT JOIN f_gly fy ON mm.tx = fy.tx AND mm.ty = fy.ty
+"""
+
+
+@register("geoloc_backmap", _BACKMAP_ORACLE)
+def q_geoloc_backmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse geolocation backmap over a coarse 55x27 target grid:
+    nearest-to-center scatter + quadrant-IDW hole fill per channel."""
+    from gdal_spark.operators.gcp import geoloc_backmap
+
+    n = _GL_XS * _GL_YS
+    gl = spark.range(n).select(
+        (F.col("id") % _GL_XS).cast("int").alias("glx"),
+        (F.col("id") / _GL_XS).cast("int").alias("gly"),
+    )
+    gl = gl.select(
+        "glx", "gly",
+        F.expr(_GL_LON).alias("lon"), F.expr(_GL_LAT).alias("lat"),
+    )
+    return geoloc_backmap(
+        gl, _BM_X0, _BM_DX, _BM_Y0, _BM_DY, _BM_W, _BM_H, fill_maxdist=_BM_R
+    )
