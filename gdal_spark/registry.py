@@ -5406,3 +5406,126 @@ def q_geoloc_backmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return geoloc_backmap(
         gl, _BM_X0, _BM_DX, _BM_Y0, _BM_DY, _BM_W, _BM_H, fill_maxdist=_BM_R
     )
+
+
+# --------------------------------------------------------------------------
+# Layer summary (ogrinfo -so analog): feature count + layer extent.  The
+# docs layer extent is pure JVM min/max; the zone layer extent is
+# computed by PARSING each feature's WKT (the engine's envelope kernel,
+# like OGRLayer::GetExtent scanning geometries) while the oracle derives
+# it from the corner expressions — same doubles by construction.
+# --------------------------------------------------------------------------
+_R_ZONES = zones._R
+
+_LAYER_EXTENT_ORACLE = f"""
+WITH docs AS ({_DOCS_CTE})
+SELECT 'documents' AS layer, count(*) AS n,
+       min(lon) AS xmin, min(lat) AS ymin, max(lon) AS xmax, max(lat) AS ymax
+FROM docs
+UNION ALL
+SELECT 'rich_zones' AS layer, count(*) AS n,
+       min({_R_ZONES["bx"]}) AS xmin, min({_R_ZONES["by"]}) AS ymin,
+       max({_R_ZONES["x_w1"]}) AS xmax, max({_R_ZONES["y_top"]}) AS ymax
+FROM range(0, {zones.NRICH}) t(i)
+"""
+
+
+@register("layer_extent", _LAYER_EXTENT_ORACLE)
+def q_layer_extent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ogrinfo summary: per-layer feature count + extent (zone extents
+    via per-feature WKT envelope parse, reduced in one aggregation)."""
+    import pandas as pd
+
+    from gdal_spark.geometry.envelope import wkt_envelope
+
+    docs = corpus.load_docs(spark, sf_dir)
+    d = docs.agg(
+        F.lit("documents").alias("layer"),
+        F.count("*").alias("n"),
+        F.min("lon").alias("xmin"),
+        F.min("lat").alias("ymin"),
+        F.max("lon").alias("xmax"),
+        F.max("lat").alias("ymax"),
+    )
+
+    def env(it):
+        for pdf in it:
+            e = [wkt_envelope(w) for w in pdf["geom_wkt"]]
+            yield pd.DataFrame(
+                {
+                    "xmin": [v[0] for v in e],
+                    "ymin": [v[1] for v in e],
+                    "xmax": [v[2] for v in e],
+                    "ymax": [v[3] for v in e],
+                }
+            )
+
+    z = zones.rich_zones(spark).mapInPandas(
+        env, "xmin double, ymin double, xmax double, ymax double"
+    )
+    zagg = z.agg(
+        F.lit("rich_zones").alias("layer"),
+        F.count("*").alias("n"),
+        F.min("xmin").alias("xmin"),
+        F.min("ymin").alias("ymin"),
+        F.max("xmax").alias("xmax"),
+        F.max("ymax").alias("ymax"),
+    )
+    return d.unionByName(zagg)
+
+
+# --------------------------------------------------------------------------
+# Color merge (gdal raster color-merge / osgeo_utils hsv_merge.py):
+# replace the VALUE channel of an RGB image with a grayscale band.
+# Since every HSV->RGB channel is V times a function of (H, S), the
+# value swap is the per-channel scaling rgb' = rgb * gray / max(r,g,b)
+# (0 where the pixel is black) — one shared formula, Byte clamp.
+# --------------------------------------------------------------------------
+_CM_GRAY = "CAST((px * 11 + py * 3) % 256 AS DOUBLE)"
+
+
+def _cm_chan(c: str) -> str:
+    mx = "GREATEST(r, GREATEST(g, b))"
+    return (
+        f"CAST(floor(LEAST(CASE WHEN {mx} = 0.0e0 THEN 0.0e0 "
+        f"ELSE {c} * ({_CM_GRAY}) / {mx} END, 2.55e2) + 5.0e-1) AS int)"
+    )
+
+
+_COLOR_MERGE_ORACLE = f"""
+WITH g AS ({_SRC_GRID_CTE}),
+w AS (SELECT band, px, py, CAST({_SRC_VAL} AS DOUBLE) AS v FROM g),
+rgb AS (
+  SELECT px, py,
+         max(CASE WHEN band = 1 THEN v END) AS r,
+         max(CASE WHEN band = 2 THEN v END) AS g,
+         max(CASE WHEN band = 3 THEN v END) AS b
+  FROM w GROUP BY px, py
+)
+SELECT px, py, {_cm_chan("r")} AS r, {_cm_chan("g")} AS g, {_cm_chan("b")} AS b
+FROM rgb
+"""
+
+
+@register("color_merge", _COLOR_MERGE_ORACLE)
+def q_color_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HSV value-replace merge of the 3-band source with the pan-grid
+    grayscale: rgb' = rgb * gray / max(r,g,b), Byte half-up clamp."""
+    from gdal_spark.operators.raster import source_grid
+
+    w = source_grid(spark).select(
+        "band", "px", "py", F.col("value").cast("double").alias("v")
+    )
+    rgb = w.groupBy("px", "py").agg(
+        *[
+            F.max(F.when(F.col("band") == i, F.col("v"))).alias(c)
+            for i, c in ((1, "r"), (2, "g"), (3, "b"))
+        ]
+    )
+    return rgb.select(
+        "px",
+        "py",
+        F.expr(_cm_chan("r")).alias("r"),
+        F.expr(_cm_chan("g")).alias("g"),
+        F.expr(_cm_chan("b")).alias("b"),
+    )
