@@ -5529,3 +5529,70 @@ def q_color_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_cm_chan("g")).alias("g"),
         F.expr(_cm_chan("b")).alias("b"),
     )
+
+
+# --------------------------------------------------------------------------
+# Cutline blend (gdalwarp -cblend, alg/gdalcutline.cpp BlendMaskGenerator
+# semantics): feathered alpha = clamp(dist-to-boundary / blend, 0, 1) for
+# inside pixels (hole edges feather too), 0 outside.  Same point-to-
+# segment math as lineref; min over the 10 boundary segments is order-
+# exact so sqrt(LEAST(...)) matches numpy's min-then-sqrt bit-for-bit.
+# --------------------------------------------------------------------------
+_CB_BLEND = "2.0e0"
+_CB_SHELL = [
+    (_CUT_BX, _CUT_BY), (_CUT_X1, _CUT_BY), (_CUT_X1, _CUT_Y1),
+    (_CUT_X2, _CUT_Y1), (_CUT_X2, _CUT_Y2), (_CUT_BX, _CUT_Y2),
+    (_CUT_BX, _CUT_BY),
+]
+_CB_HOLE = [
+    (_CUT_HX0, _CUT_HY0), (_CUT_HX1, _CUT_HY0), (_CUT_HX1, _CUT_HY1),
+    (_CUT_HX0, _CUT_HY1), (_CUT_HX0, _CUT_HY0),
+]
+
+
+def _cb_segd2(a, b) -> str:
+    ax, ay = _sd(a[0]), _sd(a[1])
+    dx, dy = _sd(b[0] - a[0]), _sd(b[1] - a[1])
+    l2 = _sd((b[0] - a[0]) ** 2 + (b[1] - a[1]) ** 2)
+    t = (
+        f"LEAST(GREATEST(((lon - ({ax})) * ({dx}) + (lat - ({ay})) * ({dy}))"
+        f" / {l2}, 0.0e0), 1.0e0)"
+    )
+    qx = f"(({ax}) + {t} * ({dx}))"
+    qy = f"(({ay}) + {t} * ({dy}))"
+    return f"((lon - {qx}) * (lon - {qx}) + (lat - {qy}) * (lat - {qy}))"
+
+
+_CB_D2 = "LEAST(" + ", ".join(
+    [_cb_segd2(a, b) for a, b in zip(_CB_SHELL[:-1], _CB_SHELL[1:])]
+    + [_cb_segd2(a, b) for a, b in zip(_CB_HOLE[:-1], _CB_HOLE[1:])]
+) + ")"
+
+_CUTLINE_BLEND_ORACLE = f"""
+WITH g AS ({_SRC_GRID_CTE}),
+w AS (
+  SELECT band, px, py,
+         ((-1.8e2) + (px + 5.0e-1) * 9.0e-1) AS lon,
+         (9.0e1 + (py + 5.0e-1) * (-9.0e-1)) AS lat
+  FROM g
+  WHERE px BETWEEN {_CW_PX0} AND {_CW_PX1}
+    AND py BETWEEN {_CW_PY0} AND {_CW_PY1}
+)
+SELECT band, CAST(px - {_CW_PX0} AS int) AS px,
+       CAST(py - {_CW_PY0} AS int) AS py,
+       CASE WHEN {_CUT_IN}
+            THEN CAST(floor(LEAST(sqrt({_CB_D2}) / {_CB_BLEND}, 1.0e0) * 1.0e4)
+                      AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END AS alpha4
+FROM w
+"""
+
+
+@register("cutline_blend", _CUTLINE_BLEND_ORACLE)
+def q_cutline_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdalwarp -cblend 2.0 over the concave holed cutline: feathered
+    interior alpha, hard 0 outside."""
+    from gdal_spark.operators.raster import cutline_blend, source_grid
+
+    cut = spark.createDataFrame([(CUTLINE_WKT,)], "geom_wkt string")
+    return cutline_blend(source_grid(spark), cut, blend=2.0)
