@@ -205,3 +205,49 @@ class TestRectFastPath:
             "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))"
         )  # hole
         assert not wkt_is_rectangle("POLYGON ((0 0, 4 0, 4 2, 2 2, 0 2, 0 0))")  # 6 pts
+
+
+class TestSkewSalting:
+    def test_hot_cell_spreads_across_reducers(self, spark):
+        """North-rule skew evidence: with EVERY point in one cell, the
+        salted shuffle strategy must spread the hot cell's join rows
+        across multiple reducers (AQE coalescing disabled so reducer
+        identity is observable)."""
+        import pandas as pd
+
+        from gdal_spark.operators.pip_join import pip_join
+
+        n = 20000
+        docs = spark.createDataFrame(
+            pd.DataFrame(
+                {"doc_id": range(n), "lon": [10.001] * n, "lat": [20.001] * n}
+            )
+        )
+        zone = spark.createDataFrame(
+            [(1, "POLYGON ((9 19, 11 19, 11 21, 9 21, 9 19))")],
+            "zone_id long, geom_wkt string",
+        )
+        old_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+        old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        try:
+            # the salted SHUFFLE path is the huge-method-layer plan; at
+            # test scale Catalyst would auto-broadcast the zone side and
+            # never shuffle, so force the shuffle join to observe it
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            out = pip_join(docs, zone, strategy="shuffle", salt=8)
+            parts = (
+                out.select(F.spark_partition_id().alias("p"))
+                .groupBy("p")
+                .count()
+                .collect()
+            )
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        total = sum(r["count"] for r in parts)
+        assert total == n
+        # one cell, 8 salts, 8 shuffle partitions: no reducer may own
+        # the whole cell, and the spread must engage several reducers
+        assert len(parts) >= 4, parts
+        assert max(r["count"] for r in parts) < 0.5 * total, parts
