@@ -161,3 +161,42 @@ def test_wkt_roundtrip(pts):
     assert np.array_equal(payload2[0], payload[0])
     # the canonical writer is a fixed point
     assert payload_to_wkt(typ2, payload2) == again
+
+
+@given(
+    ax0=st.integers(-50, 50), ay0=st.integers(-50, 50),
+    aw=st.integers(1, 40), ah=st.integers(1, 40),
+    bx0=st.integers(-50, 50), by0=st.integers(-50, 50),
+    bw=st.integers(1, 40), bh=st.integers(1, 40),
+)
+@settings(max_examples=80, deadline=None)
+def test_three_intersection_kernels_agree_on_rects(
+    ax0, ay0, aw, ah, bx0, by0, bw, bh
+):
+    """Cross-validation of three INDEPENDENT implementations: the
+    closed-form rect overlap, the fan-triangle boolean-area kernel, and
+    the rectilinear compressed-grid kernel must produce the same
+    intersection area."""
+    from gdal_spark.geometry.rectbool import rect_bool_op
+
+    def rect(x0, y0, w, h):
+        return np.array(
+            [[x0, y0], [x0 + w, y0], [x0 + w, y0 + h], [x0, y0 + h], [x0, y0]],
+            dtype=np.float64,
+        )
+
+    a = [[rect(ax0, ay0, aw, ah)]]
+    b = [[rect(bx0, by0, bw, bh)]]
+    closed = max(0, min(ax0 + aw, bx0 + bw) - max(ax0, bx0)) * max(
+        0, min(ay0 + ah, by0 + bh) - max(ay0, by0)
+    )
+    tri = polys_pair_intersection_area(a, b)
+    grid = polys_area(rect_bool_op(a, b, "intersection"))
+    assert tri == pytest_approx(closed)
+    assert grid == pytest_approx(closed)
+
+
+def pytest_approx(v):
+    import pytest
+
+    return pytest.approx(v, abs=1e-9, rel=1e-12)
