@@ -627,6 +627,109 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Gopher-style repetition / quality rules (training-data pipeline).
+#
+# Rahm/Gopher-family filters re-expressed over this corpus's shape (the
+# docs are single-line word streams, so the "duplicate line fraction"
+# family becomes word/bigram repetition): duplicate-word fraction,
+# top-unigram fraction, top-bigram fraction, mean word length,
+# alphabetic-word fraction.  Everything is a JVM higher-order-function
+# column program (transform/filter/array_distinct — whole-stage codegen,
+# per-row cost independent of corpus size); the DuckDB oracle mirrors it
+# with the list_* lambda family.  Ratios are emitted as ppm integers
+# (floor(1e6·x)) per the parity rules; top_bigram_ppm is NULL for
+# single-word docs (nullif both sides).
+# --------------------------------------------------------------------------
+
+def _gopher_stage_sql(dialect: str) -> tuple[str, str, str]:
+    """(bigram_expr, counts_select, ratios_select) in one dialect.
+
+    dialect='spark': transform/filter/array_distinct/array_max/sequence/
+    element_at/size + rlike.  dialect='duck': list_transform/list_filter/
+    list_distinct/list_max/generate_series/list_extract/len +
+    regexp_matches.  The arithmetic text is byte-identical across
+    dialects; only function names differ.
+    """
+    if dialect == "spark":
+        tf, ff, dis, amax, seq, elem, sz = (
+            "transform", "filter", "array_distinct", "array_max",
+            "sequence", "element_at", "size",
+        )
+        alpha = "x -> x rlike '^[a-z]+$'"
+    else:
+        tf, ff, dis, amax, seq, elem, sz = (
+            "list_transform", "list_filter", "list_distinct", "list_max",
+            "generate_series", "list_extract", "len",
+        )
+        alpha = "x -> regexp_matches(x, '^[a-z]+$')"
+    bigram = (
+        f"CASE WHEN {sz}(w) >= 2 THEN {tf}({seq}(1, {sz}(w) - 1), "
+        f"i -> {elem}(w, i) || ' ' || {elem}(w, i + 1)) END"
+    )
+    counts = (
+        f"CAST({sz}(w) AS BIGINT) AS n_words, "
+        f"CAST({sz}({dis}(w)) AS BIGINT) AS n_distinct, "
+        f"CAST({amax}({tf}({dis}(w), x -> {sz}({ff}(w, y -> y = x)))) AS BIGINT) AS top_word_n, "
+        f"CAST(CASE WHEN bg IS NULL THEN 0 ELSE "
+        f"{amax}({tf}({dis}(bg), x -> {sz}({ff}(bg, y -> y = x)))) END AS BIGINT) AS top_bigram_n, "
+        f"CAST({sz}({ff}(w, {alpha})) AS BIGINT) AS n_alpha, "
+        f"CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_letters"
+    )
+    ratios = (
+        "CAST(floor(1.0e6 * n_letters / n_words) AS BIGINT) AS mean_word_len_ppm, "
+        "CAST(floor(1.0e6 * (n_words - n_distinct) / n_words) AS BIGINT) AS dup_word_ppm, "
+        "CAST(floor(1.0e6 * top_word_n / n_words) AS BIGINT) AS top_word_ppm, "
+        "CAST(floor(1.0e6 * top_bigram_n / nullif(n_words - 1, 0)) AS BIGINT) AS top_bigram_ppm, "
+        "CAST(floor(1.0e6 * n_alpha / n_words) AS BIGINT) AS alpha_word_ppm"
+    )
+    return bigram, counts, ratios
+
+
+_G_BG_D, _G_CNT_D, _G_RAT_D = _gopher_stage_sql("duck")
+_GOPHER_ORACLE = f"""
+WITH s AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+b AS (SELECT doc_id, text, w, {_G_BG_D} AS bg FROM s),
+c AS (SELECT doc_id, {_G_CNT_D} FROM b)
+SELECT doc_id, n_words, n_distinct, top_word_n, top_bigram_n, n_alpha,
+       {_G_RAT_D}
+FROM c
+"""
+
+
+@register("gopher_rules", _GOPHER_ORACLE)
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition/quality signals per doc — three chained codegen
+    projections, zero shuffles, zero Python."""
+    bg, cnt, rat = _gopher_stage_sql("spark")
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    s = d.select("doc_id", "text", F.split("text", " ").alias("w"))
+    b = s.select("doc_id", "text", "w", F.expr(bg).alias("bg"))
+    c = b.selectExpr("doc_id", *[e.strip() for e in _split_select(cnt)])
+    return c.selectExpr(
+        "doc_id", "n_words", "n_distinct", "top_word_n", "top_bigram_n",
+        "n_alpha", *[e.strip() for e in _split_select(rat)]
+    )
+
+
+def _split_select(select_text: str) -> list[str]:
+    """Split a SELECT-list fragment on top-level commas (commas inside
+    parens belong to function args)."""
+    out, depth, cur = [], 0, []
+    for ch in select_text:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    out.append("".join(cur))
+    return out
+
+
 # non-SQL-expressible ops: rows-only driver check, exactness via pytest
 @register("minhash_lsh")
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2353,6 +2456,41 @@ def q_utm_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"CAST(floor({_UTM_E} * 1.0e1) AS BIGINT)").alias("e_dm"),
         F.expr(f"CAST(floor({_UTM_N} * 1.0e1) AS BIGINT)").alias("n_dm"),
     )
+
+
+# --------------------------------------------------------------------------
+# Datum shift: WGS84 -> OSGB36 through the geocentric Helmert pipeline
+# (geodetic->ECEF, 7-parameter position-vector, Bowring inverse on Airy
+# 1830 — the PROJ pipeline ogrct.cpp delegates to, EPSG methods
+# 9602/9606).  Three chained codegen projections, SAME stage text both
+# engines; output quantized to nano-degrees.
+# --------------------------------------------------------------------------
+from gdal_spark.geometry import geocentric  # noqa: E402
+
+_HELM_S1 = geocentric.sql_ecef_stage("lat", "lon")
+_HELM_S2 = geocentric.sql_helmert_stage()
+_HELM_S3 = geocentric.sql_geodetic_stage()
+_HELM_OUT = [
+    "CAST(floor(olat * 1.0e9) AS BIGINT) AS olat_ndeg",
+    "CAST(floor(olon * 1.0e9) AS BIGINT) AS olon_ndeg",
+]
+
+_HELMERT_ORACLE = f"""
+WITH docs AS ({_DOCS_CTE}),
+s1 AS (SELECT doc_id, {", ".join(_HELM_S1)} FROM docs),
+s2 AS (SELECT doc_id, {", ".join(_HELM_S2)} FROM s1),
+s3 AS (SELECT doc_id, {", ".join(_HELM_S3)} FROM s2)
+SELECT doc_id, {", ".join(_HELM_OUT)} FROM s3
+"""
+
+
+@register("helmert_transform", _HELMERT_ORACLE)
+def q_helmert_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = corpus.load_docs(spark, sf_dir)
+    s1 = docs.selectExpr("doc_id", *_HELM_S1)
+    s2 = s1.selectExpr("doc_id", *_HELM_S2)
+    s3 = s2.selectExpr("doc_id", *_HELM_S3)
+    return s3.selectExpr("doc_id", *_HELM_OUT)
 
 
 _WKB_ENV_ORACLE = f"""
