@@ -39,22 +39,35 @@ from pyspark.sql.types import (
 TILE = 64
 
 
-def _local_cc(val: np.ndarray, have: np.ndarray, gx0: int, gy0: int, width: int):
-    """Vectorized CC on one dense tile (4-connectivity, equal values,
-    absent cells excluded).  Pure numpy: iterative min-neighbor
-    relaxation with pointer jumping (label <- label[label]), so
-    convergence is O(log n) rounds even for serpentine components.
+def _local_cc(
+    val: np.ndarray, have: np.ndarray, gx0: int, gy0: int, width: int,
+    connect8: bool = False,
+):
+    """Vectorized CC on one dense tile (4- or 8-connectivity per the
+    GDALPolygonize CONNECTED option, equal values, absent cells
+    excluded).  Pure numpy: iterative min-neighbor relaxation with
+    pointer jumping (label <- label[label]), so convergence is O(log n)
+    rounds even for serpentine components.
     Returns label grid of global min pixel ids (py*width+px)."""
     h, w = val.shape
     lab = np.arange(h * w, dtype=np.int64).reshape(h, w)  # local indices
     eq_r = (val[:, 1:] == val[:, :-1]) & have[:, 1:] & have[:, :-1]
     eq_d = (val[1:, :] == val[:-1, :]) & have[1:, :] & have[:-1, :]
+    if connect8:
+        # down-right and down-left diagonals
+        eq_dr = (val[1:, 1:] == val[:-1, :-1]) & have[1:, 1:] & have[:-1, :-1]
+        eq_dl = (val[1:, :-1] == val[:-1, 1:]) & have[1:, :-1] & have[:-1, 1:]
     while True:
         new = lab.copy()
         new[:, 1:] = np.minimum(new[:, 1:], np.where(eq_r, lab[:, :-1], new[:, 1:]))
         new[:, :-1] = np.minimum(new[:, :-1], np.where(eq_r, lab[:, 1:], new[:, :-1]))
         new[1:, :] = np.minimum(new[1:, :], np.where(eq_d, lab[:-1, :], new[1:, :]))
         new[:-1, :] = np.minimum(new[:-1, :], np.where(eq_d, lab[1:, :], new[:-1, :]))
+        if connect8:
+            new[1:, 1:] = np.minimum(new[1:, 1:], np.where(eq_dr, lab[:-1, :-1], new[1:, 1:]))
+            new[:-1, :-1] = np.minimum(new[:-1, :-1], np.where(eq_dr, lab[1:, 1:], new[:-1, :-1]))
+            new[1:, :-1] = np.minimum(new[1:, :-1], np.where(eq_dl, lab[:-1, 1:], new[1:, :-1]))
+            new[:-1, 1:] = np.minimum(new[:-1, 1:], np.where(eq_dl, lab[1:, :-1], new[:-1, 1:]))
         f = new.ravel()
         f = f[f]  # pointer jump: a label's label is in the same component
         f = f[f]
@@ -81,7 +94,9 @@ _PX_SCHEMA = StructType(
 )
 
 
-def _tile_labels(pixels: DataFrame, width: int, height: int) -> DataFrame:
+def _tile_labels(
+    pixels: DataFrame, width: int, height: int, connect8: bool = False
+) -> DataFrame:
     """Tile-local labels + border flags."""
 
     def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -95,7 +110,7 @@ def _tile_labels(pixels: DataFrame, width: int, height: int) -> DataFrame:
         ly = pdf["py"].to_numpy(np.int64) - gy0
         val[ly, lx] = pdf["value"].to_numpy(np.int64)
         have[ly, lx] = True  # absent cells never union, never emit
-        labels, _ = _local_cc(val, have, gx0, gy0, width)
+        labels, _ = _local_cc(val, have, gx0, gy0, width, connect8=connect8)
         ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
         keep = have.ravel()
         return pd.DataFrame(
@@ -115,9 +130,13 @@ def _tile_labels(pixels: DataFrame, width: int, height: int) -> DataFrame:
     return tiled.groupBy("gtx", "gty").applyInPandas(kernel, _PX_SCHEMA)
 
 
-def pixel_components(pixels: DataFrame, width: int, height: int, max_rounds: int = 30) -> DataFrame:
-    """(px, py, value, label) with globally-merged component labels."""
-    lab = _tile_labels(pixels, width, height).cache()
+def pixel_components(
+    pixels: DataFrame, width: int, height: int, max_rounds: int = 30,
+    connect8: bool = False,
+) -> DataFrame:
+    """(px, py, value, label) with globally-merged component labels.
+    ``connect8`` adds diagonal adjacency (GDALPolygonize CONNECTED=8)."""
+    lab = _tile_labels(pixels, width, height, connect8=connect8).cache()
     # cross-tile equal-value adjacencies from border pixels only
     east = lab.filter("east_border = 1").select(
         (F.col("px") + 1).alias("npx"), F.col("py").alias("npy"),
@@ -127,13 +146,37 @@ def pixel_components(pixels: DataFrame, width: int, height: int, max_rounds: int
         F.col("px").alias("npx"), (F.col("py") + 1).alias("npy"),
         F.col("value").alias("v"), F.col("label").alias("la"),
     )
+    cands = [east, south]
+    if connect8:
+        # every cross-tile diagonal pair has its generator pixel on the
+        # earlier tile's east or south border: east -> (px+1, py±1),
+        # south -> (px±1, py+1) (the corner pair appears from both
+        # sides; dedup below)
+        e = lab.filter("east_border = 1")
+        s = lab.filter("south_border = 1")
+        for dy in (-1, 1):
+            cands.append(
+                e.select(
+                    (F.col("px") + 1).alias("npx"), (F.col("py") + dy).alias("npy"),
+                    F.col("value").alias("v"), F.col("label").alias("la"),
+                )
+            )
+        for dx in (-1, 1):
+            cands.append(
+                s.select(
+                    (F.col("px") + dx).alias("npx"), (F.col("py") + 1).alias("npy"),
+                    F.col("value").alias("v"), F.col("label").alias("la"),
+                )
+            )
     west_side = lab.select(
         F.col("px").alias("npx"), F.col("py").alias("npy"),
         F.col("value").alias("v"), F.col("label").alias("lb"),
     )
+    cand = cands[0]
+    for c in cands[1:]:
+        cand = cand.unionByName(c)
     edges = (
-        east.unionByName(south)
-        .join(west_side, ["npx", "npy", "v"])
+        cand.join(west_side, ["npx", "npy", "v"])
         .select("la", "lb")
         .filter(F.col("la") != F.col("lb"))
         .distinct()
@@ -440,11 +483,16 @@ def sieve(
     return out
 
 
-def polygonize(pixels: DataFrame, width: int, height: int) -> DataFrame:
+def polygonize(
+    pixels: DataFrame, width: int, height: int, connect8: bool = False
+) -> DataFrame:
     """Per-component summary: (label, value, n_pixels, envelope px coords).
     Ring extraction beyond the envelope is v2 (alg/polygonize.cpp emits
-    full rings); for axis-aligned regions envelope == polygon."""
-    comp = pixel_components(pixels, width, height)
+    full rings); for axis-aligned regions envelope == polygon.
+    ``connect8`` = GDALPolygonize's CONNECTED=8 option
+    (alg/polygonize.cpp nConnectedness): diagonal pixels of equal value
+    join the same component."""
+    comp = pixel_components(pixels, width, height, connect8=connect8)
     return comp.groupBy("label", "value").agg(
         F.count("*").alias("n_pixels"),
         F.min("px").alias("pxmin"),

@@ -730,6 +730,217 @@ def _split_select(select_text: str) -> list[str]:
     return out
 
 
+# --------------------------------------------------------------------------
+# Context-window chunking (training-data pipeline): split each doc into
+# overlapping fixed-size word windows (size 32, stride 24 — the standard
+# chunk-with-overlap shape for LLM context packing).  Chunk starts are a
+# JVM sequence + explode (Generate node, stays in codegen); the last
+# partial window is emitted.  DuckDB mirrors with generate_series/unnest
+# + list_slice.
+# --------------------------------------------------------------------------
+_CHUNK_SIZE = 32
+_CHUNK_STRIDE = 24
+
+_CHUNKS_ORACLE = f"""
+WITH s AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+e AS (SELECT doc_id, w, unnest(generate_series(1, len(w), {_CHUNK_STRIDE})) AS st FROM s)
+SELECT doc_id,
+       CAST((st - 1) / {_CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+       CAST(len(list_slice(w, st, st + {_CHUNK_SIZE} - 1)) AS BIGINT) AS n_chunk_words,
+       array_to_string(list_slice(w, st, st + {_CHUNK_SIZE} - 1), ' ') AS chunk_text
+FROM e
+"""
+
+
+@register("doc_chunks", _CHUNKS_ORACLE)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    s = d.select("doc_id", F.split("text", " ").alias("w"))
+    e = s.select(
+        "doc_id", "w",
+        F.explode(F.expr(f"sequence(1, size(w), {_CHUNK_STRIDE})")).alias("st"),
+    )
+    return e.selectExpr(
+        "doc_id",
+        f"CAST((st - 1) / {_CHUNK_STRIDE} AS BIGINT) AS chunk_id",
+        f"CAST(size(slice(w, st, {_CHUNK_SIZE})) AS BIGINT) AS n_chunk_words",
+        f"array_join(slice(w, st, {_CHUNK_SIZE}), ' ') AS chunk_text",
+    )
+
+
+# --------------------------------------------------------------------------
+# PII scrubbing (training-data pipeline): regex redaction of emails and
+# URLs.  The synthetic corpus has no PII, so the query plants a
+# deterministic contact line per doc (same expression both engines) and
+# scrubs it — proving the redaction regexes and the match counting on a
+# text where the effect is visible.  ASCII-only classes keep Java regex
+# (Spark) and RE2 (DuckDB) byte-identical; Spark regexp_replace is
+# global by default, DuckDB needs the 'g' flag.
+# --------------------------------------------------------------------------
+_PII_AUG = (
+    "(text || ' contact user' || CAST(doc_id AS VARCHAR(20)) ||"
+    " '@mail' || CAST(doc_id AS VARCHAR(20)) || '.example.com or"
+    " http://site' || CAST(doc_id AS VARCHAR(20)) || '.example.org/page now')"
+)
+# [.] instead of backslash-dot: Spark SQL string literals process
+# backslash escapes, DuckDB's don't — the bracket class needs no escape
+# in either engine.
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][a-z][a-z]+"
+_PII_URL = "https?://[A-Za-z0-9./_-]+"
+
+
+def _pii_select(dialect: str) -> list[str]:
+    if dialect == "spark":
+        n_email = f"size(regexp_extract_all(aug, '{_PII_EMAIL}', 0))"
+        n_url = f"size(regexp_extract_all(aug, '{_PII_URL}', 0))"
+        scrub = (
+            f"regexp_replace(regexp_replace(aug, '{_PII_EMAIL}', '<EMAIL>'), "
+            f"'{_PII_URL}', '<URL>')"
+        )
+    else:
+        n_email = f"len(regexp_extract_all(aug, '{_PII_EMAIL}'))"
+        n_url = f"len(regexp_extract_all(aug, '{_PII_URL}'))"
+        scrub = (
+            f"regexp_replace(regexp_replace(aug, '{_PII_EMAIL}', '<EMAIL>', 'g'), "
+            f"'{_PII_URL}', '<URL>', 'g')"
+        )
+    return [
+        f"CAST({n_email} AS BIGINT) AS n_emails",
+        f"CAST({n_url} AS BIGINT) AS n_urls",
+        f"{scrub} AS clean_text",
+    ]
+
+
+_PII_ORACLE = f"""
+WITH a AS (SELECT doc_id, {_PII_AUG} AS aug FROM documents)
+SELECT doc_id, {", ".join(_pii_select("duck"))} FROM a
+"""
+
+
+@register("pii_scrub", _PII_ORACLE)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = d.selectExpr("doc_id", f"{_PII_AUG} AS aug")
+    return a.selectExpr("doc_id", *_pii_select("spark"))
+
+
+# --------------------------------------------------------------------------
+# Cross-doc duplicated-span fraction (training-data pipeline): the
+# RefinedWeb/Dolma dedup diagnostic — per doc, the fraction of its word
+# 5-gram spans that also occur in ANOTHER document.  Grams are JVM
+# slice+array_join over an exploded start index; the cross-doc count is
+# one shuffle on the gram key with map-side partial agg (the gram
+# dictionary is corpus-sized but each reducer key is tiny — the same
+# shape at 100 TB, no driver state).  Ratios quantized to ppm per the
+# parity rules (floor(1e6·x), no double hashing).
+# --------------------------------------------------------------------------
+_DS_N = 5
+
+_DUP_SPANS_ORACLE = f"""
+WITH s AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+g AS (
+  SELECT doc_id,
+         array_to_string(list_slice(w, st, st + {_DS_N - 1}), ' ') AS gram
+  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - {_DS_N - 1})) AS st
+        FROM s WHERE len(w) >= {_DS_N})
+),
+c AS (SELECT gram, COUNT(DISTINCT doc_id) AS ndocs FROM g GROUP BY gram)
+SELECT g.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(CASE WHEN c.ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+       CAST(floor(1.0e6 * SUM(CASE WHEN c.ndocs > 1 THEN 1 ELSE 0 END) / COUNT(*)) AS BIGINT) AS dup_span_ppm
+FROM g JOIN c USING (gram)
+GROUP BY g.doc_id
+"""
+
+
+@register("dup_spans", _DUP_SPANS_ORACLE)
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    g = (
+        d.select("doc_id", F.split("text", " ").alias("w"))
+        .filter(F.size("w") >= _DS_N)
+        .select(
+            "doc_id", "w",
+            F.explode(F.expr(f"sequence(1, size(w) - {_DS_N - 1})")).alias("st"),
+        )
+        .select(
+            "doc_id",
+            F.expr(f"array_join(slice(w, st, {_DS_N}), ' ')").alias("gram"),
+        )
+    )
+    c = g.groupBy("gram").agg(F.countDistinct("doc_id").alias("ndocs"))
+    return (
+        g.join(c, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.when(F.col("ndocs") > 1, 1).otherwise(0)).alias("n_dup_spans"),
+        )
+        .selectExpr(
+            "doc_id",
+            "CAST(n_spans AS BIGINT) AS n_spans",
+            "CAST(n_dup_spans AS BIGINT) AS n_dup_spans",
+            "CAST(floor(1.0e6 * n_dup_spans / n_spans) AS BIGINT) AS dup_span_ppm",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Decontamination (training-data pipeline): flag training docs that
+# contain any n-gram from a held-out benchmark set.  The benchmark set
+# here is derived in-query (the 8-grams of docs with doc_id < 10 — a
+# stand-in for a test-set dim table); at scale it is a broadcast-sized
+# dim side, so the flagging join is a broadcast semi-join on the gram
+# key — training docs never shuffle.
+# --------------------------------------------------------------------------
+_DC_N = 8
+
+_DECON_ORACLE = f"""
+WITH s AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+g AS (
+  SELECT doc_id,
+         array_to_string(list_slice(w, st, st + {_DC_N - 1}), ' ') AS gram
+  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - {_DC_N - 1})) AS st
+        FROM s WHERE len(w) >= {_DC_N})
+),
+bench AS (SELECT DISTINCT gram FROM g WHERE doc_id < 10)
+SELECT g.doc_id,
+       CAST(COUNT(DISTINCT g.gram) AS BIGINT) AS n_contaminated_grams
+FROM g JOIN bench USING (gram)
+WHERE g.doc_id >= 10
+GROUP BY g.doc_id
+"""
+
+
+@register("decontaminate", _DECON_ORACLE)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    g = (
+        d.select("doc_id", F.split("text", " ").alias("w"))
+        .filter(F.size("w") >= _DC_N)
+        .select(
+            "doc_id", "w",
+            F.explode(F.expr(f"sequence(1, size(w) - {_DC_N - 1})")).alias("st"),
+        )
+        .select(
+            "doc_id",
+            F.expr(f"array_join(slice(w, st, {_DC_N}), ' ')").alias("gram"),
+        )
+    )
+    bench = g.filter(F.col("doc_id") < 10).select("gram").distinct()
+    return (
+        g.filter(F.col("doc_id") >= 10)
+        .join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gram").alias("n_contaminated_grams"))
+        .selectExpr(
+            "doc_id",
+            "CAST(n_contaminated_grams AS BIGINT) AS n_contaminated_grams",
+        )
+    )
+
+
 # non-SQL-expressible ops: rows-only driver check, exactness via pytest
 @register("minhash_lsh")
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3714,6 +3925,45 @@ def q_polygonize_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     px_df = px_df.withColumn("value", F.expr(_PG_VALUE_SQL).cast("long"))
     return component_rings(px_df, _PG_W, _PG_H)
+
+
+# --------------------------------------------------------------------------
+# Polygonize CONNECTED=8 (alg/polygonize.cpp nConnectedness=8): diagonal
+# pixels of equal value join.  Fixture = the main diagonal px==py of a
+# 130x130 raster (value 1 on the diagonal, 0 elsewhere).  The diagonal
+# touches only at corners, so 4-connectivity would give 130 singletons —
+# 8-connectivity gives ONE component, and it crosses tile corners at
+# (63,63)-(64,64) and (127,127)-(128,128), exercising the cross-tile
+# diagonal merge.  The background is also 8-connected around the
+# diagonal -> exactly two components, closed-form oracle.
+# --------------------------------------------------------------------------
+_PG8_N = 130
+
+_POLYGONIZE8_ORACLE = f"""
+SELECT CAST(0 AS bigint) AS label, CAST(1 AS bigint) AS value,
+       CAST({_PG8_N} AS bigint) AS n_pixels,
+       CAST(0 AS int) AS pxmin, CAST(0 AS int) AS pymin,
+       CAST({_PG8_N - 1} AS int) AS pxmax, CAST({_PG8_N - 1} AS int) AS pymax
+UNION ALL
+SELECT CAST(1 AS bigint), CAST(0 AS bigint),
+       CAST({_PG8_N * _PG8_N - _PG8_N} AS bigint),
+       CAST(0 AS int), CAST(0 AS int),
+       CAST({_PG8_N - 1} AS int), CAST({_PG8_N - 1} AS int)
+"""
+
+
+@register("polygonize8", _POLYGONIZE8_ORACLE)
+def q_polygonize8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.operators.polygonize import polygonize
+
+    px_df = spark.range(_PG8_N * _PG8_N).select(
+        (F.col("id") % _PG8_N).cast("int").alias("px"),
+        ((F.col("id") - (F.col("id") % _PG8_N)) / _PG8_N).cast("int").alias("py"),
+    )
+    px_df = px_df.withColumn(
+        "value", F.expr("CASE WHEN px = py THEN 1 ELSE 0 END").cast("long")
+    )
+    return polygonize(px_df, _PG8_N, _PG8_N, connect8=True)
 
 
 # --------------------------------------------------------------------------

@@ -47,6 +47,26 @@ class TestCrossTileMerge:
         out = polygonize(px, 2, 2).collect()
         assert len(out) == 4  # each pixel its own component
 
+    def test_connect8_checkerboard_two_components(self, spark):
+        """CONNECTED=8: a 6x6 checkerboard collapses to one component
+        per color — every same-color pair is diagonal-adjacent."""
+        px = _grid(spark, 6, 6, "(px + py) % 2")
+        out = polygonize(px, 6, 6, connect8=True).collect()
+        assert sorted((r.value, r.n_pixels) for r in out) == [(0, 18), (1, 18)]
+
+    def test_connect8_cross_tile_corner(self, spark):
+        """Diagonal staircase crossing the (63,63)-(64,64) tile corner:
+        the two halves live in different tiles and touch only at that
+        corner — must merge into one component under CONNECTED=8."""
+        px = _grid(spark, 70, 70, "CASE WHEN px = py THEN 1 ELSE 0 END")
+        out = {r.value: r for r in polygonize(px, 70, 70, connect8=True).collect()}
+        assert len(out) == 2
+        diag = out[1]
+        assert diag.n_pixels == 70 and diag.label == 0
+        # 4-connectivity on the same input: 70 diagonal singletons
+        out4 = polygonize(px, 70, 70).collect()
+        assert sum(1 for r in out4 if r.value == 1) == 70
+
 
 class TestRings:
     def test_l_shaped_component(self, spark):
