@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gdal_spark import corpus, zones
@@ -5125,6 +5125,86 @@ def q_dedup_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_keeper(d, clusters)
 
 
+# --------------------------------------------------------------------------
+# Per-source cap (training-data pipeline): keep at most K documents per
+# source — the per-host/per-domain cap every crawl pipeline applies.
+# Deterministic order = (md5(doc_id), doc_id), so the kept set is stable
+# under repartition and resume (no RNG state), same contract as
+# stratified_sample.  One window shuffle on the source key; group sizes
+# are per-source counts, and a genuinely hot host is exactly the row
+# whose cap bites — the window never materializes more than K + spill.
+# --------------------------------------------------------------------------
+_SRC_CAP_K = 20
+
+_SOURCE_CAP_ORACLE = f"""
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+) WHERE rn <= {_SRC_CAP_K}
+"""
+
+
+@register("source_cap", _SOURCE_CAP_ORACLE)
+def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select("doc_id", "source", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= _SRC_CAP_K)
+        .select("doc_id", "source")
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding int8 quantization (training-data pipeline): symmetric
+# per-vector max-abs scaling to int8 — the standard ANN-index/storage
+# compression.  Pure JVM higher-order functions (aggregate/transform),
+# zero shuffle, zero Python; floor(x+0.5) instead of round() because
+# floor is defined identically in Spark and DuckDB while round-half may
+# not be.  float32 -> double widening is exact in both engines, so the
+# quantized codes are bit-identical.
+# --------------------------------------------------------------------------
+_EMBED_QUANT_ORACLE = """
+WITH m AS (
+  SELECT vec_id,
+         list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) AS maxabs,
+         embedding
+  FROM embeddings
+)
+SELECT vec_id,
+       CAST(len(embedding) AS BIGINT) AS n_dims,
+       CAST(floor(1.0e6 * maxabs) AS BIGINT) AS maxabs_ppm,
+       array_to_string(
+         list_transform(embedding,
+           v -> CAST(floor(CAST(v AS DOUBLE) * 1.27e2 / maxabs + 5.0e-1) AS INT)),
+         ',') AS q8
+FROM m WHERE maxabs > 0.0e0
+"""
+
+
+@register("embed_quantize", _EMBED_QUANT_ORACLE)
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    m = e.selectExpr(
+        "vec_id",
+        "embedding",
+        "aggregate(embedding, CAST(0 AS DOUBLE),"
+        " (a, v) -> greatest(a, abs(CAST(v AS DOUBLE)))) AS maxabs",
+    )
+    return m.filter("maxabs > 0.0e0").selectExpr(
+        "vec_id",
+        "CAST(size(embedding) AS BIGINT) AS n_dims",
+        "CAST(floor(1.0e6 * maxabs) AS BIGINT) AS maxabs_ppm",
+        "array_join(transform(embedding,"
+        " v -> CAST(floor(CAST(v AS DOUBLE) * 1.27e2 / maxabs + 5.0e-1) AS INT)),"
+        " ',') AS q8",
+    )
+
+
 _HAVING_ORACLE = """
 SELECT lang, source, count(*) AS n_docs,
        CAST(round(avg(CAST(n_chars AS DOUBLE)), 6) AS DOUBLE) AS avg_chars
@@ -5363,6 +5443,49 @@ def q_rgb_to_palette(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_MC_B).cast("int").alias("b"),
     )
     return rgb_to_palette(pix, n_colors=256, bits=8)
+
+
+# --------------------------------------------------------------------------
+# Palette expand (pct2rgb; swig/python/gdal-utils/osgeo_utils/pct2rgb.py):
+# indexed raster + color table -> RGB bands.  The color table is a DIM
+# TABLE (lookup data, not a baked CASE — same stance as reclassify), so
+# the expansion is a broadcast equi-join on the palette index: the big
+# raster side never shuffles, which is the pct2rgb shape at any scale.
+# Fixture palette = the web-safe 216 cube; indexed pixels cycle it.
+# --------------------------------------------------------------------------
+_P2R_IDX = "((px * 11 + py * 5) % 216)"
+
+_PCT2RGB_ORACLE = f"""
+WITH g AS ({_SRC_GRID_CTE}),
+pal AS (
+  SELECT CAST(i AS int) AS idx, CAST((i % 6) * 51 AS int) AS pr,
+         CAST((CAST((i - i % 6) / 6 AS int) % 6) * 51 AS int) AS pg,
+         CAST(CAST((i - i % 36) / 36 AS int) * 51 AS int) AS pb
+  FROM range(0, 216) t(i)
+)
+SELECT px, py, pr, pg, pb
+FROM (SELECT px, py, CAST({_P2R_IDX} AS int) AS idx FROM g WHERE band = 1) v
+JOIN pal USING (idx)
+"""
+
+
+@register("pct2rgb", _PCT2RGB_ORACLE)
+def q_pct2rgb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.operators.raster import source_grid
+
+    pal = spark.range(216).select(
+        F.col("id").cast("int").alias("idx"),
+        ((F.col("id") % 6) * 51).cast("int").alias("pr"),
+        (((F.col("id") - F.col("id") % 6) / 6).cast("int") % 6 * 51)
+        .cast("int")
+        .alias("pg"),
+        (((F.col("id") - F.col("id") % 36) / 36).cast("int") * 51)
+        .cast("int")
+        .alias("pb"),
+    )
+    g = source_grid(spark).filter(F.col("band") == 1)
+    v = g.select("px", "py", F.expr(_P2R_IDX).cast("int").alias("idx"))
+    return v.join(F.broadcast(pal), "idx").select("px", "py", "pr", "pg", "pb")
 
 
 # --------------------------------------------------------------------------
