@@ -165,3 +165,115 @@ def viewshed(
         )
 
     return rows.groupBy("wedge").applyInPandas(kernel, _OUT_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Point-to-point line of sight — GDALIsLineOfSightVisible (alg/los.cpp:177).
+#
+# The reference checks both endpoints (strict z > terrain, alg/los.cpp:120
+# IsAboveTerrain) and then walks Bresenham2D (alg/los.cpp:37) testing an
+# interpolated z at every visited cell: linear ratio along the axis for
+# vertical/horizontal lines (alg/los.cpp:303,316 GetZValueFromY/X), the
+# sqrt distance ratio lerp(zA, zB, sqrt(rNum/rDenom)) otherwise
+# (alg/los.cpp:332 GetZValueFromXY).  First failure wins: endpoint A,
+# then endpoint B, then walk order (SetXYIntersection).
+#
+# Bresenham's balance loop has a closed form for the visited cells —
+# for the shallow branch (dx >= dy), after k x-steps the minor axis is
+#     y_k = yA + sy * floor((2*dy*k + dx) / (2*dx)),
+# (verified against the reference loop in tests), symmetric when steep.
+# That makes the whole walk a JVM `sequence()+explode` column program:
+# no Python, every sample an integer cell, z interpolation in doubles
+# with the reference's exact operation order.  The k = -2 / -1 sentinel
+# samples carry the exact-z endpoint checks AND give min(k) the
+# reference's failure priority for free.
+#
+# Scale shape: pairs are a dim table; exploded samples (|pairs| × path
+# length) broadcast into an equi-join against the DEM on the cell key —
+# the raster side never shuffles, the agg runs on the tiny sample set.
+# ---------------------------------------------------------------------------
+
+LOS_DERIVED_SQL = {
+    "dx": "abs(xb - xa)",
+    "dy": "abs(yb - ya)",
+    "sx": "CASE WHEN xb >= xa THEN 1 ELSE -1 END",
+    "sy": "CASE WHEN yb >= ya THEN 1 ELSE -1 END",
+    "n": "greatest(abs(xb - xa), abs(yb - ya))",
+}
+
+
+def los_x_sql(k: str = "k") -> str:
+    """Visited-cell x at walk step ``k`` (requires derived cols)."""
+    return (
+        f"CASE WHEN {k} = -2 THEN xa WHEN {k} = -1 THEN xb "
+        f"WHEN dx >= dy THEN xa + sx * {k} "
+        f"ELSE xa + sx * CAST(floor(CAST(2 * dx * {k} + dy AS DOUBLE) "
+        f"/ CAST(2 * dy AS DOUBLE)) AS INT) END"
+    )
+
+
+def los_y_sql(k: str = "k") -> str:
+    return (
+        f"CASE WHEN {k} = -2 THEN ya WHEN {k} = -1 THEN yb "
+        f"WHEN dx >= dy THEN CASE WHEN dx = 0 THEN ya "
+        f"ELSE ya + sy * CAST(floor(CAST(2 * dy * {k} + dx AS DOUBLE) "
+        f"/ CAST(2 * dx AS DOUBLE)) AS INT) END "
+        f"ELSE ya + sy * {k} END"
+    )
+
+
+# interpolated test height at sample (x, y); the three ratio forms are
+# the reference's GetZValueFromY/X/XY kept op-for-op (linear ratio on
+# axis lines, sqrt of the squared-distance ratio otherwise)
+LOS_Z_SQL = (
+    "CASE WHEN k = -2 THEN CAST(za AS DOUBLE) "
+    "WHEN k = -1 THEN CAST(zb AS DOUBLE) "
+    "ELSE CAST(za AS DOUBLE) + (CASE "
+    "WHEN n = 0 THEN 0.0e0 "
+    "WHEN dx = 0 THEN CAST(y - ya AS DOUBLE) / CAST(yb - ya AS DOUBLE) "
+    "WHEN dy = 0 THEN CAST(x - xa AS DOUBLE) / CAST(xb - xa AS DOUBLE) "
+    "ELSE sqrt(CAST((x - xa) * (x - xa) + (y - ya) * (y - ya) AS DOUBLE) "
+    "/ CAST((xb - xa) * (xb - xa) + (yb - ya) * (yb - ya) AS DOUBLE)) END) "
+    "* CAST(zb - za AS DOUBLE) END"
+)
+
+
+def line_of_sight(dem: DataFrame, pairs: DataFrame) -> DataFrame:
+    """(pid, visible, ix, iy) per observer→target pair.
+
+    ``dem``: (px, py, z integer terrain).  ``pairs``: (pid, xa, ya, za,
+    xb, yb, zb) with integer cells and integer heights; all path cells
+    must exist in ``dem`` (the reference fails the ray when a read
+    misses — out-of-raster pairs are the caller's contract).
+    ``visible`` = 1 iff both endpoints and every Bresenham cell pass the
+    strict above-terrain test; (ix, iy) = first blocking cell in the
+    reference's priority order, (-1, -1) when visible."""
+    d = pairs.selectExpr(
+        "pid", "xa", "ya", "za", "xb", "yb", "zb",
+        *[f"{sql} AS {name}" for name, sql in LOS_DERIVED_SQL.items()],
+    )
+    samples = d.select(
+        "*", F.expr("explode(sequence(-2, n))").alias("k")
+    ).selectExpr("*", f"{los_x_sql()} AS x", f"{los_y_sql()} AS y")
+    samples = samples.selectExpr("*", f"{LOS_Z_SQL} AS zt")
+    hits = F.broadcast(samples).join(
+        dem.select(
+            F.col("px").alias("x"), F.col("py").alias("y"),
+            F.col("z").cast("long").alias("terrain"),
+        ),
+        ["x", "y"],
+    )
+    agg = hits.groupBy(
+        "pid", "xa", "ya", "xb", "yb", "dx", "dy", "sx", "sy", "n"
+    ).agg(
+        F.expr("bool_and(zt > CAST(terrain AS DOUBLE))").alias("vis"),
+        F.expr("min(CASE WHEN NOT zt > CAST(terrain AS DOUBLE) THEN k END)").alias(
+            "bk"
+        ),
+    )
+    return agg.selectExpr(
+        "pid",
+        "CAST(CASE WHEN vis THEN 1 ELSE 0 END AS INT) AS visible",
+        f"CAST(CASE WHEN vis THEN -1 ELSE {los_x_sql('bk')} END AS INT) AS ix",
+        f"CAST(CASE WHEN vis THEN -1 ELSE {los_y_sql('bk')} END AS INT) AS iy",
+    )

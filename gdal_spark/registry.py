@@ -4224,6 +4224,193 @@ def q_viewshed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Point-to-point line of sight (gdal los; GDALIsLineOfSightVisible,
+# alg/los.cpp:177): endpoint strict-above checks, Bresenham walk with
+# interpolated z, first-failure intersection cell.  24 observer→target
+# pairs over the band-1 terrain: pid 0 = same cell, pid 1 = vertical,
+# pid 2 = horizontal, pid 3/4 = endpoint-blocked (z == terrain fails the
+# strict test), the rest arbitrary shallow/steep diagonals.  The whole
+# pipeline is shared SQL text (closed-form Bresenham cells + the
+# reference's exact ratio forms) so the oracle runs it verbatim.
+# --------------------------------------------------------------------------
+_LOS_P = 24
+_LOS_TERRAIN_A = "((xa * 7 + ya * 13 + 29) % 256)"
+_LOS_TERRAIN_B = "((xb * 7 + yb * 13 + 29) % 256)"
+_LOS_PAIR_TAIL = f"""
+p1 AS (
+  SELECT pid, xa, ya,
+         CAST(CASE WHEN pid = 0 OR pid = 1 THEN xa
+                   ELSE (pid * 89 + 201) % {SRC_W} END AS INT) AS xb,
+         CAST(CASE WHEN pid = 0 OR pid = 2 THEN ya
+                   ELSE (pid * 29 + 57) % {SRC_H} END AS INT) AS yb
+  FROM p0
+),
+p AS (
+  SELECT pid, xa, ya, xb, yb,
+         CAST({_LOS_TERRAIN_A} + CASE WHEN pid = 3 THEN 0
+                                      ELSE 2 + (pid % 25) END AS BIGINT) AS za,
+         CAST({_LOS_TERRAIN_B} + CASE WHEN pid = 4 THEN 0
+                                      ELSE 2 + ((pid * 7) % 35) END AS BIGINT) AS zb
+  FROM p1
+)
+"""
+
+
+def _los_oracle() -> str:
+    from gdal_spark.operators.viewshed import LOS_DERIVED_SQL, LOS_Z_SQL, los_x_sql, los_y_sql
+
+    derived = ", ".join(f"{sql} AS {name}" for name, sql in LOS_DERIVED_SQL.items())
+    return f"""
+WITH g AS (
+  SELECT CAST(px.i AS int) AS px, CAST(py.j AS int) AS py
+  FROM range(0, {SRC_W}) px(i), range(0, {SRC_H}) py(j)
+),
+v AS (SELECT px, py, CAST((px * 7 + py * 13 + 29) % 256 AS BIGINT) AS z FROM g),
+p0 AS (
+  SELECT CAST(t.i AS INT) AS pid,
+         CAST((t.i * 37 + 13) % {SRC_W} AS INT) AS xa,
+         CAST((t.i * 53 + 11) % {SRC_H} AS INT) AS ya
+  FROM range(0, {_LOS_P}) t(i)
+),
+{_LOS_PAIR_TAIL.strip()},
+d AS (SELECT p.*, {derived} FROM p),
+sk AS (SELECT d.*, unnest(generate_series(-2, n)) AS k FROM d),
+sxy AS (SELECT sk.*, {los_x_sql()} AS x, {los_y_sql()} AS y FROM sk),
+sz AS (SELECT sxy.*, {LOS_Z_SQL} AS zt FROM sxy),
+h AS (SELECT sz.*, v.z AS terrain FROM sz JOIN v ON v.px = sz.x AND v.py = sz.y),
+a AS (
+  SELECT pid, xa, ya, xb, yb, dx, dy, sx, sy, n,
+         bool_and(zt > CAST(terrain AS DOUBLE)) AS vis,
+         min(CASE WHEN NOT zt > CAST(terrain AS DOUBLE) THEN k END) AS bk
+  FROM h GROUP BY pid, xa, ya, xb, yb, dx, dy, sx, sy, n
+)
+SELECT pid,
+       CAST(CASE WHEN vis THEN 1 ELSE 0 END AS INT) AS visible,
+       CAST(CASE WHEN vis THEN -1 ELSE {los_x_sql("bk")} END AS INT) AS ix,
+       CAST(CASE WHEN vis THEN -1 ELSE {los_y_sql("bk")} END AS INT) AS iy
+FROM a
+"""
+
+
+@register("los", _los_oracle())
+def q_los(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal los analog over 24 fixture pairs (alg/los.cpp:177)."""
+    from gdal_spark.operators.raster import source_grid
+    from gdal_spark.operators.viewshed import line_of_sight
+
+    p0 = spark.range(_LOS_P).selectExpr(
+        "CAST(id AS INT) AS pid",
+        f"CAST((id * 37 + 13) % {SRC_W} AS INT) AS xa",
+        f"CAST((id * 53 + 11) % {SRC_H} AS INT) AS ya",
+    )
+    pairs = spark.sql(
+        f"WITH p0 AS (SELECT * FROM {{p0}}), {_LOS_PAIR_TAIL.strip()} SELECT * FROM p",
+        p0=p0,
+    )
+    dem = (
+        source_grid(spark)
+        .filter(F.col("band") == 1)
+        .select("px", "py", F.col("value").alias("z"))
+    )
+    return line_of_sight(dem, pairs)
+
+
+# --------------------------------------------------------------------------
+# Vertical shift grid (GDALApplyVerticalShiftGrid,
+# alg/gdalapplyverticalshiftgrid.cpp:259): dst = (src · srcUnitToMeter
+# + shift) / dstUnitToMeter, the shift grid resampled onto the source
+# georeferencing (the reference warps the grid dataset over the source;
+# fixture grid nodes sit every 8 px, sampled bilinearly at pixel
+# coordinates — exact eighths, so the doubles are bit-stable).  The
+# grid is DATA: a broadcast dim table of cells carrying their 4 corner
+# node values (one equi-join on the cell key; the raster side never
+# shuffles), not a formula baked into the expression.
+# --------------------------------------------------------------------------
+_VSG_STEP = 8
+_VSG_NODE = "CAST(({gx}) * 11 + ({gy}) * 17 AS BIGINT) % 40 - 20"
+_VSG_CELLS = f"""
+  SELECT cx, cy,
+         {_VSG_NODE.format(gx="cx", gy="cy")} AS s00,
+         {_VSG_NODE.format(gx="cx + 1", gy="cy")} AS s10,
+         {_VSG_NODE.format(gx="cx", gy="cy + 1")} AS s01,
+         {_VSG_NODE.format(gx="cx + 1", gy="cy + 1")} AS s11
+"""
+# fractional position inside the cell: exact eighths
+_VSG_SHIFT = (
+    "((1.0e0 - fy) * ((1.0e0 - fx) * s00 + fx * s10)"
+    " + fy * ((1.0e0 - fx) * s01 + fx * s11))"
+)
+# src values are feet (srcUnitToMeter = 0.3048), dst in meters
+_VSG_OUT = (
+    f"CAST(floor(1.0e6 * ((CAST(value AS DOUBLE) * 3.048e-1 + {_VSG_SHIFT})"
+    " / 1.0e0)) AS BIGINT)"
+)
+
+_VSHIFT_ORACLE = f"""
+WITH g AS ({{src_grid}}),
+v AS (SELECT px, py, value FROM g WHERE band = 1),
+cells AS (
+  {_VSG_CELLS.strip()}
+  FROM (SELECT CAST(cx.i AS INT) AS cx, CAST(cy.j AS INT) AS cy
+        FROM range(0, {{nx}}) cx(i), range(0, {{ny}}) cy(j))
+),
+s AS (
+  SELECT px, py, value,
+         CAST(CAST((px - px % {_VSG_STEP}) / {_VSG_STEP} AS INT) AS INT) AS cx,
+         CAST(CAST((py - py % {_VSG_STEP}) / {_VSG_STEP} AS INT) AS INT) AS cy,
+         CAST(px % {_VSG_STEP} AS DOUBLE) / {_VSG_STEP}.0e0 AS fx,
+         CAST(py % {_VSG_STEP} AS DOUBLE) / {_VSG_STEP}.0e0 AS fy
+  FROM v
+)
+SELECT px, py, {_VSG_OUT} AS shifted_um
+FROM s JOIN cells USING (cx, cy)
+"""
+
+
+@register(
+    "vshift_grid",
+    _VSHIFT_ORACLE.format(
+        src_grid="{src}",
+        nx=SRC_W // _VSG_STEP,
+        ny=SRC_H // _VSG_STEP,
+    ).replace(
+        "{src}",
+        f"SELECT CAST(px.i AS int) AS px, CAST(py.j AS int) AS py, 1 AS band, "
+        f"CAST((px.i * 7 + py.j * 13 + 29) % 256 AS BIGINT) AS value "
+        f"FROM range(0, {SRC_W}) px(i), range(0, {SRC_H}) py(j)",
+    ),
+)
+def q_vshift_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.operators.raster import source_grid
+
+    nx, ny = SRC_W // _VSG_STEP, SRC_H // _VSG_STEP
+    cells = (
+        spark.range(nx * ny)
+        .selectExpr(
+            f"CAST(id % {nx} AS INT) AS cx",
+            f"CAST((id - id % {nx}) / {nx} AS INT) AS cy",
+        )
+        .selectExpr("cx", "cy", *[
+            f"{_VSG_NODE.format(gx='cx', gy='cy')} AS s00",
+            f"{_VSG_NODE.format(gx='cx + 1', gy='cy')} AS s10",
+            f"{_VSG_NODE.format(gx='cx', gy='cy + 1')} AS s01",
+            f"{_VSG_NODE.format(gx='cx + 1', gy='cy + 1')} AS s11",
+        ])
+    )
+    v = source_grid(spark).filter(F.col("band") == 1)
+    s = v.selectExpr(
+        "px", "py", "value",
+        f"CAST(CAST((px - px % {_VSG_STEP}) / {_VSG_STEP} AS INT) AS INT) AS cx",
+        f"CAST(CAST((py - py % {_VSG_STEP}) / {_VSG_STEP} AS INT) AS INT) AS cy",
+        f"CAST(px % {_VSG_STEP} AS DOUBLE) / {_VSG_STEP}.0e0 AS fx",
+        f"CAST(py % {_VSG_STEP} AS DOUBLE) / {_VSG_STEP}.0e0 AS fy",
+    )
+    return s.join(F.broadcast(cells), ["cx", "cy"]).selectExpr(
+        "px", "py", f"{_VSG_OUT} AS shifted_um"
+    )
+
+
+# --------------------------------------------------------------------------
 # Footprint (apps/gdal_footprint_lib.cpp): polygon footprint of the mask
 # pixels with -min_ring_area hole filtering.  Closed-form fixture: two
 # rectangles plus a donut whose second (tiny) hole falls under the area

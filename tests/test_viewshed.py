@@ -70,3 +70,103 @@ class TestViewshed:
             F.sum("visible").alias("s"), F.count("*").alias("n")
         ).first()
         assert (out.n, out.s) == (20081, 720)
+
+
+def _bresenham_ref(x1, y1, x2, y2):
+    """Direct port of the reference balance loop (alg/los.cpp:37
+    Bresenham2D): the cell sequence our closed form must reproduce."""
+    cells = []
+    dx, incx = (x2 - x1, 1) if x2 >= x1 else (x1 - x2, -1)
+    dy, incy = (y2 - y1, 1) if y2 >= y1 else (y1 - y2, -1)
+    x, y = x1, y1
+    if dx >= dy:
+        dy2, dx2 = dy * 2, dx * 2
+        balance = dy2 - dx
+        while x != x2:
+            cells.append((x, y))
+            if balance >= 0:
+                y += incy
+                balance -= dx2
+            balance += dy2
+            x += incx
+        cells.append((x, y))
+    else:
+        dx2, dy2 = dx * 2, dy * 2
+        balance = dx2 - dy
+        while y != y2:
+            cells.append((x, y))
+            if balance >= 0:
+                x += incx
+                balance -= dy2
+            balance += dx2
+            y += incy
+        cells.append((x, y))
+    return cells
+
+
+def _bresenham_closed(x1, y1, x2, y2):
+    """The closed form used by los_x_sql/los_y_sql."""
+    dx, dy = abs(x2 - x1), abs(y2 - y1)
+    sx = 1 if x2 >= x1 else -1
+    sy = 1 if y2 >= y1 else -1
+    n = max(dx, dy)
+    out = []
+    for k in range(n + 1):
+        if dx >= dy:
+            x = x1 + sx * k
+            y = y1 if dx == 0 else y1 + sy * int(
+                np.floor((2 * dy * k + dx) / (2 * dx))
+            )
+        else:
+            y = y1 + sy * k
+            x = x1 + sx * int(np.floor((2 * dx * k + dy) / (2 * dy)))
+        out.append((x, y))
+    return out
+
+
+class TestLineOfSight:
+    def test_closed_form_matches_reference_loop(self):
+        """500 random endpoint pairs: the floor closed form visits
+        exactly the reference Bresenham's cells, in order."""
+        rng = np.random.RandomState(7)
+        for _ in range(500):
+            x1, x2 = rng.randint(-40, 40, 2)
+            y1, y2 = rng.randint(-40, 40, 2)
+            assert _bresenham_closed(x1, y1, x2, y2) == _bresenham_ref(
+                x1, y1, x2, y2
+            ), (x1, y1, x2, y2)
+
+    def test_wall_blocks_and_reports_intersection(self, spark):
+        from gdal_spark.operators.viewshed import line_of_sight
+
+        dem = _dem(
+            spark, 40, 40, lambda: F.when(F.col("px") == 20, 50).otherwise(0)
+        ).select("px", "py", "z")
+        pairs = spark.createDataFrame(
+            [
+                (0, 5, 10, 3, 35, 10, 3),   # crosses the wall -> blocked at it
+                (1, 5, 10, 3, 15, 10, 3),   # stops before the wall -> visible
+                (2, 5, 5, 3, 5, 30, 3),     # vertical, no wall -> visible
+                (3, 5, 5, 0, 12, 9, 3),     # observer AT terrain (0 > 0 false)
+            ],
+            "pid int, xa int, ya int, za long, xb int, yb int, zb long",
+        )
+        out = {r.pid: r for r in line_of_sight(dem, pairs).collect()}
+        assert out[0].visible == 0 and (out[0].ix, out[0].iy) == (20, 10)
+        assert out[1].visible == 1 and (out[1].ix, out[1].iy) == (-1, -1)
+        assert out[2].visible == 1
+        # endpoint A fails the strict test -> intersection is A itself
+        assert out[3].visible == 0 and (out[3].ix, out[3].iy) == (5, 5)
+
+    def test_sees_over_wall_with_height(self, spark):
+        from gdal_spark.operators.viewshed import line_of_sight
+
+        dem = _dem(
+            spark, 40, 40, lambda: F.when(F.col("px") == 20, 50).otherwise(0)
+        ).select("px", "py", "z")
+        pairs = spark.createDataFrame(
+            [(0, 5, 10, 120, 35, 10, 120)],
+            "pid int, xa int, ya int, za long, xb int, yb int, zb long",
+        )
+        out = line_of_sight(dem, pairs).collect()[0]
+        assert out.visible == 1
