@@ -4411,6 +4411,173 @@ def q_vshift_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Curve geometry linearization — CIRCULARSTRING (3-point arc) to
+# LineString, OGRGeometryFactory::curveToLineString
+# (ogr/ogrgeometryfactory.cpp:5439) + GetCurveParameters (:5176) +
+# OGRGeometryFactoryStrokeArc (:5277), ADD_INTERMEDIATE_POINT=YES mode.
+# Mirrored op-for-op: the binary-symmetry end swap (:5446
+# OGRGF_NeedSwithArcOrder, output reversed), the dfScale normalization
+# and det test, the circle special case (alpha span 2π), the CW/CCW
+# angle unwrapping, nSteps = max(int(|Δα/step|+0.5), 4), re-derived
+# dfStep, and the (α−αend)·sign < −1e-8 emission guard.  Two documented
+# divergences: α_k = α0 + k·Δ in closed form (the reference accumulates
+# α += Δ — last-ulp drift only), and STEALTH's low-significant-bit
+# angle hiding is not reproduced (a round-tripping encoding, not
+# geometry — the YES mode emits the intermediate point explicitly).
+# The whole pipeline is ONE shared SQL text both engines run (only the
+# explode/unnest spelling differs), so the oracle is bit-exact
+# including cos/sin (verified: JVM and DuckDB libm agree bitwise on the
+# fixture; a mismatch would fail the hash gate loudly).
+# --------------------------------------------------------------------------
+_ARCS_SQL = """
+  SELECT 0 AS arc_id, 1.0e1 AS x0, 1.0e1 AS y0, 1.4e1 AS x1, 1.2e1 AS y1, 1.0e1 AS x2, 1.0e1 AS y2
+  UNION ALL SELECT 1, 0.0e0, 0.0e0, 5.0e0, 5.0e0, 9.0e0, 9.0e0
+  UNION ALL SELECT 2, 3.0e0, 7.0e0, 3.0e0, 7.0e0, 3.0e0, 7.0e0
+  UNION ALL SELECT 3, 1.0e1, 0.0e0, 5.0e0, 5.0e0, 0.0e0, 0.0e0
+  UNION ALL SELECT 4, 0.0e0, 1.0e1, 5.0e0, 5.0e0, 0.0e0, 0.0e0
+  UNION ALL SELECT 5, 0.0e0, 0.0e0, 3.0e0, 4.0e0, 8.0e0, 0.0e0
+  UNION ALL SELECT 6, 2.0e1, 5.0e0, 1.7e1, 9.0e0, 1.4e1, 5.0e0
+  UNION ALL SELECT 7, -5.0e0, -5.0e0, 0.0e0, 3.0e0, 5.0e0, -5.0e0
+  UNION ALL SELECT 8, 1.0e2, 5.0e1, 1.04e2, 5.4e1, 1.08e2, 5.0e1
+  UNION ALL SELECT 9, 7.0e0, 2.0e0, 9.0e0, 7.0e0, 4.0e0, 9.0e0
+"""
+
+# {k1} / {k2}: dialect explode of 1..ns1 / 1..ns2
+_CURVE_TAIL = """
+sw AS (
+  SELECT arc_id,
+         CASE WHEN x0 < x2 OR (x0 = x2 AND y0 < y2) THEN 1 ELSE 0 END AS sw,
+         CASE WHEN x0 < x2 OR (x0 = x2 AND y0 < y2) THEN x2 ELSE x0 END AS ax0,
+         CASE WHEN x0 < x2 OR (x0 = x2 AND y0 < y2) THEN y2 ELSE y0 END AS ay0,
+         x1 AS ax1, y1 AS ay1,
+         CASE WHEN x0 < x2 OR (x0 = x2 AND y0 < y2) THEN x0 ELSE x2 END AS ax2,
+         CASE WHEN x0 < x2 OR (x0 = x2 AND y0 < y2) THEN y0 ELSE y2 END AS ay2
+  FROM arcs
+),
+nrm AS (
+  SELECT *, greatest(abs(ax1 - ax0), abs(ay1 - ay0),
+                     abs(ax2 - ax1), abs(ay2 - ay1)) AS scl
+  FROM sw
+),
+sd AS (
+  SELECT *, CASE WHEN scl > 0.0e0 THEN 1.0e0 / scl ELSE 0.0e0 END AS inv
+  FROM nrm
+),
+sd2 AS (
+  SELECT *, (ax1 - ax0) * inv AS sdx01, (ay1 - ay0) * inv AS sdy01,
+            (ax2 - ax1) * inv AS sdx12, (ay2 - ay1) * inv AS sdy12
+  FROM sd
+),
+dt AS (SELECT *, sdx01 * sdy12 - sdx12 * sdy01 AS det FROM sd2),
+cls AS (
+  SELECT *,
+    CASE WHEN ax0 = ax2 AND ay0 = ay2 AND (ax0 <> ax1 OR ay0 <> ay1) THEN 1
+         WHEN ax0 = ax2 AND ay0 = ay2 THEN -1
+         WHEN abs(det) < 1.0e-8 THEN 0
+         ELSE 2 END AS kind
+  FROM dt
+),
+cc AS (
+  SELECT *, sdx01 * ((ax0 + ax1) * inv) + sdy01 * ((ay0 + ay1) * inv) AS c01,
+            sdx12 * ((ax1 + ax2) * inv) + sdy12 * ((ay1 + ay2) * inv) AS c12
+  FROM cls
+),
+ctr AS (
+  SELECT *,
+    CASE WHEN kind = 1 THEN (ax0 + ax1) / 2.0e0
+         WHEN kind = 2 THEN 5.0e-1 * scl * (c01 * sdy12 - c12 * sdy01) / det
+         ELSE 0.0e0 END AS cx,
+    CASE WHEN kind = 1 THEN (ay0 + ay1) / 2.0e0
+         WHEN kind = 2 THEN 5.0e-1 * scl * (c12 * sdx01 - c01 * sdx12) / det
+         ELSE 0.0e0 END AS cy
+  FROM cc
+),
+rr AS (
+  SELECT *,
+    CASE WHEN kind >= 1
+         THEN sqrt((cx - ax0) * (cx - ax0) + (cy - ay0) * (cy - ay0))
+         ELSE 0.0e0 END AS R,
+    CASE WHEN kind = 1 THEN atan2(ay0 - cy, ax0 - cx)
+         WHEN kind = 2 THEN atan2((ay0 - cy) * inv, (ax0 - cx) * inv)
+         ELSE 0.0e0 END AS a0,
+    CASE WHEN kind = 2 THEN atan2((ay1 - cy) * inv, (ax1 - cx) * inv)
+         ELSE 0.0e0 END AS a1r,
+    CASE WHEN kind = 2 THEN atan2((ay2 - cy) * inv, (ax2 - cx) * inv)
+         ELSE 0.0e0 END AS a2r
+  FROM ctr
+),
+ang AS (
+  SELECT *,
+    CASE WHEN kind = 1 THEN a0 + pi()
+         WHEN kind = 2 AND det < 0.0e0 AND a1r > a0 THEN a1r - 2.0e0 * pi()
+         WHEN kind = 2 AND det >= 0.0e0 AND a1r < a0 THEN a1r + 2.0e0 * pi()
+         WHEN kind = 2 THEN a1r ELSE 0.0e0 END AS a1
+  FROM rr
+),
+ang2 AS (
+  SELECT *,
+    CASE WHEN kind = 1 THEN a0 + 2.0e0 * pi()
+         WHEN kind = 2 AND det < 0.0e0 AND a2r > a1 THEN a2r - 2.0e0 * pi()
+         WHEN kind = 2 AND det >= 0.0e0 AND a2r < a1 THEN a2r + 2.0e0 * pi()
+         WHEN kind = 2 THEN a2r ELSE 0.0e0 END AS a2
+  FROM ang
+),
+stp AS (
+  SELECT *, CASE WHEN a1 >= a0 THEN 1.0e0 ELSE -1.0e0 END AS ns,
+            (4.0e0 / 1.8e2) * pi() AS step0
+  FROM ang2
+),
+stk AS (
+  SELECT *,
+    greatest(CAST(floor(abs((a1 - a0) / step0) + 5.0e-1) AS INT), 4) AS ns1,
+    greatest(CAST(floor(abs((a2 - a1) / step0) + 5.0e-1) AS INT), 4) AS ns2
+  FROM stp
+),
+stk2 AS (
+  SELECT *, ns * abs((a1 - a0) / CAST(ns1 AS DOUBLE)) AS d1,
+            ns * abs((a2 - a1) / CAST(ns2 AS DOUBLE)) AS d2
+  FROM stk
+),
+pts AS (
+  SELECT arc_id, sw, 0.0e0 AS ord, ax0 AS x, ay0 AS y FROM stk2
+  UNION ALL
+  SELECT arc_id, sw, 1.0e3 + k, cx + R * cos(a0 + k * d1), cy + R * sin(a0 + k * d1)
+  FROM (SELECT *, {k1} AS k FROM stk2) t
+  WHERE (a0 + k * d1 - a1) * ns < -1.0e-8
+  UNION ALL
+  SELECT arc_id, sw, 2.0e3, ax1, ay1 FROM stk2
+  UNION ALL
+  SELECT arc_id, sw, 3.0e3 + k, cx + R * cos(a1 + k * d2), cy + R * sin(a1 + k * d2)
+  FROM (SELECT *, {k2} AS k FROM stk2) t
+  WHERE (a1 + k * d2 - a2) * ns < -1.0e-8
+  UNION ALL
+  SELECT arc_id, sw, 4.0e3, ax2, ay2 FROM stk2
+)
+SELECT arc_id,
+       CAST(row_number() OVER (PARTITION BY arc_id
+                               ORDER BY CASE WHEN sw = 1 THEN -ord ELSE ord END)
+            - 1 AS INT) AS seq,
+       x, y
+FROM pts
+"""
+
+_CURVE_ORACLE = "WITH arcs AS (" + _ARCS_SQL + "), " + _CURVE_TAIL.format(
+    k1="unnest(generate_series(1, CAST(ns1 AS BIGINT)))",
+    k2="unnest(generate_series(1, CAST(ns2 AS BIGINT)))",
+)
+
+
+@register("curve_to_line", _CURVE_ORACLE)
+def q_curve_to_line(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CIRCULARSTRING arcs -> stroked LineString vertices; the arc dim
+    table broadcasts, the fan-out is a JVM sequence+explode."""
+    tail = _CURVE_TAIL.format(
+        k1="explode(sequence(1, ns1))", k2="explode(sequence(1, ns2))"
+    )
+    return spark.sql("WITH arcs AS (" + _ARCS_SQL + "), " + tail)
+
+
+# --------------------------------------------------------------------------
 # Footprint (apps/gdal_footprint_lib.cpp): polygon footprint of the mask
 # pixels with -min_ring_area hole filtering.  Closed-form fixture: two
 # rectangles plus a donut whose second (tiny) hole falls under the area

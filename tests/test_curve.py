@@ -1,0 +1,118 @@
+"""Curve linearization (curve_to_line): geometric invariants of the
+stroked arcs.  Bit-exactness vs DuckDB is covered by the auto contract
+test (registry 'curve_to_line'); these tests pin the properties the
+reference guarantees (ogr/ogrgeometryfactory.cpp:5439)."""
+
+import math
+
+import duckdb
+import pytest
+
+from gdal_spark.registry import _ARCS_SQL, _CURVE_ORACLE
+
+
+@pytest.fixture(scope="module")
+def rows():
+    con = duckdb.connect()
+    out = con.execute(_CURVE_ORACLE + " ORDER BY arc_id, seq").fetchall()
+    by_arc = {}
+    for arc_id, seq, x, y in out:
+        by_arc.setdefault(arc_id, []).append((x, y))
+    return by_arc
+
+
+@pytest.fixture(scope="module")
+def arcs():
+    con = duckdb.connect()
+    return {
+        r[0]: r[1:]
+        for r in con.execute(_ARCS_SQL).fetchall()  # (x0,y0,x1,y1,x2,y2)
+    }
+
+
+def _circle(p0, p1, p2):
+    """Circumcenter + radius (independent formula, not the reference's)."""
+    ax, ay = p0
+    bx, by = p1
+    cx, cy = p2
+    d = 2 * (ax * (by - cy) + bx * (cy - ay) + cx * (ay - by))
+    ux = (
+        (ax * ax + ay * ay) * (by - cy)
+        + (bx * bx + by * by) * (cy - ay)
+        + (cx * cx + cy * cy) * (ay - by)
+    ) / d
+    uy = (
+        (ax * ax + ay * ay) * (cx - bx)
+        + (bx * bx + by * by) * (ax - cx)
+        + (cx * cx + cy * cy) * (bx - ax)
+    ) / d
+    return ux, uy, math.hypot(ax - ux, ay - uy)
+
+
+class TestCurveToLine:
+    def test_endpoints_and_intermediate_exact(self, rows, arcs):
+        for arc_id, pts in rows.items():
+            x0, y0, x1, y1, x2, y2 = arcs[arc_id]
+            assert pts[0] == (x0, y0)
+            assert pts[-1] == (x2, y2)
+            assert (x1, y1) in pts  # ADD_INTERMEDIATE_POINT=YES
+
+    def test_stroked_points_on_circle(self, rows, arcs):
+        """Every emitted vertex of a true arc lies on the circumcircle
+        (checked against an independent circumcenter formula)."""
+        for arc_id, pts in rows.items():
+            x0, y0, x1, y1, x2, y2 = arcs[arc_id]
+            if len(pts) <= 3 or (x0, y0) == (x2, y2):
+                continue  # collinear/degenerate/full-circle handled below
+            cx, cy, r = _circle((x0, y0), (x1, y1), (x2, y2))
+            for x, y in pts:
+                assert abs(math.hypot(x - cx, y - cy) - r) < 1e-9 * max(r, 1)
+
+    def test_full_circle_on_circle_and_closed(self, rows, arcs):
+        x0, y0, x1, y1, x2, y2 = arcs[0]
+        pts = rows[0]
+        assert pts[0] == pts[-1] == (x0, y0)
+        cx, cy = (x0 + x1) / 2, (y0 + y1) / 2
+        r = math.hypot(x0 - cx, y0 - cy)
+        for x, y in pts:
+            assert abs(math.hypot(x - cx, y - cy) - r) < 1e-9
+        # 4-degree default step over 360 degrees: 91 vertices
+        assert len(pts) == 91
+
+    def test_angle_step_bounded(self, rows, arcs):
+        """Consecutive vertices never subtend more than the 4-degree
+        hint's true bound: nSteps = int(|span/step| + 0.5) may round
+        DOWN (the reference documents the step as a hint), and with
+        nSteps >= 4 the worst stretch is 4 * (n + 0.5)/n <= 4.5 deg."""
+        for arc_id, pts in rows.items():
+            x0, y0, x1, y1, x2, y2 = arcs[arc_id]
+            if len(pts) <= 3:
+                continue
+            if (x0, y0) == (x2, y2):
+                cx, cy = (x0 + x1) / 2, (y0 + y1) / 2
+            else:
+                cx, cy, _ = _circle((x0, y0), (x1, y1), (x2, y2))
+            for (xa, ya), (xb, yb) in zip(pts, pts[1:]):
+                va = math.atan2(ya - cy, xa - cx)
+                vb = math.atan2(yb - cy, xb - cx)
+                d = abs(vb - va)
+                d = min(d, 2 * math.pi - d)
+                assert d <= math.radians(4.0) * 1.125 + 1e-9
+
+    def test_reversed_arc_is_binary_symmetric(self):
+        """The reference guarantees reversed endpoints (same
+        intermediate) produce the bitwise-reversed vertex list
+        (ogrgeometryfactory.cpp:5446 canonical end ordering)."""
+        con = duckdb.connect()
+        tail = _CURVE_ORACLE.split("), ", 1)[1]
+        fwd = "SELECT 0 AS arc_id, 1.0e1 AS x0, 0.0e0 AS y0, 5.0e0 AS x1, 5.0e0 AS y1, 0.0e0 AS x2, 0.0e0 AS y2"
+        rev = "SELECT 0 AS arc_id, 0.0e0 AS x0, 0.0e0 AS y0, 5.0e0 AS x1, 5.0e0 AS y1, 1.0e1 AS x2, 0.0e0 AS y2"
+        a = con.execute(
+            "WITH arcs AS (" + fwd + "), " + tail + " ORDER BY seq"
+        ).fetchall()
+        b = con.execute(
+            "WITH arcs AS (" + rev + "), " + tail + " ORDER BY seq"
+        ).fetchall()
+        assert [(x, y) for _, _, x, y in a] == [
+            (x, y) for _, _, x, y in reversed(b)
+        ]
