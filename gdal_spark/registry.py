@@ -4578,6 +4578,75 @@ def q_curve_to_line(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Embedding clustering (training-data pipeline, SemDeDup-style): K-means
+# over the embeddings table, 3 unrolled Lloyd iterations on an INTEGER
+# lattice — embeddings quantized to milli-units and centroids to
+# micro-units each round, so every distance is an exact BIGINT sum:
+# bit-identical under ANY aggregation order (the property float k-means
+# lacks, and what makes a distributed run reproducible AND a SQL oracle
+# possible; the fixed-point rounding is the documented divergence from
+# float Lloyd).  Init = the first K vectors.  Per iteration: one
+# broadcast-sized centroid join + two aggregations; the vector side
+# shuffles only on (vec_id) / (cid, d) keys.  Empty clusters keep their
+# previous centroid (deterministic).
+# --------------------------------------------------------------------------
+_KM_K = 8
+_KM_DIMS = 64
+_KM_ITERS = 3
+
+
+def _kmeans_sql(dims_join: str, elem: str) -> str:
+    """Shared CTE chain; ``dims_join``/``elem`` are the dialect's
+    dim-explode spelling (the only non-shared text)."""
+    ctes = [
+        f"q AS (SELECT vec_id, d, CAST(floor(1.0e3 * CAST({elem} AS DOUBLE))"
+        f" AS BIGINT) AS p FROM embeddings {dims_join})",
+        f"c0 AS (SELECT vec_id AS cid, d, 1000 * p AS c FROM q"
+        f" WHERE vec_id < {_KM_K})",
+    ]
+    for i in range(1, _KM_ITERS + 1):
+        prev = f"c{i - 1}"
+        ctes += [
+            f"a{i} AS (SELECT q.vec_id, c.cid,"
+            f" SUM((1000 * q.p - c.c) * (1000 * q.p - c.c)) AS d2"
+            f" FROM q JOIN {prev} c ON q.d = c.d GROUP BY q.vec_id, c.cid)",
+            f"b{i} AS (SELECT vec_id, cid, d2, row_number() OVER"
+            f" (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM a{i})",
+            f"m{i} AS (SELECT vec_id, cid FROM b{i} WHERE rn = 1)",
+            f"s{i} AS (SELECT m.cid, q.d, SUM(q.p) AS s, COUNT(*) AS n"
+            f" FROM q JOIN m{i} m ON q.vec_id = m.vec_id GROUP BY m.cid, q.d)",
+            f"c{i} AS (SELECT pc.cid, pc.d,"
+            f" COALESCE(CAST(floor(CAST(1000 * s.s AS DOUBLE)"
+            f" / CAST(s.n AS DOUBLE)) AS BIGINT), pc.c) AS c"
+            f" FROM {prev} pc LEFT JOIN s{i} s"
+            f" ON pc.cid = s.cid AND pc.d = s.d)",
+        ]
+    last = _KM_ITERS
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT vec_id,"
+        f" CAST(cid AS BIGINT) AS cluster_id, CAST(d2 AS BIGINT) AS dist2"
+        f" FROM b{last} WHERE rn = 1"
+    )
+
+
+_KMEANS_ORACLE = _kmeans_sql(
+    dims_join=f", range(1, {_KM_DIMS + 1}) t(d)", elem="embedding[d]"
+)
+
+
+@register("kmeans_embed", _KMEANS_ORACLE)
+def q_kmeans_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e.createOrReplaceTempView("embeddings")
+    return spark.sql(
+        _kmeans_sql(
+            dims_join=f"LATERAL VIEW explode(sequence(1, {_KM_DIMS})) t AS d",
+            elem="element_at(embedding, d)",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Footprint (apps/gdal_footprint_lib.cpp): polygon footprint of the mask
 # pixels with -min_ring_area hole filtering.  Closed-form fixture: two
 # rectangles plus a donut whose second (tiny) hole falls under the area
