@@ -4595,12 +4595,13 @@ _KM_DIMS = 64
 _KM_ITERS = 3
 
 
-def _kmeans_sql(dims_join: str, elem: str) -> str:
-    """Shared CTE chain; ``dims_join``/``elem`` are the dialect's
-    dim-explode spelling (the only non-shared text)."""
+def _kmeans_ctes(dims_join: str, elem: str, table: str = "embeddings") -> list[str]:
+    """Shared CTE chain ending in m{ITERS}(vec_id, cid) / b{ITERS};
+    ``dims_join``/``elem`` are the dialect's dim-explode spelling (the
+    only non-shared text)."""
     ctes = [
         f"q AS (SELECT vec_id, d, CAST(floor(1.0e3 * CAST({elem} AS DOUBLE))"
-        f" AS BIGINT) AS p FROM embeddings {dims_join})",
+        f" AS BIGINT) AS p FROM {table} {dims_join})",
         f"c0 AS (SELECT vec_id AS cid, d, 1000 * p AS c FROM q"
         f" WHERE vec_id < {_KM_K})",
     ]
@@ -4621,11 +4622,14 @@ def _kmeans_sql(dims_join: str, elem: str) -> str:
             f" FROM {prev} pc LEFT JOIN s{i} s"
             f" ON pc.cid = s.cid AND pc.d = s.d)",
         ]
-    last = _KM_ITERS
+    return ctes
+
+
+def _kmeans_sql(dims_join: str, elem: str) -> str:
     return (
-        "WITH " + ",\n".join(ctes) + f"\nSELECT vec_id,"
-        f" CAST(cid AS BIGINT) AS cluster_id, CAST(d2 AS BIGINT) AS dist2"
-        f" FROM b{last} WHERE rn = 1"
+        "WITH " + ",\n".join(_kmeans_ctes(dims_join, elem))
+        + f"\nSELECT vec_id, CAST(cid AS BIGINT) AS cluster_id,"
+        f" CAST(d2 AS BIGINT) AS dist2 FROM b{_KM_ITERS} WHERE rn = 1"
     )
 
 
@@ -4634,16 +4638,76 @@ _KMEANS_ORACLE = _kmeans_sql(
 )
 
 
+_KM_SPARK_DIMS = f"LATERAL VIEW explode(sequence(1, {_KM_DIMS})) t AS d"
+_KM_SPARK_ELEM = "element_at(embedding, d)"
+_KM_DUCK_DIMS = f", range(1, {_KM_DIMS + 1}) t(d)"
+_KM_DUCK_ELEM = "embedding[d]"
+
+
 @register("kmeans_embed", _KMEANS_ORACLE)
 def q_kmeans_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     e.createOrReplaceTempView("embeddings")
-    return spark.sql(
-        _kmeans_sql(
-            dims_join=f"LATERAL VIEW explode(sequence(1, {_KM_DIMS})) t AS d",
-            elem="element_at(embedding, d)",
-        )
+    return spark.sql(_kmeans_sql(_KM_SPARK_DIMS, _KM_SPARK_ELEM))
+
+
+# --------------------------------------------------------------------------
+# SemDeDup (training-data pipeline): semantic dedup = k-means clusters,
+# then EXACT cosine near-dup detection ONLY within each cluster (the
+# SemDeDup design point: pairwise work is O(sum of cluster sizes²), not
+# corpus²), min-id keeper.  The cosine threshold test is pure int64:
+# with centi-quantized components, cos(a,b) >= 0.95 AND dot > 0  <=>
+# 10000·dot² >= 9025·|a|²·|b|²  (all exact — max |10000·dot²| ≈ 6.7e16
+# and |9025·na²·nb²| ≈ 6.0e16 fit int64), so the pipeline is
+# bit-reproducible end-to-end under any shuffle order.
+# --------------------------------------------------------------------------
+def _semdedup_sql(dims_join: str, elem: str) -> str:
+    # the synthetic corpus has no semantic near-dups (max pairwise
+    # cosine 0.51), so clones of every 25th vector are planted in-query
+    # (same expression both engines) — cos = 1 with their source, which
+    # proves the removal path; organic vectors all survive
+    ctes = [
+        "embx AS (SELECT vec_id, embedding FROM embeddings"
+        " UNION ALL SELECT vec_id + 1000000 AS vec_id, embedding"
+        " FROM embeddings WHERE vec_id % 25 = 0)"
+    ]
+    ctes += _kmeans_ctes(dims_join, elem, table="embx")
+    m = f"m{_KM_ITERS}"
+    ctes += [
+        f"pc AS (SELECT vec_id, d, CAST(floor(1.0e2 * CAST({elem} AS DOUBLE))"
+        f" AS BIGINT) AS v FROM embx {dims_join})",
+        "nrm2 AS (SELECT vec_id, SUM(v * v) AS n2 FROM pc GROUP BY vec_id)",
+        f"pair AS (SELECT ma.vec_id AS ida, mb.vec_id AS idb,"
+        f" SUM(pa.v * pb.v) AS dot"
+        f" FROM {m} ma JOIN {m} mb ON ma.cid = mb.cid"
+        f" AND ma.vec_id < mb.vec_id"
+        f" JOIN pc pa ON pa.vec_id = ma.vec_id"
+        f" JOIN pc pb ON pb.vec_id = mb.vec_id AND pb.d = pa.d"
+        f" GROUP BY ma.vec_id, mb.vec_id)",
+        "dup AS (SELECT p.ida, p.idb FROM pair p"
+        " JOIN nrm2 na ON na.vec_id = p.ida"
+        " JOIN nrm2 nb ON nb.vec_id = p.idb"
+        " WHERE p.dot > 0 AND 10000 * p.dot * p.dot >= 9025 * na.n2 * nb.n2)",
+        f"wit AS (SELECT idb AS vec_id, MIN(ida) AS witness FROM dup"
+        f" GROUP BY idb)",
+    ]
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT m.vec_id, CAST(m.cid AS BIGINT) AS cluster_id,"
+        f" CAST(CASE WHEN w.witness IS NULL THEN 1 ELSE 0 END AS INT) AS keep,"
+        f" CAST(COALESCE(w.witness, -1) AS BIGINT) AS witness"
+        f" FROM {m} m LEFT JOIN wit w ON m.vec_id = w.vec_id"
     )
+
+
+_SEMDEDUP_ORACLE = _semdedup_sql(_KM_DUCK_DIMS, _KM_DUCK_ELEM)
+
+
+@register("semdedup", _SEMDEDUP_ORACLE)
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e.createOrReplaceTempView("embeddings")
+    return spark.sql(_semdedup_sql(_KM_SPARK_DIMS, _KM_SPARK_ELEM))
 
 
 # --------------------------------------------------------------------------
