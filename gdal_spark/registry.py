@@ -825,6 +825,48 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Interleaved span-sequence statistics: the engine's primary input shape
+# (BASELINE.json input_hint: spans array<struct<kind,text,media_ref,
+# offset>>) interrogated declaratively — per doc, span counts by kind,
+# total text length across text spans, the media ref, and the offset
+# sequence, all via JVM higher-order functions (filter/transform/
+# aggregate) over the span array: zero shuffle, zero Python.  The
+# oracle RECONSTRUCTS every figure independently from the base
+# documents table (the span builder splits text at 40 chars, so the two
+# text spans must sum back to length(text)), which checks the span
+# plumbing itself, not just a tautology.
+# --------------------------------------------------------------------------
+_SPAN_KINDS_ORACLE = """
+SELECT doc_id,
+       CAST(4 AS INT) AS n_spans,
+       CAST(2 AS INT) AS n_text,
+       CAST(1 AS INT) AS n_geom,
+       CAST(1 AS INT) AS n_media,
+       CAST(length(text) AS BIGINT) AS text_len_sum,
+       'media://' || CAST(doc_id AS VARCHAR(20)) || '/2' AS media_ref,
+       '0,1,2,3' AS offsets_csv
+FROM documents
+"""
+
+
+@register("span_kinds", _SPAN_KINDS_ORACLE)
+def q_span_kinds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = corpus.load_docs(spark, sf_dir)
+    return d.selectExpr(
+        "doc_id",
+        "CAST(size(spans) AS INT) AS n_spans",
+        "CAST(size(filter(spans, s -> s.kind = 'text')) AS INT) AS n_text",
+        "CAST(size(filter(spans, s -> s.kind = 'geom')) AS INT) AS n_geom",
+        "CAST(size(filter(spans, s -> s.kind = 'media')) AS INT) AS n_media",
+        "aggregate(filter(spans, s -> s.kind = 'text'), CAST(0 AS BIGINT),"
+        " (a, s) -> a + length(s.text)) AS text_len_sum",
+        "filter(spans, s -> s.kind = 'media')[0].media_ref AS media_ref",
+        "array_join(transform(spans, s -> CAST(s.offset AS STRING)), ',')"
+        " AS offsets_csv",
+    )
+
+
+# --------------------------------------------------------------------------
 # Cross-doc duplicated-span fraction (training-data pipeline): the
 # RefinedWeb/Dolma dedup diagnostic — per doc, the fraction of its word
 # 5-gram spans that also occur in ANOTHER document.  Grams are JVM
@@ -4442,8 +4484,9 @@ _ARCS_SQL = """
   UNION ALL SELECT 9, 7.0e0, 2.0e0, 9.0e0, 7.0e0, 4.0e0, 9.0e0
 """
 
-# {k1} / {k2}: dialect explode of 1..ns1 / 1..ns2
-_CURVE_TAIL = """
+# parameter CTEs (through the unwrapped angles) — shared by the stroker
+# and by the curve-area query
+_CURVE_PARAMS = """
 sw AS (
   SELECT arc_id,
          CASE WHEN x0 < x2 OR (x0 = x2 AND y0 < y2) THEN 1 ELSE 0 END AS sw,
@@ -4521,7 +4564,11 @@ ang2 AS (
          WHEN kind = 2 AND det >= 0.0e0 AND a2r < a1 THEN a2r + 2.0e0 * pi()
          WHEN kind = 2 THEN a2r ELSE 0.0e0 END AS a2
   FROM ang
-),
+)
+"""
+
+# {k1} / {k2}: dialect explode of 1..ns1 / 1..ns2
+_CURVE_EMIT = """
 stp AS (
   SELECT *, CASE WHEN a1 >= a0 THEN 1.0e0 ELSE -1.0e0 END AS ns,
             (4.0e0 / 1.8e2) * pi() AS step0
@@ -4561,6 +4608,8 @@ SELECT arc_id,
 FROM pts
 """
 
+_CURVE_TAIL = _CURVE_PARAMS + ",\n" + _CURVE_EMIT
+
 _CURVE_ORACLE = "WITH arcs AS (" + _ARCS_SQL + "), " + _CURVE_TAIL.format(
     k1="unnest(generate_series(1, CAST(ns1 AS BIGINT)))",
     k2="unnest(generate_series(1, CAST(ns2 AS BIGINT)))",
@@ -4575,6 +4624,66 @@ def q_curve_to_line(spark: SparkSession, sf_dir: str) -> DataFrame:
         k1="explode(sequence(1, ns1))", k2="explode(sequence(1, ns2))"
     )
     return spark.sql("WITH arcs AS (" + _ARCS_SQL + "), " + tail)
+
+
+# --------------------------------------------------------------------------
+# Exact area of closed curve geometries — OGRCircularString::get_Area
+# (ogr/ogrcircularstring.cpp:846) + OGRCurvePolygon::get_Area: full
+# circle = π·R², convex closed curves = control-polygon shoelace
+# (OGRSimpleCurve::get_LinearArea, sequential accumulation unrolled
+# verbatim) + per-arc circular-segment areas 0.5·R²·|Δ01−sinΔ01+Δ12−
+# sinΔ12| (get_AreaOfCurveSegments, ogrcircularstring.cpp:808 — the
+# en.wikipedia circular-segment identity).  Fixtures are a full circle
+# and two 2-arc convex lenses (convexity pinned in tests, so the convex
+# branch is statically correct; curves are capped at two arcs so the
+# floating sum of segment parts stays order-commutative and therefore
+# shuffle-order-proof).
+# --------------------------------------------------------------------------
+_CAREA_ARCS = """
+  SELECT 0 AS arc_id, 1.0e1 AS x0, 1.0e1 AS y0, 1.4e1 AS x1, 1.2e1 AS y1, 1.0e1 AS x2, 1.0e1 AS y2
+  UNION ALL SELECT 1, 0.0e0, 0.0e0, 5.0e0, -2.0e0, 1.0e1, 0.0e0
+  UNION ALL SELECT 2, 1.0e1, 0.0e0, 5.0e0, 2.0e0, 0.0e0, 0.0e0
+  UNION ALL SELECT 3, 2.0e1, 0.0e0, 2.2e1, 5.0e0, 2.0e1, 1.0e1
+  UNION ALL SELECT 4, 2.0e1, 1.0e1, 1.8e1, 5.0e0, 2.0e1, 0.0e0
+"""
+
+# control-polygon shoelace, unrolled in the reference's accumulation
+# order: x0(y1-y4) + x1(y2-y0) + x2(y3-y1) + x3(y4-y2) + x4(y0-y3)
+_CAREA_LS = {
+    1: (
+        "5.0e-1 * abs(((((0.0e0 * (-2.0e0 - 0.0e0) + 5.0e0 * (0.0e0 - 0.0e0))"
+        " + 1.0e1 * (2.0e0 - -2.0e0)) + 5.0e0 * (0.0e0 - 0.0e0))"
+        " + 0.0e0 * (0.0e0 - 2.0e0)))"
+    ),
+    2: (
+        "5.0e-1 * abs(((((2.0e1 * (5.0e0 - 0.0e0) + 2.2e1 * (1.0e1 - 0.0e0))"
+        " + 2.0e1 * (5.0e0 - 5.0e0)) + 1.8e1 * (0.0e0 - 1.0e1))"
+        " + 2.0e1 * (0.0e0 - 5.0e0)))"
+    ),
+}
+
+_CAREA_SQL = f"""WITH arcs AS ({_CAREA_ARCS}),
+{_CURVE_PARAMS.strip()},
+seg AS (
+  SELECT CASE WHEN arc_id = 0 THEN 0 WHEN arc_id <= 2 THEN 1 ELSE 2 END AS curve_id,
+         CASE WHEN kind = 1 THEN pi() * R * R
+              WHEN kind = 2 THEN 5.0e-1 * R * R *
+                   abs((a1 - a0) - sin(a1 - a0) + (a2 - a1) - sin(a2 - a1))
+              ELSE 0.0e0 END AS a_part
+  FROM ang2
+),
+tot AS (SELECT curve_id, SUM(a_part) AS seg_sum FROM seg GROUP BY curve_id)
+SELECT curve_id,
+       CASE WHEN curve_id = 0 THEN seg_sum
+            WHEN curve_id = 1 THEN {_CAREA_LS[1]} + seg_sum
+            ELSE {_CAREA_LS[2]} + seg_sum END AS area
+FROM tot
+"""
+
+
+@register("st_curve_area", _CAREA_SQL)
+def q_st_curve_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(_CAREA_SQL)
 
 
 # --------------------------------------------------------------------------

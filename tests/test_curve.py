@@ -99,6 +99,55 @@ class TestCurveToLine:
                 d = min(d, 2 * math.pi - d)
                 assert d <= math.radians(4.0) * 1.125 + 1e-9
 
+    def test_curve_area_vs_independent_formulas(self):
+        """st_curve_area vs closed forms derived independently: full
+        circle pi*R^2; lens = 2 segments of R = (s^2+(c/2)^2)/(2s) with
+        theta = 2*asin((c/2)/R), plus the control-polygon rhombus."""
+        from gdal_spark.registry import _CAREA_SQL
+
+        con = duckdb.connect()
+        out = dict(
+            (r[0], r[1]) for r in con.execute(_CAREA_SQL).fetchall()
+        )
+        assert abs(out[0] - 5 * math.pi) < 1e-12
+        R = (2**2 + 5**2) / (2 * 2)  # chord 10, sagitta 2
+        theta = 2 * math.asin(5 / R)
+        lens = 2 * (R * R / 2) * (theta - math.sin(theta))
+        # reference decomposition: rhombus (area 20) + 4 sliver segments
+        # equals the pure 2-segment lens formula
+        assert abs(out[1] - lens) < 1e-10
+        assert abs(out[2] - lens) < 1e-10
+
+    def test_curve_area_fixtures_are_convex(self):
+        """The area query hardcodes the reference's convex branch; pin
+        that the stroked lens outlines really are convex (all turns one
+        sign), so the branch choice is statically right."""
+        from gdal_spark.registry import _CAREA_ARCS, _CURVE_TAIL
+
+        con = duckdb.connect()
+        tail = _CURVE_TAIL.format(
+            k1="unnest(generate_series(1, CAST(ns1 AS BIGINT)))",
+            k2="unnest(generate_series(1, CAST(ns2 AS BIGINT)))",
+        )
+        pts = con.execute(
+            "WITH arcs AS (" + _CAREA_ARCS + "), " + tail + " ORDER BY arc_id, seq"
+        ).fetchall()
+        for lo, hi in [(1, 2), (3, 4)]:  # the two lenses' arc pairs
+            ring = [(x, y) for aid, _, x, y in pts if lo <= aid <= hi]
+            ring = [p for i, p in enumerate(ring) if i == 0 or p != ring[i - 1]]
+            if ring[0] == ring[-1]:
+                ring = ring[:-1]
+            signs = set()
+            n = len(ring)
+            for i in range(n):
+                ax, ay = ring[i]
+                bx, by = ring[(i + 1) % n]
+                cx, cy = ring[(i + 2) % n]
+                cr = (bx - ax) * (cy - by) - (by - ay) * (cx - bx)
+                if abs(cr) > 1e-12:
+                    signs.add(cr > 0)
+            assert len(signs) == 1, f"arcs {lo}-{hi} not convex"
+
     def test_reversed_arc_is_binary_symmetric(self):
         """The reference guarantees reversed endpoints (same
         intermediate) produce the bitwise-reversed vertex list
