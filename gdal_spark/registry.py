@@ -4600,6 +4600,9 @@ pts AS (
   UNION ALL
   SELECT arc_id, sw, 4.0e3, ax2, ay2 FROM stk2
 )
+"""
+
+_CURVE_FINAL = """
 SELECT arc_id,
        CAST(row_number() OVER (PARTITION BY arc_id
                                ORDER BY CASE WHEN sw = 1 THEN -ord ELSE ord END)
@@ -4608,7 +4611,7 @@ SELECT arc_id,
 FROM pts
 """
 
-_CURVE_TAIL = _CURVE_PARAMS + ",\n" + _CURVE_EMIT
+_CURVE_TAIL = _CURVE_PARAMS + ",\n" + _CURVE_EMIT + _CURVE_FINAL
 
 _CURVE_ORACLE = "WITH arcs AS (" + _ARCS_SQL + "), " + _CURVE_TAIL.format(
     k1="unnest(generate_series(1, CAST(ns1 AS BIGINT)))",
@@ -4624,6 +4627,72 @@ def q_curve_to_line(spark: SparkSession, sf_dir: str) -> DataFrame:
         k1="explode(sequence(1, ns1))", k2="explode(sequence(1, ns2))"
     )
     return spark.sql("WITH arcs AS (" + _ARCS_SQL + "), " + tail)
+
+
+# --------------------------------------------------------------------------
+# COMPOUNDCURVE linearization — OGRCompoundCurve::CurveToLine
+# (ogr/ogrcompoundcurve.cpp): each member curve is stroked (arcs via
+# curveToLineString, straight segments pass through) and concatenated,
+# skipping the first point of every segment after the first (the shared
+# joint vertex).  Fixtures: line+arc+line, and arc+arc.  Segment order
+# and joint dedup are the compound-specific behavior under test; the
+# arc kernel is the oracle-proven curve_to_line machinery (arc_id =
+# cmp_id·100 + seg_idx rides through it).
+# --------------------------------------------------------------------------
+_CMP_SEGS = """
+  SELECT 0 AS cmp_id, 0 AS seg_idx, 'line' AS seg_type,
+         0.0e0 AS x0, 0.0e0 AS y0, 5.0e0 AS x1, 0.0e0 AS y1, 1.0e1 AS x2, 0.0e0 AS y2
+  UNION ALL SELECT 0, 1, 'arc', 1.0e1, 0.0e0, 1.5e1, 5.0e0, 2.0e1, 0.0e0
+  UNION ALL SELECT 0, 2, 'line', 2.0e1, 0.0e0, 2.2e1, 0.0e0, 2.5e1, 0.0e0
+  UNION ALL SELECT 1, 0, 'arc', 0.0e0, 2.0e1, 4.0e0, 2.4e1, 8.0e0, 2.0e1
+  UNION ALL SELECT 1, 1, 'arc', 8.0e0, 2.0e1, 1.2e1, 1.6e1, 1.6e1, 2.0e1
+"""
+
+_COMPOUND_SQL_FMT = (
+    "WITH segs AS ({segs}),\n"
+    "arcs AS (SELECT cmp_id * 100 + seg_idx AS arc_id, x0, y0, x1, y1, x2, y2"
+    " FROM segs WHERE seg_type = 'arc'),\n"
+    + _CURVE_PARAMS
+    + ",\n"
+    + _CURVE_EMIT
+    + ", stroked AS ("
+    + _CURVE_FINAL
+    + "),\n"
+    + """
+allv AS (
+  SELECT CAST(floor(CAST(arc_id AS DOUBLE) / 1.0e2) AS INT) AS cmp_id,
+         arc_id % 100 AS seg_idx, seq, x, y
+  FROM stroked
+  UNION ALL
+  SELECT cmp_id, seg_idx, 0 AS seq, x0 AS x, y0 AS y FROM segs WHERE seg_type = 'line'
+  UNION ALL
+  SELECT cmp_id, seg_idx, 1 AS seq, x2 AS x, y2 AS y FROM segs WHERE seg_type = 'line'
+)
+SELECT cmp_id,
+       CAST(row_number() OVER (PARTITION BY cmp_id ORDER BY seg_idx, seq)
+            - 1 AS INT) AS vertex,
+       x, y
+FROM allv
+WHERE NOT (seg_idx > 0 AND seq = 0)
+"""
+)
+
+_COMPOUND_ORACLE = _COMPOUND_SQL_FMT.format(
+    segs=_CMP_SEGS,
+    k1="unnest(generate_series(1, CAST(ns1 AS BIGINT)))",
+    k2="unnest(generate_series(1, CAST(ns2 AS BIGINT)))",
+)
+
+
+@register("compound_to_line", _COMPOUND_ORACLE)
+def q_compound_to_line(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(
+        _COMPOUND_SQL_FMT.format(
+            segs=_CMP_SEGS,
+            k1="explode(sequence(1, ns1))",
+            k2="explode(sequence(1, ns2))",
+        )
+    )
 
 
 # --------------------------------------------------------------------------
