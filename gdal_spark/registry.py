@@ -3788,6 +3788,63 @@ def q_dem_derivatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# gdaldem slope/aspect EXACT float outputs (apps/gdaldem_lib.cpp:
+# GDALSlopeHornAlg scale=1 degrees, GDALAspectAlg azimuth mode) — now
+# that JVM↔DuckDB trig bit-parity is established (curve_to_line), the
+# earlier octant/p2q2 integer proxies get their true float twins:
+#   slope_deg  = float(atan(sqrt(dx²+dy²)/8) · 180/π)
+#   aspect_deg = float(atan2(dy,−dx)/(π/180)), rounded to FLOAT exactly
+#     where the reference casts, azimuth-adjusted IN THE FLOAT DOMAIN
+#     (450−a / 90−a on the already-rounded float — double-subtract of
+#     floats is exact, so the re-round equals IEEE float subtraction),
+#     360→0, flat → NULL (the nodata path).
+# Outputs widened to DOUBLE only for transport (exact).
+# --------------------------------------------------------------------------
+_ASPECT_ATAN_F = (
+    "CAST(atan2(CAST(dzdy AS DOUBLE), 0.0e0 - CAST(dzdx AS DOUBLE))"
+    " / (pi() / 1.8e2) AS FLOAT)"
+)
+_SLOPE_DEG_F = (
+    "CAST(atan(sqrt(CAST(dzdx AS DOUBLE) * CAST(dzdx AS DOUBLE)"
+    " + CAST(dzdy AS DOUBLE) * CAST(dzdy AS DOUBLE)) / 8.0e0)"
+    " * (1.8e2 / pi()) AS FLOAT)"
+)
+_DEM_FLOAT_STAGE1 = (
+    f"{_SLOPE_DEG_F} AS slope_f",
+    f"{_ASPECT_ATAN_F} AS aspect_f",
+)
+_DEM_FLOAT_STAGE2 = (
+    "CAST(slope_f AS DOUBLE) AS slope_deg",
+    "CAST(CASE WHEN dzdx = 0 AND dzdy = 0 THEN NULL ELSE"
+    " (CASE WHEN (CASE WHEN aspect_f > CAST(9.0e1 AS FLOAT)"
+    " THEN CAST(4.5e2 - CAST(aspect_f AS DOUBLE) AS FLOAT)"
+    " ELSE CAST(9.0e1 - CAST(aspect_f AS DOUBLE) AS FLOAT) END)"
+    " = CAST(3.6e2 AS FLOAT) THEN CAST(0.0e0 AS FLOAT)"
+    " ELSE (CASE WHEN aspect_f > CAST(9.0e1 AS FLOAT)"
+    " THEN CAST(4.5e2 - CAST(aspect_f AS DOUBLE) AS FLOAT)"
+    " ELSE CAST(9.0e1 - CAST(aspect_f AS DOUBLE) AS FLOAT) END) END)"
+    " END AS DOUBLE) AS aspect_deg",
+)
+
+_DEM_FLOAT_ORACLE = f"""
+WITH grad AS ({_GRAD_ORACLE}),
+s1 AS (SELECT px, py, dzdx, dzdy, {", ".join(_DEM_FLOAT_STAGE1)} FROM grad)
+SELECT px, py, {", ".join(_DEM_FLOAT_STAGE2)} FROM s1
+"""
+
+
+@register("dem_float_deriv", _DEM_FLOAT_ORACLE)
+def q_dem_float_deriv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.operators.focal import dem_gradient
+    from gdal_spark.operators.raster import source_grid
+
+    band1 = source_grid(spark).filter(F.col("band") == 1).select("px", "py", "value")
+    g = dem_gradient(band1, SRC_W, SRC_H)
+    s1 = g.selectExpr("px", "py", "dzdx", "dzdy", *_DEM_FLOAT_STAGE1)
+    return s1.selectExpr("px", "py", *_DEM_FLOAT_STAGE2)
+
+
+# --------------------------------------------------------------------------
 # gdaldem TRI / TPI / roughness (apps/gdaldem_lib.cpp:2351-2417) — same
 # halo-focal shape as the gradient; integer-exact forms (x8 / squared)
 # so the synthetic-value oracle is bit-identical.
