@@ -3845,6 +3845,71 @@ def q_dem_float_deriv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# gdaldem hillshade -multidirectional (GDALHillshadeMultiDirectionalAlg,
+# apps/gdaldem_lib.cpp; USGS OF 92-422 four-azimuth weighting): Horn
+# gradient with GT=(1,-1) north-up, z=1, alt=45 → per-azimuth shade
+# values (225/270/315/360, clamped at 0) weighted by sin²(aspect−az)
+# identities, normalized by sqrt(1 + z²/64·(x²+y²)).  Uses the
+# reference's portable a/sqrt(b) form — the HAVE_SSE2 build replaces it
+# with an rsqrt+Newton APPROXIMATION (documented divergence; GDAL's own
+# builds differ across platforms here).  Output = the algorithm's
+# float32 cang (pre-byte-quantization), widened to DOUBLE for
+# transport.  Constants like 127·sin(45°·π/180) constant-fold to
+# identical doubles in both engines (trig parity).
+# --------------------------------------------------------------------------
+_HSM_K = "(pi() / 1.8e2)"
+_HSM_SINALT127 = f"(1.27e2 * sin(4.5e1 * {_HSM_K}))"
+_HSM_SINALT254 = f"(2.54e2 * sin(4.5e1 * {_HSM_K}))"
+_HSM_CAM = f"(cos(4.5e1 * {_HSM_K}) * 1.25e-1)"  # cos_alt_mul_z, z_factor=1/8
+_HSM_COSALT127 = f"(1.27e2 * {_HSM_CAM})"
+_HSM_COS225C = f"(1.27e2 * cos(2.25e2 * {_HSM_K}) * {_HSM_CAM})"
+_HSM_XY = (
+    "(0.0e0 - CAST(dzdx AS DOUBLE)) AS hx",
+    "(0.0e0 - CAST(dzdy AS DOUBLE)) AS hy",
+)
+_HSM_VALS = (
+    f"CASE WHEN {_HSM_SINALT127} + (hx - hy) * {_HSM_COS225C} <= 0.0e0"
+    f" THEN 0.0e0 ELSE {_HSM_SINALT127} + (hx - hy) * {_HSM_COS225C} END AS v225",
+    f"CASE WHEN {_HSM_SINALT127} - hx * {_HSM_COSALT127} <= 0.0e0"
+    f" THEN 0.0e0 ELSE {_HSM_SINALT127} - hx * {_HSM_COSALT127} END AS v270",
+    f"CASE WHEN {_HSM_SINALT127} + (hx + hy) * {_HSM_COS225C} <= 0.0e0"
+    f" THEN 0.0e0 ELSE {_HSM_SINALT127} + (hx + hy) * {_HSM_COS225C} END AS v315",
+    f"CASE WHEN {_HSM_SINALT127} - hy * {_HSM_COSALT127} <= 0.0e0"
+    f" THEN 0.0e0 ELSE {_HSM_SINALT127} - hy * {_HSM_COSALT127} END AS v360",
+    "(5.0e-1 * (hx * hx + hy * hy) - hx * hy) AS w225",
+    "(hx * hx) AS w270",
+    "((hx * hx + hy * hy) - (5.0e-1 * (hx * hx + hy * hy) - hx * hy)) AS w315",
+    "(hy * hy) AS w360",
+    "(hx * hx + hy * hy) AS xpy",
+)
+_HSM_OUT = (
+    f"CAST(CAST(CASE WHEN xpy = 0.0e0 THEN 1.0e0 + {_HSM_SINALT254}"
+    " ELSE 1.0e0 + ((w225 * v225 + w270 * v270 + w315 * v315 + w360 * v360)"
+    " / xpy) / sqrt(1.0e0 + 1.5625e-2 * xpy) END AS FLOAT) AS DOUBLE)"
+    " AS hs_multi"
+)
+
+_HSM_ORACLE = f"""
+WITH grad AS ({_GRAD_ORACLE}),
+xy AS (SELECT px, py, {", ".join(_HSM_XY)} FROM grad),
+v AS (SELECT px, py, {", ".join(_HSM_VALS)} FROM xy)
+SELECT px, py, {_HSM_OUT} FROM v
+"""
+
+
+@register("hillshade_multi", _HSM_ORACLE)
+def q_hillshade_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.operators.focal import dem_gradient
+    from gdal_spark.operators.raster import source_grid
+
+    band1 = source_grid(spark).filter(F.col("band") == 1).select("px", "py", "value")
+    g = dem_gradient(band1, SRC_W, SRC_H)
+    xy = g.selectExpr("px", "py", *_HSM_XY)
+    v = xy.selectExpr("px", "py", *_HSM_VALS)
+    return v.selectExpr("px", "py", _HSM_OUT)
+
+
+# --------------------------------------------------------------------------
 # gdaldem TRI / TPI / roughness (apps/gdaldem_lib.cpp:2351-2417) — same
 # halo-focal shape as the gradient; integer-exact forms (x8 / squared)
 # so the synthetic-value oracle is bit-identical.
