@@ -983,6 +983,100 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# End-to-end curation pipeline (training-data pipeline): the composed
+# flow a corpus actually runs — exact-dedup keeper → quality gate
+# (length + lexical-diversity thresholds) → per-source cap → uniform
+# md5 sample — in ONE declarative plan, each doc labeled with the first
+# stage that dropped it.  Stage order mirrors production pipelines
+# (dedup before quality so near-empty dups don't inflate the gate;
+# cap before sample so hot sources can't dominate the sampled set).
+# One md5-group shuffle + one window shuffle; everything else folds
+# into codegen projections.
+# --------------------------------------------------------------------------
+# sources carry exactly 25 docs each, so an 18-doc cap bites; exact
+# duplicates are planted in-query (clones of every 40th doc) since the
+# synthetic texts are unique — every pipeline stage drops something
+_CUR_CAP = 18
+# keep-fraction 80%: md5 prefix as 28-bit int < 0.8 * 2^28
+_CUR_SAMPLE_THR = int(0.8 * (1 << 28))
+
+
+def _curation_sql(split_fn: str, len_fn: str, hexint: str) -> str:
+    """``split_fn``/``len_fn``: dialect spellings; ``hexint(h)`` text
+    converting the md5 hex prefix to an integer."""
+    return f"""
+WITH docx AS (
+  SELECT doc_id, source, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, source, text FROM documents
+  WHERE doc_id % 40 = 0
+),
+w AS (
+  SELECT doc_id, source, text,
+         {len_fn}({split_fn}(text, ' ')) AS n_words,
+         {len_fn}(list_distinct_{split_fn}(text)) AS n_distinct
+  FROM docx
+),
+k AS (SELECT md5(text) AS h, MIN(doc_id) AS keeper FROM docx GROUP BY md5(text)),
+s1 AS (
+  SELECT w.*, CASE WHEN w.doc_id = k.keeper THEN 1 ELSE 0 END AS is_keeper
+  FROM w JOIN k ON md5(w.text) = k.h
+),
+s2 AS (
+  SELECT *,
+         CASE WHEN n_words >= 20 AND n_words <= 1000
+                   AND 1000000 * n_distinct >= 120000 * n_words
+              THEN 1 ELSE 0 END AS quality_ok
+  FROM s1
+),
+s3 AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY source
+           ORDER BY CASE WHEN is_keeper = 1 AND quality_ok = 1 THEN 0 ELSE 1 END,
+                    md5(CAST(doc_id AS VARCHAR(20))), doc_id) AS rk
+  FROM s2
+),
+s4 AS (
+  SELECT *, {hexint} AS hv FROM s3
+)
+SELECT doc_id, source, CAST(n_words AS BIGINT) AS n_words,
+       CASE WHEN is_keeper = 0 THEN 'dup'
+            WHEN quality_ok = 0 THEN 'quality'
+            WHEN rk > {_CUR_CAP} THEN 'cap'
+            WHEN hv >= {_CUR_SAMPLE_THR} THEN 'sample'
+            ELSE 'kept' END AS stage
+FROM s4
+"""
+
+
+def _curation_dialect(dialect: str) -> str:
+    if dialect == "spark":
+        sql = _curation_sql(
+            "split", "size",
+            "CAST(conv(substring(md5(CAST(doc_id AS VARCHAR(20))), 1, 7), 16, 10) AS BIGINT)",
+        )
+        return sql.replace(
+            "size(list_distinct_split(text))",
+            "size(array_distinct(split(text, ' ')))",
+        )
+    sql = _curation_sql(
+        "string_split", "len",
+        "CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR(20))), 1, 7))::BIGINT AS BIGINT)",
+    )
+    return sql.replace(
+        "len(list_distinct_string_split(text))",
+        "len(list_distinct(string_split(text, ' ')))",
+    )
+
+
+@register("curation_pipeline", _curation_dialect("duck"))
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d.createOrReplaceTempView("documents")
+    return spark.sql(_curation_dialect("spark"))
+
+
 # non-SQL-expressible ops: rows-only driver check, exactness via pytest
 @register("minhash_lsh")
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
