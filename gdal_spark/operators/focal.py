@@ -56,12 +56,17 @@ _GRAD_SCHEMA = StructType(
 
 
 def dem_gradient(
-    pixels: DataFrame, width: int, height: int
+    pixels: DataFrame, width: int, height: int, alg: str = "horn"
 ) -> DataFrame:
-    """Horn 3x3 gradient (gdaldem slope stencil) for interior pixels.
+    """3x3 gradient for interior pixels (gdaldem stencils).
 
-    dzdx = (ne + 2e + se) - (nw + 2w + sw), dzdy = (sw + 2s + se) -
-    (nw + 2n + ne), with y growing south (row-major py)."""
+    alg="horn" (default): dzdx = (ne + 2e + se) - (nw + 2w + sw),
+    dzdy = (sw + 2s + se) - (nw + 2n + ne), with y growing south
+    (row-major py).  alg="zt" (Zevenbergen-Thorne, gdaldem -alg
+    ZevenbergenThorne; apps/gdaldem_lib.cpp Gradient<ZEVENBERGEN_
+    THORNE>): dzdx = e - w, dzdy = s - n — the simple central
+    differences the reference's ZT slope/aspect consume (its aspect
+    uses afWin[5]-afWin[3] = e-w directly)."""
 
     def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
         gtx, gty = int(key[0]), int(key[1])
@@ -92,12 +97,16 @@ def dem_gradient(
         def sh(dy, dx):
             return win[np.ix_(cy + dy, cx + dx)]
 
-        dzdx = (sh(-1, 1) + 2 * sh(0, 1) + sh(1, 1)) - (
-            sh(-1, -1) + 2 * sh(0, -1) + sh(1, -1)
-        )
-        dzdy = (sh(1, -1) + 2 * sh(1, 0) + sh(1, 1)) - (
-            sh(-1, -1) + 2 * sh(-1, 0) + sh(-1, 1)
-        )
+        if alg == "zt":
+            dzdx = sh(0, 1) - sh(0, -1)
+            dzdy = sh(1, 0) - sh(-1, 0)
+        else:
+            dzdx = (sh(-1, 1) + 2 * sh(0, 1) + sh(1, 1)) - (
+                sh(-1, -1) + 2 * sh(0, -1) + sh(1, -1)
+            )
+            dzdy = (sh(1, -1) + 2 * sh(1, 0) + sh(1, 1)) - (
+                sh(-1, -1) + 2 * sh(-1, 0) + sh(-1, 1)
+            )
         assert have[C].all(), "halo window incomplete"
         gx, gy = np.meshgrid(pxs, pys)
         return pd.DataFrame(

@@ -3939,6 +3939,48 @@ def q_dem_float_deriv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Zevenbergen–Thorne slope/aspect (gdaldem -alg ZevenbergenThorne;
+# GDALSlopeZevenbergenThorneAlg / GDALAspectZevenbergenThorneAlg):
+# simple central differences dzdx = e−w, dzdy = s−n, slope divisor 2
+# instead of Horn's 8; aspect formula identical to the Horn path
+# (atan2(dy, −dx) on the ZT differences).  Same float-rounding points.
+# --------------------------------------------------------------------------
+_SLOPE_DEG_F_ZT = _SLOPE_DEG_F.replace("/ 8.0e0", "/ 2.0e0")
+_DEM_ZT_STAGE1 = (
+    f"{_SLOPE_DEG_F_ZT} AS slope_f",
+    f"{_ASPECT_ATAN_F} AS aspect_f",
+)
+
+_GRAD_ZT_ORACLE = f"""
+WITH g AS (
+  SELECT CAST(px.i AS int) AS px, CAST(py.j AS int) AS py
+  FROM range(1, {SRC_W - 1}) px(i), range(1, {SRC_H - 1}) py(j)
+)
+SELECT px, py,
+  (((px+1) * 7 + py * 13 + 29) % 256) - (((px-1) * 7 + py * 13 + 29) % 256) AS dzdx,
+  ((px * 7 + (py+1) * 13 + 29) % 256) - ((px * 7 + (py-1) * 13 + 29) % 256) AS dzdy
+FROM g
+"""
+
+_DEM_ZT_ORACLE = f"""
+WITH grad AS ({_GRAD_ZT_ORACLE}),
+s1 AS (SELECT px, py, dzdx, dzdy, {", ".join(_DEM_ZT_STAGE1)} FROM grad)
+SELECT px, py, {", ".join(_DEM_FLOAT_STAGE2)} FROM s1
+"""
+
+
+@register("dem_zt_deriv", _DEM_ZT_ORACLE)
+def q_dem_zt_deriv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.operators.focal import dem_gradient
+    from gdal_spark.operators.raster import source_grid
+
+    band1 = source_grid(spark).filter(F.col("band") == 1).select("px", "py", "value")
+    g = dem_gradient(band1, SRC_W, SRC_H, alg="zt")
+    s1 = g.selectExpr("px", "py", "dzdx", "dzdy", *_DEM_ZT_STAGE1)
+    return s1.selectExpr("px", "py", *_DEM_FLOAT_STAGE2)
+
+
+# --------------------------------------------------------------------------
 # gdaldem hillshade -multidirectional (GDALHillshadeMultiDirectionalAlg,
 # apps/gdaldem_lib.cpp; USGS OF 92-422 four-azimuth weighting): Horn
 # gradient with GT=(1,-1) north-up, z=1, alt=45 → per-azimuth shade
