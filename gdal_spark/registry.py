@@ -4032,6 +4032,47 @@ v AS (SELECT px, py, {", ".join(_HSM_VALS)} FROM xy)
 SELECT px, py, {_HSM_OUT} FROM v
 """
 
+# gdaldem hillshade -combined (GDALHillshadeCombinedAlg,
+# apps/gdaldem_lib.cpp:1139): shade angle acos-ed and blended with the
+# slope angle — cang = 1 − acos(shade)·atan(sqrt(slope))·4/π²; ≤ 0
+# clamps to 1.0f, else float32(1 + 254·cang).  Same alt=45/az=315
+# Horn setup as the classic hillshade; acos/atan ride on the proven
+# trig parity.
+_HSC_SINALT = f"sin(4.5e1 * {_HSM_K})"
+_HSC_CAZ = f"(cos(3.15e2 * {_HSM_K}) * {_HSM_CAM})"
+_HSC_SAZ = f"(sin(3.15e2 * {_HSM_K}) * {_HSM_CAM})"
+_HSC_STAGE = (
+    "(hx * hx + hy * hy) * 1.5625e-2 AS slp",
+    f"({_HSC_SINALT} - (hy * {_HSC_CAZ} - hx * {_HSC_SAZ})) AS shade_num",
+)
+_HSC_OUT = (
+    "CAST(CASE WHEN (1.0e0 - acos(shade_num / sqrt(1.0e0 + slp))"
+    " * atan(sqrt(slp)) * (1.0e0 / ((pi() * pi()) / 4.0e0))) <= 0.0e0"
+    " THEN CAST(1.0e0 AS FLOAT)"
+    " ELSE CAST(1.0e0 + (2.54e2 * (1.0e0 - acos(shade_num / sqrt(1.0e0 + slp))"
+    " * atan(sqrt(slp)) * (1.0e0 / ((pi() * pi()) / 4.0e0)))) AS FLOAT)"
+    " END AS DOUBLE) AS hs_combined"
+)
+
+_HSC_ORACLE = f"""
+WITH grad AS ({_GRAD_ORACLE}),
+xy AS (SELECT px, py, {", ".join(_HSM_XY)} FROM grad),
+s AS (SELECT px, py, {", ".join(_HSC_STAGE)} FROM xy)
+SELECT px, py, {_HSC_OUT} FROM s
+"""
+
+
+@register("hillshade_combined", _HSC_ORACLE)
+def q_hillshade_combined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.operators.focal import dem_gradient
+    from gdal_spark.operators.raster import source_grid
+
+    band1 = source_grid(spark).filter(F.col("band") == 1).select("px", "py", "value")
+    g = dem_gradient(band1, SRC_W, SRC_H)
+    xy = g.selectExpr("px", "py", *_HSM_XY)
+    s = xy.selectExpr("px", "py", *_HSC_STAGE)
+    return s.selectExpr("px", "py", _HSC_OUT)
+
 
 @register("hillshade_multi", _HSM_ORACLE)
 def q_hillshade_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
