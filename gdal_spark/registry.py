@@ -4565,6 +4565,88 @@ def q_viewshed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Cumulative viewshed (gdal_viewshed cumulative mode; alg/viewshed/
+# cumulative.cpp:66): observers on a regular grid, each runs a NORMAL
+# viewshed with visibleVal=1, and per-cell counts are summed.  Eight
+# observers at 100-px spacing, 20-unit masts, radius 60 — each disc is
+# the oracle-proven single-observer DDA pipeline; the accumulation is
+# one groupBy(px, py) SUM over the unioned discs (cells outside every
+# disc contribute nothing on both engines).
+# --------------------------------------------------------------------------
+_VSC_OBS = [(x, y) for x in (0, 100, 200, 300) for y in (0, 100)]
+_VSC_R = 60
+
+
+def _viewshed_oracle_one(ox: int, oy: int, r: int) -> str:
+    z0 = ((ox * 7 + oy * 13 + 29) % 256) + 20
+    return f"""
+SELECT t.px, t.py, CAST(CASE WHEN b.px IS NULL THEN 1 ELSE 0 END AS INT) AS visible
+FROM (
+  SELECT px, py, z, CAST(greatest(abs(px - {ox}), abs(py - {oy})) AS BIGINT) AS n
+  FROM v
+  WHERE (px - {ox}) * (px - {ox}) + (py - {oy}) * (py - {oy}) <= {r * r}
+) t LEFT JOIN (
+  SELECT DISTINCT t.px, t.py
+  FROM (
+    SELECT px, py, z, CAST(greatest(abs(px - {ox}), abs(py - {oy})) AS BIGINT) AS n
+    FROM v
+    WHERE (px - {ox}) * (px - {ox}) + (py - {oy}) * (py - {oy}) <= {r * r}
+  ) t, range(1, {r}) kk(k), v s
+  WHERE kk.k < t.n
+    AND s.px = {ox} + CAST(floor(CAST(kk.k * (t.px - {ox}) AS DOUBLE)
+                                 / CAST(greatest(t.n, 1) AS DOUBLE) + 0.5) AS INT)
+    AND s.py = {oy} + CAST(floor(CAST(kk.k * (t.py - {oy}) AS DOUBLE)
+                                 / CAST(greatest(t.n, 1) AS DOUBLE) + 0.5) AS INT)
+    AND (s.z - {z0}) * t.n >= (t.z - {z0}) * kk.k
+) b ON t.px = b.px AND t.py = b.py
+"""
+
+
+_VSC_ORACLE = (
+    f"""
+WITH g AS (
+  SELECT CAST(px.i AS int) AS px, CAST(py.j AS int) AS py
+  FROM range(0, {SRC_W}) px(i), range(0, {SRC_H}) py(j)
+),
+v AS (SELECT px, py, CAST((px * 7 + py * 13 + 29) % 256 AS BIGINT) AS z FROM g),
+u AS (
+"""
+    + "\nUNION ALL\n".join(
+        _viewshed_oracle_one(ox, oy, _VSC_R) for ox, oy in _VSC_OBS
+    )
+    + """
+)
+SELECT px, py, CAST(SUM(visible) AS BIGINT) AS n_seen,
+       CAST(COUNT(*) AS BIGINT) AS n_observers
+FROM u GROUP BY px, py
+"""
+)
+
+
+@register("viewshed_cumulative", _VSC_ORACLE)
+def q_viewshed_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.operators.raster import source_grid
+    from gdal_spark.operators.viewshed import viewshed
+
+    dem = (
+        source_grid(spark)
+        .filter(F.col("band") == 1)
+        .select("px", "py", F.col("value").alias("z"))
+    )
+    parts = []
+    for ox, oy in _VSC_OBS:
+        z0 = ((ox * 7 + oy * 13 + 29) % 256) + 20
+        parts.append(viewshed(dem, ox, oy, z0, max_dist=_VSC_R))
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return u.groupBy("px", "py").agg(
+        F.sum("visible").cast("long").alias("n_seen"),
+        F.count("*").cast("long").alias("n_observers"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Point-to-point line of sight (gdal los; GDALIsLineOfSightVisible,
 # alg/los.cpp:177): endpoint strict-above checks, Bresenham walk with
 # interpolated z, first-failure intersection cell.  24 observer→target
