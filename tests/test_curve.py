@@ -148,6 +148,30 @@ class TestCurveToLine:
                     signs.add(cr > 0)
             assert len(signs) == 1, f"arcs {lo}-{hi} not convex"
 
+    def test_compound_structure(self):
+        """compound_to_line: joints appear exactly once, vertex counts
+        decompose as sum(segment vertices) - (n_segments - 1), and the
+        chain is continuous (every adjacent pair distinct, segments in
+        declared order)."""
+        from gdal_spark.registry import _COMPOUND_ORACLE
+
+        con = duckdb.connect()
+        rows = con.execute(
+            _COMPOUND_ORACLE + " ORDER BY cmp_id, vertex"
+        ).fetchall()
+        by = {}
+        for cid, vtx, x, y in rows:
+            by.setdefault(cid, []).append((x, y))
+        # compound 0 = line(2) + semicircle(47) + line(2), 2 joints deduped
+        assert len(by[0]) == 2 + 47 + 2 - 2
+        assert by[0][0] == (0.0, 0.0) and by[0][-1] == (25.0, 0.0)
+        assert by[0].count((10.0, 0.0)) == 1 and by[0].count((20.0, 0.0)) == 1
+        # compound 1 = two semicircles sharing one joint
+        assert len(by[1]) == 47 + 47 - 1
+        assert by[1].count((8.0, 20.0)) == 1
+        for pts in by.values():  # no zero-length edges anywhere
+            assert all(a != b for a, b in zip(pts, pts[1:]))
+
     def test_reversed_arc_is_binary_symmetric(self):
         """The reference guarantees reversed endpoints (same
         intermediate) produce the bitwise-reversed vertex list
