@@ -1,0 +1,71 @@
+"""Network analysis — GNM (Geographic Network Model) analog.
+
+Re-answers GNMGenericNetwork's Dijkstra shortest-path query
+(gnm/gnmgraph.cpp DijkstraShortestPathTree) with the distributed
+formulation: Bellman–Ford edge-relaxation rounds over a (src, dst, w)
+edge table.  Each round is one equi-join of the frontier distances
+against the edge list plus a min-aggregation — the standard Pregel
+shape; rounds are bounded by the maximum hop count of any optimal path
+(NOT graph size), and the loop raises loudly on non-convergence instead
+of returning a partially-relaxed tree.
+
+Scale shape: the distance table is node-count-sized and shuffles on the
+node key; the (usually much larger) edge table is the static join side
+and never aggregates.  Every round ends in an EAGER localCheckpoint —
+the self-referencing join lineage otherwise grows per round until
+Catalyst analysis hangs (see the polygonize/sieve/dedup_clusters note
+in CLAUDE.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def shortest_paths(
+    edges: DataFrame, source: int, max_rounds: int = 30
+) -> DataFrame:
+    """(node_id, dist) of every node reachable from ``source``.
+
+    ``edges``: (src, dst, w) directed weighted edges (emit both
+    directions for an undirected network), integer weights.  Exact —
+    all arithmetic stays in longs."""
+    spark = edges.sparkSession
+    dist = spark.createDataFrame(
+        [(source, 0)], "node_id long, dist long"
+    ).localCheckpoint(eager=True)
+    e = edges.select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+        F.col("w").cast("long").alias("w"),
+    )
+    for _ in range(max_rounds):
+        relax = (
+            dist.join(e, dist.node_id == e.src)
+            .select(F.col("dst").alias("node_id"), (F.col("dist") + F.col("w")).alias("dist"))
+        )
+        new = (
+            dist.unionByName(relax)
+            .groupBy("node_id")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(dist.alias("o"), "node_id", "left")
+            .filter(
+                F.col("o.dist").isNull() | (F.col("n.dist") != F.col("o.dist"))
+            )
+            .count()
+        )
+        dist = new
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"shortest_paths: Bellman-Ford did not converge in "
+            f"{max_rounds} rounds — an optimal path has more hops than "
+            "expected; raise max_rounds"
+        )
+    return dist

@@ -4647,6 +4647,84 @@ def q_viewshed_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# GNM shortest path (gnm/gnmgraph.cpp DijkstraShortestPathTree): the
+# Geographic Network Model's single-source shortest-path query over a
+# weighted network, distributed as Bellman–Ford relaxation rounds
+# (operators/graph.py).  Fixture network = a 12x12 grid road network
+# with deterministic weights (u·7+v·13)%20+1 both directions; the
+# optimal tree converges after 23 rounds (30 budgeted, loud failure
+# beyond).  Oracle = the same relaxation UNROLLED as 30 CTE rounds —
+# exact integer arithmetic end to end; a heapq Dijkstra pins the values
+# independently in tests/test_graph.py.
+# --------------------------------------------------------------------------
+_GNM_N = 12
+_GNM_ROUNDS = 30
+_GNM_W = "CAST((u * 7 + v * 13) % 20 + 1 AS BIGINT)"
+
+_GNM_EDGES = f"""
+  SELECT u, v, {_GNM_W} AS w FROM (
+    SELECT r * {_GNM_N} + c AS u, r * {_GNM_N} + c + 1 AS v
+    FROM rc WHERE c + 1 < {_GNM_N}
+    UNION ALL
+    SELECT r * {_GNM_N} + c AS u, (r + 1) * {_GNM_N} + c AS v
+    FROM rc WHERE r + 1 < {_GNM_N}
+  ) fwd
+"""
+
+
+def _gnm_oracle() -> str:
+    ctes = [
+        f"rc AS (SELECT CAST(t.i AS BIGINT) % {_GNM_N} AS c,"
+        f" CAST((t.i - t.i % {_GNM_N}) / {_GNM_N} AS BIGINT) AS r"
+        f" FROM range(0, {_GNM_N * _GNM_N}) t(i))",
+        f"fwd AS ({_GNM_EDGES})",
+        "edges AS (SELECT u AS src, v AS dst, w FROM fwd"
+        " UNION ALL SELECT v AS src, u AS dst,"
+        f" CAST((v * 7 + u * 13) % 20 + 1 AS BIGINT) AS w FROM fwd)",
+        "d0 AS (SELECT CAST(0 AS BIGINT) AS node_id, CAST(0 AS BIGINT) AS dist)",
+    ]
+    # AS MATERIALIZED is load-bearing: each round references the
+    # previous round TWICE, and an inlining planner would expand the
+    # 30-round chain 2^30-fold (the SQL flavor of the Spark lineage
+    # blow-up this repo's iterative loops checkpoint against)
+    for i in range(1, _GNM_ROUNDS + 1):
+        ctes.append(
+            f"d{i} AS MATERIALIZED (SELECT node_id, MIN(dist) AS dist FROM ("
+            f"SELECT node_id, dist FROM d{i - 1}"
+            f" UNION ALL SELECT e.dst AS node_id, d.dist + e.w AS dist"
+            f" FROM d{i - 1} d JOIN edges e ON d.node_id = e.src"
+            f") u GROUP BY node_id)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node_id, dist FROM d{_GNM_ROUNDS}"
+    )
+
+
+@register("gnm_shortest_path", _gnm_oracle())
+def q_gnm_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.operators.graph import shortest_paths
+
+    n = _GNM_N
+    rc = spark.range(n * n).selectExpr(
+        f"id % {n} AS c", f"CAST((id - id % {n}) / {n} AS BIGINT) AS r"
+    )
+    rc.createOrReplaceTempView("rc")
+    fwd = spark.sql(f"SELECT u, v, {_GNM_W} AS w FROM (" + f"""
+        SELECT r * {n} + c AS u, r * {n} + c + 1 AS v FROM rc WHERE c + 1 < {n}
+        UNION ALL
+        SELECT r * {n} + c AS u, (r + 1) * {n} + c AS v FROM rc WHERE r + 1 < {n}
+    """ + ") fwd")
+    edges = fwd.selectExpr("u AS src", "v AS dst", "w").unionByName(
+        fwd.selectExpr(
+            "v AS src", "u AS dst",
+            f"CAST((v * 7 + u * 13) % 20 + 1 AS BIGINT) AS w",
+        )
+    )
+    return shortest_paths(edges, source=0, max_rounds=_GNM_ROUNDS)
+
+
+# --------------------------------------------------------------------------
 # Point-to-point line of sight (gdal los; GDALIsLineOfSightVisible,
 # alg/los.cpp:177): endpoint strict-above checks, Bresenham walk with
 # interpolated z, first-failure intersection cell.  24 observer→target
