@@ -69,3 +69,51 @@ def shortest_paths(
             "expected; raise max_rounds"
         )
     return dist
+
+
+def min_label_components(edges: DataFrame, max_rounds: int = 30) -> DataFrame:
+    """(node_id, component) — connected components of the network, the
+    GNM connectivity query (gnm/gnmgraph.cpp ConnectComponents analog):
+    every node takes the minimum node id reachable from it.
+
+    Same relaxation shape as :func:`shortest_paths` with weight 0 and
+    identity init; nodes are whatever appears as an edge endpoint
+    (isolated nodes are the caller's concern).  Converges in
+    O(component diameter) rounds, eager lineage truncation per round,
+    loud failure beyond ``max_rounds``."""
+    e = edges.select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+    )
+    lab = (
+        e.select(F.col("src").alias("node_id"))
+        .unionByName(e.select(F.col("dst").alias("node_id")))
+        .distinct()
+        .withColumn("component", F.col("node_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        relax = lab.join(e, lab.node_id == e.src).select(
+            F.col("dst").alias("node_id"), F.col("component")
+        )
+        new = (
+            lab.unionByName(relax)
+            .groupBy("node_id")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(lab.alias("o"), "node_id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        lab = new
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"min_label_components: label propagation did not converge "
+            f"in {max_rounds} rounds; raise max_rounds"
+        )
+    return lab

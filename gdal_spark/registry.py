@@ -4725,6 +4725,69 @@ def q_gnm_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# GNM connected components (network connectivity; gnm/gnmgraph.cpp
+# connectivity queries): which network islands exist after edges are
+# removed.  Fixture = the 12x12 grid KEEPING only edges with
+# (u·13+v·7)%3 != 0 — five islands (36/36/36/24/12 nodes), min-label
+# converges in 14 rounds.  Oracle = 16 MATERIALIZED relaxation rounds;
+# a union-find pins the partition independently in tests/test_graph.py.
+# --------------------------------------------------------------------------
+_GNMC_ROUNDS = 16
+_GNMC_KEEP = "(u * 13 + v * 7) % 3 <> 0"
+
+
+def _gnmc_oracle() -> str:
+    ctes = [
+        f"rc AS (SELECT CAST(t.i AS BIGINT) % {_GNM_N} AS c,"
+        f" CAST((t.i - t.i % {_GNM_N}) / {_GNM_N} AS BIGINT) AS r"
+        f" FROM range(0, {_GNM_N * _GNM_N}) t(i))",
+        f"fwd AS (SELECT u, v FROM ("
+        f" SELECT r * {_GNM_N} + c AS u, r * {_GNM_N} + c + 1 AS v"
+        f" FROM rc WHERE c + 1 < {_GNM_N}"
+        f" UNION ALL SELECT r * {_GNM_N} + c AS u, (r + 1) * {_GNM_N} + c AS v"
+        f" FROM rc WHERE r + 1 < {_GNM_N}) g WHERE {_GNMC_KEEP})",
+        "edges AS (SELECT u AS src, v AS dst FROM fwd"
+        " UNION ALL SELECT v AS src, u AS dst FROM fwd)",
+        "l0 AS MATERIALIZED (SELECT node_id, node_id AS component FROM ("
+        "SELECT DISTINCT src AS node_id FROM edges"
+        " UNION SELECT DISTINCT dst AS node_id FROM edges) n)",
+    ]
+    for i in range(1, _GNMC_ROUNDS + 1):
+        ctes.append(
+            f"l{i} AS MATERIALIZED (SELECT node_id, MIN(component) AS component"
+            f" FROM (SELECT node_id, component FROM l{i - 1}"
+            f" UNION ALL SELECT e.dst AS node_id, l.component"
+            f" FROM l{i - 1} l JOIN edges e ON l.node_id = e.src) u"
+            f" GROUP BY node_id)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node_id, component FROM l{_GNMC_ROUNDS}"
+    )
+
+
+@register("gnm_components", _gnmc_oracle())
+def q_gnm_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.operators.graph import min_label_components
+
+    n = _GNM_N
+    rc = spark.range(n * n).selectExpr(
+        f"id % {n} AS c", f"CAST((id - id % {n}) / {n} AS BIGINT) AS r"
+    )
+    rc.createOrReplaceTempView("rc")
+    fwd = spark.sql(
+        f"SELECT u, v FROM ("
+        f" SELECT r * {n} + c AS u, r * {n} + c + 1 AS v FROM rc WHERE c + 1 < {n}"
+        f" UNION ALL SELECT r * {n} + c AS u, (r + 1) * {n} + c AS v"
+        f" FROM rc WHERE r + 1 < {n}) g WHERE {_GNMC_KEEP}"
+    )
+    edges = fwd.selectExpr("u AS src", "v AS dst").unionByName(
+        fwd.selectExpr("v AS src", "u AS dst")
+    )
+    return min_label_components(edges, max_rounds=30)
+
+
+# --------------------------------------------------------------------------
 # Point-to-point line of sight (gdal los; GDALIsLineOfSightVisible,
 # alg/los.cpp:177): endpoint strict-above checks, Bresenham walk with
 # interpolated z, first-failure intersection cell.  24 observer→target

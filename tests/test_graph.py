@@ -50,6 +50,37 @@ class TestShortestPath:
         want = _dijkstra(_grid_edges(_GNM_N), 0)
         assert got == want
 
+    def test_components_oracle_matches_union_find(self):
+        """gnm_components vs an independent union-find partition."""
+        from gdal_spark.registry import _gnmc_oracle
+
+        n = _GNM_N
+        keep = lambda u, v: (u * 13 + v * 7) % 3 != 0  # noqa: E731
+        edges = []
+        for r in range(n):
+            for c in range(n):
+                u = r * n + c
+                if c + 1 < n and keep(u, u + 1):
+                    edges.append((u, u + 1))
+                if r + 1 < n and keep(u, u + n):
+                    edges.append((u, u + n))
+        par = {}
+        nodes = {u for e in edges for u in e}
+        for u in nodes:
+            par[u] = u
+
+        def find(x):
+            while par[x] != x:
+                par[x] = par[par[x]]
+                x = par[x]
+            return x
+
+        for u, v in edges:
+            par[find(u)] = find(v)
+        want = {u: min(w for w in nodes if find(w) == find(u)) for u in nodes}
+        got = dict(duckdb.connect().execute(_gnmc_oracle()).fetchall())
+        assert got == want
+
     def test_unreachable_absent_and_nonconvergence_raises(self, spark):
         from gdal_spark.operators.graph import shortest_paths
 
