@@ -71,6 +71,69 @@ def shortest_paths(
     return dist
 
 
+def shortest_path_tree(
+    edges: DataFrame, source: int, max_rounds: int = 30, pred_bits: int = 8
+) -> DataFrame:
+    """(node_id, dist, pred) — the full Dijkstra shortest-path TREE
+    (gnm/gnmgraph.cpp DijkstraShortestPathTree), from which any route is
+    a predecessor walk.
+
+    Tie-break: among equal-distance predecessors the SMALLEST node id
+    wins (the reference's tree depends on heap traversal order — an
+    implementation detail; the min rule is the deterministic,
+    shuffle-order-proof canonicalization, documented divergence).
+    Implemented by relaxing a PACKED key dist·2^pred_bits + pred, so the
+    lexicographic (dist, pred) minimum is a plain integer MIN — exact,
+    aggregation-order-free.  Caller guarantees node ids < 2^pred_bits
+    and dist·2^pred_bits within int64."""
+    spark = edges.sparkSession
+    scale = 1 << pred_bits
+    dist = spark.createDataFrame(
+        [(source, source)], "node_id long, pack long"
+    ).selectExpr("node_id", f"CAST(pack AS LONG) AS pack").localCheckpoint(
+        eager=True
+    )
+    e = edges.select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+        F.col("w").cast("long").alias("w"),
+    )
+    for _ in range(max_rounds):
+        relax = dist.join(e, dist.node_id == e.src).select(
+            F.col("dst").alias("node_id"),
+            (
+                (F.expr(f"pack div {scale}") + F.col("w")) * scale
+                + F.col("src")
+            ).alias("pack"),
+        )
+        new = (
+            dist.unionByName(relax)
+            .groupBy("node_id")
+            .agg(F.min("pack").alias("pack"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(dist.alias("o"), "node_id", "left")
+            .filter(
+                F.col("o.pack").isNull() | (F.col("n.pack") != F.col("o.pack"))
+            )
+            .count()
+        )
+        dist = new
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"shortest_path_tree: did not converge in {max_rounds} rounds"
+        )
+    return dist.selectExpr(
+        "node_id",
+        f"pack div {scale} AS dist",
+        f"pack % {scale} AS pred",
+    )
+
+
 def min_label_components(edges: DataFrame, max_rounds: int = 30) -> DataFrame:
     """(node_id, component) — connected components of the network, the
     GNM connectivity query (gnm/gnmgraph.cpp ConnectComponents analog):

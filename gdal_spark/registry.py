@@ -4725,6 +4725,66 @@ def q_gnm_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# GNM shortest-path TREE (gnm/gnmgraph.cpp DijkstraShortestPathTree):
+# distance AND predecessor per node — any route is a predecessor walk.
+# Tie-break = smallest predecessor id (the reference's tree depends on
+# heap order, an implementation detail; the min rule is the
+# deterministic canonicalization — documented divergence).  The
+# relaxation minimizes the PACKED key dist·256 + pred so the
+# lexicographic minimum is a plain integer MIN (aggregation-order-free).
+# --------------------------------------------------------------------------
+def _gnm_tree_oracle() -> str:
+    ctes = [
+        f"rc AS (SELECT CAST(t.i AS BIGINT) % {_GNM_N} AS c,"
+        f" CAST((t.i - t.i % {_GNM_N}) / {_GNM_N} AS BIGINT) AS r"
+        f" FROM range(0, {_GNM_N * _GNM_N}) t(i))",
+        f"fwd AS ({_GNM_EDGES})",
+        "edges AS (SELECT u AS src, v AS dst, w FROM fwd"
+        " UNION ALL SELECT v AS src, u AS dst,"
+        f" CAST((v * 7 + u * 13) % 20 + 1 AS BIGINT) AS w FROM fwd)",
+        "d0 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS node_id,"
+        " CAST(0 AS BIGINT) AS pack)",
+    ]
+    for i in range(1, _GNM_ROUNDS + 1):
+        ctes.append(
+            f"d{i} AS MATERIALIZED (SELECT node_id, MIN(pack) AS pack FROM ("
+            f"SELECT node_id, pack FROM d{i - 1}"
+            f" UNION ALL SELECT e.dst AS node_id,"
+            f" ((d.pack // 256) + e.w) * 256 + e.src AS pack"
+            f" FROM d{i - 1} d JOIN edges e ON d.node_id = e.src"
+            f") u GROUP BY node_id)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node_id, pack // 256 AS dist, pack % 256 AS pred"
+        f" FROM d{_GNM_ROUNDS}"
+    )
+
+
+@register("gnm_route_tree", _gnm_tree_oracle())
+def q_gnm_route_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.operators.graph import shortest_path_tree
+
+    n = _GNM_N
+    rc = spark.range(n * n).selectExpr(
+        f"id % {n} AS c", f"CAST((id - id % {n}) / {n} AS BIGINT) AS r"
+    )
+    rc.createOrReplaceTempView("rc")
+    fwd = spark.sql(f"SELECT u, v, {_GNM_W} AS w FROM (" + f"""
+        SELECT r * {n} + c AS u, r * {n} + c + 1 AS v FROM rc WHERE c + 1 < {n}
+        UNION ALL
+        SELECT r * {n} + c AS u, (r + 1) * {n} + c AS v FROM rc WHERE r + 1 < {n}
+    """ + ") fwd")
+    edges = fwd.selectExpr("u AS src", "v AS dst", "w").unionByName(
+        fwd.selectExpr(
+            "v AS src", "u AS dst",
+            f"CAST((v * 7 + u * 13) % 20 + 1 AS BIGINT) AS w",
+        )
+    )
+    return shortest_path_tree(edges, source=0, max_rounds=_GNM_ROUNDS)
+
+
+# --------------------------------------------------------------------------
 # GNM connected components (network connectivity; gnm/gnmgraph.cpp
 # connectivity queries): which network islands exist after edges are
 # removed.  Fixture = the 12x12 grid KEEPING only edges with

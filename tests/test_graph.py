@@ -81,6 +81,26 @@ class TestShortestPath:
         got = dict(duckdb.connect().execute(_gnmc_oracle()).fetchall())
         assert got == want
 
+    def test_route_tree_is_valid_shortest_path_tree(self):
+        """Every tree edge is a real graph edge satisfying
+        dist[v] = dist[pred] + w(pred, v), and the distances equal the
+        independent Dijkstra's."""
+        from gdal_spark.registry import _gnm_tree_oracle
+
+        n = _GNM_N
+        wgt = lambda u, v: (u * 7 + v * 13) % 20 + 1  # noqa: E731
+        rows = duckdb.connect().execute(_gnm_tree_oracle()).fetchall()
+        d = {nid: dist for nid, dist, pred in rows}
+        p = {nid: pred for nid, dist, pred in rows}
+        assert d == _dijkstra(_grid_edges(n), 0)
+        for v, dv in d.items():
+            if v == 0:
+                assert dv == 0 and p[v] == 0
+                continue
+            u = p[v]
+            adj = (abs(u - v) == 1 and u // n == v // n) or abs(u - v) == n
+            assert adj and dv == d[u] + wgt(u, v)
+
     def test_unreachable_absent_and_nonconvergence_raises(self, spark):
         from gdal_spark.operators.graph import shortest_paths
 
