@@ -1326,15 +1326,16 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # the media codec is a deterministic md5 STUB (sandbox has no media
 # libs), which makes even the multimodal plumbing oracle-checkable: the
-# fake payload is md5(ref) x16, so feature j = (#digest low-nibbles == j)/16
+# fake payload is md5(ref) x16, so feature j = (#digest low-nibbles == j)/16.
+# Output is the TALL scalar shape (doc_id, media_ref, j, feature) — the
+# driver's pandas canonicalizer cannot hash array cells (r02 red row).
 _MEDIA_FEAT_ORACLE = """
 WITH m AS (SELECT doc_id, 'media://' || doc_id || '/2' AS media_ref FROM documents),
 h AS (SELECT doc_id, media_ref, md5(media_ref) AS hx FROM m)
-SELECT doc_id, media_ref,
-       list_transform(range(0, 16),
-         j -> CAST(len(list_filter(range(1, 17),
-                i -> (strpos('0123456789abcdef', substr(hx, 2*i, 1)) - 1) = j)) / 16.0 AS FLOAT)) AS features
-FROM h
+SELECT doc_id, media_ref, CAST(t.j AS INT) AS j,
+       CAST(len(list_filter(range(1, 17),
+              i -> (strpos('0123456789abcdef', substr(hx, 2*i, 1)) - 1) = t.j)) / 16.0 AS FLOAT) AS feature
+FROM h CROSS JOIN range(0, 16) t(j)
 """
 
 
@@ -1342,11 +1343,18 @@ FROM h
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal pipeline: span media_refs -> binary fetch -> feature
     extraction (mapInPandas Arrow plumbing; codec layer is the
-    clearly-marked deterministic stub, which the oracle reproduces)."""
+    clearly-marked deterministic stub, which the oracle reproduces).
+    Flattened via posexplode so every output column is scalar (values
+    0/16..16/16 are exact in float32, so the hash gate is bit-safe)."""
     from gdal_spark.operators.media import fetch_media, image_features, media_refs
 
     docs = corpus.load_docs(spark, sf_dir)
-    return image_features(fetch_media(media_refs(docs)))
+    feats = image_features(fetch_media(media_refs(docs)))
+    return feats.select(
+        "doc_id",
+        "media_ref",
+        F.posexplode("features").alias("j", "feature"),
+    ).select("doc_id", "media_ref", F.col("j").cast("int").alias("j"), "feature")
 
 
 _ANN_K = 3

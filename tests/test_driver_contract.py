@@ -6,8 +6,22 @@ import math
 
 import duckdb
 import pytest
+from pyspark.sql import types as T
 
 import __spark_entry__ as entry_mod
+
+# The driver canonicalizes results with pandas sort_values/factorize, which
+# cannot hash array/map/struct cells (r02 red row: media_features). Every
+# registered query must therefore emit scalar-only columns.
+_NON_SCALAR = (T.ArrayType, T.MapType, T.StructType, T.BinaryType)
+
+
+def _assert_scalar_schema(name, df):
+    for f in df.schema.fields:
+        assert not isinstance(f.dataType, _NON_SCALAR), (
+            f"{name}.{f.name}: driver canonicalizer cannot hash "
+            f"{f.dataType.simpleString()} — flatten to scalar columns"
+        )
 
 TABLES = [
     "region",
@@ -55,6 +69,7 @@ def _rows(rows, cols):
 def test_query_matches_oracle(spark, sf_dir, name):
     q = entry_mod.queries()[name]
     sdf = q(spark, sf_dir)
+    _assert_scalar_schema(name, sdf)
     spark_cols = list(sdf.columns)
     spark_rows = [tuple(r) for r in sdf.collect()]
 
@@ -78,6 +93,7 @@ def test_rows_only_query_runs(spark, sf_dir, name):
     """Queries without a SQL oracle (driver does rows-only): they must
     execute and produce a stable, non-empty schema."""
     df = entry_mod.queries()[name](spark, sf_dir)
+    _assert_scalar_schema(name, df)
     assert len(df.schema.fields) > 0
     assert df.count() >= 0
 

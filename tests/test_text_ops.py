@@ -137,7 +137,9 @@ class TestSimilarity:
         }
         approx = {
             (r.query_id, r.neighbor_id)
-            for r in lsh_topk(vectors, vectors, k=3, n_planes=6, n_tables=8).collect()
+            for r in lsh_topk(
+                vectors, vectors, k=3, n_planes=6, n_tables=8, dim=16
+            ).collect()
         }
         recall = len(exact & approx) / len(exact)
         assert recall > 0.5, f"LSH recall too low: {recall}"
