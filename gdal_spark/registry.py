@@ -5429,7 +5429,10 @@ def q_kmeans_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # and |9025·na²·nb²| ≈ 6.0e16 fit int64), so the pipeline is
 # bit-reproducible end-to-end under any shuffle order.
 # --------------------------------------------------------------------------
-def _semdedup_sql(dims_join: str, elem: str) -> str:
+_SD_CAP = 4096  # hot-cluster guard: clusters above this re-split before pairing
+
+
+def _semdedup_sql(dims_join: str, elem: str, cap: int = _SD_CAP) -> str:
     # the synthetic corpus has no semantic near-dups (max pairwise
     # cosine 0.51), so clones of every 25th vector are planted in-query
     # (same expression both engines) — cos = 1 with their source, which
@@ -5441,13 +5444,34 @@ def _semdedup_sql(dims_join: str, elem: str) -> str:
     ]
     ctes += _kmeans_ctes(dims_join, elem, table="embx")
     m = f"m{_KM_ITERS}"
+    # hot-cluster guard: a cluster larger than ``cap`` would make the
+    # within-cluster pair join quadratic in its size at corpus scale, so
+    # oversized clusters are re-split by a 6-bit sign LSH over the first
+    # six quantized components (deterministic, shared text both engines)
+    # before pairing — 64 sub-buckets bound the hot cluster's pair count
+    # at ~n²/64 per level.  Exact clones always share every sign bit, so
+    # the split can never separate a clone from its source; genuine
+    # near-dups (cos >= 0.95) can flip a small-magnitude sign bit — the
+    # standard LSH recall trade-off, documented here.  Clusters at or
+    # under the cap pair exactly as before (sub = -1).
+    sign_bits = (
+        "SUM(CASE WHEN d <= 6 THEN (CASE WHEN v >= 0 THEN 1 ELSE 0 END)"
+        " * (CASE WHEN d = 1 THEN 1 WHEN d = 2 THEN 2 WHEN d = 3 THEN 4"
+        " WHEN d = 4 THEN 8 WHEN d = 5 THEN 16 ELSE 32 END) ELSE 0 END)"
+    )
     ctes += [
         f"pc AS (SELECT vec_id, d, CAST(floor(1.0e2 * CAST({elem} AS DOUBLE))"
         f" AS BIGINT) AS v FROM embx {dims_join})",
         "nrm2 AS (SELECT vec_id, SUM(v * v) AS n2 FROM pc GROUP BY vec_id)",
+        f"csz AS (SELECT cid, COUNT(*) AS n FROM {m} GROUP BY cid)",
+        f"sb AS (SELECT vec_id, {sign_bits} AS bits FROM pc GROUP BY vec_id)",
+        f"ms AS (SELECT mm.vec_id, mm.cid,"
+        f" CASE WHEN cs.n > {cap} THEN b.bits ELSE -1 END AS sub"
+        f" FROM {m} mm JOIN csz cs ON mm.cid = cs.cid"
+        f" JOIN sb b ON b.vec_id = mm.vec_id)",
         f"pair AS (SELECT ma.vec_id AS ida, mb.vec_id AS idb,"
         f" SUM(pa.v * pb.v) AS dot"
-        f" FROM {m} ma JOIN {m} mb ON ma.cid = mb.cid"
+        f" FROM ms ma JOIN ms mb ON ma.cid = mb.cid AND ma.sub = mb.sub"
         f" AND ma.vec_id < mb.vec_id"
         f" JOIN pc pa ON pa.vec_id = ma.vec_id"
         f" JOIN pc pb ON pb.vec_id = mb.vec_id AND pb.d = pa.d"

@@ -140,6 +140,57 @@ class TestSemDedupSemantics:
         want = {1000000 + v: v for v in range(0, n_src, 25)}
         assert removed == want
 
+    def test_hot_cluster_guard_bounds_pairs(self):
+        """A planted 300-member cluster: the sign-LSH re-split (cap=50)
+        bounds the within-cluster pair join >=10x below the quadratic
+        count, while the keeper output stays IDENTICAL (exact clones
+        share every sign bit, so the split can't separate them; organic
+        cosines stay far below the 0.95 gate)."""
+        import pandas as pd
+
+        from gdal_spark.registry import (
+            _KM_DUCK_DIMS,
+            _KM_DUCK_ELEM,
+            _semdedup_sql,
+        )
+
+        rng = np.random.default_rng(3)
+        rows = []
+        # 8 k-means seeds: seed 0 near the hot ball, seeds 1..7 far away
+        for k in range(8):
+            v = np.zeros(64)
+            if k == 0:
+                v[47] = 1.0
+            else:
+                v[40 + k] = 1000.0
+            rows.append((k, [float(x) for x in v]))
+        # 300 hot members: random +-1 over dims 0..39 — mutually
+        # non-dup (cos ~ N(0, 1/40)), diverse first-6 sign bits
+        for i in range(300):
+            v = np.zeros(64)
+            v[:40] = rng.choice([-1.0, 1.0], 40)
+            rows.append((8 + i, [float(x) for x in v]))
+        emb = pd.DataFrame(rows, columns=["vec_id", "embedding"])
+
+        def run(cap):
+            con = duckdb.connect()
+            con.register("embeddings", emb)
+            sql = _semdedup_sql(_KM_DUCK_DIMS, _KM_DUCK_ELEM, cap=cap)
+            out = sorted(con.execute(sql).fetchall())
+            pairs = con.execute(
+                sql.rsplit("\nSELECT", 1)[0] + "\nSELECT COUNT(*) FROM pair"
+            ).fetchone()[0]
+            return out, pairs
+
+        out_full, pairs_full = run(cap=4096)
+        out_capped, pairs_capped = run(cap=50)
+        # clones of vec_id 0,25,...,300 removed with their source as witness
+        removed = {r[0]: r[3] for r in out_full if r[2] == 0}
+        assert removed == {1000000 + v: v for v in range(0, 308, 25)}
+        assert out_capped == out_full
+        assert pairs_full > 40000  # the quadratic count the guard avoids
+        assert pairs_capped * 10 < pairs_full
+
 
 class TestCurationSemantics:
     def test_stage_labels(self):
