@@ -2848,6 +2848,80 @@ def q_helmert_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s3.selectExpr("doc_id", *_HELM_OUT)
 
 
+# --------------------------------------------------------------------------
+# EPSG dispatch (geometry/epsg.py) — the OGRCoordinateTransformation
+# surface (ogr/ogrct.cpp OGRCreateCoordinateTransformation +
+# ogr_spatialref.h importFromEPSG): a parameter registry maps EPSG codes
+# onto the ported kernels and composes source-inverse -> Helmert datum
+# step -> target-forward as ONE (col, expr) stage chain, identical text
+# both engines.  The query exercises seven dispatch pairs, including the
+# datum-shifted 27700 -> 4326 (tmerc inverse on Airy 1830 + OSGB36 ->
+# WGS84 Helmert) and the full projected -> projected composition
+# 27700 -> 32630.  Inputs per pair are synthesized from doc lon/lat into
+# each CRS's domain of validity (shared expression text).  Outputs
+# floor-quantized: decimetres for projected targets, nano-degrees for
+# geographic.
+# --------------------------------------------------------------------------
+from gdal_spark.geometry import epsg  # noqa: E402
+
+_EPSG_PAIRS = [
+    # (src, dst, x_expr (src x / lon), y_expr (src y / lat))
+    (4326, 32631, "((lon + 1.8e2) / 6.0e1)", "(lat * 8.0e-1)"),
+    (4326, 2154, "(lon / 3.0e1 + 2.0e0)", "(4.6e1 + lat / 1.8e1)"),
+    (4326, 5070, "(-9.6e1 + lon / 6.0e0)", "(3.7e1 + lat / 6.0e0)"),
+    (4326, 3413, "lon", "(7.0e1 + lat / 9.0e0)"),
+    (4326, 3857, "lon", "(lat * 8.0e-1)"),
+    (27700, 4326, "(4.0e5 + lon * 5.0e2)", "(4.0e5 + lat * 2.0e3)"),
+    (27700, 32630, "(4.0e5 + lon * 5.0e2)", "(4.0e5 + lat * 2.0e3)"),
+]
+
+
+def _epsg_pair_stages(src: int, dst: int, xe: str, ye: str) -> list[tuple[str, str]]:
+    st = [("x", xe), ("y", ye)]
+    st += epsg.sql_transform_stages(src, dst)
+    q = "1.0e9" if epsg.lookup(dst).kind == "geographic" else "1.0e1"
+    st += [
+        ("ox_q", f"CAST(floor(ox * {q}) AS BIGINT)"),
+        ("oy_q", f"CAST(floor(oy * {q}) AS BIGINT)"),
+    ]
+    return st
+
+
+def _epsg_oracle() -> str:
+    parts = []
+    for src, dst, xe, ye in _EPSG_PAIRS:
+        sql = "SELECT doc_id, lon, lat FROM docs"
+        for col, expr in _epsg_pair_stages(src, dst, xe, ye):
+            sql = f"SELECT *, {expr} AS {col} FROM ({sql})"
+        parts.append(
+            f"SELECT CAST({src} AS INT) AS src_epsg, CAST({dst} AS INT) AS dst_epsg,"
+            f" doc_id, ox_q, oy_q FROM ({sql})"
+        )
+    return f"WITH docs AS ({_DOCS_CTE})\n" + "\nUNION ALL\n".join(parts)
+
+
+@register("epsg_transform", _epsg_oracle())
+def q_epsg_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    docs = corpus.load_docs(spark, sf_dir).select("doc_id", "lon", "lat")
+    parts = []
+    for src, dst, xe, ye in _EPSG_PAIRS:
+        df = docs
+        for col, expr in _epsg_pair_stages(src, dst, xe, ye):
+            df = df.selectExpr("*", f"{expr} AS {col}")
+        parts.append(
+            df.selectExpr(
+                f"CAST({src} AS INT) AS src_epsg",
+                f"CAST({dst} AS INT) AS dst_epsg",
+                "doc_id",
+                "ox_q",
+                "oy_q",
+            )
+        )
+    return reduce(DataFrame.unionAll, parts)
+
+
 _WKB_ENV_ORACLE = f"""
 SELECT {zones.RICH_ID_SQL} AS zone_id,
        CAST(round({zones.RBX_SQL} * 1.0e4) AS BIGINT) AS exmin4,
