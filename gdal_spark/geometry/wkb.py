@@ -19,7 +19,13 @@ import struct
 
 import numpy as np
 
-__all__ = ["wkt_payload_to_wkb", "wkb_to_payload", "wkb_envelope", "wkb_type"]
+__all__ = [
+    "wkt_payload_to_wkb",
+    "wkb_to_payload",
+    "wkb_envelope",
+    "wkb_type",
+    "wkb_is_rectangle",
+]
 
 _POINT = 1
 _LINESTRING = 2
@@ -139,6 +145,29 @@ def wkb_envelope(buf: bytes):
     else:
         raise ValueError(f"unsupported WKB geometry type: {gtype}")
     return (float(xmin), float(ymin), float(xmax), float(ymax))
+
+
+def wkb_is_rectangle(buf: bytes) -> bool:
+    """IsRectangle straight off WKB bytes (ogrgeometry.cpp:8822 analog,
+    cf. envelope.wkt_is_rectangle): single POLYGON, one ring, 5 points,
+    closed, axis-parallel edges."""
+    if wkb_type(buf) != _POLYGON:
+        return False
+    (nrings,) = struct.unpack_from("<I", buf, 5)
+    if nrings != 1:
+        return False
+    (npts,) = struct.unpack_from("<I", buf, 9)
+    if npts != 5:
+        return False
+    pts = np.frombuffer(buf, dtype="<f8", count=10, offset=13).reshape(5, 2)
+    if not (pts[0] == pts[4]).all():
+        return False
+    for i in range(4):
+        dx = pts[i + 1, 0] - pts[i, 0]
+        dy = pts[i + 1, 1] - pts[i, 1]
+        if dx != 0.0 and dy != 0.0:
+            return False
+    return True
 
 
 def wkb_intersects_pessimistic(

@@ -60,6 +60,27 @@ def q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pip_join(docs, z).select("doc_id", "zone_id")
 
 
+# WKB-native twin: the zone layer travels as WKB BinaryType (geo-parquet
+# / Arrow ogc.wkb interop, ogrlayerarrow.cpp:2562); cell cover + envelope
+# run straight off the bytes (ogr_wkb.cpp:574) and the refine parses WKB
+# once per distinct geometry per executor.  rect_fast=False on purpose:
+# it forces every candidate through the WKB-parse ray-cast refine, so the
+# driver row checks the full binary path, not just the envelope math (the
+# rect fast path itself is bit-pinned against the WKT twin in
+# tests/test_pip_wkb.py on the concave rich layer).
+@register("pip_join_wkb", _PIP_ORACLE)
+def q_pip_join_wkb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.operators.pip_join import pip_join, with_wkb_geometry
+
+    docs = corpus.load_docs(spark, sf_dir)
+    z = with_wkb_geometry(
+        zones.rect_zones(spark).drop("zxmin", "zymin", "zxmax", "zymax")
+    ).drop("geom_wkt")
+    return pip_join(
+        docs, z, wkt_col="geom_wkb", geom_format="wkb", rect_fast=False
+    ).select("doc_id", "zone_id")
+
+
 _PIP_AGG_ORACLE = f"""
 WITH docs AS ({_DOCS_CTE}), zones AS ({_ZONES_CTE})
 SELECT z.zone_id, count(*) AS n_docs
