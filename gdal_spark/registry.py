@@ -4473,6 +4473,39 @@ def q_contour(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Contour POLYGON assembly (gdal_contour -p, alg/contour.cpp with
+# POLYGONIZE=YES): band polygons from the distributed iso-segment +
+# boundary-portion edge soup (operators/contour_poly.py).  Fixture: a
+# pure-x linear ramp, so every band is a closed-form rectangle between
+# the interpolated crossings x = lev and the domain edges.
+# --------------------------------------------------------------------------
+_CP_W, _CP_H = 40, 30
+_CP_LEVELS = [10.5, 20.5]
+_CONTOUR_POLY_ORACLE = f"""
+SELECT CAST(NULL AS DOUBLE) AS band_lo, 1.05e1 AS band_hi,
+       'POLYGON ((0 0, 10.5 0, 10.5 {_CP_H - 1}, 0 {_CP_H - 1}, 0 0))' AS wkt
+UNION ALL
+SELECT 1.05e1, 2.05e1,
+       'POLYGON ((10.5 0, 20.5 0, 20.5 {_CP_H - 1}, 10.5 {_CP_H - 1}, 10.5 0))'
+UNION ALL
+SELECT 2.05e1, CAST(NULL AS DOUBLE),
+       'POLYGON ((20.5 0, {_CP_W - 1} 0, {_CP_W - 1} {_CP_H - 1}, 20.5 {_CP_H - 1}, 20.5 0))'
+"""
+
+
+@register("contour_polygons", _CONTOUR_POLY_ORACLE)
+def q_contour_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.operators.contour_poly import contour_polygons
+
+    px_df = spark.range(_CP_W * _CP_H).select(
+        (F.col("id") % _CP_W).cast("int").alias("px"),
+        ((F.col("id") - (F.col("id") % _CP_W)) / _CP_W).cast("int").alias("py"),
+    )
+    px_df = px_df.withColumn("value", F.expr("CAST(px AS DOUBLE)"))
+    return contour_polygons(px_df, _CP_W, _CP_H, _CP_LEVELS)
+
+
+# --------------------------------------------------------------------------
 # Sieve (alg/gdalsievefilter.cpp:178): the block raster seeded with one
 # value-9 island per block — 2x2 islands (< threshold 8) are absorbed
 # into the surrounding block, 4x4 islands survive. Closed-form output.
