@@ -654,41 +654,26 @@ def _setop_wkt(aw: str, bw: str, op: str) -> str:
     """Scalar geometry set op RETURNING geometry WKT — the
     function-form Intersection/Difference/Union/SymDifference the
     reference registers (ogrsqlitesqlfunctions.cpp:1208-1214; GEOS
-    ogrgeometry.cpp:4895,5014,5229).  Exact for two classes:
-    RECTILINEAR pairs (any concavity/holes/multipart — compressed-grid
-    kernel, geometry/rectbool.py) and, for intersection only,
-    convex×convex (Sutherland-Hodgman).  Results canonical: shell CCW,
-    holes CW, rings start at the lexicographic min vertex."""
+    ogrgeometry.cpp:4895,5014,5229).  Two kernels: the exact
+    compressed-grid kernel for RECTILINEAR pairs (any concavity/holes/
+    multipart, geometry/rectbool.py) and the GENERAL arrangement kernel
+    (geometry/polybool.py) for arbitrary-angle pairs — concave, holed,
+    multipart, rotated; areal parts only, vertices on the 2^-20 grid
+    (polybool's documented contract).  Results canonical either way:
+    shell CCW, holes CW, rings start at the lexicographic min vertex."""
     from gdal_spark.geometry.boolean import is_rectilinear
-    from gdal_spark.geometry.clip import clip_polygon_convex, is_convex
-    from gdal_spark.geometry.rectbool import canonical_polys, rect_bool_op
+    from gdal_spark.geometry.polybool import general_setop_wkt
+    from gdal_spark.geometry.rectbool import rect_bool_op
 
     pa, pb = _as_polys(aw), _as_polys(bw)
     if is_rectilinear(pa) and is_rectilinear(pb):
         polys = rect_bool_op(pa, pb, op)
-    elif (
-        op == "intersection"
-        and len(pa) == 1 == len(pb)
-        and len(pa[0]) == 1 == len(pb[0])
-        and is_convex(pa[0][0])
-        and is_convex(pb[0][0])
-    ):
-        out = clip_polygon_convex(pa[0][0], pb[0][0])
-        polys = (
-            canonical_polys([[out]])
-            if len(out) >= 3 and abs(shoelace_area(np.vstack([out, out[:1]]))) > _TOL
-            else []
-        )
-    else:
-        raise ValueError(
-            f"st_{op}: supported classes are rectilinear x rectilinear "
-            "(any shape) and convex x convex (intersection only)"
-        )
-    if not polys:
-        return "POLYGON EMPTY"
-    if len(polys) == 1:
-        return payload_to_wkt("POLYGON", polys[0])
-    return payload_to_wkt("MULTIPOLYGON", polys)
+        if not polys:
+            return "POLYGON EMPTY"
+        if len(polys) == 1:
+            return payload_to_wkt("POLYGON", polys[0])
+        return payload_to_wkt("MULTIPOLYGON", polys)
+    return general_setop_wkt(pa, pb, op)
 
 
 def _canon_wkt(w: str) -> str:

@@ -54,9 +54,13 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from gdal_spark.geometry.ringchain import (
+    chain_rings,
+    fmt_q,
+    group_shells_holes,
+    quantize,
+)
 from gdal_spark.operators.focal import GRID_TILE, _with_halo_tiles
-
-QSCALE = 1 << 20
 
 _EDGE_SCHEMA = StructType(
     [
@@ -86,13 +90,8 @@ _MS_TABLE = {
 }
 
 
-def _q(v: float) -> int:
-    return int(round(v * QSCALE))
 
 
-def _fmt(q: int) -> str:
-    s = f"{q / QSCALE:.6f}".rstrip("0").rstrip(".")
-    return s if s not in ("-0", "") else "0"
 
 
 def _bilinear(v00, v10, v01, v11, u, w):
@@ -186,8 +185,8 @@ def _band_edges(
             )
 
         def emit(band, a, b):
-            qa = (_q(a[0]), _q(a[1]))
-            qb = (_q(b[0]), _q(b[1]))
+            qa = (quantize(a[0]), quantize(a[1]))
+            qb = (quantize(b[0]), quantize(b[1]))
             if qa != qb:
                 rows.append((band, qa[0], qa[1], qb[0], qb[1]))
 
@@ -305,94 +304,20 @@ def _band_edges(
     )
 
 
-def _collapse_collinear(ring: list[tuple[int, int]]) -> list[tuple[int, int]]:
-    out = []
-    n = len(ring)
-    for i in range(n):
-        p0, p1, p2 = ring[i - 1], ring[i], ring[(i + 1) % n]
-        cross = (p1[0] - p0[0]) * (p2[1] - p1[1]) - (p1[1] - p0[1]) * (
-            p2[0] - p1[0]
-        )
-        if cross != 0:
-            out.append(p1)
-    return out if len(out) >= 3 else ring
 
 
-def _signed_area2(ring) -> int:
-    s = 0
-    n = len(ring)
-    for i in range(n):
-        x1, y1 = ring[i]
-        x2, y2 = ring[(i + 1) % n]
-        s += x1 * y2 - x2 * y1
-    return s
 
 
-def _point_in_ring(pt, ring) -> bool:
-    x, y = pt
-    inside = False
-    n = len(ring)
-    for i in range(n):
-        x1, y1 = ring[i]
-        x2, y2 = ring[(i + 1) % n]
-        if (y1 > y) != (y2 > y):
-            xc = x1 + (y - y1) / (y2 - y1) * (x2 - x1)
-            if x < xc:
-                inside = not inside
-    return inside
 
 
 def _ring_wkt(ring) -> str:
     # canonical start: lexicographically smallest vertex
     i0 = min(range(len(ring)), key=lambda i: ring[i])
     r = ring[i0:] + ring[:i0]
-    pts = ", ".join(f"{_fmt(x)} {_fmt(y)}" for x, y in r + [r[0]])
+    pts = ", ".join(f"{fmt_q(x)} {fmt_q(y)}" for x, y in r + [r[0]])
     return f"({pts})"
 
 
-def _chain_rings(edges: list[tuple[tuple[int, int], tuple[int, int]]]):
-    """Directed edge soup -> closed rings (leftmost-turn walk at branch
-    vertices; loud error on dangling ends)."""
-    out_map: dict[tuple[int, int], list[tuple[int, int]]] = {}
-    for a, b in edges:
-        out_map.setdefault(a, []).append(b)
-    for v in out_map.values():
-        v.sort()
-    used = set()
-    rings = []
-    for a0, b0 in sorted(edges):
-        if (a0, b0) in used:
-            continue
-        ring = [a0]
-        prev, cur = a0, b0
-        used.add((a0, b0))
-        while cur != a0:
-            ring.append(cur)
-            outs = [
-                b
-                for b in out_map.get(cur, [])
-                if (cur, b) not in used
-            ]
-            if not outs:
-                raise ValueError(
-                    f"contour_polygons: dangling boundary at {cur} "
-                    "(degenerate tangency — not supported)"
-                )
-            if len(outs) == 1:
-                nxt = outs[0]
-            else:
-                # leftmost turn relative to the incoming direction
-                din = math.atan2(cur[1] - prev[1], cur[0] - prev[0])
-
-                def turn(b):
-                    ang = math.atan2(b[1] - cur[1], b[0] - cur[0])
-                    return (ang - din + math.pi) % (2 * math.pi)
-
-                nxt = max(outs, key=turn)
-            used.add((cur, nxt))
-            prev, cur = cur, nxt
-        rings.append(ring)
-    return rings
 
 
 def contour_polygons(
@@ -411,27 +336,9 @@ def contour_polygons(
             ((int(r.ax), int(r.ay)), (int(r.bx), int(r.by)))
             for r in pdf.itertuples()
         ]
-        rings = _chain_rings(edges)
-        shells = []
-        holes = []
-        for ring in rings:
-            ring = _collapse_collinear(ring)
-            if _signed_area2(ring) > 0:
-                shells.append(ring)
-            else:
-                holes.append(ring)
-        polys = {i: [s] for i, s in enumerate(shells)}
-        for h in holes:
-            owner = [
-                i for i, s in enumerate(shells) if _point_in_ring(h[0], s)
-            ]
-            if not owner:
-                raise ValueError("contour_polygons: hole without a shell")
-            # innermost containing shell = the one with smallest area
-            best = min(owner, key=lambda i: _signed_area2(shells[i]))
-            polys[best].append(h)
+        groups = group_shells_holes(chain_rings(edges))
         rows = []
-        for rings_ in polys.values():
+        for rings_ in groups:
             shell, hs = rings_[0], sorted(rings_[1:], key=min)
             wkt = "POLYGON (" + ", ".join(_ring_wkt(r) for r in [shell] + hs) + ")"
             rows.append((lo, hi, wkt))

@@ -3670,6 +3670,109 @@ def q_st_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# GENERAL (arbitrary-angle) geometry set ops — the class GEOS handles
+# and the rectilinear grid kernel can't (geometry/polybool.py
+# arrangement kernel).  Fixture: the hand-derived rectilinear rows PLUS
+# an L-with-hole x straddling-rect pair, all rotated by the 3-4-5
+# rotation (cos=0.8, sin=0.6) and translated — no edge stays
+# axis-aligned, so every row routes through the general kernel.
+# Expected literals are derived INDEPENDENTLY of that kernel: the
+# oracle-pinned compressed-grid kernel computes the unrotated result,
+# whose vertices are then rotated by the same matrix (rotation commutes
+# with boolean ops) and serialized on the kernel's 2^-20 output grid.
+# --------------------------------------------------------------------------
+_SG_LHOLE = (
+    6,
+    "POLYGON ((0 0,8 0,8 3,3 3,3 8,0 8,0 0),(1 1,1 2,2 2,2 1,1 1))",
+    "POLYGON ((1 -1,7 -1,7 7,1 7,1 -1))",
+)
+
+
+def _rot345(x: float, y: float) -> tuple[float, float]:
+    return 0.8 * x - 0.6 * y + 10.0, 0.6 * x + 0.8 * y + 5.0
+
+
+def _rot_wkt_full(w: str) -> str:
+    """Rotate a WKT's vertices (full-precision %.17g serialization — the
+    general kernel must see the exact rotated doubles)."""
+    from gdal_spark.geometry.wkt import parse_wkt
+
+    typ, payload = parse_wkt(w)
+    polys = payload if typ == "MULTIPOLYGON" else [payload]
+
+    def ring_txt(r):
+        return (
+            "("
+            + ",".join(f"{_rot345(x, y)[0]:.17g} {_rot345(x, y)[1]:.17g}" for x, y in r)
+            + ")"
+        )
+
+    parts = ["(" + ",".join(ring_txt(r) for r in poly) + ")" for poly in polys]
+    if typ == "MULTIPOLYGON":
+        return "MULTIPOLYGON (" + ",".join(parts) + ")"
+    return "POLYGON " + parts[0]
+
+
+def _setops_general_rows() -> list[tuple]:
+    """(gid, rotated_wa, rotated_wb, inter, diff, uni, sym) — expected
+    via rect_bool_op (independent kernel) + rotation + q-grid text."""
+    import numpy as np
+
+    from gdal_spark.geometry.polybool import polys_wkt_q
+    from gdal_spark.geometry.rectbool import rect_bool_op
+    from gdal_spark.geometry.wkt import parse_wkt
+
+    def polys(w):
+        t, p = parse_wkt(w)
+        return p if t == "MULTIPOLYGON" else [p]
+
+    rows = []
+    for gid, wa, wb, *_ in list(_SETOP_FIXTURE) + [_SG_LHOLE]:
+        pa, pb = polys(wa), polys(wb)
+        exp = []
+        for op in ("intersection", "difference", "union", "symdifference"):
+            res = rect_bool_op(pa, pb, op)
+            rot = [
+                [
+                    np.array([_rot345(x, y) for x, y in ring], dtype=np.float64)
+                    for ring in rings
+                ]
+                for rings in res
+            ]
+            exp.append(polys_wkt_q(rot))
+        rows.append((gid, _rot_wkt_full(wa), _rot_wkt_full(wb), *exp))
+    return rows
+
+
+_SG_ROWS = _setops_general_rows()
+
+_SETOPS_GENERAL_ORACLE = "SELECT * FROM (VALUES " + ", ".join(
+    f"({gid}, '{i}', '{d}', '{u}', '{s}')" for gid, _, _, i, d, u, s in _SG_ROWS
+) + ") t(gid, inter, diff, uni, sym)"
+
+
+@register("st_setops_general", _SETOPS_GENERAL_ORACLE)
+def q_st_setops_general(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.functions import (
+        st_difference,
+        st_intersection,
+        st_symdifference,
+        st_union2,
+    )
+
+    return spark.createDataFrame(
+        [(gid, a, b) for gid, a, b, *_ in _SG_ROWS],
+        "gid int, wa string, wb string",
+    ).select(
+        "gid",
+        st_intersection("wa", "wb").alias("inter"),
+        st_difference("wa", "wb").alias("diff"),
+        st_union2("wa", "wb").alias("uni"),
+        st_symdifference("wa", "wb").alias("sym"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Windowed event aggregation (events table): tumbling hourly windows —
 # the batch analog of the streaming rollup surface.
 # --------------------------------------------------------------------------

@@ -1,0 +1,112 @@
+"""General polygon boolean kernel (geometry/polybool.py): area
+cross-checks against the independent fan-triangle intersection-area
+kernel (geometry/boolean.py) on rotated and random concave pairs."""
+
+import numpy as np
+import pytest
+
+from gdal_spark.geometry.boolean import polys_area, polys_pair_intersection_area
+from gdal_spark.geometry.polybool import general_bool_op, general_setop_wkt
+from gdal_spark.geometry.wkt import parse_wkt
+
+
+def _polys(w):
+    t, p = parse_wkt(w)
+    return p if t == "MULTIPOLYGON" else ([] if t == "EMPTY" else [p])
+
+
+def _groups_area(groups):
+    total = 0.0
+    for rings in groups:
+        for ring in rings:
+            v = np.asarray(ring)
+            total += 0.5 * float(
+                np.sum(v[:-1, 0] * v[1:, 1] - v[1:, 0] * v[:-1, 1])
+            )  # shells CCW (+), holes CW (-)
+    return total
+
+
+def _op_area(pa, pb, op):
+    return _groups_area(general_bool_op(pa, pb, op))
+
+
+class TestRotatedLWithHole:
+    """The verdict fixture: concave L with a hole x straddling rect,
+    rotated by an irrational-ish angle (no axis-aligned edges)."""
+
+    @pytest.fixture(scope="class")
+    def pair(self):
+        th = 0.37  # radians — nothing special about it
+        c, s = np.cos(th), np.sin(th)
+
+        def rot(w):
+            t, p = parse_wkt(w)
+            polys = p if t == "MULTIPOLYGON" else [p]
+            return [
+                [
+                    np.array(
+                        [(c * x - s * y, s * x + c * y) for x, y in ring]
+                    )
+                    for ring in rings
+                ]
+                for rings in polys
+            ]
+
+        pa = rot("POLYGON ((0 0,8 0,8 3,3 3,3 8,0 8,0 0),(1 1,1 2,2 2,2 1,1 1))")
+        pb = rot("POLYGON ((1 -1,7 -1,7 7,1 7,1 -1))")
+        return pa, pb
+
+    def test_intersection_area_vs_fan_triangle(self, pair):
+        pa, pb = pair
+        want = polys_pair_intersection_area(pa, pb)
+        got = _op_area(pa, pb, "intersection")
+        assert got == pytest.approx(want, abs=1e-4)
+        assert want > 0
+
+    def test_boolean_identities(self, pair):
+        pa, pb = pair
+        a = polys_area(pa)
+        b = polys_area(pb)
+        i = _op_area(pa, pb, "intersection")
+        assert _op_area(pa, pb, "difference") == pytest.approx(a - i, abs=1e-4)
+        assert _op_area(pa, pb, "union") == pytest.approx(a + b - i, abs=1e-4)
+        assert _op_area(pa, pb, "symdifference") == pytest.approx(
+            a + b - 2 * i, abs=1e-4
+        )
+
+    def test_hole_survives_where_uncovered(self, pair):
+        """The hole straddles B's edge: the A-B difference keeps the
+        hole's uncovered sliver out of the result (area accounts for
+        it), and the intersection polygon carries NO hole (the hole's
+        B-covered part is excluded by construction of A)."""
+        pa, pb = pair
+        w = general_setop_wkt(pa, pb, "intersection")
+        assert w.startswith("POLYGON") or w.startswith("MULTIPOLYGON")
+
+
+class TestRandomConcavePairs:
+    @pytest.mark.parametrize("seed", [1, 2, 3, 4, 5, 6, 7, 8])
+    def test_intersection_area_matches(self, seed):
+        rng = np.random.default_rng(seed)
+
+        def star(cx, cy, n):
+            ang = np.sort(rng.uniform(0, 2 * np.pi, n))
+            rad = rng.uniform(1.0, 3.0, n)
+            pts = np.column_stack(
+                [cx + rad * np.cos(ang), cy + rad * np.sin(ang)]
+            )
+            return [[np.vstack([pts, pts[:1]])]]
+
+        pa = star(0.0, 0.0, 9)
+        pb = star(1.1, 0.7, 7)
+        want = polys_pair_intersection_area(pa, pb)
+        got = _op_area(pa, pb, "intersection")
+        assert got == pytest.approx(want, abs=2e-4)
+        # identities on the same pair
+        a, b = polys_area(pa), polys_area(pb)
+        assert _op_area(pa, pb, "union") == pytest.approx(
+            a + b - want, abs=2e-4
+        )
+        assert _op_area(pa, pb, "symdifference") == pytest.approx(
+            a + b - 2 * want, abs=2e-4
+        )
