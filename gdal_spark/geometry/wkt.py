@@ -17,7 +17,14 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["parse_wkt", "point_wkt", "polygon_wkt", "wkt_type"]
+__all__ = [
+    "parse_wkt",
+    "point_wkt",
+    "polygon_wkt",
+    "wkt_type",
+    "parse_wkt_z",
+    "payload_to_wkt_z",
+]
 
 
 def _coords(text: str) -> np.ndarray:
@@ -50,6 +57,93 @@ def wkt_type(wkt: str) -> str:
     head = wkt.lstrip()
     i = head.find("(")
     return (head[:i] if i >= 0 else head).strip().upper()
+
+
+# ------------------------------------------------------------ Z variants
+# The reference's 2.5-D geometry classes (ogr/ogr_core.h:447-498
+# wkbPoint25D family; importFromWkt accepts both "POINT Z (..)" and
+# bare 3-coordinate vertices).  parse_wkt_z keeps the third coordinate
+# as (N,3) arrays; parse_wkt (above) stays strictly 2-D for the
+# planar kernels.
+
+
+def _coords3(text: str) -> tuple[np.ndarray, bool]:
+    """'1 2 3, ...' -> ((N,3) array, has_z); z = 0 for 2-D vertices."""
+    pts = []
+    has_z = False
+    for pair in text.split(","):
+        parts = pair.split()
+        z = 0.0
+        if len(parts) >= 3:
+            z = float(parts[2])
+            has_z = True
+        pts.append((float(parts[0]), float(parts[1]), z))
+    return np.asarray(pts, dtype=np.float64), has_z
+
+
+def parse_wkt_z(wkt: str):
+    """Z-aware parse -> (type, payload with (N,3) arrays, has_z).
+    ``has_z`` is True when the tag carries ' Z' or any vertex has a
+    third coordinate (the reference accepts both spellings)."""
+    s = wkt.strip()
+    i = s.find("(")
+    if i < 0:
+        head = s.upper().split()
+        return (head[0] if head else "EMPTY", [], "Z" in head[1:])
+    tag = s[:i].strip().upper()
+    tagged_z = tag.endswith(" Z")
+    typ = tag[:-2].strip() if tagged_z else tag
+    body = s[i:]
+    if typ == "POINT":
+        pts, has_z = _coords3(body.strip()[1:-1])
+        return "POINT", [pts], tagged_z or has_z
+    if typ == "LINESTRING":
+        pts, has_z = _coords3(body.strip()[1:-1])
+        return "LINESTRING", [pts], tagged_z or has_z
+    if typ == "POLYGON":
+        rings = []
+        any_z = False
+        depth = 0
+        start = 0
+        inner = body.strip()[1:-1]
+        for j, ch in enumerate(inner):
+            if ch == "(":
+                if depth == 0:
+                    start = j + 1
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    r, hz = _coords3(inner[start:j])
+                    any_z |= hz
+                    rings.append(r)
+        return "POLYGON", rings, tagged_z or any_z
+    raise ValueError(f"parse_wkt_z: unsupported type {typ}")
+
+
+def payload_to_wkt_z(typ: str, payload, has_z: bool) -> str:
+    """Serialize a (N,3) payload: 'TYPE Z (x y z,...)' when ``has_z``,
+    else the canonical 2-D spelling (third coordinate dropped —
+    OGRGeometry::flattenTo2D)."""
+    if not payload:
+        return f"{typ} Z EMPTY" if has_z else f"{typ} EMPTY"
+
+    def vtx(p):
+        if has_z:
+            return f"{_fmt(p[0])} {_fmt(p[1])} {_fmt(p[2])}"
+        return f"{_fmt(p[0])} {_fmt(p[1])}"
+
+    tag = f"{typ} Z" if has_z else typ
+    if typ == "POINT":
+        return f"{tag} ({vtx(payload[0][0])})"
+    if typ == "LINESTRING":
+        return f"{tag} (" + ",".join(vtx(p) for p in payload[0]) + ")"
+    if typ == "POLYGON":
+        inner = ",".join(
+            "(" + ",".join(vtx(p) for p in r) + ")" for r in payload
+        )
+        return f"{tag} ({inner})"
+    raise ValueError(f"payload_to_wkt_z: unsupported type {typ}")
 
 
 def parse_wkt(wkt: str):
