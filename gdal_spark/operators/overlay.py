@@ -82,13 +82,18 @@ def _env_cells(df: DataFrame, zoom: int, xmin, ymin, xmax, ymax) -> DataFrame:
 
 
 def _intersection_candidates(
-    polydocs: DataFrame, zones: DataFrame, zoom: int
+    polydocs: DataFrame,
+    zones: DataFrame,
+    zoom: int,
+    wkt_col: str = "geom_wkt",
+    geom_format: str = "wkt",
 ) -> DataFrame:
     """Cell join + canonical-cell dedup + envelope prefilter.
     polydocs must carry envelope columns xmin/ymin/xmax/ymax."""
     z = str(zoom)
     docs = _env_cells(polydocs, zoom, "xmin", "ymin", "xmax", "ymax")
-    zcells = zone_cell_index(zones, zoom)  # adds cell_tx/ty + env_*
+    # adds cell_tx/ty + env_* (WKB layers: envelope off the raw bytes)
+    zcells = zone_cell_index(zones, zoom, wkt_col, geom_format=geom_format)
     cand = docs.join(F.broadcast(zcells), ["cell_tx", "cell_ty"], "inner")
     # envelope overlap (inclusive bbox test, ogrgeometry.cpp:586-593)
     cand = cand.filter(
@@ -118,10 +123,17 @@ _ZONE_CACHE: dict[str, tuple] = {}
 _ZONE_CACHE_MAX = 65536
 
 
-def _classify_zone(wkt: str):
+def _classify_zone(wkt, geom_format: str = "wkt"):
+    if geom_format == "wkb":
+        wkt = bytes(wkt)  # Arrow may hand back bytearray (unhashable)
     v = _ZONE_CACHE.get(wkt)
     if v is None:
-        typ, payload = parse_wkt(wkt)
+        if geom_format == "wkb":
+            from gdal_spark.geometry.wkb import wkb_to_payload
+
+            typ, payload = wkb_to_payload(wkt)
+        else:
+            typ, payload = parse_wkt(wkt)
         polys = payload if typ == "MULTIPOLYGON" else [payload]
         ring0 = polys[0][0]
         if (
@@ -149,7 +161,12 @@ def _classify_zone(wkt: str):
     return v
 
 
-def _clip_kernel(zone_wkt_col: str, doc_wkt_col: str | None, emit_wkt: bool = True):
+def _clip_kernel(
+    zone_wkt_col: str,
+    doc_wkt_col: str | None,
+    emit_wkt: bool = True,
+    geom_format: str = "wkt",
+):
     """mapInPandas kernel computing exact intersection pieces.
 
     Emits (piece_wkt, piece_area) per candidate row; area <= AREA_EPS
@@ -170,7 +187,7 @@ def _clip_kernel(zone_wkt_col: str, doc_wkt_col: str | None, emit_wkt: bool = Tr
             uniq, inv = np.unique(
                 pdf[zone_wkt_col].to_numpy(dtype=object), return_inverse=True
             )
-            infos = [_classify_zone(w) for w in uniq]
+            infos = [_classify_zone(w, geom_format) for w in uniq]
             if doc_wkt_col is None:
                 rect_rows = np.array([infos[i][0] == "rect" for i in inv])
             else:
@@ -227,16 +244,24 @@ def intersection_join(
     doc_wkt_col: str | None = None,
     emit_wkt: bool = True,
     wkt_col: str = "geom_wkt",
+    geom_format: str = "wkt",
 ) -> DataFrame:
     """OGRLayer::Intersection: one row per overlapping (doc, zone) pair
     with the exact intersection piece area (and piece_wkt on the
-    rect x rect path).  Zones may be concave / holed / multipart."""
-    cand = _intersection_candidates(polydocs, zones, zoom)
+    rect x rect path).  Zones may be concave / holed / multipart.
+
+    ``geom_format="wkb"`` consumes a WKB BinaryType zone column
+    (geo-parquet / Arrow ogc.wkb): envelopes come off the raw bytes and
+    the clip kernel parses WKB once per distinct zone per executor —
+    same cache, same kernels, parity-pinned in tests/test_pip_wkb.py."""
+    cand = _intersection_candidates(polydocs, zones, zoom, wkt_col, geom_format)
     schema = StructType(
         [f for f in cand.schema.fields]
         + [StructField("piece_area", DoubleType()), StructField("piece_wkt", StringType())]
     )
-    pieces = cand.mapInPandas(_clip_kernel(wkt_col, doc_wkt_col, emit_wkt), schema)
+    pieces = cand.mapInPandas(
+        _clip_kernel(wkt_col, doc_wkt_col, emit_wkt, geom_format), schema
+    )
     return pieces.filter(F.col("piece_area") > AREA_EPS).drop(
         "env_xmin", "env_ymin", "env_xmax", "env_ymax"
     )

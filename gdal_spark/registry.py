@@ -239,6 +239,27 @@ def q_clip_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# WKB-native clip twin: the zone layer travels as WKB BinaryType —
+# envelopes/cells off the raw bytes, clip kernel parses WKB once per
+# distinct zone per executor (same oracle as clip_pieces; rich-layer
+# parity additionally pinned in tests/test_pip_wkb.py)
+@register("clip_wkb", _CLIP_ORACLE)
+def q_clip_wkb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.operators.overlay import intersection_join
+    from gdal_spark.operators.pip_join import with_wkb_geometry
+
+    pd_docs = corpus.load_polydocs(spark, sf_dir)
+    cz = with_wkb_geometry(
+        zones.clip_zones(spark).drop("zxmin", "zymin", "zxmax", "zymax")
+    ).drop("geom_wkt")
+    out = intersection_join(pd_docs, cz, wkt_col="geom_wkb", geom_format="wkb")
+    return out.select(
+        "doc_id",
+        "zone_id",
+        F.round(F.col("piece_area") * 1.0e6).cast("long").alias("micro_area"),
+    )
+
+
 _ERASE_ORACLE = f"""
 WITH docs AS ({_POLYDOCS_CTE}), z AS ({_CLIPZ_CTE}),
 cut AS (

@@ -69,6 +69,32 @@ class TestWkbJoinParity:
         assert got == want
         assert len(got) > 0
 
+    def test_clip_rich_layer_parity(self, spark, sf_dir):
+        """intersection_join over the rich layer: the WKB zone path
+        produces bit-identical piece areas (WKB float64 roundtrip is
+        exact, so the kernels see the same payloads)."""
+        from gdal_spark.operators.overlay import intersection_join
+
+        pdocs = corpus.load_polydocs(spark, sf_dir)
+        rz = zones.rich_zones(spark)
+        want = sorted(
+            (r.doc_id, r.zone_id, r.piece_area)
+            for r in intersection_join(pdocs, rz, emit_wkt=False)
+            .select("doc_id", "zone_id", "piece_area")
+            .collect()
+        )
+        rz_wkb = with_wkb_geometry(rz).drop("geom_wkt")
+        got = sorted(
+            (r.doc_id, r.zone_id, r.piece_area)
+            for r in intersection_join(
+                pdocs, rz_wkb, wkt_col="geom_wkb", geom_format="wkb", emit_wkt=False
+            )
+            .select("doc_id", "zone_id", "piece_area")
+            .collect()
+        )
+        assert got == want
+        assert len(got) > 0
+
     def test_rect_fast_routing_parity(self, spark, sf_dir):
         """rect zones through the WKB path with rect_fast on vs off:
         identical rows (the envelope fast branch == the WKB ray-cast)."""

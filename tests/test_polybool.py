@@ -84,6 +84,56 @@ class TestRotatedLWithHole:
         assert w.startswith("POLYGON") or w.startswith("MULTIPOLYGON")
 
 
+class TestRandomRectilinearCrossKernel:
+    """Random rectilinear shapes: the general arrangement kernel must
+    emit the EXACT canonical WKT the compressed-grid kernel emits —
+    string equality, all four ops (the two kernels share no code)."""
+
+    @pytest.mark.parametrize("seed", list(range(12)))
+    def test_wkt_equality(self, seed):
+        from gdal_spark.geometry.rectbool import rect_bool_op
+        from gdal_spark.geometry.wkt import payload_to_wkt
+
+        rng = np.random.default_rng(100 + seed)
+
+        def rand_shape():
+            # union of 3 random rects -> a valid (possibly concave/holed
+            # /multipart) rectilinear multipolygon via the grid kernel
+            acc = None
+            for _ in range(3):
+                x0, y0 = rng.integers(0, 12, 2)
+                w, h = rng.integers(2, 7, 2)
+                rect = [
+                    [
+                        np.array(
+                            [
+                                [x0, y0],
+                                [x0 + w, y0],
+                                [x0 + w, y0 + h],
+                                [x0, y0 + h],
+                                [x0, y0],
+                            ],
+                            dtype=np.float64,
+                        )
+                    ]
+                ]
+                acc = rect if acc is None else rect_bool_op(acc, rect, "union")
+            return acc
+
+        def rect_wkt(polys):
+            if not polys:
+                return "POLYGON EMPTY"
+            if len(polys) == 1:
+                return payload_to_wkt("POLYGON", polys[0])
+            return payload_to_wkt("MULTIPOLYGON", polys)
+
+        pa, pb = rand_shape(), rand_shape()
+        for op in ("intersection", "difference", "union", "symdifference"):
+            want = rect_wkt(rect_bool_op(pa, pb, op))
+            got = general_setop_wkt(pa, pb, op)
+            assert got == want, f"seed={seed} op={op}\n got={got}\nwant={want}"
+
+
 class TestRandomConcavePairs:
     @pytest.mark.parametrize("seed", [1, 2, 3, 4, 5, 6, 7, 8])
     def test_intersection_area_matches(self, seed):
