@@ -94,18 +94,24 @@ _MS_TABLE = {
 
 
 
-def _bilinear(v00, v10, v01, v11, u, w):
-    return (
-        v00 * (1 - u) * (1 - w)
-        + v10 * u * (1 - w)
-        + v01 * (1 - u) * w
-        + v11 * u * w
-    )
+# probe corner per segment: edges sharing a corner cut exactly that
+# corner off; opposite-edge segments separate two corner pairs, any
+# corner works — the corner's (dx, dy) offset from (gx, gy) plus its
+# index into (v00, v10, v01, v11)
+_SEG_PROBE = {
+    ("l", "t"): (0, 0, 0), ("t", "l"): (0, 0, 0),
+    ("t", "r"): (1, 0, 1), ("r", "t"): (1, 0, 1),
+    ("r", "b"): (1, 1, 3), ("b", "r"): (1, 1, 3),
+    ("b", "l"): (0, 1, 2), ("l", "b"): (0, 1, 2),
+    ("t", "b"): (1, 0, 1), ("b", "t"): (1, 0, 1),
+    ("l", "r"): (0, 0, 0), ("r", "l"): (0, 0, 0),
+}
 
 
 def _segments_for_cell(gx, gy, v00, v10, v01, v11, lev):
     """Case-table segments of one cell at ``lev`` in table operand
-    order; returns [((x1,y1),(x2,y2)), ...] (pixel-center coords)."""
+    order; returns [((x1,y1),(x2,y2), probe), ...] (pixel-center
+    coords; ``probe`` = the _SEG_PROBE entry for orientation)."""
     b = (
         (1 if v00 > lev else 0)
         + 2 * (1 if v10 > lev else 0)
@@ -129,23 +135,25 @@ def _segments_for_cell(gx, gy, v00, v10, v01, v11, lev):
             return (gx + interp(v01, v11), gy + 1.0)
         return (float(gx), gy + interp(v00, v01))
 
-    return [(pt(ea), pt(eb)) for ea, eb in _MS_TABLE[b]]
+    return [
+        (pt(ea), pt(eb), _SEG_PROBE[(ea, eb)]) for ea, eb in _MS_TABLE[b]
+    ]
 
 
-def _orient_above_left(p1, p2, gx, gy, v00, v10, v01, v11, lev):
+def _orient_above_left(p1, p2, probe, gx, gy, v00, v10, v01, v11, lev):
     """Return (a, b) such that walking a->b keeps the v>lev side on the
-    LEFT (probed with the cell's bilinear surface just off the segment
-    midpoint)."""
-    mx, my = (p1[0] + p2[0]) / 2.0, (p1[1] + p2[1]) / 2.0
-    dx, dy = p2[0] - p1[0], p2[1] - p1[1]
-    n = math.hypot(dx, dy)
-    if n == 0.0:
-        return p1, p2
-    eps = 1e-4
-    lx, ly = mx - dy / n * eps, my + dx / n * eps  # left normal (-dy, dx)
-    u = min(max(lx - gx, 0.0), 1.0)
-    w = min(max(ly - gy, 0.0), 1.0)
-    if _bilinear(v00, v10, v01, v11, u, w) > lev:
+    LEFT.  Orientation is decided EXACTLY from the case structure: each
+    segment's probe corner (_SEG_PROBE) lies strictly off the segment's
+    supporting line and on a known side of the iso line, so the cross
+    product's sign against the corner's above/below boolean fixes the
+    direction — no epsilon probe, correct in ambiguous saddle cells
+    where the fixed split contradicts the bilinear center."""
+    dx, dy, vidx = probe
+    cx, cy = gx + dx, gy + dy
+    cross = (p2[0] - p1[0]) * (cy - p1[1]) - (p2[1] - p1[1]) * (cx - p1[0])
+    above = (v00, v10, v01, v11)[vidx] > lev
+    # corner LEFT of p1->p2 (cross > 0) and above => orientation correct
+    if (cross > 0) == above:
         return p1, p2
     return p2, p1
 
@@ -214,9 +222,11 @@ def _band_edges(
                 cx = int(cxs[cxi[k]])
                 cy = int(cys[cyi[k]])
                 v00, v10, v01, v11 = cellv(cx, cy)
-                for p1, p2 in _segments_for_cell(cx, cy, v00, v10, v01, v11, lev):
+                for p1, p2, probe in _segments_for_cell(
+                    cx, cy, v00, v10, v01, v11, lev
+                ):
                     a, b = _orient_above_left(
-                        p1, p2, cx, cy, v00, v10, v01, v11, lev
+                        p1, p2, probe, cx, cy, v00, v10, v01, v11, lev
                     )
                     emit(li + 1, a, b)  # band above lev: v>lev on the left
                     emit(li, b, a)  # band below: v<=lev on the left

@@ -86,6 +86,37 @@ class TestDiagonalRamp:
         assert total == pytest.approx((self.W - 1) * (self.H - 1), abs=1e-6)
 
 
+class TestRandomFieldClosure:
+    """Random integer fields at .5 levels (no ties, saddles abound):
+    the band polygons must partition the domain EXACTLY — areas close
+    to the full rectangle and every band's area is non-negative."""
+
+    @pytest.mark.parametrize("seed", [11, 12, 13])
+    def test_partition_closure(self, spark, seed):
+        import numpy as np
+
+        w, h = 23, 17
+        rng = np.random.default_rng(seed)
+        vals = rng.integers(0, 6, size=(h, w))
+        rows = [
+            (int(x), int(y), float(vals[y, x]))
+            for y in range(h)
+            for x in range(w)
+        ]
+        px_df = spark.createDataFrame(rows, "px int, py int, value double")
+        out = contour_polygons(px_df, w, h, [1.5, 3.5]).collect()
+        total = 0.0
+        per_band = {}
+        for r in out:
+            a = _poly_area(r.wkt)
+            assert a > 0, (r.band_lo, r.band_hi, r.wkt)
+            per_band[(r.band_lo, r.band_hi)] = (
+                per_band.get((r.band_lo, r.band_hi), 0.0) + a
+            )
+            total += a
+        assert total == pytest.approx((w - 1) * (h - 1), abs=1e-5), per_band
+
+
 class TestDonut:
     W, H = 41, 31
 
