@@ -134,6 +134,69 @@ class TestRandomRectilinearCrossKernel:
             assert got == want, f"seed={seed} op={op}\n got={got}\nwant={want}"
 
 
+class TestRandomRotatedCrossKernel:
+    """The same random rectilinear shapes ROTATED by the 3-4-5 matrix:
+    the general kernel must produce the rotated grid-kernel result —
+    polygon/hole counts equal and every area identical (rotation
+    preserves areas; coordinates stress the fp/quantization path)."""
+
+    @pytest.mark.parametrize("seed", list(range(6)))
+    def test_rotated_equivalence(self, seed):
+        from gdal_spark.geometry.rectbool import rect_bool_op
+
+        rng = np.random.default_rng(200 + seed)
+        c, s = 0.8, 0.6
+
+        def rot(polys):
+            return [
+                [
+                    np.array([(c * x - s * y, s * x + c * y) for x, y in r])
+                    for r in rings
+                ]
+                for rings in polys
+            ]
+
+        def rand_shape():
+            acc = None
+            for _ in range(3):
+                x0, y0 = rng.integers(0, 12, 2)
+                w, h = rng.integers(2, 7, 2)
+                rect = [
+                    [
+                        np.array(
+                            [
+                                [x0, y0],
+                                [x0 + w, y0],
+                                [x0 + w, y0 + h],
+                                [x0, y0 + h],
+                                [x0, y0],
+                            ],
+                            dtype=np.float64,
+                        )
+                    ]
+                ]
+                acc = rect if acc is None else rect_bool_op(acc, rect, "union")
+            return acc
+
+        pa, pb = rand_shape(), rand_shape()
+        for op in ("intersection", "difference", "union", "symdifference"):
+            want = rect_bool_op(pa, pb, op)
+            got = general_bool_op(rot(pa), rot(pb), op)
+            assert len(got) == len(want), f"seed={seed} op={op} polygon count"
+            assert sorted(len(g) for g in got) == sorted(
+                len(w) for w in want
+            ), f"seed={seed} op={op} ring counts"
+            want_area = sum(
+                0.5
+                * float(np.sum(r[:-1, 0] * r[1:, 1] - r[1:, 0] * r[:-1, 1]))
+                for rings in want
+                for r in rings
+            )
+            assert _groups_area(got) == pytest.approx(
+                want_area, abs=1e-5
+            ), f"seed={seed} op={op}"
+
+
 class TestRandomConcavePairs:
     @pytest.mark.parametrize("seed", [1, 2, 3, 4, 5, 6, 7, 8])
     def test_intersection_area_matches(self, seed):
