@@ -5725,42 +5725,104 @@ _KM_DIMS = 64
 _KM_ITERS = 3
 
 
-def _kmeans_ctes(dims_join: str, elem: str, table: str = "embeddings") -> list[str]:
-    """Shared CTE chain ending in m{ITERS}(vec_id, cid) / b{ITERS};
-    ``dims_join``/``elem`` are the dialect's dim-explode spelling (the
-    only non-shared text)."""
+def _kmeans_ctes(
+    dims_join: str, elem: str, table: str = "embeddings"
+) -> list[tuple[str, str]]:
+    """Shared CTE chain as (name, body) pairs ending in m{ITERS}
+    (vec_id, cid) / b{ITERS}; ``dims_join``/``elem`` are the dialect's
+    dim-explode spelling (the only non-shared text)."""
     ctes = [
-        f"q AS (SELECT vec_id, d, CAST(floor(1.0e3 * CAST({elem} AS DOUBLE))"
-        f" AS BIGINT) AS p FROM {table} {dims_join})",
-        f"c0 AS (SELECT vec_id AS cid, d, 1000 * p AS c FROM q"
-        f" WHERE vec_id < {_KM_K})",
+        (
+            "q",
+            f"SELECT vec_id, d, CAST(floor(1.0e3 * CAST({elem} AS DOUBLE))"
+            f" AS BIGINT) AS p FROM {table} {dims_join}",
+        ),
+        (
+            "c0",
+            f"SELECT vec_id AS cid, d, 1000 * p AS c FROM q"
+            f" WHERE vec_id < {_KM_K}",
+        ),
     ]
     for i in range(1, _KM_ITERS + 1):
         prev = f"c{i - 1}"
         ctes += [
-            f"a{i} AS (SELECT q.vec_id, c.cid,"
-            f" SUM((1000 * q.p - c.c) * (1000 * q.p - c.c)) AS d2"
-            f" FROM q JOIN {prev} c ON q.d = c.d GROUP BY q.vec_id, c.cid)",
-            f"b{i} AS (SELECT vec_id, cid, d2, row_number() OVER"
-            f" (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM a{i})",
-            f"m{i} AS (SELECT vec_id, cid FROM b{i} WHERE rn = 1)",
-            f"s{i} AS (SELECT m.cid, q.d, SUM(q.p) AS s, COUNT(*) AS n"
-            f" FROM q JOIN m{i} m ON q.vec_id = m.vec_id GROUP BY m.cid, q.d)",
-            f"c{i} AS (SELECT pc.cid, pc.d,"
-            f" COALESCE(CAST(floor(CAST(1000 * s.s AS DOUBLE)"
-            f" / CAST(s.n AS DOUBLE)) AS BIGINT), pc.c) AS c"
-            f" FROM {prev} pc LEFT JOIN s{i} s"
-            f" ON pc.cid = s.cid AND pc.d = s.d)",
+            (
+                f"a{i}",
+                f"SELECT q.vec_id, c.cid,"
+                f" SUM((1000 * q.p - c.c) * (1000 * q.p - c.c)) AS d2"
+                f" FROM q JOIN {prev} c ON q.d = c.d GROUP BY q.vec_id, c.cid",
+            ),
+            (
+                f"b{i}",
+                f"SELECT vec_id, cid, d2, row_number() OVER"
+                f" (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM a{i}",
+            ),
+            (f"m{i}", f"SELECT vec_id, cid FROM b{i} WHERE rn = 1"),
+            (
+                f"s{i}",
+                f"SELECT m.cid, q.d, SUM(q.p) AS s, COUNT(*) AS n"
+                f" FROM q JOIN m{i} m ON q.vec_id = m.vec_id GROUP BY m.cid, q.d",
+            ),
+            (
+                f"c{i}",
+                f"SELECT pc.cid, pc.d,"
+                f" COALESCE(CAST(floor(CAST(1000 * s.s AS DOUBLE)"
+                f" / CAST(s.n AS DOUBLE)) AS BIGINT), pc.c) AS c"
+                f" FROM {prev} pc LEFT JOIN s{i} s"
+                f" ON pc.cid = s.cid AND pc.d = s.d",
+            ),
         ]
     return ctes
 
 
-def _kmeans_sql(dims_join: str, elem: str) -> str:
+_KM_FINAL = (
+    f"SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id,"
+    f" CAST(d2 AS BIGINT) AS dist2 FROM b{_KM_ITERS} WHERE rn = 1"
+)
+
+
+def _with_chain(ctes: list[tuple[str, str]], final: str) -> str:
     return (
-        "WITH " + ",\n".join(_kmeans_ctes(dims_join, elem))
-        + f"\nSELECT vec_id, CAST(cid AS BIGINT) AS cluster_id,"
-        f" CAST(d2 AS BIGINT) AS dist2 FROM b{_KM_ITERS} WHERE rn = 1"
+        "WITH " + ",\n".join(f"{n} AS ({b})" for n, b in ctes) + "\n" + final
     )
+
+
+def _run_cte_chain(
+    spark: SparkSession,
+    ctes: list[tuple[str, str]],
+    final: str,
+    materialize: set[str] | None = None,
+):
+    """Evaluate a CTE chain through temp views, eagerly
+    localCheckpoint-ing the stages named in ``materialize`` so each of
+    THOSE bodies runs once.  spark.sql's WITH inlines every reference,
+    so a multiply-referenced stage (the unrolled Lloyd iterations read
+    ``q`` and the previous centroids in four places each) re-executes
+    its whole upstream tree per reference — the semdedup plan showed
+    118 Exchange nodes with zero reuse.  At corpus scale the
+    re-executed subtree is a full corpus scan, so the reused heavies
+    are pinned; single-use stages stay lazy (checkpointing everything
+    just pays ~20 scheduler round-trips at test scale).  Values are
+    unchanged either way (the integer lattice is
+    aggregation-order-proof)."""
+    materialize = materialize if materialize is not None else {n for n, _ in ctes}
+    for name, body in ctes:
+        df = spark.sql(body)
+        if name in materialize:
+            # LAZY persist: physical planning swaps every reference for
+            # one InMemoryTableScan, so the stage computes once inside
+            # the final action's DAG — no per-stage scheduler round-trip
+            # (an eager localCheckpoint chain measured 2.5x slower at
+            # test scale).  The fixed stage count keeps the analyzed
+            # plan bounded, unlike the open-ended iterative loops that
+            # DO need the eager checkpoint (CLAUDE.md invariant).
+            df = df.persist()
+        df.createOrReplaceTempView(name)
+    return spark.sql(final)
+
+
+def _kmeans_sql(dims_join: str, elem: str) -> str:
+    return _with_chain(_kmeans_ctes(dims_join, elem), _KM_FINAL)
 
 
 _KMEANS_ORACLE = _kmeans_sql(
@@ -5778,7 +5840,12 @@ _KM_DUCK_ELEM = "embedding[d]"
 def q_kmeans_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     e.createOrReplaceTempView("embeddings")
-    return spark.sql(_kmeans_sql(_KM_SPARK_DIMS, _KM_SPARK_ELEM))
+    return _run_cte_chain(
+        spark,
+        _kmeans_ctes(_KM_SPARK_DIMS, _KM_SPARK_ELEM),
+        _KM_FINAL,
+        materialize={"q"} | {f"c{i}" for i in range(_KM_ITERS)},
+    )
 
 
 # --------------------------------------------------------------------------
@@ -5794,15 +5861,20 @@ def q_kmeans_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SD_CAP = 4096  # hot-cluster guard: clusters above this re-split before pairing
 
 
-def _semdedup_sql(dims_join: str, elem: str, cap: int = _SD_CAP) -> str:
+def _semdedup_ctes(
+    dims_join: str, elem: str, cap: int = _SD_CAP
+) -> tuple[list[tuple[str, str]], str]:
     # the synthetic corpus has no semantic near-dups (max pairwise
     # cosine 0.51), so clones of every 25th vector are planted in-query
     # (same expression both engines) — cos = 1 with their source, which
     # proves the removal path; organic vectors all survive
     ctes = [
-        "embx AS (SELECT vec_id, embedding FROM embeddings"
-        " UNION ALL SELECT vec_id + 1000000 AS vec_id, embedding"
-        " FROM embeddings WHERE vec_id % 25 = 0)"
+        (
+            "embx",
+            "SELECT vec_id, embedding FROM embeddings"
+            " UNION ALL SELECT vec_id + 1000000 AS vec_id, embedding"
+            " FROM embeddings WHERE vec_id % 25 = 0",
+        )
     ]
     ctes += _kmeans_ctes(dims_join, elem, table="embx")
     m = f"m{_KM_ITERS}"
@@ -5822,36 +5894,55 @@ def _semdedup_sql(dims_join: str, elem: str, cap: int = _SD_CAP) -> str:
         " WHEN d = 4 THEN 8 WHEN d = 5 THEN 16 ELSE 32 END) ELSE 0 END)"
     )
     ctes += [
-        f"pc AS (SELECT vec_id, d, CAST(floor(1.0e2 * CAST({elem} AS DOUBLE))"
-        f" AS BIGINT) AS v FROM embx {dims_join})",
-        "nrm2 AS (SELECT vec_id, SUM(v * v) AS n2 FROM pc GROUP BY vec_id)",
-        f"csz AS (SELECT cid, COUNT(*) AS n FROM {m} GROUP BY cid)",
-        f"sb AS (SELECT vec_id, {sign_bits} AS bits FROM pc GROUP BY vec_id)",
-        f"ms AS (SELECT mm.vec_id, mm.cid,"
-        f" CASE WHEN cs.n > {cap} THEN b.bits ELSE -1 END AS sub"
-        f" FROM {m} mm JOIN csz cs ON mm.cid = cs.cid"
-        f" JOIN sb b ON b.vec_id = mm.vec_id)",
-        f"pair AS (SELECT ma.vec_id AS ida, mb.vec_id AS idb,"
-        f" SUM(pa.v * pb.v) AS dot"
-        f" FROM ms ma JOIN ms mb ON ma.cid = mb.cid AND ma.sub = mb.sub"
-        f" AND ma.vec_id < mb.vec_id"
-        f" JOIN pc pa ON pa.vec_id = ma.vec_id"
-        f" JOIN pc pb ON pb.vec_id = mb.vec_id AND pb.d = pa.d"
-        f" GROUP BY ma.vec_id, mb.vec_id)",
-        "dup AS (SELECT p.ida, p.idb FROM pair p"
-        " JOIN nrm2 na ON na.vec_id = p.ida"
-        " JOIN nrm2 nb ON nb.vec_id = p.idb"
-        " WHERE p.dot > 0 AND 10000 * p.dot * p.dot >= 9025 * na.n2 * nb.n2)",
-        f"wit AS (SELECT idb AS vec_id, MIN(ida) AS witness FROM dup"
-        f" GROUP BY idb)",
+        (
+            "pc",
+            f"SELECT vec_id, d, CAST(floor(1.0e2 * CAST({elem} AS DOUBLE))"
+            f" AS BIGINT) AS v FROM embx {dims_join}",
+        ),
+        ("nrm2", "SELECT vec_id, SUM(v * v) AS n2 FROM pc GROUP BY vec_id"),
+        ("csz", f"SELECT cid, COUNT(*) AS n FROM {m} GROUP BY cid"),
+        ("sb", f"SELECT vec_id, {sign_bits} AS bits FROM pc GROUP BY vec_id"),
+        (
+            "ms",
+            f"SELECT mm.vec_id, mm.cid,"
+            f" CASE WHEN cs.n > {cap} THEN b.bits ELSE -1 END AS sub"
+            f" FROM {m} mm JOIN csz cs ON mm.cid = cs.cid"
+            f" JOIN sb b ON b.vec_id = mm.vec_id",
+        ),
+        (
+            "pair",
+            f"SELECT ma.vec_id AS ida, mb.vec_id AS idb,"
+            f" SUM(pa.v * pb.v) AS dot"
+            f" FROM ms ma JOIN ms mb ON ma.cid = mb.cid AND ma.sub = mb.sub"
+            f" AND ma.vec_id < mb.vec_id"
+            f" JOIN pc pa ON pa.vec_id = ma.vec_id"
+            f" JOIN pc pb ON pb.vec_id = mb.vec_id AND pb.d = pa.d"
+            f" GROUP BY ma.vec_id, mb.vec_id",
+        ),
+        (
+            "dup",
+            "SELECT p.ida, p.idb FROM pair p"
+            " JOIN nrm2 na ON na.vec_id = p.ida"
+            " JOIN nrm2 nb ON nb.vec_id = p.idb"
+            " WHERE p.dot > 0 AND 10000 * p.dot * p.dot >= 9025 * na.n2 * nb.n2",
+        ),
+        (
+            "wit",
+            "SELECT idb AS vec_id, MIN(ida) AS witness FROM dup GROUP BY idb",
+        ),
     ]
-    return (
-        "WITH " + ",\n".join(ctes)
-        + f"\nSELECT m.vec_id, CAST(m.cid AS BIGINT) AS cluster_id,"
+    final = (
+        f"SELECT m.vec_id, CAST(m.cid AS BIGINT) AS cluster_id,"
         f" CAST(CASE WHEN w.witness IS NULL THEN 1 ELSE 0 END AS INT) AS keep,"
         f" CAST(COALESCE(w.witness, -1) AS BIGINT) AS witness"
         f" FROM {m} m LEFT JOIN wit w ON m.vec_id = w.vec_id"
     )
+    return ctes, final
+
+
+def _semdedup_sql(dims_join: str, elem: str, cap: int = _SD_CAP) -> str:
+    ctes, final = _semdedup_ctes(dims_join, elem, cap)
+    return _with_chain(ctes, final)
 
 
 _SEMDEDUP_ORACLE = _semdedup_sql(_KM_DUCK_DIMS, _KM_DUCK_ELEM)
@@ -5861,7 +5952,12 @@ _SEMDEDUP_ORACLE = _semdedup_sql(_KM_DUCK_DIMS, _KM_DUCK_ELEM)
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     e.createOrReplaceTempView("embeddings")
-    return spark.sql(_semdedup_sql(_KM_SPARK_DIMS, _KM_SPARK_ELEM))
+    return _run_cte_chain(
+        spark,
+        *_semdedup_ctes(_KM_SPARK_DIMS, _KM_SPARK_ELEM),
+        materialize={"embx", "q", "pc", "ms", f"m{_KM_ITERS}"}
+        | {f"c{i}" for i in range(_KM_ITERS)},
+    )
 
 
 # --------------------------------------------------------------------------
