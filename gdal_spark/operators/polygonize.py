@@ -410,25 +410,42 @@ def sieve(
     height: int,
     threshold: int,
     max_rounds: int = 5,
+    connect8: bool = False,
 ) -> DataFrame:
     """Sieve filter (alg/gdalsievefilter.cpp:178): components smaller
     than ``threshold`` pixels merge into their LARGEST neighbour
     component (reference's merge rule; ties broken to the smallest
     label for determinism), repeated until nothing is below threshold.
 
+    ``connect8`` = gdal_sieve -8: diagonal adjacency for BOTH the
+    component detection and the neighbour-merge graph.
+
     All merge decisions happen on the SMALL label/adjacency tables —
     the pixel table is only relabeled once at the end."""
-    comp = pixel_components(pixels, width, height).localCheckpoint(eager=True)
+    comp = pixel_components(pixels, width, height, connect8=connect8)
+    comp = comp.localCheckpoint(eager=True)
     labval = comp.select("label", "value").dropDuplicates(["label"])
     lab = comp.select("px", "py", "label")
-    # cross-label 4-adjacency (label_a, label_b), symmetric — built once;
+    # cross-label adjacency (label_a, label_b), symmetric — built once;
     # merge rounds only update the label -> label mapping
     east = lab.select((F.col("px") + 1).alias("npx"), F.col("py").alias("npy"), F.col("label").alias("la"))
     south = lab.select(F.col("px").alias("npx"), (F.col("py") + 1).alias("npy"), F.col("label").alias("la"))
+    shifts = east.unionByName(south)
+    if connect8:
+        se = lab.select(
+            (F.col("px") + 1).alias("npx"),
+            (F.col("py") + 1).alias("npy"),
+            F.col("label").alias("la"),
+        )
+        sw = lab.select(
+            (F.col("px") - 1).alias("npx"),
+            (F.col("py") + 1).alias("npy"),
+            F.col("label").alias("la"),
+        )
+        shifts = shifts.unionByName(se).unionByName(sw)
     other = lab.select(F.col("px").alias("npx"), F.col("py").alias("npy"), F.col("label").alias("lb"))
     adj = (
-        east.unionByName(south)
-        .join(other, ["npx", "npy"])
+        shifts.join(other, ["npx", "npy"])
         .filter(F.col("la") != F.col("lb"))
         .select("la", "lb")
         .distinct()

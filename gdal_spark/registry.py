@@ -1396,6 +1396,34 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "media_ref", F.col("j").cast("int").alias("j"), "feature")
 
 
+# video-frame sampling plumbing (operators/media.py frame_sample): the
+# deterministic payload stub is md5(ref) x16, so every sampled 32-byte
+# frame is digest||digest — the oracle rebuilds the frame HEX from pure
+# string md5, checking the explode shape, stride, and byte windows
+_MEDIA_FRAMES_ORACLE = """
+WITH m AS (SELECT doc_id, 'media://' || doc_id || '/2' AS media_ref FROM documents)
+SELECT doc_id, media_ref, CAST(t.j * 4 AS INT) AS frame_idx,
+       upper(md5(media_ref) || md5(media_ref)) AS frame_hex,
+       CAST(32 AS INT) AS frame_bytes
+FROM m CROSS JOIN range(0, 2) t(j)
+"""
+
+
+@register("media_frames", _MEDIA_FRAMES_ORACLE)
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.operators.media import fetch_media, frame_sample, media_refs
+
+    docs = corpus.load_docs(spark, sf_dir)
+    frames = frame_sample(fetch_media(media_refs(docs)), every_k=4, frame_bytes=32)
+    return frames.select(
+        "doc_id",
+        "media_ref",
+        "frame_idx",
+        F.hex("frame").alias("frame_hex"),
+        F.length("frame").cast("int").alias("frame_bytes"),
+    )
+
+
 _ANN_K = 3
 _ANN_ORACLE = f"""
 WITH s AS (
@@ -4777,6 +4805,43 @@ def q_sieve_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     px_df = px_df.withColumn("value", F.expr(_SV_VALUE).cast("long"))
     return sieve(px_df, _PG_W, _PG_H, threshold=8).select("px", "py", "value")
+
+
+# gdal_sieve -8 (8-connectedness for detection AND merge): a 12-pixel
+# diagonal staircase is ONE 8-conn component (size 12 >= threshold 8,
+# survives) where 4-conn would see twelve singletons; a diagonal 2-pixel
+# pair stays under threshold and is absorbed into the background.
+_SV8_W, _SV8_H = 60, 40
+_SV8_STAIR = "(px - py = 0 AND px >= 10 AND px < 22)"
+_SV8_PAIR = "((px = 30 AND py = 20) OR (px = 31 AND py = 21))"
+
+_SIEVE8_ORACLE = f"""
+WITH g AS (
+  SELECT CAST(px.i AS int) AS px, CAST(py.j AS int) AS py
+  FROM range(0, {_SV8_W}) px(i), range(0, {_SV8_H}) py(j)
+)
+SELECT px, py, CAST(CASE WHEN {_SV8_STAIR} THEN 9 ELSE 0 END AS BIGINT) AS value
+FROM g
+"""
+
+
+@register("sieve_filter8", _SIEVE8_ORACLE)
+def q_sieve_filter8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.operators.polygonize import sieve
+
+    px_df = spark.range(_SV8_W * _SV8_H).select(
+        (F.col("id") % _SV8_W).cast("int").alias("px"),
+        ((F.col("id") - (F.col("id") % _SV8_W)) / _SV8_W).cast("int").alias("py"),
+    )
+    px_df = px_df.withColumn(
+        "value",
+        F.expr(f"CASE WHEN {_SV8_STAIR} OR {_SV8_PAIR} THEN 9 ELSE 0 END").cast(
+            "long"
+        ),
+    )
+    return sieve(px_df, _SV8_W, _SV8_H, threshold=8, connect8=True).select(
+        "px", "py", "value"
+    )
 
 
 _HISTOGRAM_ORACLE = f"""
