@@ -34,6 +34,11 @@ agreement of a collinear shared-boundary sub-edge):
 Output contract: AREAL parts only (a touching pair yields POLYGON
 EMPTY, where GEOS would emit the shared LINESTRING) and vertices
 quantized to the 2^-20 grid — both documented divergences.
+
+Precondition (same as GEOS): inputs must be VALID simple polygons —
+self-intersecting rings are undefined behavior (the chaining walker
+raises loudly on the inconsistent boundaries they produce, it does not
+silently mend them the way ST_MakeValid would).
 """
 
 from __future__ import annotations

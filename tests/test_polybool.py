@@ -203,7 +203,8 @@ class TestRandomConcavePairs:
         rng = np.random.default_rng(seed)
 
         def star(cx, cy, n):
-            ang = np.sort(rng.uniform(0, 2 * np.pi, n))
+            # jittered even spacing -> every angular gap < pi -> simple
+            ang = 2 * np.pi * (np.arange(n) + rng.uniform(0.1, 0.9, n)) / n
             rad = rng.uniform(1.0, 3.0, n)
             pts = np.column_stack(
                 [cx + rad * np.cos(ang), cy + rad * np.sin(ang)]
