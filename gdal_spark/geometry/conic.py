@@ -235,3 +235,80 @@ def sql_albers_northing(lat: str, lon: str, crs: Albers = ALBERS_CONUS) -> str:
     rho = f"({_d(A_AXIS)} * sqrt({_d(crs.c_const)} - {_d(crs.n)} * {_sql_q(lat)}) / {_d(crs.n)})"
     theta = f"({_d(crs.n)} * ((({lon}) - {_d(crs.lon0)}) * pi() / 1.8e2))"
     return f"({_d(crs.fn)} + {_d(crs.rho0)} - {rho} * cos({theta}))"
+
+
+# --------------------------------------------- inverse SQL stage chains
+# The fixed-iteration numpy inverses above unroll into straight-line
+# (column, expr) chains, same pattern as tmerc.sql_tm_inverse_stages —
+# identical text both engines, term order mirrors the numpy kernels.
+
+
+def sql_lcc_inverse_stages(
+    x: str, y: str, crs: LCC = LAMBERT93, prefix: str = "i_"
+) -> list[tuple[str, str]]:
+    """Snyder 15-11 phi iteration (8 rounds, = lcc_inverse) unrolled;
+    final columns {prefix}lat / {prefix}lon (degrees)."""
+    u = prefix
+    sgn = _d(1.0 if crs.n >= 0 else -1.0)
+    st = [
+        (f"{u}dx", f"(({x}) - {_d(crs.fe)})"),
+        (f"{u}yp", f"({_d(crs.rho0)} - (({y}) - {_d(crs.fn)}))"),
+        (f"{u}rho", f"({sgn} * sqrt({u}dx * {u}dx + {u}yp * {u}yp))"),
+        (f"{u}theta", f"atan2({u}dx, {u}yp)"),
+        (
+            f"{u}t",
+            f"exp(ln({u}rho / {_d(A_AXIS * crs.f_const)}) / {_d(crs.n)})",
+        ),
+        (f"{u}phi0", f"(pi() / 2.0e0 - 2.0e0 * atan({u}t))"),
+    ]
+    for k in range(8):
+        s = f"sin({u}phi{k})"
+        st.append(
+            (
+                f"{u}phi{k + 1}",
+                f"(pi() / 2.0e0 - 2.0e0 * atan({u}t * exp({_d(_E / 2.0)}"
+                f" * ln((1.0e0 - {_d(_E)} * {s}) / (1.0e0 + {_d(_E)} * {s})))))",
+            )
+        )
+    st.append((f"{u}lat", f"({u}phi8 * 1.8e2 / pi())"))
+    st.append(
+        (f"{u}lon", f"({_d(crs.lon0)} + ({u}theta / {_d(crs.n)}) * 1.8e2 / pi())")
+    )
+    return st
+
+
+def sql_albers_inverse_stages(
+    x: str, y: str, crs: Albers = ALBERS_CONUS, prefix: str = "i_"
+) -> list[tuple[str, str]]:
+    """Snyder 14-19 Newton on q -> phi (10 rounds, = albers_inverse)
+    unrolled; final columns {prefix}lat / {prefix}lon (degrees)."""
+    u = prefix
+    st = [
+        (f"{u}dx", f"(({x}) - {_d(crs.fe)})"),
+        (f"{u}yp", f"({_d(crs.rho0)} - (({y}) - {_d(crs.fn)}))"),
+        (f"{u}rho", f"sqrt({u}dx * {u}dx + {u}yp * {u}yp)"),
+        (f"{u}theta", f"atan2({u}dx, {u}yp)"),
+        (
+            f"{u}q",
+            f"(({_d(crs.c_const)} - ({u}rho * {_d(crs.n)} / {_d(A_AXIS)})"
+            f" * ({u}rho * {_d(crs.n)} / {_d(A_AXIS)})) / {_d(crs.n)})",
+        ),
+        (f"{u}phi0", f"asin({u}q / 2.0e0)"),
+    ]
+    for k in range(10):
+        s = f"sin({u}phi{k})"
+        one = f"(1.0e0 - {_d(_E2)} * {s} * {s})"
+        st.append(
+            (
+                f"{u}phi{k + 1}",
+                f"({u}phi{k} + ({one} * {one} / (2.0e0 * cos({u}phi{k})))"
+                f" * ({u}q / {_d(1.0 - _E2)} - {s} / {one}"
+                f" + {_d(1.0 / (2.0 * _E))} * ln((1.0e0 - {_d(_E)} * {s})"
+                f" / (1.0e0 + {_d(_E)} * {s}))))",
+            )
+        )
+    st.append((f"{u}lat", f"({u}phi10 * 1.8e2 / pi())"))
+    st.append(
+        (f"{u}lon", f"({_d(crs.lon0)} + ({u}theta / {_d(crs.n)}) * 1.8e2 / pi())")
+    )
+    return st

@@ -28,11 +28,11 @@ Registry notes (all parameters from the public EPSG registry):
 * 3857 web mercator, 3413 NSIDC polar north, 3031 Antarctic polar
   stereographic — WGS84-based.
 
-Inverse (projected -> geographic) SQL is implemented for tmerc (the
-unrolled-Newton column chain, geometry/tmerc.py) and web mercator
-(closed form); LCC/Albers/polar inverses exist as numpy kernels
-(conic.py/polar.py) but their SQL unroll is not wired here — a
-transform FROM those CRS raises ``NotImplementedError``.
+Inverse (projected -> geographic) SQL is wired for EVERY registered
+kind: tmerc and web mercator (round-3a), plus LCC / Albers / polar
+stereographic (round-3b — their fixed-iteration numpy inverses unroll
+into straight-line column chains exactly like tmerc's Newton loop), so
+any registered pair composes projected -> projected.
 """
 
 from __future__ import annotations
@@ -126,10 +126,16 @@ def _to_geographic(crs: CRS, x: str, y: str) -> tuple[list[tuple[str, str]], str
             ),
         ]
         return st, "i_lat", "i_lon"
-    raise NotImplementedError(
-        f"inverse SQL for kind '{crs.kind}' (EPSG:{crs.epsg}) is not wired; "
-        "supported source kinds: geographic, tmerc, webmerc"
-    )
+    if crs.kind == "lcc":
+        st = conic.sql_lcc_inverse_stages(x, y, crs.params, prefix="i_")
+        return st, "i_lat", "i_lon"
+    if crs.kind == "albers":
+        st = conic.sql_albers_inverse_stages(x, y, crs.params, prefix="i_")
+        return st, "i_lat", "i_lon"
+    if crs.kind == "ps":
+        st = polar.sql_ps_inverse_stages(x, y, crs.params, prefix="i_")
+        return st, "i_lat", "i_lon"
+    raise KeyError(f"unknown CRS kind {crs.kind}")  # pragma: no cover
 
 
 def _datum_stages(

@@ -104,3 +104,43 @@ def sql_ps_northing(lat: str, lon: str, crs: PolarStereo) -> str:
     theta = f"((({lon}) - {_d(crs.lon0)}) * pi() / 1.8e2)"
     sgn = "(0.0e0 - 1.0e0) * " if crs.north else ""
     return f"({_d(crs.fn)} + {sgn}{rho} * cos({theta}))"
+
+
+def sql_ps_inverse_stages(
+    x: str, y: str, crs: PolarStereo, prefix: str = "i_"
+) -> list[tuple[str, str]]:
+    """Snyder 7-9 conformal-latitude iteration (8 rounds, = ps_inverse)
+    unrolled into a (column, expr) chain — identical text both engines;
+    final columns {prefix}lat / {prefix}lon (degrees; longitude wrapped
+    once into (-180, 180], matching the numpy kernel except at exactly
+    +-180, which the fixtures avoid)."""
+    u = prefix
+    st = [
+        (f"{u}dx", f"(({x}) - {_d(crs.fe)})"),
+        (f"{u}dy", f"(({y}) - {_d(crs.fn)})"),
+        (f"{u}rho", f"sqrt({u}dx * {u}dx + {u}dy * {u}dy)"),
+        (f"{u}t", f"({u}rho / {_d(crs.k)})"),
+        (f"{u}aphi0", f"(pi() / 2.0e0 - 2.0e0 * atan({u}t))"),
+    ]
+    for k in range(8):
+        s = f"sin({u}aphi{k})"
+        st.append(
+            (
+                f"{u}aphi{k + 1}",
+                f"(pi() / 2.0e0 - 2.0e0 * atan({u}t * exp({_d(_E / 2.0)}"
+                f" * ln((1.0e0 - {_d(_E)} * {s}) / (1.0e0 + {_d(_E)} * {s})))))",
+            )
+        )
+    ysgn = f"(0.0e0 - {u}dy)" if crs.north else f"{u}dy"
+    latsgn = "" if crs.north else "(0.0e0 - 1.0e0) * "
+    st.append((f"{u}theta", f"atan2({u}dx, {ysgn})"))
+    st.append((f"{u}lat", f"({latsgn}{u}aphi8 * 1.8e2 / pi())"))
+    raw = f"({_d(crs.lon0)} + {u}theta * 1.8e2 / pi())"
+    st.append(
+        (
+            f"{u}lon",
+            f"(CASE WHEN {raw} > 1.8e2 THEN {raw} - 3.6e2"
+            f" WHEN {raw} <= -1.8e2 THEN {raw} + 3.6e2 ELSE {raw} END)",
+        )
+    )
+    return st

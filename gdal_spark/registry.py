@@ -2940,6 +2940,11 @@ _EPSG_PAIRS = [
     (4326, 3857, "lon", "(lat * 8.0e-1)"),
     (27700, 4326, "(4.0e5 + lon * 5.0e2)", "(4.0e5 + lat * 2.0e3)"),
     (27700, 32630, "(4.0e5 + lon * 5.0e2)", "(4.0e5 + lat * 2.0e3)"),
+    # round-3b: projected sources for every remaining kind (the LCC /
+    # Albers / polar fixed-iteration inverses unrolled to column chains)
+    (2154, 4326, "(6.6e5 + lon * 1.2e3)", "(6.7e6 + lat * 2.0e3)"),
+    (5070, 3857, "(lon * 8.0e3)", "(1.5e6 + lat * 8.0e3)"),
+    (3413, 4326, "(3.7e4 + lon * 9.0e3)", "(-2.0e6 + lat * 9.0e3)"),
 ]
 
 

@@ -48,9 +48,12 @@ class TestKnownPoints:
         with pytest.raises(KeyError):
             epsg.lookup(99999)
 
-    def test_unwired_inverse_raises(self):
-        with pytest.raises(NotImplementedError):
-            epsg.sql_transform_stages(2154, 4326)
+    def test_every_kind_inverts(self):
+        """Round-3b: every registered kind has an inverse SQL chain, so
+        arbitrary projected->projected pairs compose."""
+        for src, dst in [(2154, 4326), (5070, 3857), (3413, 27700), (3031, 32631)]:
+            stages = epsg.sql_transform_stages(src, dst)
+            assert stages[-1][0] == "oy"
 
 
 class TestSqlNumpyTwin:
@@ -67,6 +70,13 @@ class TestSqlNumpyTwin:
             (27700, 32630, 533190.0, 181340.0),
             (3857, 4326, 261845.7, 6250564.3),
             (4277, 4326, -0.08, 51.51),
+            # round-3b inverse kinds
+            (2154, 4326, 652469.0, 6862035.3),
+            (2154, 27700, 652469.0, 6862035.3),
+            (5070, 4326, 100000.0, 1550756.2),
+            (5070, 3857, 100000.0, 1550756.2),
+            (3413, 4326, 300000.0, -1633879.5),
+            (3031, 32731, 70000.0, 2000000.0),
         ],
     )
     def test_sql_matches_numpy(self, src, dst, x, y):
