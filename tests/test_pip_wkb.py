@@ -95,6 +95,28 @@ class TestWkbJoinParity:
         assert got == want
         assert len(got) > 0
 
+    def test_wkb_zone_layer_through_parquet(self, spark, sf_dir, tmp_path):
+        """geo-parquet interop shape: the WKB BinaryType zone layer
+        written to and read back from parquet drives the same join
+        (bytes survive the parquet roundtrip exactly)."""
+        docs = corpus.load_docs(spark, sf_dir)
+        rz = zones.rich_zones(spark)
+        want = sorted(
+            (r.doc_id, r.zone_id)
+            for r in pip_join(docs, rz).select("doc_id", "zone_id").collect()
+        )
+        path = str(tmp_path / "zones_wkb.parquet")
+        with_wkb_geometry(rz).drop("geom_wkt").write.parquet(path)
+        rz_pq = spark.read.parquet(path)
+        assert dict(rz_pq.dtypes)["geom_wkb"] == "binary"
+        got = sorted(
+            (r.doc_id, r.zone_id)
+            for r in pip_join(docs, rz_pq, wkt_col="geom_wkb", geom_format="wkb")
+            .select("doc_id", "zone_id")
+            .collect()
+        )
+        assert got == want
+
     def test_rect_fast_routing_parity(self, spark, sf_dir):
         """rect zones through the WKB path with rect_fast on vs off:
         identical rows (the envelope fast branch == the WKB ray-cast)."""
