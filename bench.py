@@ -306,6 +306,10 @@ def main() -> None:
         print(f"[bench] {name} ...", file=sys.stderr, flush=True)
         ts, ss, n = [], [], 0
         for _ in range(runs):
+            # operators may lazily persist intermediates (tile_pyramid
+            # levels, overlay pieces); clear between runs so min-of-N
+            # measures the operator, not a cached re-read
+            spark.catalog.clearCache()
             s0 = _steal_seconds()
             t0 = time.monotonic()
             n = fn()

@@ -38,8 +38,19 @@ def tile_counts(docs: DataFrame, zoom: int, lon_col="lon", lat_col="lat") -> Dat
 
 
 def tile_pyramid(docs: DataFrame, zmax: int, lon_col="lon", lat_col="lat") -> DataFrame:
-    """(zoom, tx, ty, n_docs) for zoom in [0, zmax] via 4-child reduce."""
-    levels = [tile_counts(docs, zmax, lon_col, lat_col)]
+    """(zoom, tx, ty, n_docs) for zoom in [0, zmax] via 4-child reduce.
+
+    The zmax base level is EAGERLY localCheckpoint-ed: every overview
+    level and the final union hang off it, and without the pin the
+    union's plan re-derives the corpus-sized base aggregation per level
+    (exchange reuse dedupes only what the optimizer happens to match —
+    measured 3.2 s vs 1.6 s at bench scale, i.e. the courtesy was only
+    partial).  The checkpoint is one corpus-sized job producing
+    <= 4^zmax tile rows; the shrinking reduce chains above it stay lazy
+    (re-deriving them is arithmetic over tile counts, not corpus
+    scans)."""
+    base = tile_counts(docs, zmax, lon_col, lat_col).localCheckpoint(eager=True)
+    levels = [base]
     for z in range(zmax, 0, -1):
         child = levels[-1]
         parent = (
