@@ -618,7 +618,12 @@ def tile_pyramid_checksums(
     Returns (band, zoom, tx, ty, checksum)."""
     if src is None:
         src = source_grid(spark)
-    levels = [base_tiles(spark, src, zmax, resample=resample)]
+    # eager checkpoint of the base warp: every overview level AND the
+    # final union hang off it — without the pin the union re-derives
+    # the full source warp per level (same repeated-subtree shape the
+    # vector tile_pyramid had; exchange reuse only partially dedupes)
+    base = base_tiles(spark, src, zmax, resample=resample)
+    levels = [base.localCheckpoint(eager=True)]
     for _ in range(zmax, 0, -1):
         levels.append(overview_tiles(levels[-1], method=overview_method))
     out_schema = StructType(
