@@ -171,8 +171,11 @@ def _envelope_wkt(wkt: str) -> str:
 
 
 def _centroid(wkt: str) -> tuple[float, float]:
-    """Area-weighted centroid of the shell rings (reference: OGRGeometry
-    Centroid, ogrgeometry.cpp:6108 — GEOS area centroid)."""
+    """Area-weighted centroid (reference: OGRGeometry::Centroid,
+    ogrgeometry.cpp:6108 — GEOS area centroid): EVERY ring contributes
+    its signed shoelace terms, holes normalized to NEGATIVE area so
+    they subtract mass (round-3 fix — the previous version ignored
+    holes, shifting the centroid of any holed polygon)."""
     typ, payload = _parsed(wkt)
     polys = [payload] if typ == "POLYGON" else payload if typ == "MULTIPOLYGON" else []
     if not polys:
@@ -181,18 +184,23 @@ def _centroid(wkt: str) -> tuple[float, float]:
         return float("nan"), float("nan")
     ax = ay = aa = 0.0
     for poly in polys:
-        ring = poly[0]
-        x = ring[:-1, 0]
-        y = ring[:-1, 1]
-        xn = ring[1:, 0]
-        yn = ring[1:, 1]
-        cross = x * yn - xn * y
-        a = cross.sum() / 2.0
-        if a == 0:
-            continue
-        ax += ((x + xn) * cross).sum() / 6.0
-        ay += ((y + yn) * cross).sum() / 6.0
-        aa += a
+        for k, ring in enumerate(poly):
+            x = ring[:-1, 0]
+            y = ring[:-1, 1]
+            xn = ring[1:, 0]
+            yn = ring[1:, 1]
+            cross = x * yn - xn * y
+            a = cross.sum() / 2.0
+            if a == 0:
+                continue
+            # shell mass positive, hole mass negative, regardless of
+            # the input ring's winding
+            if (a > 0) != (k == 0):
+                cross = -cross
+                a = -a
+            ax += ((x + xn) * cross).sum() / 6.0
+            ay += ((y + yn) * cross).sum() / 6.0
+            aa += a
     if aa == 0:
         return float("nan"), float("nan")
     return ax / aa, ay / aa

@@ -3623,6 +3623,57 @@ def q_st_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# ST_Centroid (ogrsqlitesqlfunctions Centroid; OGRGeometry::Centroid,
+# ogrgeometry.cpp:6108 — GEOS area centroid).  Holes subtract mass:
+# the holed 10-square's centroid is (500-12)/(100-4) = 488/96 on both
+# axes — exact IEEE division, so raw doubles ship unquantized with the
+# shared quotient text `4.88e2/9.6e1` on the oracle side.  Rows 2 and 3
+# carry the SAME hole wound CCW and CW to pin winding normalization.
+# --------------------------------------------------------------------------
+_CENTROID_FIXTURE = [
+    # (gid, wkt, oracle cx expr, oracle cy expr)
+    (1, "POLYGON ((0 0,4 0,4 4,0 4,0 0))", "2.0e0", "2.0e0"),
+    (
+        2,
+        "POLYGON ((0 0,10 0,10 10,0 10,0 0),(2 2,4 2,4 4,2 4,2 2))",
+        "4.88e2/9.6e1",
+        "4.88e2/9.6e1",
+    ),
+    (
+        3,
+        "POLYGON ((0 0,10 0,10 10,0 10,0 0),(2 2,2 4,4 4,4 2,2 2))",
+        "4.88e2/9.6e1",
+        "4.88e2/9.6e1",
+    ),
+    (
+        4,
+        "MULTIPOLYGON (((0 0,2 0,2 2,0 2,0 0)),((10 0,12 0,12 2,10 2,10 0)))",
+        "6.0e0",
+        "1.0e0",
+    ),
+    (5, "POINT (7 7)", "7.0e0", "7.0e0"),
+]
+
+_CENTROID_ORACLE = "SELECT * FROM (VALUES " + ", ".join(
+    f"({gid}, {cx}, {cy})" for gid, _, cx, cy in _CENTROID_FIXTURE
+) + ") t(gid, cx, cy)"
+
+
+@register("st_centroid", _CENTROID_ORACLE)
+def q_st_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.functions import st_centroid_x, st_centroid_y
+
+    df = spark.createDataFrame(
+        [(gid, w) for gid, w, *_ in _CENTROID_FIXTURE], "gid int, wkt string"
+    )
+    return df.select(
+        "gid",
+        st_centroid_x("wkt").alias("cx"),
+        st_centroid_y("wkt").alias("cy"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Scalar geometry set ops RETURNING geometry (ST_Intersection /
 # ST_Difference / ST_Union / ST_SymDifference,
 # ogrsqlitesqlfunctions.cpp:1208-1214; GEOS ogrgeometry.cpp:4895,5014,

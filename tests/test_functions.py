@@ -26,10 +26,18 @@ class TestColumnHelpers:
         assert out[3] == 0.0
 
     def test_centroid(self, geoms):
-        row = geoms.filter(F.col("gid") == 1).select(
-            stf.st_centroid_x("wkt").alias("cx"), stf.st_centroid_y("wkt").alias("cy")
-        ).first()
-        assert (row.cx, row.cy) == (2.0, 2.0)
+        out = {
+            r.gid: (r.cx, r.cy)
+            for r in geoms.select(
+                "gid",
+                stf.st_centroid_x("wkt").alias("cx"),
+                stf.st_centroid_y("wkt").alias("cy"),
+            ).collect()
+        }
+        assert out[1] == (2.0, 2.0)
+        # holes subtract mass: (500-12)/(100-4) per axis
+        assert out[2] == (488.0 / 96.0, 488.0 / 96.0)
+        assert out[3] == (7.0, 7.0)
 
     def test_contains_point(self, spark, geoms):
         df = geoms.filter(F.col("gid") == 2).select(
