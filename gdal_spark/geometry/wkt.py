@@ -24,6 +24,8 @@ __all__ = [
     "wkt_type",
     "parse_wkt_z",
     "payload_to_wkt_z",
+    "parse_wkt_zm",
+    "payload_to_wkt_zm",
 ]
 
 
@@ -144,6 +146,114 @@ def payload_to_wkt_z(typ: str, payload, has_z: bool) -> str:
         )
         return f"{tag} ({inner})"
     raise ValueError(f"payload_to_wkt_z: unsupported type {typ}")
+
+
+# --------------------------------------------------------- ZM variants
+# Full ISO SQL/MM dimension preamble (ogr/ogrgeometry.cpp:1808
+# importPreambleFromWkt; type codes ogr/ogr_core.h:465-498 wkbPointM /
+# wkbPointZM families).  Tag rules mirrored from the reference:
+#   "TYPE Z (..)"  -> 3rd coordinate is z
+#   "TYPE M (..)"  -> 3rd coordinate is m (z absent)
+#   "TYPE ZM (..)" -> vertices are x y z m
+#   untagged       -> 3 coords mean z, 4 mean z+m (the legacy 2.5-D
+#                     acceptance importPreambleFromWkt keeps)
+# Payload rows are always (x, y, z, m) with absent dimensions zeroed.
+
+
+def _coords4(text: str, has_z: bool, has_m: bool):
+    """Vertex list -> ((N,4) array, has_z, has_m) honouring the tag;
+    untagged extra coordinates promote per the reference rule."""
+    pts = []
+    for pair in text.split(","):
+        parts = pair.split()
+        n = len(parts)
+        x, y = float(parts[0]), float(parts[1])
+        z = m = 0.0
+        if has_z and has_m:
+            z, m = float(parts[2]), float(parts[3])
+        elif has_m:
+            m = float(parts[2])
+        elif has_z:
+            z = float(parts[2])
+        elif n == 3:
+            z = float(parts[2])
+            has_z = True
+        elif n >= 4:
+            z, m = float(parts[2]), float(parts[3])
+            has_z = has_m = True
+        pts.append((x, y, z, m))
+    return np.asarray(pts, dtype=np.float64), has_z, has_m
+
+
+def parse_wkt_zm(wkt: str):
+    """Dimension-preamble-aware parse -> (type, payload of (N,4) arrays,
+    has_z, has_m) for POINT / LINESTRING / POLYGON."""
+    s = wkt.strip()
+    i = s.find("(")
+    if i < 0:
+        head = s.upper().split()
+        dims = head[1:]
+        return (
+            head[0] if head else "EMPTY",
+            [],
+            "Z" in dims or "ZM" in dims,
+            "M" in dims or "ZM" in dims,
+        )
+    tag = s[:i].split()
+    typ = tag[0].upper()
+    dims = [t.upper() for t in tag[1:]]
+    has_z = "Z" in dims or "ZM" in dims
+    has_m = "M" in dims or "ZM" in dims
+    body = s[i:]
+    if typ in ("POINT", "LINESTRING"):
+        pts, has_z, has_m = _coords4(body.strip()[1:-1], has_z, has_m)
+        return typ, [pts], has_z, has_m
+    if typ == "POLYGON":
+        rings = []
+        depth = 0
+        start = 0
+        inner = body.strip()[1:-1]
+        for j, ch in enumerate(inner):
+            if ch == "(":
+                if depth == 0:
+                    start = j + 1
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    r, has_z, has_m = _coords4(inner[start:j], has_z, has_m)
+                    rings.append(r)
+        return "POLYGON", rings, has_z, has_m
+    raise ValueError(f"parse_wkt_zm: unsupported type {typ}")
+
+
+def payload_to_wkt_zm(typ: str, payload, has_z: bool, has_m: bool) -> str:
+    """Serialize an (N,4) payload with the ISO dimension tag the
+    reference's exportToWkt(wkbVariantIso) emits; dropping a dimension
+    here is setMeasured(FALSE) / set3D(FALSE) (ogrgeometry.cpp)."""
+    dim = ("" if not (has_z or has_m) else
+           " ZM" if has_z and has_m else (" Z" if has_z else " M"))
+    if not payload:
+        return f"{typ}{dim} EMPTY"
+
+    def vtx(p):
+        out = [_fmt(p[0]), _fmt(p[1])]
+        if has_z:
+            out.append(_fmt(p[2]))
+        if has_m:
+            out.append(_fmt(p[3]))
+        return " ".join(out)
+
+    if typ == "POINT":
+        return f"POINT{dim} ({vtx(payload[0][0])})"
+    if typ == "LINESTRING":
+        return f"LINESTRING{dim} (" + ",".join(vtx(p) for p in payload[0]) + ")"
+    if typ == "POLYGON":
+        inner = ",".join(
+            "(" + ",".join(vtx(p) for p in r) + ")" for r in payload
+        )
+        return f"POLYGON{dim} ({inner})"
+    raise ValueError(f"payload_to_wkt_zm: unsupported type {typ}")
 
 
 def parse_wkt(wkt: str):

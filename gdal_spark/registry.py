@@ -4137,6 +4137,67 @@ def q_st_zgeom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Measured (M / ZM) geometry surface (ogr/ogr_core.h:465-498 wkbPointM /
+# wkbPointZM; WKT dimension preamble ogrgeometry.cpp:1808
+# importPreambleFromWkt; OGRPoint::getM, setMeasured(FALSE)):
+# MakePointM / MakePointZM construction, ST_M extraction, IsMeasured,
+# drop-M-keep-Z re-serialization, and M-of-2D → NULL — like st_zgeom the
+# oracle rebuilds every output INDEPENDENTLY from doc_id arithmetic
+# (cross-implementation check of the Python ZM codec).
+# --------------------------------------------------------------------------
+_MM = "(doc_id % 11)"
+
+_MGEOM_ORACLE = f"""
+WITH docs AS ({{docs}})
+SELECT doc_id,
+       'POINT M (' || {_ZX} || ' ' || {_ZY} || ' ' || {_MM} || ')' AS pm,
+       CAST({_MM} AS DOUBLE) AS mval,
+       'POINT ZM (' || {_ZX} || ' ' || {_ZY} || ' ' || {_ZZ} || ' ' || {_MM} || ')' AS pzm,
+       'POINT Z (' || {_ZX} || ' ' || {_ZY} || ' ' || {_ZZ} || ')' AS dropped,
+       CAST({_ZZ} AS DOUBLE) AS zval,
+       true AS pm_measured,
+       false AS dropped_measured,
+       CAST(NULL AS DOUBLE) AS m_of_2d
+FROM docs
+"""
+
+
+@register("st_mgeom", _MGEOM_ORACLE.format(docs=_DOCS_CTE))
+def q_st_mgeom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.functions.zgeom import (
+        st_drop_m,
+        st_is_measured,
+        st_m,
+        st_makepoint_m,
+        st_makepoint_zm,
+        st_z,
+    )
+
+    docs = corpus.load_docs(spark, sf_dir).selectExpr(
+        "doc_id",
+        f"CAST({_ZX} AS DOUBLE) AS zx",
+        f"CAST({_ZY} AS DOUBLE) AS zy",
+        f"CAST({_ZZ} AS DOUBLE) AS zz",
+        f"CAST({_MM} AS DOUBLE) AS mm",
+        f"'POINT (' || {_ZX} || ' ' || {_ZY} || ')' AS p2d",
+    )
+    pm = st_makepoint_m(F.col("zx"), F.col("zy"), F.col("mm"))
+    pzm = st_makepoint_zm(F.col("zx"), F.col("zy"), F.col("zz"), F.col("mm"))
+    dropped = st_drop_m(pzm)
+    return docs.select(
+        "doc_id",
+        pm.alias("pm"),
+        st_m(pm).alias("mval"),
+        pzm.alias("pzm"),
+        dropped.alias("dropped"),
+        st_z(dropped).alias("zval"),
+        st_is_measured(pm).alias("pm_measured"),
+        st_is_measured(dropped).alias("dropped_measured"),
+        st_m(F.col("p2d")).alias("m_of_2d"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Rasterize (alg/gdalrasterize.cpp scanline burn): burned-pixel counts
 # per tile at zoom 2, oracle = pixel-center containment in SQL (inverse
 # mercator via atan/exp, identical formula text).
