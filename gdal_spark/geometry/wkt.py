@@ -1,13 +1,16 @@
-"""Minimal WKT codec (POINT / LINESTRING / POLYGON / MULTIPOLYGON).
+"""WKT codec for the full simple-features type set.
 
 Replaces the reference's OGRGeometry WKT import/export
-(ogr/ogrgeometry.cpp importFromWkt/exportToWkt) for the subset of
-geometry types the engine carries.  Parsed form:
+(ogr/ogrgeometry.cpp importFromWkt/exportToWkt) for the geometry types
+the engine carries.  Parsed form:
 
     ("POINT",        [array([[x, y]])])
-    ("LINESTRING",   [array Nx2])
+    ("LINESTRING",   [array Nx2])            # LINEARRING likewise
     ("POLYGON",      [ring0 Nx2, ring1 Nx2, ...])      # ring0 = shell
     ("MULTIPOLYGON", [poly0_rings, poly1_rings, ...])  # list of list of Nx2
+    ("MULTIPOINT",      [array Nx2])          # both WKT spellings accepted
+    ("MULTILINESTRING", [part0 Nx2, ...])
+    ("GEOMETRYCOLLECTION", [(type, payload), ...])      # recursive
 
 Hand-rolled split parser (no regex) — it runs inside pandas UDF batches,
 so per-call overhead matters.
@@ -267,10 +270,35 @@ def parse_wkt(wkt: str):
     body = s[i:]
     if typ == "POINT":
         return "POINT", [_coords(body.strip()[1:-1])]
-    if typ == "LINESTRING":
-        return "LINESTRING", [_coords(body.strip()[1:-1])]
+    if typ in ("LINESTRING", "LINEARRING"):
+        return typ, [_coords(body.strip()[1:-1])]
     if typ == "POLYGON":
         return "POLYGON", _split_rings(body.strip()[1:-1])
+    if typ == "MULTIPOINT":
+        # both reference spellings (ogrmultipoint.cpp importFromWkt):
+        # legacy "MULTIPOINT (1 2,3 4)" and ISO "MULTIPOINT ((1 2),(3 4))"
+        inner = body.strip()[1:-1].replace("(", " ").replace(")", " ")
+        return "MULTIPOINT", [_coords(inner)]
+    if typ == "MULTILINESTRING":
+        return "MULTILINESTRING", _split_rings(body.strip()[1:-1])
+    if typ == "GEOMETRYCOLLECTION":
+        # split members at depth-0 commas, recurse; payload is a list of
+        # (type, payload) pairs (the one nested payload shape)
+        inner = body.strip()[1:-1]
+        members = []
+        depth = 0
+        start = 0
+        for j, ch in enumerate(inner):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                members.append(parse_wkt(inner[start:j]))
+                start = j + 1
+        if inner[start:].strip():
+            members.append(parse_wkt(inner[start:]))
+        return "GEOMETRYCOLLECTION", members
     if typ == "MULTIPOLYGON":
         # strip one paren level, then each '(...)...(...)' group is a polygon
         inner = body.strip()[1:-1]
@@ -320,11 +348,25 @@ def payload_to_wkt(typ: str, payload) -> str:
     if typ == "POINT":
         x, y = payload[0][0]
         return point_wkt(float(x), float(y))
-    if typ == "LINESTRING":
+    if typ in ("LINESTRING", "LINEARRING"):
         coords = ",".join(f"{_fmt(x)} {_fmt(y)}" for x, y in payload[0])
-        return f"LINESTRING ({coords})"
+        return f"{typ} ({coords})"
     if typ == "POLYGON":
         return polygon_wkt(payload)
+    if typ == "MULTIPOINT":
+        # legacy spelling, the reference's exportToWkt default
+        # (ogrmultipoint.cpp exportToWkt wkbVariantOldOgc: no inner parens)
+        coords = ",".join(f"{_fmt(x)} {_fmt(y)}" for x, y in payload[0])
+        return f"MULTIPOINT ({coords})"
+    if typ == "MULTILINESTRING":
+        inner = ",".join(
+            "(" + ",".join(f"{_fmt(x)} {_fmt(y)}" for x, y in part) + ")"
+            for part in payload
+        )
+        return f"MULTILINESTRING ({inner})"
+    if typ == "GEOMETRYCOLLECTION":
+        inner = ",".join(payload_to_wkt(t, p) for t, p in payload)
+        return f"GEOMETRYCOLLECTION ({inner})"
     if typ == "MULTIPOLYGON":
         parts = []
         for rings in payload:

@@ -4198,6 +4198,105 @@ def q_st_mgeom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Geometry-collection surface (ogrgeometrycollection.cpp getNumGeometries,
+# ogr_api.h OGR_G_GetGeometryCount/GetGeometryRef — a POLYGON's
+# sub-geometries are its rings; ogrgeometryfactory.cpp forceToMulti*;
+# ogrmultipoint.cpp importFromWkt accepts both MULTIPOINT spellings and
+# exports the legacy one).  Inputs are MULTIPOINT (ISO spelling, so the
+# canonical re-emit proves the dual-spelling parse), MULTILINESTRING,
+# holed POLYGON, GEOMETRYCOLLECTION, and bare POINT built from doc_id
+# arithmetic; the oracle reconstructs every output INDEPENDENTLY by
+# string concatenation — a cross-implementation check of the collection
+# codec, accessors, and forceTo-multi constructors.
+# --------------------------------------------------------------------------
+_CA = "(doc_id % 100)"   # 0..99
+_CB = "((doc_id * 3) % 50)"  # 0..49
+_CC = "(doc_id % 7)"
+_CD = "(doc_id % 11)"
+
+_COLLECTIONS_ORACLE = f"""
+WITH docs AS ({{docs}}), g AS (
+  SELECT doc_id,
+         CAST({_CA} AS VARCHAR) AS a, CAST({_CB} AS VARCHAR) AS b,
+         CAST({_CC} AS VARCHAR) AS c, CAST({_CD} AS VARCHAR) AS d,
+         CAST({_CA} + 1 AS VARCHAR) AS a1, CAST({_CA} + 2 AS VARCHAR) AS a2,
+         CAST({_CB} + 1 AS VARCHAR) AS b1, CAST({_CB} + 2 AS VARCHAR) AS b2
+  FROM docs
+)
+SELECT doc_id,
+       'MULTIPOINT' AS mp_type,
+       'MULTIPOINT (' || a || ' ' || b || ',' || c || ' ' || d || ')' AS mp_canon,
+       2 AS mp_n,
+       'POINT (' || c || ' ' || d || ')' AS mp_g1,
+       CAST(NULL AS VARCHAR) AS mp_g2,
+       2 AS ml_n,
+       'LINESTRING (0 0,' || a || ' ' || b || ')' AS ml_g0,
+       2 AS poly_n,
+       'LINEARRING (' || a1 || ' ' || b1 || ',' || a2 || ' ' || b1 || ','
+           || a2 || ' ' || b2 || ',' || a1 || ' ' || b2 || ','
+           || a1 || ' ' || b1 || ')' AS poly_ring1,
+       'GEOMETRYCOLLECTION' AS gc_type,
+       2 AS gc_n,
+       'POINT (' || a || ' ' || b || ')' AS gc_g0,
+       'MULTIPOINT (' || a || ' ' || b || ')' AS pt_multi,
+       0 AS pt_n,
+       'MULTIPOLYGON (((0 0,200 0,200 200,0 200,0 0),('
+           || a1 || ' ' || b1 || ',' || a2 || ' ' || b1 || ','
+           || a2 || ' ' || b2 || ',' || a1 || ' ' || b2 || ','
+           || a1 || ' ' || b1 || ')))' AS pg_multi
+FROM g
+"""
+
+
+@register("st_collections", _COLLECTIONS_ORACLE.format(docs=_DOCS_CTE))
+def q_st_collections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.functions.collections import (
+        st_geometryn,
+        st_geometrytype,
+        st_multi,
+        st_numgeometries,
+    )
+
+    docs = corpus.load_docs(spark, sf_dir).selectExpr(
+        "doc_id",
+        f"CAST({_CA} AS STRING) AS a", f"CAST({_CB} AS STRING) AS b",
+        f"CAST({_CC} AS STRING) AS c", f"CAST({_CD} AS STRING) AS d",
+        f"CAST({_CA} + 1 AS STRING) AS a1", f"CAST({_CA} + 2 AS STRING) AS a2",
+        f"CAST({_CB} + 1 AS STRING) AS b1", f"CAST({_CB} + 2 AS STRING) AS b2",
+    ).selectExpr(
+        "doc_id",
+        "'MULTIPOINT ((' || a || ' ' || b || '),(' || c || ' ' || d || '))'"
+        " AS mp_iso",
+        "'MULTILINESTRING ((0 0,' || a || ' ' || b || '),(' || a || ' ' || b"
+        " || ',' || c || ' ' || d || '))' AS ml",
+        "'POLYGON ((0 0,200 0,200 200,0 200,0 0),(' || a1 || ' ' || b1 || ','"
+        " || a2 || ' ' || b1 || ',' || a2 || ' ' || b2 || ',' || a1 || ' '"
+        " || b2 || ',' || a1 || ' ' || b1 || '))' AS poly",
+        "'GEOMETRYCOLLECTION (POINT (' || a || ' ' || b || '),LINESTRING"
+        " (0 0,' || c || ' ' || d || '))' AS gc",
+        "'POINT (' || a || ' ' || b || ')' AS pt",
+    )
+    return docs.select(
+        "doc_id",
+        st_geometrytype(F.col("mp_iso")).alias("mp_type"),
+        st_multi(F.col("mp_iso")).alias("mp_canon"),
+        st_numgeometries(F.col("mp_iso")).alias("mp_n"),
+        st_geometryn(F.col("mp_iso"), 1).alias("mp_g1"),
+        st_geometryn(F.col("mp_iso"), 2).alias("mp_g2"),
+        st_numgeometries(F.col("ml")).alias("ml_n"),
+        st_geometryn(F.col("ml"), 0).alias("ml_g0"),
+        st_numgeometries(F.col("poly")).alias("poly_n"),
+        st_geometryn(F.col("poly"), 1).alias("poly_ring1"),
+        st_geometrytype(F.col("gc")).alias("gc_type"),
+        st_numgeometries(F.col("gc")).alias("gc_n"),
+        st_geometryn(F.col("gc"), 0).alias("gc_g0"),
+        st_multi(F.col("pt")).alias("pt_multi"),
+        st_numgeometries(F.col("pt")).alias("pt_n"),
+        st_multi(F.col("poly")).alias("pg_multi"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Rasterize (alg/gdalrasterize.cpp scanline burn): burned-pixel counts
 # per tile at zoom 2, oracle = pixel-center containment in SQL (inverse
 # mercator via atan/exp, identical formula text).
