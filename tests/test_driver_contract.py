@@ -23,6 +23,23 @@ def _assert_scalar_schema(name, df):
             f"{f.dataType.simpleString()} — flatten to scalar columns"
         )
 
+
+# Scale-hygiene plan pins, enforced over EVERY registered query: no
+# row-at-a-time Python UDF (BatchEvalPython — Arrow-batched
+# ArrowEvalPython/MapInPandas are the allowed Python path) and no
+# cartesian product (broadcast dim joins plan as BroadcastHashJoin /
+# BroadcastNestedLoopJoin; a CartesianProduct means a corpus-sized
+# blow-up at scale).
+_PLAN_FORBIDDEN = ("BatchEvalPython", "CartesianProduct")
+
+
+def _assert_plan_hygiene(name, df):
+    plan = df._jdf.queryExecution().toString()
+    for tok in _PLAN_FORBIDDEN:
+        assert tok not in plan, (
+            f"{name}: physical plan contains {tok} — not a 100TB-safe shape"
+        )
+
 TABLES = [
     "region",
     "nation",
@@ -70,6 +87,7 @@ def test_query_matches_oracle(spark, sf_dir, name):
     q = entry_mod.queries()[name]
     sdf = q(spark, sf_dir)
     _assert_scalar_schema(name, sdf)
+    _assert_plan_hygiene(name, sdf)
     spark_cols = list(sdf.columns)
     spark_rows = [tuple(r) for r in sdf.collect()]
 
@@ -94,6 +112,7 @@ def test_rows_only_query_runs(spark, sf_dir, name):
     execute and produce a stable, non-empty schema."""
     df = entry_mod.queries()[name](spark, sf_dir)
     _assert_scalar_schema(name, df)
+    _assert_plan_hygiene(name, df)
     assert len(df.schema.fields) > 0
     assert df.count() >= 0
 
