@@ -28,7 +28,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
-from pyspark.sql.types import IntegerType, StringType
+from pyspark.sql.types import ArrayType, IntegerType, StringType
 
 from gdal_spark.geometry.wkt import parse_wkt, payload_to_wkt
 
@@ -89,6 +89,32 @@ def _force_multi(wkt: str) -> str:
     return payload_to_wkt(typ, payload)
 
 
+def _explode_parts(wkt: str) -> list[str]:
+    """One level of -explodecollections (gdalalg_vector_
+    explode_collections.cpp / ogr2ogr): container members emitted
+    as-is (canonical WKT), non-containers pass through as the single
+    part."""
+    typ, payload = parse_wkt(wkt)
+    if typ not in _CONTAINERS:
+        return [payload_to_wkt(typ, payload)]
+    n = _num_geometries(wkt)
+    return [_geometry_n(wkt, i) for i in range(n)]
+
+
+def _swap_payload(typ, payload):
+    if typ == "GEOMETRYCOLLECTION":
+        return [(t, _swap_payload(t, p)) for t, p in payload]
+    if typ == "MULTIPOLYGON":
+        return [[r[:, ::-1] for r in rings] for rings in payload]
+    return [a[:, ::-1] for a in payload]
+
+
+def _swap_xy(wkt: str) -> str:
+    """OGRGeometry::swapXY (ogrgeometry.cpp) over every vertex."""
+    typ, payload = parse_wkt(wkt)
+    return payload_to_wkt(typ, _swap_payload(typ, payload))
+
+
 @F.pandas_udf(IntegerType())
 def _st_numgeoms_udf(w: pd.Series) -> pd.Series:
     return w.map(_num_geometries)
@@ -124,3 +150,23 @@ def st_geometryn(wkt, n) -> Column:
 
 def st_multi(wkt) -> Column:
     return _st_multi_udf(wkt)
+
+
+@F.pandas_udf(ArrayType(StringType()))
+def _st_explode_udf(w: pd.Series) -> pd.Series:
+    return w.map(_explode_parts)
+
+
+@F.pandas_udf(StringType())
+def _st_swapxy_udf(w: pd.Series) -> pd.Series:
+    return w.map(_swap_xy)
+
+
+def st_explode_parts(wkt) -> Column:
+    """array<string> of member WKTs — posexplode for the
+    -explodecollections row fan-out."""
+    return _st_explode_udf(wkt)
+
+
+def st_swapxy(wkt) -> Column:
+    return _st_swapxy_udf(wkt)

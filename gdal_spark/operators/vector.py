@@ -36,25 +36,22 @@ _EXPLODE_SCHEMA = StructType(
 def explode_collections(
     zones: DataFrame, wkt_col: str = "geom_wkt", zone_id_col: str = "zone_id"
 ) -> DataFrame:
-    """One row per polygon part: MULTIPOLYGON (n parts) -> n POLYGON
-    rows (part = collection index); POLYGON -> itself as part 0.
+    """One row per collection member (any container type: MULTIPOLYGON /
+    MULTIPOINT / MULTILINESTRING / GEOMETRYCOLLECTION, one level, via the
+    shared container kernel); non-collections pass through as part 0.
     Arrow-batched; parse + re-serialize once per input feature."""
     import pandas as pd
+
+    from gdal_spark.functions.collections import _explode_parts
 
     def kernel(it):
         for pdf in it:
             zid, part, out = [], [], []
             for z, w in zip(pdf[zone_id_col], pdf[wkt_col]):
-                typ, payload = parse_wkt(w)
-                if typ == "MULTIPOLYGON":
-                    for i, rings in enumerate(payload):
-                        zid.append(z)
-                        part.append(i)
-                        out.append(payload_to_wkt("POLYGON", rings))
-                else:
+                for i, member in enumerate(_explode_parts(w)):
                     zid.append(z)
-                    part.append(0)
-                    out.append(payload_to_wkt(typ, payload))
+                    part.append(i)
+                    out.append(member)
             yield pd.DataFrame({"zone_id": zid, "part": part, "geom_wkt": out})
 
     return zones.select(zone_id_col, wkt_col).mapInPandas(
@@ -73,21 +70,16 @@ _SWAP_SCHEMA = StructType(
 def swap_xy(
     zones: DataFrame, wkt_col: str = "geom_wkt", zone_id_col: str = "zone_id"
 ) -> DataFrame:
-    """OGRGeometry::swapXY: flip every (x, y) pair, canonical WKT out."""
+    """OGRGeometry::swapXY: flip every (x, y) pair, canonical WKT out
+    (all types incl. nested collections, via the shared swap kernel)."""
     import pandas as pd
+
+    from gdal_spark.functions.collections import _swap_xy
 
     def kernel(it):
         for pdf in it:
-            zid, out = [], []
-            for z, w in zip(pdf[zone_id_col], pdf[wkt_col]):
-                typ, payload = parse_wkt(w)
-                if typ == "MULTIPOLYGON":
-                    swapped = [[r[:, ::-1] for r in rings] for rings in payload]
-                else:  # POINT/LINESTRING/POLYGON: flat list of coord arrays
-                    swapped = [r[:, ::-1] for r in payload]
-                zid.append(z)
-                out.append(payload_to_wkt(typ, swapped))
-            yield pd.DataFrame({"zone_id": zid, "geom_wkt": out})
+            out = [_swap_xy(w) for w in pdf[wkt_col]]
+            yield pd.DataFrame({"zone_id": pdf[zone_id_col], "geom_wkt": out})
 
     return zones.select(zone_id_col, wkt_col).mapInPandas(kernel, _SWAP_SCHEMA)
 

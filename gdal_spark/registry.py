@@ -4297,6 +4297,76 @@ def q_st_collections(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Mixed-container explode + swapXY (apps/gdalalg_vector_
+# explode_collections.cpp; ogrgeometry.cpp OGRGeometry::swapXY): the
+# `explode_collections` query covers the MULTIPOLYGON layer path; this
+# one fans a MIXED corpus-sized layer (MULTIPOINT / GEOMETRYCOLLECTION /
+# bare POINT by doc_id % 3) to one row per member — part index kept,
+# member type named, coordinates swapped as a second column.  Spark
+# shape: one Arrow UDF -> posexplode Generate (no shuffle); the oracle
+# rebuilds the fan-out with UNION ALL + string concatenation,
+# independent of the codec.
+# --------------------------------------------------------------------------
+_EXPLODE_MIXED_ORACLE = f"""
+WITH docs AS ({{docs}}), g AS (
+  SELECT doc_id, doc_id % 3 AS kind,
+         CAST({_CA} AS VARCHAR) AS a, CAST({_CB} AS VARCHAR) AS b,
+         CAST({_CC} AS VARCHAR) AS c, CAST({_CD} AS VARCHAR) AS d
+  FROM docs
+)
+SELECT doc_id, 0 AS part,
+       CASE kind WHEN 0 THEN 'POINT (' || c || ' ' || d || ')'
+                 ELSE 'POINT (' || a || ' ' || b || ')' END AS geom,
+       'POINT' AS gtype,
+       CASE kind WHEN 0 THEN 'POINT (' || d || ' ' || c || ')'
+                 ELSE 'POINT (' || b || ' ' || a || ')' END AS swapped
+FROM g
+UNION ALL
+SELECT doc_id, 1,
+       CASE kind WHEN 0 THEN 'POINT (' || a || ' ' || b || ')'
+                 ELSE 'LINESTRING (0 0,' || c || ' ' || d || ')' END,
+       CASE kind WHEN 0 THEN 'POINT' ELSE 'LINESTRING' END,
+       CASE kind WHEN 0 THEN 'POINT (' || b || ' ' || a || ')'
+                 ELSE 'LINESTRING (0 0,' || d || ' ' || c || ')' END
+FROM g WHERE kind IN (0, 1)
+"""
+
+
+@register("explode_mixed", _EXPLODE_MIXED_ORACLE.format(docs=_DOCS_CTE))
+def q_explode_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.functions.collections import (
+        st_explode_parts,
+        st_geometrytype,
+        st_swapxy,
+    )
+
+    docs = corpus.load_docs(spark, sf_dir).selectExpr(
+        "doc_id",
+        f"CAST({_CA} AS STRING) AS a", f"CAST({_CB} AS STRING) AS b",
+        f"CAST({_CC} AS STRING) AS c", f"CAST({_CD} AS STRING) AS d",
+    ).selectExpr(
+        "doc_id",
+        "CASE CAST(doc_id % 3 AS INT)"
+        " WHEN 0 THEN 'MULTIPOINT ((' || c || ' ' || d || '),(' || a || ' '"
+        " || b || '))'"
+        " WHEN 1 THEN 'GEOMETRYCOLLECTION (POINT (' || a || ' ' || b ||"
+        " '),LINESTRING (0 0,' || c || ' ' || d || '))'"
+        " ELSE 'POINT (' || a || ' ' || b || ')' END AS wkt",
+    )
+    exploded = docs.select(
+        "doc_id",
+        F.posexplode(st_explode_parts(F.col("wkt"))).alias("part", "geom"),
+    )
+    return exploded.select(
+        "doc_id",
+        "part",
+        "geom",
+        st_geometrytype(F.col("geom")).alias("gtype"),
+        st_swapxy(F.col("geom")).alias("swapped"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Rasterize (alg/gdalrasterize.cpp scanline burn): burned-pixel counts
 # per tile at zoom 2, oracle = pixel-center containment in SQL (inverse
 # mercator via atan/exp, identical formula text).

@@ -5,9 +5,11 @@ pure-python known answers against the OGR container semantics
 ogrgeometryfactory.cpp forceToMulti*)."""
 
 from gdal_spark.functions.collections import (
+    _explode_parts,
     _force_multi,
     _geometry_n,
     _num_geometries,
+    _swap_xy,
 )
 from gdal_spark.geometry.wkt import parse_wkt, payload_to_wkt
 
@@ -98,4 +100,33 @@ class TestAccessors:
         # already-multi passes through canonically
         assert (
             _force_multi("MULTIPOINT ((1 2),(3 4))") == "MULTIPOINT (1 2,3 4)"
+        )
+
+    def test_explode_parts(self):
+        # one level of -explodecollections; non-containers pass through
+        assert _explode_parts("MULTIPOINT (1 2,3 4)") == [
+            "POINT (1 2)",
+            "POINT (3 4)",
+        ]
+        assert _explode_parts(
+            "GEOMETRYCOLLECTION (POINT (1 2),MULTIPOINT (3 4,5 6))"
+        ) == ["POINT (1 2)", "MULTIPOINT (3 4,5 6)"]
+        assert _explode_parts("POINT (1 2)") == ["POINT (1 2)"]
+        assert _explode_parts(
+            "MULTIPOLYGON (((0 0,1 0,1 1,0 0)),((2 2,3 2,3 3,2 2)))"
+        ) == ["POLYGON ((0 0,1 0,1 1,0 0))", "POLYGON ((2 2,3 2,3 3,2 2))"]
+
+    def test_swap_xy(self):
+        assert _swap_xy("POINT (1 2)") == "POINT (2 1)"
+        assert (
+            _swap_xy("POLYGON ((0 0,4 0,4 2,0 0))")
+            == "POLYGON ((0 0,0 4,2 4,0 0))"
+        )
+        assert (
+            _swap_xy("GEOMETRYCOLLECTION (POINT (1 2),LINESTRING (3 4,5 6))")
+            == "GEOMETRYCOLLECTION (POINT (2 1),LINESTRING (4 3,6 5))"
+        )
+        assert (
+            _swap_xy("MULTIPOLYGON (((0 0,1 0,1 2,0 0)))")
+            == "MULTIPOLYGON (((0 0,0 1,2 1,0 0)))"
         )
