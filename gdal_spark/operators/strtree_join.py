@@ -1,0 +1,107 @@
+"""Spatial join with a per-executor STR-tree candidate stage.
+
+The alternative candidate generator to pip_join's cell join: instead of
+keying both sides on grid cells and letting Catalyst broadcast-hash-join
+them, the method layer's envelopes are bulk-loaded into a packed STR
+R-tree (geometry/strtree.py) once per executor, and every corpus Arrow
+batch queries the tree directly inside ONE mapInPandas — zero shuffle,
+zero join operator, no cell-cover fan-out of the zone side.  This is
+the reference's in-memory spatial-index shape (GEOS STRtree behind
+OGRLayer::SetSpatialFilter / Intersection) lifted to the executor.
+
+When to prefer which at 100 TB:
+  * cell join — method layer too big to broadcast, or reused across
+    many queries (the cell cover amortizes);
+  * STR-tree — dim-sized method layer with wildly mixed feature sizes,
+    where a single zoom's cell cover either fans out huge features
+    into thousands of cells or makes hot cells with many candidates;
+    the R-tree adapts to feature size with no zoom knob.
+
+Zone-layer contract: dim-sized (driver-materialized + rebroadcast, the
+same documented contract as the kNN target table; the carried-WKT cell
+join remains the beyond-driver-memory path).  Exactness: candidates are
+envelope hits; every candidate goes through the SAME per-unique-zone
+vectorized ray-cast as pip_join's refine, so results are bit-identical
+to the cell-join twin (pinned in tests/test_strtree_join.py).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import LongType, StructField, StructType
+
+from gdal_spark.geometry.envelope import wkt_envelope
+from gdal_spark.geometry.pip import points_in_polygon
+from gdal_spark.geometry.strtree import STRTree
+from gdal_spark.geometry.wkt import parse_wkt
+
+# one tree per broadcast payload per executor process
+_TREE_CACHE: dict[int, tuple] = {}
+
+
+def _tree_of(bc) -> tuple:
+    got = _TREE_CACHE.get(id(bc))
+    if got is None:
+        ids, wkts = bc.value
+        boxes = np.asarray([wkt_envelope(w) for w in wkts], dtype=np.float64)
+        polys = []
+        for w in wkts:
+            typ, payload = parse_wkt(w)
+            polys.append(payload if typ == "MULTIPOLYGON" else [payload])
+        _TREE_CACHE.clear()  # one live method layer per process is plenty
+        got = (STRTree(boxes), np.asarray(ids, dtype=np.int64), polys)
+        _TREE_CACHE[id(bc)] = got
+    return got
+
+
+def pip_join_strtree(
+    points: DataFrame,
+    zones: DataFrame,
+    zone_id_col: str = "zone_id",
+    wkt_col: str = "geom_wkt",
+    id_col: str = "doc_id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """(doc_id, zone_id) pairs where the point lies inside the zone
+    polygon (pip_join's exact containment semantics — same ray-cast
+    kernel, same half-open rule)."""
+    sc = points.sparkSession.sparkContext
+    zpdf = zones.select(zone_id_col, wkt_col).toPandas()
+    bc = sc.broadcast(
+        (zpdf[zone_id_col].to_numpy().tolist(), zpdf[wkt_col].tolist())
+    )
+
+    out_schema = StructType(
+        [StructField(id_col, LongType()), StructField(zone_id_col, LongType())]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tree, ids, polys = _tree_of(bc)
+        for pdf in batches:
+            xs = pdf[lon_col].to_numpy(dtype=np.float64)
+            ys = pdf[lat_col].to_numpy(dtype=np.float64)
+            qi, zi = tree.query_points(xs, ys)
+            keep = np.zeros(len(qi), dtype=bool)
+            # refine vectorized per candidate zone (dim-sized loop)
+            for z in np.unique(zi):
+                m = zi == z
+                hit = np.zeros(int(m.sum()), dtype=bool)
+                for rings in polys[z]:
+                    hit |= points_in_polygon(xs[qi[m]], ys[qi[m]], rings)
+                keep[m] = hit
+            qi, zi = qi[keep], zi[keep]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy()[qi],
+                    zone_id_col: ids[zi],
+                }
+            )
+
+    return points.select(id_col, lon_col, lat_col).mapInPandas(
+        kernel, out_schema
+    )

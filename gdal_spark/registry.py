@@ -81,6 +81,39 @@ def q_pip_join_wkb(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "zone_id")
 
 
+# STR-tree twin over the CONCAVE-WITH-HOLE rich layer — the north-star
+# "STR-tree per partition" candidate stage (geometry/strtree.py packed
+# R-tree, operators/strtree_join.py): zero-shuffle mapInPandas, tree
+# built once per executor over the broadcast method layer, every
+# envelope candidate refined by the SAME ray-cast kernel as pip_join.
+# Oracle: exact part decomposition of the rich zones ((A ∪ B) \ H per
+# zone, zones.duckdb_rich_parts_cte) — also the first driver-checked
+# point containment on a concave layer (pip_join's rect layer can't
+# exercise hole exclusion).
+_PIP_STRTREE_ORACLE = f"""
+WITH docs AS ({_DOCS_CTE}), parts AS ({zones.duckdb_rich_parts_cte()})
+SELECT d.doc_id, p.zone_id
+FROM docs d JOIN parts p
+  ON p.kind <> 'H'
+ AND d.lon >= p.pxmin AND d.lon < p.pxmax
+ AND d.lat >= p.pymin AND d.lat < p.pymax
+WHERE NOT EXISTS (
+  SELECT 1 FROM parts h
+  WHERE h.kind = 'H' AND h.zone_id = p.zone_id
+    AND d.lon >= h.pxmin AND d.lon < h.pxmax
+    AND d.lat >= h.pymin AND d.lat < h.pymax
+)
+"""
+
+
+@register("pip_join_strtree", _PIP_STRTREE_ORACLE)
+def q_pip_join_strtree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.operators.strtree_join import pip_join_strtree
+
+    docs = corpus.load_docs(spark, sf_dir)
+    return pip_join_strtree(docs, zones.rich_zones(spark))
+
+
 _PIP_AGG_ORACLE = f"""
 WITH docs AS ({_DOCS_CTE}), zones AS ({_ZONES_CTE})
 SELECT z.zone_id, count(*) AS n_docs
