@@ -1,4 +1,4 @@
-"""WKB codec (POINT / POLYGON / MULTIPOLYGON) + WKB-level envelope.
+"""WKB codec (full simple-features type set) + WKB-level envelope.
 
 The reference's Arrow export ships geometry as WKB binary
 (ogr/ogrsf_frmts/generic/ogrlayerarrow.cpp:2562 ``ogc.wkb``) and runs
@@ -30,15 +30,22 @@ __all__ = [
 _POINT = 1
 _LINESTRING = 2
 _POLYGON = 3
+_MULTIPOINT = 4
+_MULTILINESTRING = 5
 _MULTIPOLYGON = 6
+_GEOMETRYCOLLECTION = 7
 
 
 def wkt_payload_to_wkb(typ: str, payload) -> bytes:
-    """Parsed-WKT payload (geometry/wkt.py shapes) -> WKB bytes."""
+    """Parsed-WKT payload (geometry/wkt.py shapes) -> WKB bytes.
+
+    Container members carry their own full WKB header (byte order +
+    type), per OGC SFA 1.2.1 / the reference's exportToWkb
+    (ogr/ogrgeometrycollection.cpp exportToWkbInternal)."""
     if typ == "POINT":
         x, y = payload[0][0]
         return struct.pack("<BIdd", 1, _POINT, float(x), float(y))
-    if typ == "LINESTRING":
+    if typ in ("LINESTRING", "LINEARRING"):
         pts = np.asarray(payload[0], dtype="<f8")
         return (
             struct.pack("<BII", 1, _LINESTRING, len(pts)) + pts.tobytes()
@@ -50,10 +57,26 @@ def wkt_payload_to_wkb(typ: str, payload) -> bytes:
             out.append(struct.pack("<I", len(r)))
             out.append(r.tobytes())
         return b"".join(out)
+    if typ == "MULTIPOINT":
+        pts = payload[0] if payload else np.empty((0, 2))
+        out = [struct.pack("<BII", 1, _MULTIPOINT, len(pts))]
+        for x, y in pts:
+            out.append(struct.pack("<BIdd", 1, _POINT, float(x), float(y)))
+        return b"".join(out)
+    if typ == "MULTILINESTRING":
+        out = [struct.pack("<BII", 1, _MULTILINESTRING, len(payload))]
+        for part in payload:
+            out.append(wkt_payload_to_wkb("LINESTRING", [part]))
+        return b"".join(out)
     if typ == "MULTIPOLYGON":
         out = [struct.pack("<BII", 1, _MULTIPOLYGON, len(payload))]
         for poly in payload:
             out.append(wkt_payload_to_wkb("POLYGON", poly))
+        return b"".join(out)
+    if typ == "GEOMETRYCOLLECTION":
+        out = [struct.pack("<BII", 1, _GEOMETRYCOLLECTION, len(payload))]
+        for t, p in payload:
+            out.append(wkt_payload_to_wkb(t, p))
         return b"".join(out)
     raise ValueError(f"unsupported geometry type for WKB: {typ}")
 
@@ -77,34 +100,66 @@ def wkb_type(buf: bytes) -> int:
     return g & 0xFF
 
 
-def wkb_to_payload(buf: bytes):
-    """WKB bytes -> (type, payload) in the parse_wkt shapes."""
-    gtype = wkb_type(buf)
+def _decode(buf: bytes, off: int):
+    """Recursive member decode -> (type, payload, next offset)."""
+    (gtype,) = struct.unpack_from("<I", buf, off + 1)
+    gtype &= 0xFF
+    off += 5
     if gtype == _POINT:
-        x, y = struct.unpack_from("<dd", buf, 5)
-        return "POINT", [np.array([[x, y]])]
+        x, y = struct.unpack_from("<dd", buf, off)
+        return "POINT", [np.array([[x, y]])], off + 16
     if gtype == _LINESTRING:
-        (npts,) = struct.unpack_from("<I", buf, 5)
+        (npts,) = struct.unpack_from("<I", buf, off)
         pts = (
-            np.frombuffer(buf, dtype="<f8", count=2 * npts, offset=9)
+            np.frombuffer(buf, dtype="<f8", count=2 * npts, offset=off + 4)
             .reshape(npts, 2)
             .astype(np.float64)
         )
-        return "LINESTRING", [pts]
+        return "LINESTRING", [pts], off + 4 + 16 * npts
     if gtype == _POLYGON:
-        (nrings,) = struct.unpack_from("<I", buf, 5)
-        rings, _ = _read_rings(buf, 9, nrings)
-        return "POLYGON", rings
+        (nrings,) = struct.unpack_from("<I", buf, off)
+        rings, off = _read_rings(buf, off + 4, nrings)
+        return "POLYGON", rings, off
+    if gtype == _MULTIPOINT:
+        (npts,) = struct.unpack_from("<I", buf, off)
+        off += 4
+        pts = np.empty((npts, 2), dtype=np.float64)
+        for i in range(npts):
+            pts[i] = struct.unpack_from("<dd", buf, off + 5)
+            off += 21
+        return "MULTIPOINT", [pts], off
+    if gtype == _MULTILINESTRING:
+        (n,) = struct.unpack_from("<I", buf, off)
+        off += 4
+        parts = []
+        for _ in range(n):
+            _, p, off = _decode(buf, off)
+            parts.append(p[0])
+        return "MULTILINESTRING", parts, off
     if gtype == _MULTIPOLYGON:
-        (npolys,) = struct.unpack_from("<I", buf, 5)
-        off = 9
+        (npolys,) = struct.unpack_from("<I", buf, off)
+        off += 4
         polys = []
         for _ in range(npolys):
             (nrings,) = struct.unpack_from("<I", buf, off + 5)
             rings, off = _read_rings(buf, off + 9, nrings)
             polys.append(rings)
-        return "MULTIPOLYGON", polys
+        return "MULTIPOLYGON", polys, off
+    if gtype == _GEOMETRYCOLLECTION:
+        (n,) = struct.unpack_from("<I", buf, off)
+        off += 4
+        members = []
+        for _ in range(n):
+            t, p, off = _decode(buf, off)
+            members.append((t, p))
+        return "GEOMETRYCOLLECTION", members, off
     raise ValueError(f"unsupported WKB geometry type: {gtype}")
+
+
+def wkb_to_payload(buf: bytes):
+    """WKB bytes -> (type, payload) in the parse_wkt shapes."""
+    typ, payload, _ = _decode(bytes(buf), 0)
+    return typ, payload
 
 
 def wkb_envelope(buf: bytes):
@@ -142,6 +197,29 @@ def wkb_envelope(buf: bytes):
         off = 9
         for _ in range(npolys):
             off = scan_poly(off)
+    elif gtype in (_LINESTRING, _MULTIPOINT, _MULTILINESTRING,
+                   _GEOMETRYCOLLECTION):
+        # non-areal / container types: envelope via the decoder (these
+        # never sit on the corpus-side prefilter hot path)
+        typ, payload = wkb_to_payload(buf)
+
+        def walk(t, p):
+            nonlocal xmin, ymin, xmax, ymax
+            if t == "GEOMETRYCOLLECTION":
+                for mt, mp in p:
+                    walk(mt, mp)
+                return
+            arrs = (
+                [r for rings in p for r in rings] if t == "MULTIPOLYGON" else p
+            )
+            for a in arrs:
+                if len(a):
+                    xmin = min(xmin, a[:, 0].min())
+                    xmax = max(xmax, a[:, 0].max())
+                    ymin = min(ymin, a[:, 1].min())
+                    ymax = max(ymax, a[:, 1].max())
+
+        walk(typ, payload)
     else:
         raise ValueError(f"unsupported WKB geometry type: {gtype}")
     return (float(xmin), float(ymin), float(xmax), float(ymax))

@@ -47,6 +47,41 @@ def test_envelope_matches_parsed(wkt):
     assert got == pytest.approx(want)
 
 
+COLLECTION_CASES = [
+    "LINESTRING (0 0,3 4,-2 7)",
+    "MULTIPOINT (1 2,3 4,-5 6)",
+    "MULTILINESTRING ((0 0,1 1),(2 2,3 3,4 0))",
+    "GEOMETRYCOLLECTION (POINT (1 2),LINESTRING (0 0,5 5),"
+    "POLYGON ((0 0,4 0,4 4,0 0)),MULTIPOINT (7 8,9 10))",
+    "GEOMETRYCOLLECTION (GEOMETRYCOLLECTION (POINT (1 2)),"
+    "MULTIPOLYGON (((0 0,1 0,1 1,0 0))))",
+]
+
+
+@pytest.mark.parametrize("wkt", COLLECTION_CASES)
+def test_collection_roundtrip_via_wkt(wkt):
+    """WKT -> payload -> WKB -> payload -> WKT must be the canonical
+    spelling (containers carry per-member WKB headers, OGC SFA /
+    ogrgeometrycollection.cpp exportToWkbInternal)."""
+    from gdal_spark.geometry.wkt import payload_to_wkt
+
+    typ, payload = parse_wkt(wkt)
+    typ2, payload2 = wkb_to_payload(wkt_payload_to_wkb(typ, payload))
+    assert payload_to_wkt(typ2, payload2) == payload_to_wkt(typ, payload)
+
+
+@pytest.mark.parametrize("wkt,want", [
+    ("LINESTRING (0 0,3 4,-2 7)", (-2, 0, 3, 7)),
+    ("MULTIPOINT (1 2,3 4,-5 6)", (-5, 2, 3, 6)),
+    ("MULTILINESTRING ((0 0,1 1),(2 2,3 3,4 0))", (0, 0, 4, 3)),
+    ("GEOMETRYCOLLECTION (POINT (1 2),POLYGON ((0 0,9 0,9 9,0 0)))",
+     (0, 0, 9, 9)),
+])
+def test_collection_envelopes(wkt, want):
+    typ, payload = parse_wkt(wkt)
+    assert wkb_envelope(wkt_payload_to_wkb(typ, payload)) == pytest.approx(want)
+
+
 def test_envelope_is_header_walk_only():
     """Envelope must not allocate ring arrays (zero-copy views)."""
     typ, payload = parse_wkt(CASES[2])
