@@ -1115,3 +1115,57 @@ def cutline_blend(
         "py",
         alpha4(F.col("_lon"), F.col("_lat"), F.col("_wkt")).alias("alpha4"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Band stacking + nodata->alpha (apps/gdalalg_raster_stack.cpp,
+# apps/gdalalg_raster_nodata_to_alpha.cpp)
+# ---------------------------------------------------------------------------
+
+
+def raster_stack(inputs: list[tuple[DataFrame, int]]) -> DataFrame:
+    """gdal raster stack: concatenate the inputs' bands into one dataset,
+    output bands numbered sequentially in input order (the reference
+    renumbers cumulatively across inputs; grids must already align —
+    same contract as gdalalg_raster_stack.cpp, which refuses mixed
+    extents).  Each input is (grid, n_bands) — band count is dataset
+    METADATA in the reference, so it arrives as a parameter, not a
+    corpus scan.  Pure JVM unions + constant band offsets: zero
+    shuffle, zero Python."""
+    out = None
+    offset = 0
+    for df, nb in inputs:
+        part = df.select(
+            (F.col("band") + F.lit(offset)).cast("int").alias("band"),
+            "px",
+            "py",
+            "value",
+        )
+        out = part if out is None else out.unionByName(part)
+        offset += nb
+    return out
+
+
+def nodata_to_alpha(grid: DataFrame, nodata: int, nbands: int) -> DataFrame:
+    """gdal raster nodata-to-alpha: append an alpha band that is 0 where
+    EVERY band of the pixel equals ``nodata`` and 255 otherwise
+    (gdalalg_raster_nodata_to_alpha.cpp: fully-nodata pixels go
+    transparent; any valid band keeps the pixel opaque).  One bounded
+    shuffle on (px, py) for the across-band AND; original bands pass
+    through unchanged; ``nbands`` is dataset metadata (parameter, not a
+    scan)."""
+    alpha = (
+        grid.groupBy("px", "py")
+        .agg(
+            F.max(
+                F.when(F.col("value") != nodata, F.lit(1)).otherwise(F.lit(0))
+            ).alias("_any_valid")
+        )
+        .select(
+            F.lit(nbands + 1).cast("int").alias("band"),
+            "px",
+            "py",
+            (F.col("_any_valid") * 255).cast("int").alias("value"),
+        )
+    )
+    return grid.select("band", "px", "py", "value").unionByName(alpha)

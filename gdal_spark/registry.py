@@ -7639,6 +7639,68 @@ def q_raster_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raster_resize(source_grid(spark), _RSZ_W, _RSZ_H)
 
 
+# --------------------------------------------------------------------------
+# Band stack + nodata->alpha (apps/gdalalg_raster_stack.cpp cumulative
+# band renumbering; apps/gdalalg_raster_nodata_to_alpha.cpp fully-nodata
+# pixels transparent).  Stack fixture: dataset B = source bands 2-3
+# (rebased 1-2) stacked BEFORE dataset A = source band 1, so output band
+# numbers are a real permutation (out 1=src 2, out 2=src 3, out 3=src 1)
+# — an identity stack would not distinguish renumbering from passthrough.
+# --------------------------------------------------------------------------
+_STACK_ORACLE = f"""
+WITH g AS ({_SRC_GRID_CTE})
+SELECT CAST(CASE WHEN band = 1 THEN 3 ELSE band - 1 END AS int) AS band,
+       px, py, CAST({_SRC_VAL} AS int) AS value
+FROM g
+"""
+
+
+@register("raster_stack", _STACK_ORACLE)
+def q_raster_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.operators.raster import raster_stack, source_grid
+
+    g = source_grid(spark)
+    b = g.filter(F.col("band") >= 2).withColumn(
+        "band", (F.col("band") - 1).cast("int")
+    )
+    a = g.filter(F.col("band") == 1)
+    return raster_stack([(b, 2), (a, 1)])
+
+
+# nodata collar planted in EVERY band at px<8 AND py<8 (nd = 37); the
+# value formula's bands differ pairwise by 29/58 mod 256, so no organic
+# pixel is all-nodata — alpha (band 4) is 0 exactly on the collar.
+_ND = 37
+_NDA_ORACLE = f"""
+WITH g AS ({_SRC_GRID_CTE}),
+v AS (
+  SELECT band, px, py,
+         CAST(CASE WHEN px < 8 AND py < 8 THEN {_ND}
+                   ELSE {_SRC_VAL} END AS int) AS value
+  FROM g
+)
+SELECT band, px, py, value FROM v
+UNION ALL
+SELECT CAST(4 AS int) AS band, px, py,
+       CAST(CASE WHEN px < 8 AND py < 8 THEN 0 ELSE 255 END AS int) AS value
+FROM v WHERE band = 1
+"""
+
+
+@register("nodata_to_alpha", _NDA_ORACLE)
+def q_nodata_to_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.operators.raster import nodata_to_alpha, source_grid
+
+    g = source_grid(spark).withColumn(
+        "value",
+        F.expr(
+            f"CAST(CASE WHEN px < 8 AND py < 8 THEN {_ND}"
+            f" ELSE {_SRC_VAL} END AS int)"
+        ),
+    )
+    return nodata_to_alpha(g, _ND, nbands=3)
+
+
 # canonical part WKTs hand-derived from zones.FANCY_ZONES (independent of
 # the engine's writer — the strings below are written by eye, not code)
 _EXPLODE_ROWS = [
