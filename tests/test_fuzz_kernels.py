@@ -180,3 +180,80 @@ class TestBooleanAreaMonotonicity:
         assert -eps <= i <= min(a, b) + eps
         assert max(a, b) - eps <= u <= a + b + eps
         assert u + i == pytest.approx(a + b, abs=1e-4)  # inclusion-exclusion
+
+
+# ---------------------------------------------------------------- collections
+@st.composite
+def _geom(draw, depth: int = 0):
+    """Random (type, payload) over the full simple-features set;
+    GEOMETRYCOLLECTION recurses one level."""
+    kinds = [
+        "POINT", "LINESTRING", "MULTIPOINT", "MULTILINESTRING",
+        "POLYGON", "MULTIPOLYGON",
+    ]
+    if depth == 0:
+        kinds.append("GEOMETRYCOLLECTION")
+    typ = draw(st.sampled_from(kinds))
+    def pts(lo=1, hi=6):
+        n = draw(st.integers(min_value=lo, max_value=hi))
+        return np.array(
+            [(draw(_coord), draw(_coord)) for _ in range(n)], dtype=np.float64
+        )
+    if typ == "POINT":
+        return typ, [pts(1, 1)]
+    if typ in ("LINESTRING",):
+        return typ, [pts(2, 6)]
+    if typ == "MULTIPOINT":
+        return typ, [pts(1, 5)]
+    if typ == "MULTILINESTRING":
+        k = draw(st.integers(min_value=1, max_value=3))
+        return typ, [pts(2, 5) for _ in range(k)]
+    if typ == "POLYGON":
+        return typ, [draw(_rings()) for _ in range(draw(st.integers(1, 2)))]
+    if typ == "MULTIPOLYGON":
+        k = draw(st.integers(min_value=1, max_value=2))
+        return typ, [[draw(_rings())] for _ in range(k)]
+    k = draw(st.integers(min_value=1, max_value=3))
+    return typ, [draw(_geom(depth=1)) for _ in range(k)]
+
+
+class TestCollectionCodecs:
+    @settings(max_examples=200, deadline=None)
+    @given(_geom())
+    def test_wkt_canonical_fixpoint(self, g):
+        typ, payload = g
+        w = payload_to_wkt(typ, payload)
+        assert payload_to_wkt(*parse_wkt(w)) == w
+
+    @settings(max_examples=200, deadline=None)
+    @given(_geom())
+    def test_wkb_roundtrip_matches_wkt(self, g):
+        typ, payload = g
+        w = payload_to_wkt(typ, payload)
+        assert payload_to_wkt(*wkb_to_payload(wkt_payload_to_wkb(typ, payload))) == w
+
+    @settings(max_examples=200, deadline=None)
+    @given(_geom())
+    def test_swapxy_is_an_involution(self, g):
+        from gdal_spark.functions.collections import _swap_xy
+
+        typ, payload = g
+        w = payload_to_wkt(typ, payload)
+        assert _swap_xy(_swap_xy(w)) == w
+
+    @settings(max_examples=200, deadline=None)
+    @given(_geom())
+    def test_explode_count_matches_container_size(self, g):
+        from gdal_spark.functions.collections import (
+            _explode_parts,
+            _num_geometries,
+        )
+
+        typ, payload = g
+        w = payload_to_wkt(typ, payload)
+        parts = _explode_parts(w)
+        if typ in ("MULTIPOINT", "MULTILINESTRING", "MULTIPOLYGON",
+                   "GEOMETRYCOLLECTION"):
+            assert len(parts) == _num_geometries(w)
+        else:
+            assert parts == [w]
