@@ -6344,6 +6344,114 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# IVF + PQ (ADC) — the compressed-domain ANN scale path (Jégou et al.,
+# "Product Quantization for Nearest Neighbor Search", TPAMI 2011; the
+# composition FAISS calls IVFPQ): a coarse quantizer restricts candidates
+# to probed cells, vectors inside are scored from M=4 subspace codes via
+# an asymmetric-distance lookup table instead of raw floats — at corpus
+# scale the scan touches M small ints per vector (16x compression at
+# D=64 f32 -> 4 bytes) and never re-reads the embedding column.  Here
+# both codebooks are the deterministic sample codebook (lowest-id
+# vectors, the same convention as ann_ivf) on the floor(1e3*x) integer
+# lattice, so the WHOLE pipeline — subspace code assignment, coarse
+# cells, ADC sums, top-k — is reproduced bit-for-bit by DuckDB from
+# shared SQL text.  The per-subspace distance table `pd` serves double
+# duty exactly as in the paper: codes for the table side, ADC lookups
+# for the query side.
+# --------------------------------------------------------------------------
+_PQ_M_DIMS = 16  # dims per subspace (D=64 -> M=4 subspaces)
+_PQ_K = 16       # centroids per subspace codebook (and coarse cells)
+_PQ_PROBE = 2
+
+
+def _ivfpq_ctes(dims_join: str, elem: str) -> tuple[list[tuple[str, str]], str]:
+    ctes = [
+        (
+            "q",
+            f"SELECT vec_id, d,"
+            f" CAST(floor(1.0e3 * CAST({elem} AS DOUBLE)) AS BIGINT) AS p,"
+            f" CAST(floor((d - 1) / {_PQ_M_DIMS}) AS INT) AS m"
+            f" FROM embeddings {dims_join}",
+        ),
+        ("cb", f"SELECT vec_id AS code, m, d, p FROM q WHERE vec_id < {_PQ_K}"),
+        (
+            "pd",
+            "SELECT q.vec_id, q.m, c.code,"
+            " SUM((q.p - c.p) * (q.p - c.p)) AS d2"
+            " FROM q JOIN cb c ON q.d = c.d AND q.m = c.m"
+            " GROUP BY q.vec_id, q.m, c.code",
+        ),
+        # full-vector coarse distances fall out of pd for free
+        ("cd", "SELECT vec_id, code AS cid, SUM(d2) AS d2 FROM pd"
+               " GROUP BY vec_id, code"),
+        (
+            "tassign",
+            "SELECT vec_id AS neighbor_id, cid AS cell FROM ("
+            "SELECT vec_id, cid,"
+            " row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn"
+            " FROM cd) WHERE rn = 1",
+        ),
+        (
+            "qprobe",
+            f"SELECT vec_id AS query_id, cid AS cell FROM ("
+            f"SELECT vec_id, cid,"
+            f" row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn"
+            f" FROM cd) WHERE rn <= {_PQ_PROBE}",
+        ),
+        (
+            "codes",
+            "SELECT vec_id, m, code FROM ("
+            "SELECT vec_id, m, code,"
+            " row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, code)"
+            " AS rn FROM pd) WHERE rn = 1",
+        ),
+        (
+            "adc",
+            "SELECT qp.query_id, t.neighbor_id, SUM(pd.d2) AS ad2"
+            " FROM qprobe qp"
+            " JOIN tassign t ON qp.cell = t.cell"
+            " AND qp.query_id <> t.neighbor_id"
+            " JOIN codes cx ON cx.vec_id = t.neighbor_id"
+            " JOIN pd ON pd.vec_id = qp.query_id AND pd.m = cx.m"
+            " AND pd.code = cx.code"
+            " GROUP BY qp.query_id, t.neighbor_id",
+        ),
+    ]
+    final = (
+        f"SELECT query_id, neighbor_id, CAST(rnk AS int) AS rnk,"
+        f" CAST(ad2 AS BIGINT) AS ad2 FROM ("
+        f"SELECT query_id, neighbor_id, ad2,"
+        f" row_number() OVER (PARTITION BY query_id ORDER BY ad2, neighbor_id)"
+        f" AS rnk FROM adc) WHERE rnk <= {_ANN_K}"
+    )
+    return ctes, final
+
+
+_ANN_IVFPQ_ORACLE = _with_chain(*_ivfpq_ctes(_KM_DUCK_DIMS, _KM_DUCK_ELEM))
+
+
+@register("ann_ivfpq", _ANN_IVFPQ_ORACLE)
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Honest recall numbers on this fixture (measured, round 3): the
+    synthetic embeddings are near-random in 64-d, where ANY quantizer
+    degrades — exact scoring within the probed cells caps recall@3 at
+    0.303 and ADC scoring lands at 0.07.  What the oracle pins is the
+    PIPELINE (codes, cells, ADC sums, ranking — bit-exact both engines);
+    what tests/test_ivfpq.py pins is the structural guarantee that
+    survives any data distribution: an exact duplicate's source attains
+    the GLOBAL minimum ADC (its codes minimize every subspace term), so
+    clone queries retrieve their source at rank 1."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e.createOrReplaceTempView("embeddings")
+    return _run_cte_chain(
+        spark,
+        *_ivfpq_ctes(_KM_SPARK_DIMS, _KM_SPARK_ELEM),
+        materialize={"q", "cb", "pd", "cd", "codes", "tassign", "qprobe"},
+    )
+
+
+
+# --------------------------------------------------------------------------
 # Footprint (apps/gdal_footprint_lib.cpp): polygon footprint of the mask
 # pixels with -min_ring_area hole filtering.  Closed-form fixture: two
 # rectangles plus a donut whose second (tiny) hole falls under the area
