@@ -387,9 +387,21 @@ def main() -> None:
         e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
         return brute_force_topk(e, e, k=3).count()
 
+    def q_pip_strtree():
+        # STR-tree candidate stage on the CONCAVE rich layer (zero join,
+        # zero shuffle) — measured ~2x the cell join on dim-sized method
+        # layers (BASELINE.md round-3 comparison); benched so regressions
+        # in the tree or the refine surface here
+        from gdal_spark import zones as _z
+        from gdal_spark.operators.strtree_join import pip_join_strtree
+
+        docs = corpus.load_docs(spark, SF_DIR, replicate=PIP_REPL)
+        return pip_join_strtree(docs, _z.rich_zones(spark, n=100)).count()
+
     from pyspark.sql import functions as F  # noqa: E402
 
     timed("pip_join", q_pip)
+    timed("pip_join_strtree", q_pip_strtree)
     timed("knn", q_knn)
     timed("tile_pyramid", q_pyramid)
     timed("clip", q_clip)
