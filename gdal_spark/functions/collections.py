@@ -40,8 +40,11 @@ def _num_geometries(wkt: str) -> int:
     typ, payload = parse_wkt(wkt)
     if typ == "MULTIPOINT":
         return 0 if not payload else int(payload[0].shape[0])
+    # TIN / POLYHEDRALSURFACE count their POLYGON patches
+    # (ogrpolyhedralsurface.cpp getNumGeometries) but are SURFACES, not
+    # collections — -explodecollections leaves them whole (_CONTAINERS)
     if typ in ("MULTILINESTRING", "MULTIPOLYGON", "GEOMETRYCOLLECTION",
-               "POLYGON"):
+               "POLYGON", "TIN", "POLYHEDRALSURFACE"):
         return len(payload)
     return 0
 
@@ -59,7 +62,7 @@ def _geometry_n(wkt: str, n: int):
         if n >= len(payload):
             return None
         return payload_to_wkt("LINESTRING", [payload[n]])
-    if typ == "MULTIPOLYGON":
+    if typ in ("MULTIPOLYGON", "TIN", "POLYHEDRALSURFACE"):
         if n >= len(payload):
             return None
         return payload_to_wkt("POLYGON", payload[n])

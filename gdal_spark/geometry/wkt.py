@@ -299,8 +299,11 @@ def parse_wkt(wkt: str):
         if inner[start:].strip():
             members.append(parse_wkt(inner[start:]))
         return "GEOMETRYCOLLECTION", members
-    if typ == "MULTIPOLYGON":
-        # strip one paren level, then each '(...)...(...)' group is a polygon
+    if typ in ("MULTIPOLYGON", "TIN", "POLYHEDRALSURFACE"):
+        # strip one paren level, then each '(...)...(...)' group is a
+        # polygon/patch (TIN and POLYHEDRALSURFACE share the multipolygon
+        # body grammar — ogr_core.h wkbPolyhedralSurface=15/wkbTIN=16,
+        # ogrpolyhedralsurface.cpp importFromWkt)
         inner = body.strip()[1:-1]
         polys = []
         depth = 0
@@ -314,7 +317,7 @@ def parse_wkt(wkt: str):
                 depth -= 1
                 if depth == 0:
                     polys.append(_split_rings(inner[start + 1 : j]))
-        return "MULTIPOLYGON", polys
+        return typ, polys
     raise ValueError(f"unsupported WKT type: {typ}")
 
 
@@ -367,7 +370,7 @@ def payload_to_wkt(typ: str, payload) -> str:
     if typ == "GEOMETRYCOLLECTION":
         inner = ",".join(payload_to_wkt(t, p) for t, p in payload)
         return f"GEOMETRYCOLLECTION ({inner})"
-    if typ == "MULTIPOLYGON":
+    if typ in ("MULTIPOLYGON", "TIN", "POLYHEDRALSURFACE"):
         parts = []
         for rings in payload:
             inner = ",".join(
@@ -375,5 +378,5 @@ def payload_to_wkt(typ: str, payload) -> str:
                 for r in rings
             )
             parts.append(f"({inner})")
-        return "MULTIPOLYGON (" + ",".join(parts) + ")"
+        return f"{typ} (" + ",".join(parts) + ")"
     raise ValueError(f"unsupported geometry type for WKT: {typ}")

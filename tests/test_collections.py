@@ -44,6 +44,12 @@ class TestCodec:
         )
         assert _roundtrip("MULTIPOINT EMPTY") == "MULTIPOINT EMPTY"
 
+    def test_tin_and_polyhedralsurface(self):
+        tin = "TIN (((0 0,1 0,0 1,0 0)),((1 0,1 1,0 1,1 0)))"
+        assert _roundtrip(tin) == tin
+        phs = "POLYHEDRALSURFACE (((0 0,4 0,4 4,0 4,0 0)))"
+        assert _roundtrip(phs) == phs
+
 
 class TestAccessors:
     HOLED = "POLYGON ((0 0,9 0,9 9,0 9,0 0),(2 2,3 2,3 3,2 3,2 2))"
@@ -101,6 +107,15 @@ class TestAccessors:
         assert (
             _force_multi("MULTIPOINT ((1 2),(3 4))") == "MULTIPOINT (1 2,3 4)"
         )
+
+    def test_surface_patches(self):
+        # TIN/POLYHEDRALSURFACE count + hand back POLYGON patches
+        # (ogrpolyhedralsurface.cpp) but are SURFACES: explode leaves
+        # them whole (they are not GeometryCollection subclasses)
+        tin = "TIN (((0 0,1 0,0 1,0 0)),((1 0,1 1,0 1,1 0)))"
+        assert _num_geometries(tin) == 2
+        assert _geometry_n(tin, 1) == "POLYGON ((1 0,1 1,0 1,1 0))"
+        assert _explode_parts(tin) == [tin]
 
     def test_explode_parts(self):
         # one level of -explodecollections; non-containers pass through
