@@ -4036,16 +4036,24 @@ def q_offset_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SPECIAL_FIELDS_ORACLE = f"""
 WITH docs AS ({_POLYDOCS_CTE})
 SELECT doc_id AS fid,
-       CAST(round((xmax - xmin) * (ymax - ymin) * 1.0e6) AS bigint) AS micro_geom_area
+       CAST(round((xmax - xmin) * (ymax - ymin) * 1.0e6) AS bigint) AS micro_geom_area,
+       'POLYGON' AS ogr_geometry
 FROM docs
 """
 
 
 @register("special_fields", _SPECIAL_FIELDS_ORACLE)
 def q_special_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """OGR special fields FID / OGR_GEOM_AREA
-    (ogr_gensql.cpp:824-826,1555) as computed columns."""
+    """OGR special fields FID / OGR_GEOM_AREA / OGR_GEOMETRY
+    (ogr_gensql.cpp:824-826,1555; SPECIAL_FIELD_GEOMETRY = the geometry
+    type name) as computed columns.  OGR_GEOMETRY is derived from the
+    layer's REAL geometry carrier — the interleaved ``geom`` span — via
+    a whole-stage-codegen lambda + regexp (no Python); the oracle pins
+    the expected name for the rectangle layer."""
+    from gdal_spark.functions.collections import st_geometrytype
+
     pd_docs = corpus.load_polydocs(spark, sf_dir)
+    geom_wkt = F.expr("filter(spans, s -> s.kind = 'geom')[0].text")
     return pd_docs.select(
         F.col("doc_id").alias("fid"),
         F.round(
@@ -4053,6 +4061,7 @@ def q_special_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("micro_geom_area"),
+        st_geometrytype(geom_wkt).alias("ogr_geometry"),
     )
 
 
