@@ -8240,6 +8240,38 @@ FROM range(0, {zones.NRICH}) t(i)
 """
 
 
+# ogrinfo also reports the layer's geometry-type makeup; over a MIXED
+# layer (ogr2ogr from GeoJSON etc. produces them routinely) that is a
+# type histogram.  Reuses explode_mixed's doc_id%3 mixed layer; the
+# getGeometryName extraction is the pure-JVM regexp — whole query is
+# codegen + one tiny hash aggregate.
+_GEOM_SUMMARY_ORACLE = f"""
+WITH docs AS ({_DOCS_CTE})
+SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'MULTIPOINT'
+            WHEN 1 THEN 'GEOMETRYCOLLECTION' ELSE 'POINT' END AS gtype,
+       count(*) AS n
+FROM docs GROUP BY 1
+"""
+
+
+@register("layer_geom_summary", _GEOM_SUMMARY_ORACLE)
+def q_layer_geom_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.functions.collections import st_geometrytype
+
+    docs = corpus.load_docs(spark, sf_dir).selectExpr(
+        "doc_id",
+        "CASE CAST(doc_id % 3 AS INT)"
+        " WHEN 0 THEN 'MULTIPOINT ((1 2),(3 4))'"
+        " WHEN 1 THEN 'GEOMETRYCOLLECTION (POINT (1 2))'"
+        " ELSE 'POINT (1 2)' END AS wkt",
+    )
+    return (
+        docs.select(st_geometrytype(F.col("wkt")).alias("gtype"))
+        .groupBy("gtype")
+        .agg(F.count("*").alias("n"))
+    )
+
+
 @register("layer_extent", _LAYER_EXTENT_ORACLE)
 def q_layer_extent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ogrinfo summary: per-layer feature count + extent (zone extents
