@@ -39,14 +39,19 @@ from gdal_spark.geometry.pip import points_in_polygon
 from gdal_spark.geometry.strtree import STRTree
 from gdal_spark.geometry.wkt import parse_wkt
 
-# one tree per broadcast payload per executor process
-_TREE_CACHE: dict[int, tuple] = {}
+# one tree per broadcast payload per executor process, keyed by an
+# explicit token SHIPPED IN the broadcast value — id(bc) would be the
+# executor-side unpickled object's address, which CPython reuses across
+# different broadcasts (stale-tree hazard) and differs across tasks for
+# the same broadcast (useless cache)
+_TREE_CACHE: dict[str, tuple] = {}
+_KEY_SEQ = [0]
 
 
 def _tree_of(bc) -> tuple:
-    got = _TREE_CACHE.get(id(bc))
+    key, ids, wkts = bc.value
+    got = _TREE_CACHE.get(key)
     if got is None:
-        ids, wkts = bc.value
         boxes = np.asarray([wkt_envelope(w) for w in wkts], dtype=np.float64)
         polys = []
         for w in wkts:
@@ -54,7 +59,7 @@ def _tree_of(bc) -> tuple:
             polys.append(payload if typ == "MULTIPOLYGON" else [payload])
         _TREE_CACHE.clear()  # one live method layer per process is plenty
         got = (STRTree(boxes), np.asarray(ids, dtype=np.int64), polys)
-        _TREE_CACHE[id(bc)] = got
+        _TREE_CACHE[key] = got
     return got
 
 
@@ -72,8 +77,11 @@ def pip_join_strtree(
     kernel, same half-open rule)."""
     sc = points.sparkSession.sparkContext
     zpdf = zones.select(zone_id_col, wkt_col).toPandas()
+    _KEY_SEQ[0] += 1
+    # driver-unique token: applicationId x per-process sequence number
+    key = f"{sc.applicationId}/{_KEY_SEQ[0]}"
     bc = sc.broadcast(
-        (zpdf[zone_id_col].to_numpy().tolist(), zpdf[wkt_col].tolist())
+        (key, zpdf[zone_id_col].to_numpy().tolist(), zpdf[wkt_col].tolist())
     )
 
     out_schema = StructType(
