@@ -413,6 +413,39 @@ def q_order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Multi-way dim join + grouped revenue (the OGR SQL multi-table FROM
+# clause, ogr_gensql.cpp swq JOIN support, in the classic local-supplier
+# shape): fact table lineitem shuffles ONCE on orderkey; customer/
+# supplier/nation/region are broadcast dims.  Revenue is floored to
+# integer cents PER ROW before summing, so the aggregate is
+# order-proof across engines (memory: spark-duckdb-parity).
+# --------------------------------------------------------------------------
+_LOCAL_SUPPLIER_SQL = """
+SELECT n.n_name AS nation,
+       SUM(CAST(floor(l.l_extendedprice * (1.0e0 - l.l_discount) * 1.0e2)
+                AS BIGINT)) AS revenue_c,
+       count(*) AS n_items
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+              AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+"""
+
+
+@register("local_supplier_volume", _LOCAL_SUPPLIER_SQL)
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("customer", "orders", "lineitem", "supplier", "nation",
+              "region"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+    return spark.sql(_LOCAL_SUPPLIER_SQL)
+
+
 _FIRST_MATCH_ORACLE = """
 WITH j AS (
   SELECT o.o_orderkey, o.o_totalprice, l.l_linenumber, l.l_quantity,
