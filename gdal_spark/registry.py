@@ -3961,6 +3961,76 @@ def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Sessionization (the batch shape of Structured Streaming's
+# session_window(ts, gap)): per-user events chain into a session while
+# consecutive gaps stay <= 30 min; a larger gap starts a new session.
+# Gaps-and-islands: break flag via lag(), session id via running sum,
+# aggregates per (user, session).  The gap compare runs on EXACT
+# microsecond integers both engines (unix_micros / epoch_us), value sums
+# are floored per row before summing (order-proof), tiebreak on
+# event_id.  One shuffle on user_id; session windows never span users,
+# so the partitioning is the natural one at any scale.
+# --------------------------------------------------------------------------
+_SESSION_GAP_US = 1800 * 1_000_000
+
+_SESSIONIZE_ORACLE = f"""
+WITH x AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {_SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM x
+)
+SELECT user_id, CAST(sid AS int) AS session_id, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end,
+       SUM(CAST(floor(value * 1.0e4) AS BIGINT)) AS value_4
+FROM s GROUP BY user_id, sid
+"""
+
+
+@register("sessionize", _SESSIONIZE_ORACLE)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    # unix_micros needs TIMESTAMP (parquet stores NTZ); the session-tz
+    # cast shifts both sides identically, so the gap math is exact
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    brk = F.when(
+        prev.isNull() | (us(F.col("ts")) - us(prev) > _SESSION_GAP_US),
+        1,
+    ).otherwise(0)
+    x = e.select("user_id", "event_id", "ts", "value", brk.alias("brk"))
+    sid = F.sum("brk").over(
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    s = x.select("user_id", "ts", "value", sid.alias("sid"))
+    return s.groupBy("user_id", "sid").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.sum(F.floor(F.col("value") * 1.0e4).cast("long")).alias("value_4"),
+    ).select(
+        "user_id",
+        F.col("sid").cast("int").alias("session_id"),
+        "n_events",
+        "session_start",
+        "session_end",
+        "value_4",
+    )
+
+
+# --------------------------------------------------------------------------
 # Raster pyramid (gdalwarp + gdal2tiles + checksum oracle): the full
 # NN warp -> AVERAGE overviews -> GDALChecksumImage pipeline rendered as
 # SQL — inverse mercator per pixel, nested 2x2 GROUP BY halving for the
