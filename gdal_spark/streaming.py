@@ -52,6 +52,40 @@ def stream_events_rollup(
     )
 
 
+def stream_sessionize(
+    spark: SparkSession,
+    events_dir: str,
+    schema,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming per-user sessions via the built-in
+    ``session_window(ts, gap)`` aggregation (merging windows, watermark
+    closes sessions) — the streaming twin of the batch ``sessionize``
+    registry query.  session_window's window.end is last-event + gap, so
+    the batch-parity mapping is session_end = window.end - gap
+    (pinned in tests/test_streaming.py)."""
+    src = spark.readStream.schema(schema).parquet(events_dir)
+    src = src.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        src.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 1.0e4).cast("long")).alias(
+                "value_4"
+            ),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            (F.col("w.end") - F.expr(f"INTERVAL {gap}")).alias("session_end"),
+            "n_events",
+            "value_4",
+        )
+    )
+
+
 def run_available_now(stream_df: DataFrame, query_name: str):
     """Drain the source with Trigger.AvailableNow into a memory sink and
     block until done; returns the started (finished) query."""

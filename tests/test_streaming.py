@@ -109,3 +109,29 @@ def test_stream_pip_counts_match_batch(spark, sf_dir):
         ).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_stream_sessionize_matches_batch(spark, sf_dir):
+    """session_window streaming sessions == the batch gaps-and-islands
+    sessionize (same gap, same per-row floored value sums)."""
+    import tempfile
+
+    from gdal_spark.registry import q_sessionize
+    from gdal_spark.streaming import run_available_now, stream_sessionize
+
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    with tempfile.TemporaryDirectory() as d:
+        half = batch.count() // 2
+        batch.limit(half).write.mode("overwrite").parquet(f"{d}/in")
+        batch.subtract(batch.limit(half)).write.mode("append").parquet(f"{d}/in")
+        out = stream_sessionize(spark, f"{d}/in", batch.schema)
+        run_available_now(out, "sessionize_test")
+        got = {
+            (r.user_id, r.session_start, r.session_end): (r.n_events, r.value_4)
+            for r in spark.sql("SELECT * FROM sessionize_test").collect()
+        }
+    want = {
+        (r.user_id, r.session_start, r.session_end): (r.n_events, r.value_4)
+        for r in q_sessionize(spark, sf_dir).collect()
+    }
+    assert got == want and len(want) > 0
