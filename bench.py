@@ -320,6 +320,23 @@ def main() -> None:
                 file=sys.stderr,
                 flush=True,
             )
+        # storm guard: if EVERY run was steal-dirty, buy up to 2 extra
+        # attempts — a single quiet window beats any min over dirty ones
+        extra = 0
+        while extra < 2 and not any(s <= STEAL_THR for s in ss):
+            extra += 1
+            spark.catalog.clearCache()
+            s0 = _steal_seconds()
+            t0 = time.monotonic()
+            n = fn()
+            ts.append(round(time.monotonic() - t0, 3))
+            ss.append(round(_steal_seconds() - s0, 1))
+            print(
+                f"[bench] {name} retry (steal-dirty window): {ts[-1]}s"
+                f" steal={ss[-1]}s",
+                file=sys.stderr,
+                flush=True,
+            )
         quiet = [t for t, s in zip(ts, ss) if s <= STEAL_THR]
         timings[name] = min(quiet) if quiet else min(ts)
         steals[name] = ss
