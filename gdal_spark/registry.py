@@ -602,6 +602,46 @@ def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.unionByName(li)
 
 
+# OGRUnionLayer's FIELD-SCHEMA MERGE (ogrunionlayer.cpp
+# FIELD_STRATEGY_UNION, the default): layers contribute DIFFERENT field
+# sets; the union layer's schema is the union of fields and a feature
+# leaves the fields its source layer lacks NULL.  Spark shape:
+# unionByName(allowMissingColumns=True) — still one narrow scan per
+# layer, no shuffle.
+_UNION_SCHEMA_ORACLE = """
+SELECT o_orderkey AS key, 'orders' AS src,
+       o_totalprice AS totalprice, CAST(NULL AS DOUBLE) AS quantity
+FROM orders WHERE o_totalprice > 400000
+UNION ALL
+SELECT l_orderkey AS key, 'lineitem' AS src,
+       CAST(NULL AS DOUBLE) AS totalprice, l_quantity AS quantity
+FROM lineitem WHERE l_extendedprice > 90000
+"""
+
+
+@register("union_mixed_schema", _UNION_SCHEMA_ORACLE)
+def q_union_mixed_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_totalprice") > 400000)
+        .select(
+            F.col("o_orderkey").alias("key"),
+            F.lit("orders").alias("src"),
+            F.col("o_totalprice").alias("totalprice"),
+        )
+    )
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .filter(F.col("l_extendedprice") > 90000)
+        .select(
+            F.col("l_orderkey").alias("key"),
+            F.lit("lineitem").alias("src"),
+            F.col("l_quantity").alias("quantity"),
+        )
+    )
+    return o.unionByName(li, allowMissingColumns=True)
+
+
 _JSON_ORACLE = """
 SELECT event_id, CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS k_val
 FROM events WHERE event_type IS NOT NULL
