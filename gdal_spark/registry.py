@@ -659,6 +659,20 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("json_native", _JSON_ORACLE)
+def q_json_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same key extraction through Spark's NATIVE JSON path
+    (get_json_object, Jackson-backed codegen — the scale path when the
+    payload is real JSON, not just a regexp-able string); the oracle
+    stays the independent regexp recomputation, so the two parsers
+    cross-check each other."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return e.filter(F.col("event_type").isNotNull()).select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_val"),
+    )
+
+
 # --------------------------------------------------------------------------
 # HSTORE_GET_VALUE — the real OGR hstore grammar
 # (swq_op_general.cpp:291 OGRHStoreGetValue over 'k=>v, "k 2"=>"v 2"'
