@@ -8595,3 +8595,37 @@ def q_cutline_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cut = spark.createDataFrame([(CUTLINE_WKT,)], "geom_wkt string")
     return cutline_blend(source_grid(spark), cut, blend=2.0)
+
+
+# --------------------------------------------------------------------------
+# Hilbert-clustered layout (FlatGeobuf packed-R-tree sort,
+# packedrtree.cpp:74-150) — the key kernel as an oracle-checked query;
+# the write-path clustering + row-group pruning evidence lives in
+# operators/layout.py + tests/test_hilbert.py.
+# --------------------------------------------------------------------------
+
+def _hilbert_oracle() -> str:
+    from gdal_spark.geometry.hilbert import duckdb_hilbert_select
+    from gdal_spark.operators.layout import HX_SQL, HY_SQL
+
+    ext = (
+        "SELECT min(lon) AS minx, max(lon) AS maxx, "
+        f"min(lat) AS miny, max(lat) AS maxy FROM ({_DOCS_CTE}) e"
+    )
+    inner = (
+        f"SELECT doc_id, {HX_SQL} AS hx, {HY_SQL} AS hy "
+        f"FROM ({_DOCS_CTE}) docs CROSS JOIN ({ext}) ext"
+    )
+    return duckdb_hilbert_select(inner, "hx", "hy", "hkey")
+
+
+@register("hilbert_order", _hilbert_oracle())
+def q_hilbert_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert curve key per doc — the FlatGeobuf feature-sort key
+    (packedrtree.cpp:74-150 ``hilbert()``/``hilbertSort()``), computed
+    as pure whole-stage-codegen integer bit-ops after one broadcast
+    extent aggregate (calcExtent, packedrtree.cpp:176-183)."""
+    from gdal_spark.operators.layout import with_hilbert_key
+
+    docs = corpus.load_docs(spark, sf_dir).select("doc_id", "lon", "lat")
+    return with_hilbert_key(docs).select("doc_id", "hkey")
