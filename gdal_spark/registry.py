@@ -8629,3 +8629,103 @@ def q_hilbert_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = corpus.load_docs(spark, sf_dir).select("doc_id", "lon", "lat")
     return with_hilbert_key(docs).select("doc_id", "hkey")
+
+
+# --------------------------------------------------------------------------
+# Composed ogr2ogr translate pipeline (GDALVectorTranslate lifecycle,
+# apps/ogr2ogr_lib.cpp LayerTranslator::Translate :6456): the individual
+# flags are covered by dedicated queries; this runs the whole per-feature
+# sequence the reference applies — -spat + -where at the layer scan
+# (ApplySpatialFilter :1498), -clipsrc Intersection in the SOURCE SRS
+# (:6918-6965), -t_srs reprojection (:6968), then -clipdst Intersection
+# in the DESTINATION SRS (:7129-7180) — as ONE declarative zero-shuffle
+# column program.  Clip semantics mirrored exactly: the
+# rectangle-contains-envelope fast path (:6932, clamp is the identity
+# there), empty intersections dropped (goto end_loop), and
+# dimension-collapsed results (rect touching the clip edge -> LINESTRING,
+# dim 1 < 2) dropped per the nDim check (:6947) — hence the STRICT
+# cx1 > cx0 / cy1 > cy0 keeps.  4326->3857 is axis-separable and
+# monotone, so the reprojected rectangle is the rectangle of the
+# reprojected corners; both engines evaluate the SAME mercator formula
+# text (gdal2tiles.py:434-442 rendering), making the clipped corners
+# bit-identical and the floor-quantized output hash-stable.
+# --------------------------------------------------------------------------
+
+_VT_SPAT = ("-9.0e1", "-4.5e1", "9.0e1", "4.5e1")  # -spat, source degrees
+_VT_CSRC = ("-8.0e1", "-4.0e1", "8.5e1", "3.5e1")  # -clipsrc, source degrees
+_VT_CDST = ("-8.2e6", "-4.1e6", "8.9e6", "3.7e6")  # -clipdst, EPSG:3857 m
+
+# -spat: layer-level envelope intersect, inclusive (rect feature vs rect
+# filter => the envelope test IS the exact test, ogrlayer.cpp:2287)
+_VT_SPAT_COND = (
+    f"(xmax >= {_VT_SPAT[0]} AND xmin <= {_VT_SPAT[2]}"
+    f" AND ymax >= {_VT_SPAT[1]} AND ymin <= {_VT_SPAT[3]})"
+)
+_VT_WHERE_COND = "(n_chars >= 120 AND lang <> 'de')"  # -where attr filter
+
+_VT_CSRC_STAGE = [
+    ("cx0", f"greatest(xmin, {_VT_CSRC[0]})"),
+    ("cy0", f"greatest(ymin, {_VT_CSRC[1]})"),
+    ("cx1", f"least(xmax, {_VT_CSRC[2]})"),
+    ("cy1", f"least(ymax, {_VT_CSRC[3]})"),
+]
+_VT_MERC_STAGE = [
+    ("mx0", mercator.sql_mx("cx0")),
+    ("my0", mercator.sql_my("cy0")),
+    ("mx1", mercator.sql_mx("cx1")),
+    ("my1", mercator.sql_my("cy1")),
+]
+_VT_CDST_STAGE = [
+    ("dx0", f"greatest(mx0, {_VT_CDST[0]})"),
+    ("dy0", f"greatest(my0, {_VT_CDST[1]})"),
+    ("dx1", f"least(mx1, {_VT_CDST[2]})"),
+    ("dy1", f"least(my1, {_VT_CDST[3]})"),
+]
+_VT_OUT = [
+    ("dx0_q", "CAST(floor(dx0 * 1.0e2) AS BIGINT)"),
+    ("dy0_q", "CAST(floor(dy0 * 1.0e2) AS BIGINT)"),
+    ("dx1_q", "CAST(floor(dx1 * 1.0e2) AS BIGINT)"),
+    ("dy1_q", "CAST(floor(dy1 * 1.0e2) AS BIGINT)"),
+    ("clip_area_m2", "CAST(floor((dx1 - dx0) * (dy1 - dy0)) AS BIGINT)"),
+]
+_VT_KEEP = "doc_id, lang, n_chars"  # -select field list
+
+
+def _vt_stage_sql(stage: list[tuple[str, str]]) -> str:
+    return ", ".join(f"{expr} AS {col}" for col, expr in stage)
+
+
+_VECTOR_TRANSLATE_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, lang, n_chars,
+         {corpus.RECT_XMIN_SQL} AS xmin, {corpus.RECT_YMIN_SQL} AS ymin,
+         {corpus.RECT_XMAX_SQL} AS xmax, {corpus.RECT_YMAX_SQL} AS ymax
+  FROM documents
+),
+f AS (SELECT {_VT_KEEP}, xmin, ymin, xmax, ymax FROM d
+      WHERE {_VT_SPAT_COND} AND {_VT_WHERE_COND}),
+c AS (SELECT {_VT_KEEP}, {_vt_stage_sql(_VT_CSRC_STAGE)} FROM f),
+c2 AS (SELECT * FROM c WHERE cx1 > cx0 AND cy1 > cy0),
+m AS (SELECT {_VT_KEEP}, {_vt_stage_sql(_VT_MERC_STAGE)} FROM c2),
+g AS (SELECT {_VT_KEEP}, {_vt_stage_sql(_VT_CDST_STAGE)} FROM m),
+o AS (SELECT * FROM g WHERE dx1 > dx0 AND dy1 > dy0)
+SELECT {_VT_KEEP}, {_vt_stage_sql(_VT_OUT)} FROM o
+"""
+
+
+@register("vector_translate", _VECTOR_TRANSLATE_ORACLE)
+def q_vector_translate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ogr2ogr -spat -where -select -clipsrc -t_srs EPSG:3857 -clipdst
+    as one plan: every stage a codegen projection/filter over a single
+    scan (no Python, no shuffle); Catalyst pushes the -select pruning
+    and the deterministic filter conjuncts to the parquet read."""
+    df = corpus.load_polydocs(spark, sf_dir).select(
+        "doc_id", "lang", "n_chars", "xmin", "ymin", "xmax", "ymax"
+    )
+    df = df.where(f"{_VT_SPAT_COND} AND {_VT_WHERE_COND}")
+    df = df.selectExpr("doc_id", "lang", "n_chars", *[f"{e} AS {c}" for c, e in _VT_CSRC_STAGE])
+    df = df.where("cx1 > cx0 AND cy1 > cy0")
+    df = df.selectExpr("doc_id", "lang", "n_chars", *[f"{e} AS {c}" for c, e in _VT_MERC_STAGE])
+    df = df.selectExpr("doc_id", "lang", "n_chars", *[f"{e} AS {c}" for c, e in _VT_CDST_STAGE])
+    df = df.where("dx1 > dx0 AND dy1 > dy0")
+    return df.selectExpr("doc_id", "lang", "n_chars", *[f"{e} AS {c}" for c, e in _VT_OUT])

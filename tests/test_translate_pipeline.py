@@ -1,0 +1,82 @@
+"""Composed ogr2ogr translate pipeline (`vector_translate`).
+
+The registry query chains the GDALVectorTranslate per-feature lifecycle
+(apps/ogr2ogr_lib.cpp:6456 LayerTranslator::Translate): -spat + -where
+at the scan, -clipsrc in source SRS, -t_srs 4326->3857, -clipdst in
+destination SRS.  The driver contract test oracle-checks the values;
+here we pin (a) that EVERY stage of the composition actually does work
+on the fixture (drops rows / modifies geometry — otherwise the
+composition test would be vacuous), and (b) the plan shape: one scan,
+zero Exchange, zero Python.
+"""
+
+from __future__ import annotations
+
+import duckdb
+
+from gdal_spark import corpus
+from gdal_spark import registry as R
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _con():
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS "
+        f"SELECT * FROM '{SF_DIR}/documents.parquet'"
+    )
+    return con
+
+
+_BASE = (
+    "WITH d AS (SELECT doc_id, lang, n_chars, "
+    f"{corpus.RECT_XMIN_SQL} AS xmin, {corpus.RECT_YMIN_SQL} AS ymin, "
+    f"{corpus.RECT_XMAX_SQL} AS xmax, {corpus.RECT_YMAX_SQL} AS ymax "
+    "FROM documents)"
+)
+
+
+def test_every_stage_does_work():
+    """spat, where, clipsrc-drop, clipdst-drop each remove rows, and
+    clipsrc clamps (not just drops) at least one surviving geometry."""
+    con = _con()
+
+    def cnt(sql: str) -> int:
+        return con.sql(_BASE + sql).fetchone()[0]
+
+    n_base = cnt(" SELECT count(*) FROM d")
+    n_spat = cnt(f" SELECT count(*) FROM d WHERE {R._VT_SPAT_COND}")
+    n_where = cnt(
+        f" SELECT count(*) FROM d WHERE {R._VT_SPAT_COND} AND {R._VT_WHERE_COND}"
+    )
+    clip = (
+        f", f AS (SELECT *, {R._vt_stage_sql(R._VT_CSRC_STAGE)} FROM d"
+        f" WHERE {R._VT_SPAT_COND} AND {R._VT_WHERE_COND})"
+    )
+    n_csrc = cnt(clip + " SELECT count(*) FROM f WHERE cx1 > cx0 AND cy1 > cy0")
+    n_mod = cnt(
+        clip
+        + " SELECT count(*) FROM f WHERE cx1 > cx0 AND cy1 > cy0"
+        " AND (cx0 <> xmin OR cy0 <> ymin OR cx1 <> xmax OR cy1 <> ymax)"
+    )
+    n_final = con.sql(
+        f"SELECT count(*) FROM ({R.ORACLES['vector_translate']})"
+    ).fetchone()[0]
+
+    assert n_base > n_spat > n_where > n_csrc > n_final > 0, (
+        n_base,
+        n_spat,
+        n_where,
+        n_csrc,
+        n_final,
+    )
+    assert n_mod > 0  # -clipsrc clamps some survivor, not only drops
+
+
+def test_plan_single_scan_no_exchange(spark):
+    df = R.QUERIES["vector_translate"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Scan parquet") == 1, plan
