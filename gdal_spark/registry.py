@@ -8729,3 +8729,126 @@ def q_vector_translate(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = df.selectExpr("doc_id", "lang", "n_chars", *[f"{e} AS {c}" for c, e in _VT_CDST_STAGE])
     df = df.where("dx1 > dx0 AND dy1 > dy0")
     return df.selectExpr("doc_id", "lang", "n_chars", *[f"{e} AS {c}" for c, e in _VT_OUT])
+
+
+# --------------------------------------------------------------------------
+# Composed gdalwarp pipeline (apps/gdalwarp_lib.cpp lifecycle): the raster
+# twin of `vector_translate` — -te/-tr target grid (dfMinX..dfMaxY +
+# dfXRes/dfYRes, gdalwarp_lib.cpp:92-108), inverse -t_srs mapping of each
+# destination pixel CENTER back to source coordinates (the warper's
+# dst->src transformer direction), -r bilinear sampling
+# (GWKBilinearResample, gdalwarpkernel.cpp:2661: iSrcX=floor(dfSrcX-0.5),
+# left weight dfRatioX=1.5-(dfSrcX-iSrcX) == 1-frac), -cutline mask
+# (gdalwarper.cpp:1354 CUTLINE option; applied here as the dest-center
+# containment test in source coordinates — the center-sampling rule, not
+# the per-source-pixel validity renormalization, documented divergence),
+# -dstnodata 255 outside the cutline, Byte output rounded the unsigned
+# GWKRoundValueT way: static_cast(v + 0.5) == floor(v+0.5) for v >= 0
+# (gdalwarpkernel.cpp:1419-1424).
+#
+# Plan shape: dest grid generated by range, the whole coordinate pipeline
+# one codegen projection chain, then FOUR BroadcastHashJoins against the
+# source raster (the 2x2 bilinear support) — zero shuffle, zero Python.
+# The -te extent maps strictly inside the source interior, so GDAL's
+# edge-shift clamping (:2682-2702) is never exercised here (it is pinned
+# separately by raster_probe_bilinear / the warp kernel pytest).
+# --------------------------------------------------------------------------
+
+_WP_TR = 1.0e5  # -tr (square target pixels, EPSG:3857 meters)
+_WP_TE = (-1.0e7, -4.5e6, 2.0e6, 5.5e6)  # -te xmin ymin xmax ymax
+_WP_W = int((_WP_TE[2] - _WP_TE[0]) / _WP_TR)  # 120
+_WP_H = int((_WP_TE[3] - _WP_TE[1]) / _WP_TR)  # 100
+_WP_NODATA = "2.55e2"
+
+# L-shaped (concave) cutline as two axis-aligned rects in source degrees
+_WP_CUT = (
+    "((lon >= -9.5e1 AND lon <= -2.0e1 AND lat >= -3.5e1 AND lat <= 1.0e1)"
+    " OR (lon >= -6.0e1 AND lon <= 1.0e1 AND lat >= -3.5e1 AND lat <= 4.5e1))"
+)
+
+
+def _wp_stages() -> list[tuple[str, str]]:
+    st = [
+        ("xm", f"(({_sd(_WP_TE[0])}) + (opx + 5.0e-1) * ({_sd(_WP_TR)}))"),
+        ("ym", f"(({_sd(_WP_TE[3])}) - (opy + 5.0e-1) * ({_sd(_WP_TR)}))"),
+    ]
+    inv, lat_e, lon_e = epsg._to_geographic(epsg.lookup(3857), "xm", "ym")
+    st += inv
+    st += [("lon", f"({lon_e})"), ("lat", f"({lat_e})")]
+    st += [
+        ("i0", _BL_I0),
+        ("j0", _BL_J0),
+        ("wx", _BL_FX),
+        ("wy", _BL_FY),
+    ]
+    return st
+
+
+_WP_BL = (
+    "((1.0e0 - wy) * ((1.0e0 - wx) * v00 + wx * v10)"
+    " + wy * ((1.0e0 - wx) * v01 + wx * v11))"
+)
+_WP_OUT = (
+    f"CAST(CASE WHEN {_WP_CUT} THEN floor({_WP_BL} + 5.0e-1)"
+    f" ELSE {_WP_NODATA} END AS INT)"
+)
+
+
+def _warp_pipeline_oracle() -> str:
+    dst = (
+        "SELECT CAST(b.i + 1 AS INT) AS band, CAST(x.i AS INT) AS opx,"
+        " CAST(y.i AS INT) AS opy"
+        f" FROM range(0, {_WP_W}) x(i), range(0, {_WP_H}) y(i),"
+        f" range(0, {N_BANDS}) b(i)"
+    )
+    sql = dst
+    for col, expr in _wp_stages():
+        sql = f"SELECT *, {expr} AS {col} FROM ({sql})"
+    src = (
+        "SELECT CAST(b.i + 1 AS INT) AS band, CAST(x.i AS INT) AS px,"
+        " CAST(y.i AS INT) AS py,"
+        " CAST((x.i * 7 + y.i * 13 + (b.i + 1) * 29) % 256 AS INT) AS value"
+        f" FROM range(0, {SRC_W}) x(i), range(0, {SRC_H}) y(i),"
+        f" range(0, {N_BANDS}) b(i)"
+    )
+    return f"""
+WITH src AS ({src}),
+f AS ({sql}),
+j AS (
+  SELECT f.*, s00.value AS v00, s10.value AS v10, s01.value AS v01, s11.value AS v11
+  FROM f
+  JOIN src s00 ON s00.band = f.band AND s00.px = f.i0 AND s00.py = f.j0
+  JOIN src s10 ON s10.band = f.band AND s10.px = f.i0 + 1 AND s10.py = f.j0
+  JOIN src s01 ON s01.band = f.band AND s01.px = f.i0 AND s01.py = f.j0 + 1
+  JOIN src s11 ON s11.band = f.band AND s11.px = f.i0 + 1 AND s11.py = f.j0 + 1
+)
+SELECT band, opx, opy, {_WP_OUT} AS v FROM j
+"""
+
+
+@register("warp_pipeline", _warp_pipeline_oracle())
+def q_warp_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdalwarp -t_srs EPSG:3857 -te -tr -r bilinear -cutline -dstnodata
+    as one plan: generated dest grid -> codegen coordinate pipeline ->
+    four broadcast joins fetching the 2x2 bilinear support from the
+    source raster -> masked, rounded Byte output."""
+    from gdal_spark.operators.raster import source_grid
+
+    n = _WP_W * _WP_H * N_BANDS
+    d = spark.range(n).selectExpr(
+        f"CAST(id % {_WP_W} AS INT) AS opx",
+        f"CAST(CAST(id / {_WP_W} AS BIGINT) % {_WP_H} AS INT) AS opy",
+        f"CAST(id DIV {_WP_W * _WP_H} + 1 AS INT) AS band",
+    )
+    for col, expr in _wp_stages():
+        d = d.selectExpr("*", f"{expr} AS {col}")
+    src = source_grid(spark)
+    for tag, di, dj in (("00", 0, 0), ("10", 1, 0), ("01", 0, 1), ("11", 1, 1)):
+        s = src.selectExpr(
+            f"band AS b{tag}", f"px AS x{tag}", f"py AS y{tag}", f"value AS v{tag}"
+        )
+        d = d.join(
+            F.broadcast(s),
+            F.expr(f"b{tag} = band AND x{tag} = i0 + {di} AND y{tag} = j0 + {dj}"),
+        ).drop(f"b{tag}", f"x{tag}", f"y{tag}")
+    return d.selectExpr("band", "opx", "opy", f"{_WP_OUT} AS v")
