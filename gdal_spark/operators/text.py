@@ -280,6 +280,41 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     return df.select(id_col, text_col).mapInPandas(kernel, schema)
 
 
+MH_PRIME = 2147483647  # 2^31 - 1, the classic min-wise LCG modulus
+
+
+_SM64_MASK = (1 << 64) - 1
+
+
+def _splitmix64(state: int) -> tuple[int, int]:
+    state = (state + 0x9E3779B97F4A7C15) & _SM64_MASK
+    z = state
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & _SM64_MASK
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & _SM64_MASK
+    return state, z ^ (z >> 31)
+
+
+def mh_lane_consts(num_perm: int) -> list[tuple[int, int]]:
+    """Deterministic (a_k, b_k) for the (a*h + b) mod p min-wise hash
+    family (Broder '97 linear permutations — the datasketch-style
+    construction).  a_k < 2^31 and the base hash h < 2^28, so a_k * h
+    < 2^59 never overflows BIGINT in either engine.
+
+    The constants are splitmix64 outputs, NOT a linear sequence in k: a
+    first cut used a_k = (k+1)*c mod p, which made every lane's value
+    (k+1)x lane 1's — whenever lane 1's minimum was below p/num_perm the
+    multiples never wrapped, the SAME gram won every lane, and docs
+    sharing one low-hash common trigram collided on all 16 lanes
+    (measured: 1380/1633 candidate pairs at true Jaccard ~0.01)."""
+    out = []
+    st = 0x5DEECE66D
+    for _ in range(num_perm):
+        st, za = _splitmix64(st)
+        st, zb = _splitmix64(st)
+        out.append((za % (MH_PRIME - 1) + 1, zb % MH_PRIME))
+    return out
+
+
 def minhash_md5_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -289,16 +324,18 @@ def minhash_md5_signatures(
 ) -> DataFrame:
     """MinHash signatures computed ENTIRELY JVM-side (whole-stage
     codegen, zero Python): word n-grams via transform(sequence(...)),
-    permutation k's hash = md5('k|' || gram), signature = array_min of
-    the hex strings (lexicographic min == numeric min of the 128-bit
-    value).  Deliberately md5-based so DuckDB reproduces every byte —
-    this is the ORACLE-CHECKED twin of the numpy signature kernel.
-    Docs with fewer than ``ngram`` tokens are excluded (no gram set).
+    ONE md5 per gram truncated to a 28-bit base fingerprint, then the
+    num_perm permutations as (a_k*h + b_k) mod 2^31-1 linear hashes
+    (Broder's min-wise family) — integer multiply-adds instead of the
+    former num_perm md5 calls per gram, a ~16x hash-CPU cut in the
+    pipeline's dominant narrow stage at corpus scale.  Still md5-based
+    at the root so DuckDB reproduces every value — this is the
+    ORACLE-CHECKED near-dup path.  Docs with fewer than ``ngram``
+    tokens are excluded (no gram set).
 
-    Compute-heavy narrow stage: ~num_perm x grams md5 calls per row run
-    inside ONE codegen projection, so parallelism == input partitions.
-    A small corpus read as a single parquet split would hash on one
-    core (measured 4.8 s for 5k docs); spread it when the scan is
+    Compute-heavy narrow stage runs inside ONE codegen projection, so
+    parallelism == input partitions.  A small corpus read as a single
+    parquet split would hash on one core; spread it when the scan is
     narrower than the cluster.  At corpus scale the input is already
     wide and no shuffle is added."""
     sc = df.sparkSession.sparkContext
@@ -315,16 +352,17 @@ def minhash_md5_signatures(
         )
     )
     df2 = df2.select(id_col, gram.alias("ngrams"))
-
-    def perm_hash(k: int):
-        # NB: the lambda must be single-arg — a two-arg lambda makes
-        # pyspark's transform() pass the ELEMENT INDEX as the 2nd arg
-        return lambda g: F.md5(F.concat(F.lit(f"{k}|"), g))
-
+    # one md5 per UNIQUE gram position; 7 hex chars = 28-bit base hash
+    ghs = F.expr(
+        "transform(ngrams, g -> CAST(conv(substring(md5(g), 1, 7), 16, 10) AS BIGINT))"
+    )
+    df2 = df2.select(id_col, ghs.alias("ghs"))
     sigs = F.array(
         *[
-            F.array_min(F.transform(F.col("ngrams"), perm_hash(k)))
-            for k in range(num_perm)
+            F.array_min(
+                F.expr(f"transform(ghs, h -> ({a} * h + {b}) % {MH_PRIME})")
+            )
+            for a, b in mh_lane_consts(num_perm)
         ]
     )
     return df2.select(id_col, sigs.alias("sigs"))
@@ -354,7 +392,11 @@ def minhash_md5_pairs(
                         F.lit(b).alias("band"),
                         F.md5(
                             F.concat_ws(
-                                "|", *[F.col("sigs")[b * rows + j] for j in range(rows)]
+                                "|",
+                                *[
+                                    F.col("sigs")[b * rows + j].cast("string")
+                                    for j in range(rows)
+                                ],
                             )
                         ).alias("bucket"),
                     )

@@ -1340,18 +1340,26 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # md5-based MinHash: the same signatures/bands/pairs pipeline rendered
-# with md5 so DuckDB reproduces every byte — the ORACLE-CHECKED twin of
-# the numpy kernel (which stays as the high-throughput bench variant).
+# with md5 so DuckDB reproduces every value — the ORACLE-CHECKED near-dup
+# path.  One md5 per gram (28-bit base fingerprint), then the num_perm
+# permutations as (a_k*h + b_k) mod 2^31-1 linear min-wise hashes
+# (Broder '97) — the a_k/b_k literals come from text.mh_lane_consts so
+# engine and oracle share the exact constants.
+from gdal_spark.operators.text import MH_PRIME, mh_lane_consts  # noqa: E402
+
 _MM_PERM, _MM_BANDS, _MM_ROWS, _MM_MIN_EQ = 16, 4, 4, 6
 _MM_SIG_LIST = ", ".join(
-    f"list_min(list_transform(ngrams, x -> md5('{k}|' || x)))" for k in range(_MM_PERM)
+    f"list_min(list_transform(ghs, h -> ({a} * h + {b}) % {MH_PRIME}))"
+    for a, b in mh_lane_consts(_MM_PERM)
 )
 _MM_BUCKETS = ", ".join(
     "(%d)" % b for b in range(_MM_BANDS)
 )
 _MM_BAND_BUCKET = (
-    "md5(sigs[band * 4 + 1] || '|' || sigs[band * 4 + 2] || '|' || "
-    "sigs[band * 4 + 3] || '|' || sigs[band * 4 + 4])"
+    "md5(CAST(sigs[band * 4 + 1] AS VARCHAR) || '|' || "
+    "CAST(sigs[band * 4 + 2] AS VARCHAR) || '|' || "
+    "CAST(sigs[band * 4 + 3] AS VARCHAR) || '|' || "
+    "CAST(sigs[band * 4 + 4] AS VARCHAR))"
 )
 
 _MM_PIPELINE_CTE = f"""
@@ -1363,7 +1371,13 @@ gg AS (
                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS ngrams
   FROM tk2
 ),
-sg AS (SELECT doc_id, [{_MM_SIG_LIST}] AS sigs FROM gg),
+gh AS (
+  SELECT doc_id,
+         list_transform(ngrams,
+                        g -> CAST(('0x' || substring(md5(g), 1, 7))::BIGINT AS BIGINT)) AS ghs
+  FROM gg
+),
+sg AS (SELECT doc_id, [{_MM_SIG_LIST}] AS sigs FROM gh),
 bnd AS (
   SELECT doc_id, band, {_MM_BAND_BUCKET} AS bucket
   FROM sg, (VALUES {_MM_BUCKETS}) b(band)

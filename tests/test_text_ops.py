@@ -181,3 +181,46 @@ class TestSimilarity:
         assert row.n_tokens == 5
         assert row.n_punct == 2  # ',' and '!'
         assert row.n_stop_kinds == 3  # the, and, a
+
+
+class TestMinhashLaneQuality:
+    def test_candidate_pairs_are_true_near_dups(self):
+        """Every banded-LSH candidate surviving the n_equal gate must be
+        a genuine near-dup (true n-gram Jaccard >= 0.5).  Regression pin
+        for the correlated-lane bug: linear-in-k (a_k, b_k) constants
+        made one shared low-hash trigram win ALL lanes, flooding the
+        pair set with J~0.01 false positives (1380 of 1633 at sf0.1)."""
+        import duckdb
+
+        from gdal_spark import registry as R
+
+        con = duckdb.connect()
+        con.sql(
+            "CREATE VIEW documents AS "
+            "SELECT * FROM '/root/testdata/sf0.01/documents.parquet'"
+        )
+        con.sql("CREATE TEMP TABLE pr AS " + R.ORACLES["minhash_md5"])
+        jac = con.sql(
+            """
+WITH tk AS (SELECT doc_id, str_split(text,' ') AS toks FROM documents),
+gg AS (SELECT doc_id, list_transform(range(1, len(toks)-1),
+             i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]) AS ngrams
+       FROM tk WHERE len(toks) >= 3)
+SELECT p.n_equal,
+  CAST(len(list_intersect(list_distinct(a.ngrams), list_distinct(b.ngrams))) AS DOUBLE)
+    / len(list_distinct(list_concat(a.ngrams, b.ngrams))) AS j
+FROM pr p JOIN gg a ON p.id_a = a.doc_id JOIN gg b ON p.id_b = b.doc_id
+"""
+        ).df()
+        assert len(jac) > 0
+        assert (jac.j >= 0.5).all(), jac[jac.j < 0.5].head()
+
+    def test_lane_constants_not_linear_in_k(self):
+        """The multiplier sequence must not be an arithmetic progression
+        (the structure behind the correlated-lane failure)."""
+        from gdal_spark.operators.text import mh_lane_consts
+
+        consts = mh_lane_consts(16)
+        a_diffs = {consts[i + 1][0] - consts[i][0] for i in range(15)}
+        b_diffs = {consts[i + 1][1] - consts[i][1] for i in range(15)}
+        assert len(a_diffs) > 8 and len(b_diffs) > 8
