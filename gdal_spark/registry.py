@@ -8866,3 +8866,131 @@ def q_warp_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"b{tag} = band AND x{tag} = i0 + {di} AND y{tag} = j0 + {dj}"),
         ).drop(f"b{tag}", f"x{tag}", f"y{tag}")
     return d.selectExpr("band", "opx", "opy", f"{_WP_OUT} AS v")
+
+
+# --------------------------------------------------------------------------
+# ogrtindex / `gdal vector index` (apps/gdalalg_vector_index.cpp:706-715):
+# one feature per source layer — LOCATION = "dataset,layerIdx"
+# (:521-524 CPLOPrintf("%s,%d")) and geometry = the layer extent as the
+# OGRPolygon(envelope) 5-point ring (ogrpolygon.cpp:40-48 vertex order
+# (x1,y1)(x1,y2)(x2,y2)(x2,y1)(x1,y1)).  Each extent is one partial-agg
+# reduction over its layer (map-side combine, no wide shuffle); WKT
+# coordinates printed '%.4f' — identical text from Java's format_string
+# and DuckDB's printf on the corpus's 1e-3 lattice (never a half-ulp tie
+# at the 4th decimal).
+# --------------------------------------------------------------------------
+
+
+def _tindex_wkt(fmt: str) -> str:
+    def p(x: str, y: str) -> str:
+        return f"{fmt}('%.4f', {x}) || ' ' || {fmt}('%.4f', {y})"
+
+    ring = " || ',' || ".join(
+        [
+            p("minx", "miny"),
+            p("minx", "maxy"),
+            p("maxx", "maxy"),
+            p("maxx", "miny"),
+            p("minx", "miny"),
+        ]
+    )
+    return f"'POLYGON ((' || {ring} || '))'"
+
+
+_TINDEX_LAYERS = [
+    ("documents.parquet,0", "pd", "xmin", "ymin", "xmax", "ymax"),
+    ("documents.parquet,1", "dd", "lon", "lat", "lon", "lat"),
+    ("zones://rect,0", "zz", "zxmin", "zymin", "zxmax", "zymax"),
+]
+
+
+def _ogr_tindex_oracle() -> str:
+    parts = []
+    for loc, src, x0, y0, x1, y1 in _TINDEX_LAYERS:
+        ext = (
+            f"SELECT min({x0}) AS minx, min({y0}) AS miny,"
+            f" max({x1}) AS maxx, max({y1}) AS maxy FROM {src}"
+        )
+        parts.append(
+            f"SELECT '{loc}' AS location, {_tindex_wkt('printf')} AS wkt"
+            f" FROM ({ext}) e"
+        )
+    return (
+        f"WITH pd AS ({corpus.duckdb_polydocs_cte()}),\n"
+        f"dd AS ({_DOCS_CTE}),\n"
+        f"zz AS ({zones.duckdb_zones_cte()})\n" + "\nUNION ALL\n".join(parts)
+    )
+
+
+@register("ogr_tindex", _ogr_tindex_oracle())
+def q_ogr_tindex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector tile index: one (LOCATION, extent-polygon WKT) feature per
+    source layer; each layer's extent is one map-side-combined min/max
+    aggregation."""
+    from functools import reduce
+
+    srcs = {
+        "pd": corpus.load_polydocs(spark, sf_dir),
+        "dd": corpus.load_docs(spark, sf_dir),
+        "zz": zones.rect_zones(spark),
+    }
+    parts = []
+    for loc, src, x0, y0, x1, y1 in _TINDEX_LAYERS:
+        ext = srcs[src].selectExpr(
+            f"{x0} AS _x0", f"{y0} AS _y0", f"{x1} AS _x1", f"{y1} AS _y1"
+        ).agg(
+            F.min("_x0").alias("minx"),
+            F.min("_y0").alias("miny"),
+            F.max("_x1").alias("maxx"),
+            F.max("_y1").alias("maxy"),
+        )
+        parts.append(
+            ext.selectExpr(
+                f"'{loc}' AS location",
+                f"{_tindex_wkt('format_string')} AS wkt",
+            )
+        )
+    return reduce(DataFrame.unionAll, parts)
+
+
+# --------------------------------------------------------------------------
+# gdal raster unscale / gdal_translate -unscale
+# (apps/gdalalg_raster_unscale.cpp; gdal_translate_lib.cpp:2253-2254
+# reads per-band GetScale()/GetOffset()): unscaled = value*scale + offset.
+# Scale/offset are per-band METADATA, modeled as a broadcast dim table
+# (the mapping is data, like `reclassify`); constants are exact binary
+# fractions so the product is IEEE-exact and the floor-quantized output
+# hash-stable.
+# --------------------------------------------------------------------------
+
+_UNSCALE_BANDS = "(1, 2.0e0, 1.0e1), (2, 5.0e-1, -3.0e0), (3, 2.5e-1, 0.0e0)"
+
+_RASTER_UNSCALE_ORACLE = f"""
+WITH src AS (
+  SELECT CAST(b.i + 1 AS INT) AS band, CAST(x.i AS INT) AS px, CAST(y.i AS INT) AS py,
+         CAST((x.i * 7 + y.i * 13 + (b.i + 1) * 29) % 256 AS INT) AS value
+  FROM range(0, {SRC_W}) x(i), range(0, {SRC_H}) y(i), range(0, {N_BANDS}) b(i)
+),
+so AS (SELECT * FROM (VALUES {_UNSCALE_BANDS}) t(sband, bscale, boff))
+SELECT band, px, py,
+       CAST(floor((value * bscale + boff) * 1.0e4) AS BIGINT) AS v4
+FROM src JOIN so ON so.sband = src.band
+WHERE px < 40 AND py < 25
+"""
+
+
+@register("raster_unscale", _RASTER_UNSCALE_ORACLE)
+def q_raster_unscale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.operators.raster import source_grid
+
+    so = spark.createDataFrame(
+        [(1, 2.0, 10.0), (2, 0.5, -3.0), (3, 0.25, 0.0)],
+        "sband int, bscale double, boff double",
+    )
+    src = source_grid(spark).where("px < 40 AND py < 25")
+    return src.join(F.broadcast(so), F.expr("sband = band")).selectExpr(
+        "band",
+        "px",
+        "py",
+        "CAST(floor((value * bscale + boff) * 1.0e4) AS BIGINT) AS v4",
+    )
