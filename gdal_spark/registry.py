@@ -8994,3 +8994,105 @@ def q_raster_unscale(spark: SparkSession, sf_dir: str) -> DataFrame:
         "py",
         "CAST(floor((value * bscale + boff) * 1.0e4) AS BIGINT) AS v4",
     )
+
+
+# --------------------------------------------------------------------------
+# gdalbuildvrt heterogeneous-grid composite
+# (apps/gdalbuildvrt_lib.cpp): union extent across sources,
+# -resolution highest = min(we_res) / max(ns_res) (:1014-1018), each
+# source placed on the target grid as a VRT SimpleSource (nearest
+# lookup), sources composited IN LIST ORDER with the LAST one on top in
+# overlap areas (doc/source/programs/gdalbuildvrt.rst:73,162) and
+# -srcnodata pixels transparent.  Three generated sources with different
+# origins AND resolutions (1.0 / 0.5 / 2.0 deg px); every coordinate is
+# an exact binary fraction, so the center->source-index floor math is
+# IEEE-exact in both engines.  Plan: dest grid from range, index math in
+# codegen, three LEFT BroadcastHashJoins, coalesce — zero shuffle.
+# --------------------------------------------------------------------------
+
+# (name, x0, y0_top, res, W, H, value formula coefs (a,b,c), nodata)
+_BV_SOURCES = [
+    ("s1", 0.0, 40.0, 1.0, 60, 40, (3, 5, 17), None),
+    ("s2", 30.0, 40.0, 0.5, 80, 60, (7, 11, 29), 0),
+    ("s3", -20.0, 40.0, 2.0, 30, 25, (13, 3, 41), None),
+]
+_BV_X0, _BV_Y1, _BV_RES = -20.0, 40.0, 0.5  # union extent + highest res
+_BV_W, _BV_H = 180, 100
+
+
+def _bv_src_sql(name: str) -> str:
+    _, x0, y1, r, w, h, (a, b, c), _nd = next(
+        s for s in _BV_SOURCES if s[0] == name
+    )
+    return (
+        f"SELECT CAST(x.i AS INT) AS px, CAST(y.i AS INT) AS py,"
+        f" CAST((x.i * {a} + y.i * {b} + {c}) % 256 AS INT) AS value"
+        f" FROM range(0, {w}) x(i), range(0, {h}) y(i)"
+    )
+
+
+def _bv_dest_stages() -> list[tuple[str, str]]:
+    st = [
+        ("xc", f"({_sd(_BV_X0)} + (opx + 5.0e-1) * {_sd(_BV_RES)})"),
+        ("yc", f"({_sd(_BV_Y1)} - (opy + 5.0e-1) * {_sd(_BV_RES)})"),
+    ]
+    for name, x0, y1, r, w, h, _coefs, _nd in _BV_SOURCES:
+        st += [
+            (f"{name}x", f"CAST(floor((xc - {_sd(x0)}) / {_sd(r)}) AS BIGINT)"),
+            (f"{name}y", f"CAST(floor(({_sd(y1)} - yc) / {_sd(r)}) AS BIGINT)"),
+        ]
+    return st
+
+
+# last source on top; srcnodata 0 makes s2's zero pixels transparent
+_BV_OUT = "coalesce(v_s3, CASE WHEN v_s2 <> 0 THEN v_s2 END, v_s1)"
+
+
+def _buildvrt_oracle() -> str:
+    dst = (
+        f"SELECT CAST(x.i AS INT) AS opx, CAST(y.i AS INT) AS opy"
+        f" FROM range(0, {_BV_W}) x(i), range(0, {_BV_H}) y(i)"
+    )
+    sql = dst
+    for col, expr in _bv_dest_stages():
+        sql = f"SELECT *, {expr} AS {col} FROM ({sql})"
+    joins, withs = "", []
+    for name, _x0, _y1, _r, w, h, _coefs, _nd in _BV_SOURCES:
+        withs.append(f"{name} AS ({_bv_src_sql(name)})")
+        joins += (
+            f" LEFT JOIN {name} ON {name}.px = f.{name}x AND {name}.py = f.{name}y"
+        )
+    sel = ", ".join(f"{s[0]}.value AS v_{s[0]}" for s in _BV_SOURCES)
+    return f"""
+WITH {', '.join(withs)},
+f AS ({sql}),
+j AS (SELECT f.opx, f.opy, {sel} FROM f{joins})
+SELECT opx, opy, CAST({_BV_OUT} AS INT) AS v FROM j
+"""
+
+
+@register("buildvrt", _buildvrt_oracle())
+def q_buildvrt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdalbuildvrt -resolution highest over three sources with
+    different origins and pixel sizes: union-extent dest grid, nearest
+    SimpleSource lookup per source, last-listed-wins composite with
+    srcnodata transparency — three LEFT broadcast joins, zero shuffle."""
+    d = spark.range(_BV_W * _BV_H).selectExpr(
+        f"CAST(id % {_BV_W} AS INT) AS opx",
+        f"CAST(id DIV {_BV_W} AS INT) AS opy",
+    )
+    for col, expr in _bv_dest_stages():
+        d = d.selectExpr("*", f"{expr} AS {col}")
+    for name, _x0, _y1, _r, w, h, (a, b, c), _nd in _BV_SOURCES:
+        s = spark.range(w * h).selectExpr(
+            f"CAST(id % {w} AS INT) AS {name}_px",
+            f"CAST(id DIV {w} AS INT) AS {name}_py",
+            f"CAST(((id % {w}) * {a} + (id DIV {w}) * {b} + {c}) % 256 AS INT)"
+            f" AS v_{name}",
+        )
+        d = d.join(
+            F.broadcast(s),
+            F.expr(f"{name}_px = {name}x AND {name}_py = {name}y"),
+            "left",
+        ).drop(f"{name}_px", f"{name}_py")
+    return d.selectExpr("opx", "opy", f"CAST({_BV_OUT} AS INT) AS v")
