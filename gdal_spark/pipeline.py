@@ -1,0 +1,149 @@
+"""``gdal vector pipeline`` surface — the unified CLI's step-chain API.
+
+The reference chains processing steps with the ``!`` separator; the
+first step must be ``read`` (or ``concat``) and the last ``write``
+(apps/gdalalg_pipeline.cpp; doc/source/programs/gdal_vector_pipeline.rst
+:28-31).  Each step streams features into the next
+(GDALPipelineStepAlgorithm::RunStep).
+
+Spark mapping: every step is a LAZY DataFrame transform, so the whole
+pipeline assembles into ONE Catalyst plan — a ``filter`` or ``select``
+written as its own step still reaches the parquet scan via pushdown /
+pruning, exactly the property the reference gets from streaming steps.
+No step materializes anything; ``write stream`` returns the composed
+DataFrame (the VRT-style lazy terminal), ``write <path>`` sinks it.
+
+Step vocabulary (vector):
+
+* ``read <source> [--spat x0,y0,x1,y1]`` — corpus:docs / corpus:polydocs
+  derived layers or a parquet table name; ``--spat`` is the layer-level
+  envelope-intersect spatial filter (inclusive, the rect-vs-rect exact
+  test, ogrlayer.cpp:2287).
+* ``filter <expr>`` — attribute WHERE (gdalalg_vector_filter).
+* ``select <f1,f2,...>`` — field list; geometry columns ride along
+  implicitly, as in the reference (-select never drops geometry).
+* ``clip x0,y0,x1,y1`` — rectangle clip of the rect geometry IN THE
+  CURRENT CRS (clamp = Intersection for axis-aligned pairs); empty and
+  dimension-collapsed results are dropped (strict >, the
+  ogr2ogr_lib.cpp:6947 nDim rule).  Usable before or after reproject,
+  like the reference's clip step.
+* ``reproject EPSG:<code>`` — supported for axis-separable CRS pairs
+  (geographic <-> webmercator), where the rectangle maps to the
+  rectangle of its transformed corners; other kinds raise (the engine's
+  full CRS dispatch lives in `epsg_transform`-style column pipelines).
+* ``limit <n>`` — head-of-stream cap.
+* ``write stream | <path>`` — terminal.
+
+Geometry convention: the rect-doc envelope columns (xmin, ymin, xmax,
+ymax) are canonical through every step, which is what makes the steps
+freely composable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from gdal_spark import corpus
+
+
+def parse_pipeline(spec: str) -> list[tuple[str, list[str]]]:
+    """Split a '!'-separated step chain into (step, args) tuples."""
+    steps = []
+    for part in spec.split("!"):
+        toks = part.strip().split()
+        if not toks:
+            raise ValueError("empty pipeline step")
+        steps.append((toks[0], toks[1:]))
+    if steps[0][0] not in ("read", "concat"):
+        raise ValueError("first step must be 'read' or 'concat'")
+    if steps[-1][0] != "write":
+        raise ValueError("last step must be 'write'")
+    return steps
+
+
+def _bbox(arg: str) -> tuple[str, str, str, str]:
+    parts = [p.strip() for p in arg.split(",")]
+    if len(parts) != 4:
+        raise ValueError(f"bbox needs x0,y0,x1,y1: {arg!r}")
+    return tuple(parts)  # raw SQL literal text (E-notation preserved)
+
+
+GEOM_COLS = ("xmin", "ymin", "xmax", "ymax")
+
+
+def _read(spark: SparkSession, sf_dir: str, args: list[str]) -> DataFrame:
+    src = args[0]
+    if src == "corpus:polydocs":
+        df = corpus.load_polydocs(spark, sf_dir)
+    elif src == "corpus:docs":
+        df = corpus.load_docs(spark, sf_dir)
+    else:
+        df = spark.read.parquet(f"{sf_dir}/{src}.parquet")
+    if "--spat" in args:
+        x0, y0, x1, y1 = _bbox(args[args.index("--spat") + 1])
+        df = df.where(
+            f"(xmax >= {x0} AND xmin <= {x1} AND ymax >= {y0} AND ymin <= {y1})"
+        )
+    return df
+
+
+def _clip(df: DataFrame, args: list[str]) -> DataFrame:
+    x0, y0, x1, y1 = _bbox(args[0])
+    others = [c for c in df.columns if c not in GEOM_COLS]
+    df = df.selectExpr(
+        *others,
+        f"greatest(xmin, {x0}) AS xmin",
+        f"greatest(ymin, {y0}) AS ymin",
+        f"least(xmax, {x1}) AS xmax",
+        f"least(ymax, {y1}) AS ymax",
+    )
+    return df.where("xmax > xmin AND ymax > ymin")
+
+
+def _reproject(df: DataFrame, args: list[str]) -> DataFrame:
+    from gdal_spark.geometry import epsg
+
+    code = int(args[0].split(":")[1])
+    st_min = epsg.sql_transform_stages(4326, code, x="xmin", y="ymin")
+    st_max = epsg.sql_transform_stages(4326, code, x="xmax", y="ymax")
+    if [c for c, _ in st_min] != ["ox", "oy"]:
+        raise NotImplementedError(
+            "pipeline reproject supports axis-separable targets "
+            "(webmercator / geographic); use the epsg_transform column "
+            "pipeline for general CRS"
+        )
+    others = [c for c in df.columns if c not in GEOM_COLS]
+    return df.selectExpr(
+        *others,
+        f"{dict(st_min)['ox']} AS xmin",
+        f"{dict(st_min)['oy']} AS ymin",
+        f"{dict(st_max)['ox']} AS xmax",
+        f"{dict(st_max)['oy']} AS ymax",
+    )
+
+
+def run_vector_pipeline(spark: SparkSession, sf_dir: str, spec: str) -> DataFrame:
+    """Assemble the step chain into one lazy plan and run the terminal."""
+    df: DataFrame | None = None
+    for name, args in parse_pipeline(spec):
+        if name == "read":
+            df = _read(spark, sf_dir, args)
+        elif name == "filter":
+            df = df.where(" ".join(args))
+        elif name == "select":
+            fields = [f.strip() for f in args[0].split(",")]
+            geom = [c for c in GEOM_COLS if c in df.columns]
+            df = df.select(*fields, *geom)
+        elif name == "clip":
+            df = _clip(df, args)
+        elif name == "reproject":
+            df = _reproject(df, args)
+        elif name == "limit":
+            df = df.limit(int(args[0]))
+        elif name == "write":
+            if args[0] != "stream":
+                df.write.mode("overwrite").parquet(args[0])
+            return df
+        else:
+            raise ValueError(f"unknown pipeline step {name!r}")
+    raise AssertionError("unreachable: parse enforces a write terminal")

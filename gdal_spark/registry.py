@@ -8745,6 +8745,44 @@ def q_vector_translate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.selectExpr("doc_id", "lang", "n_chars", *[f"{e} AS {c}" for c, e in _VT_OUT])
 
 
+# The same translate lifecycle expressed through the engine's
+# `gdal vector pipeline` step-chain API (gdal_spark/pipeline.py — the
+# unified CLI's '!'-separated surface, gdalalg_pipeline.cpp /
+# gdal_vector_pipeline.rst:28-31).  Registered against the SAME oracle
+# as `vector_translate`: the step chain must assemble into a plan that
+# reproduces the one-shot query bit-for-bit — the API-composition
+# parity proof.
+_VT_PIPE_SPEC = (
+    f"read corpus:polydocs --spat {','.join(_VT_SPAT)}"
+    " ! filter n_chars >= 120 AND lang <> 'de'"
+    " ! select doc_id,lang,n_chars"
+    f" ! clip {','.join(_VT_CSRC)}"
+    " ! reproject EPSG:3857"
+    f" ! clip {','.join(_VT_CDST)}"
+    " ! write stream"
+)
+
+
+@register("vector_pipeline", _VECTOR_TRANSLATE_ORACLE)
+def q_vector_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`gdal vector pipeline read ! filter ! select ! clip ! reproject
+    ! clip ! write` — every step a lazy transform, the chain one
+    Catalyst plan (zero shuffle, zero Python)."""
+    from gdal_spark.pipeline import run_vector_pipeline
+
+    df = run_vector_pipeline(spark, sf_dir, _VT_PIPE_SPEC)
+    return df.selectExpr(
+        "doc_id",
+        "lang",
+        "n_chars",
+        "CAST(floor(xmin * 1.0e2) AS BIGINT) AS dx0_q",
+        "CAST(floor(ymin * 1.0e2) AS BIGINT) AS dy0_q",
+        "CAST(floor(xmax * 1.0e2) AS BIGINT) AS dx1_q",
+        "CAST(floor(ymax * 1.0e2) AS BIGINT) AS dy1_q",
+        "CAST(floor((xmax - xmin) * (ymax - ymin)) AS BIGINT) AS clip_area_m2",
+    )
+
+
 # --------------------------------------------------------------------------
 # Composed gdalwarp pipeline (apps/gdalwarp_lib.cpp lifecycle): the raster
 # twin of `vector_translate` — -te/-tr target grid (dfMinX..dfMaxY +

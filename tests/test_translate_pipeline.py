@@ -80,3 +80,35 @@ def test_plan_single_scan_no_exchange(spark):
     assert "Exchange" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.count("Scan parquet") == 1, plan
+
+
+class TestStepChainAPI:
+    """gdal_spark.pipeline — the `gdal vector pipeline` step surface."""
+
+    def test_pipeline_reproduces_one_shot_query(self, spark):
+        a = R.QUERIES["vector_translate"](spark, SF_DIR)
+        b = R.QUERIES["vector_pipeline"](spark, SF_DIR)
+        cols = a.columns
+        assert b.columns == cols
+        ra = sorted(tuple(r[c] for c in cols) for r in a.collect())
+        rb = sorted(tuple(r[c] for c in cols) for r in b.collect())
+        assert ra == rb and len(ra) > 0
+
+    def test_pipeline_is_one_plan_no_exchange(self, spark):
+        df = R.QUERIES["vector_pipeline"](spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "EvalPython" not in plan
+        assert plan.count("Scan parquet") == 1
+
+    def test_parse_validation(self):
+        import pytest
+
+        from gdal_spark.pipeline import parse_pipeline
+
+        with pytest.raises(ValueError, match="first step"):
+            parse_pipeline("filter a > 1 ! write stream")
+        with pytest.raises(ValueError, match="last step"):
+            parse_pipeline("read corpus:docs ! filter a > 1")
+        steps = parse_pipeline("read x ! limit 5 ! write stream")
+        assert [s[0] for s in steps] == ["read", "limit", "write"]
