@@ -122,6 +122,108 @@ def _reproject(df: DataFrame, args: list[str]) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------- raster
+# `gdal raster pipeline` (gdal_raster_pipeline.rst:35-195) — the subset
+# whose semantics are pure per-pixel filters/projections: read, clip
+# (-srcwin window, coords rebased), select (band list, bands RENUMBERED
+# 1..n like gdalalg_raster_select), unscale (value*scale+offset),
+# scale (gdal_translate -scale linear map + Byte clamp + half-up round),
+# resize (integer-factor NN: src px = opx*k + floor(k/2), exact), write.
+#
+# Steps compile to a list of (where | project) ops over the canonical
+# (band, px, py, value) columns; ONE compiler feeds BOTH the Spark
+# runner (selectExpr/where) and the DuckDB SQL renderer — shared
+# expression text by construction, so the registry oracle is the same
+# program the engine runs.
+
+
+def _compile_raster_steps(spec: str) -> list[tuple[str, object]]:
+    from gdal_spark.geometry import mercator
+
+    _sd = mercator.sql_double
+    ident = [("band", "band"), ("px", "px"), ("py", "py"), ("value", "value")]
+
+    def proj(**over: str) -> tuple[str, list[tuple[str, str]]]:
+        return ("project", [(c, over.get(c, e)) for c, e in ident])
+
+    ops: list[tuple[str, object]] = []
+    for name, args in parse_pipeline(spec):
+        if name == "read":
+            if args[0] != "raster:source":
+                raise ValueError("raster pipeline reads the synthetic source")
+        elif name == "clip":
+            x0, y0, x1, y1 = (int(v) for v in args[0].split(","))
+            ops.append(
+                ("where", f"px >= {x0} AND px < {x1} AND py >= {y0} AND py < {y1}")
+            )
+            ops.append(proj(px=f"CAST(px - {x0} AS INT)", py=f"CAST(py - {y0} AS INT)"))
+        elif name == "select":
+            bands = [int(b) for b in args[0].split(",")]
+            ops.append(("where", f"band IN ({', '.join(map(str, bands))})"))
+            case = (
+                "CAST(CASE "
+                + " ".join(f"WHEN band = {b} THEN {i + 1}" for i, b in enumerate(bands))
+                + " END AS INT)"
+            )
+            ops.append(proj(band=case))
+        elif name == "unscale":
+            s, o = (p.strip() for p in args[0].split(","))
+            ops.append(proj(value=f"(CAST(value AS DOUBLE) * {s} + ({o}))"))
+        elif name == "scale":
+            smin, smax, dmin, dmax = (float(v) for v in args[0].split(","))
+            sc = (dmax - dmin) / (smax - smin)
+            off = dmin - smin * sc
+            ops.append(
+                proj(
+                    value=(
+                        f"CAST(floor(least(greatest(CAST(value AS DOUBLE) * {_sd(sc)}"
+                        f" + ({_sd(off)}), {_sd(dmin)}), {_sd(dmax)}) + 5.0e-1) AS INT)"
+                    )
+                )
+            )
+        elif name == "resize":
+            k = int(args[0])
+            h = k // 2
+            ops.append(("where", f"(px - {h}) % {k} = 0 AND (py - {h}) % {k} = 0"))
+            ops.append(
+                proj(
+                    px=f"CAST(floor((px - {h}) / {k}) AS INT)",
+                    py=f"CAST(floor((py - {h}) / {k}) AS INT)",
+                )
+            )
+        elif name == "write":
+            if args[0] != "stream":
+                raise ValueError("raster pipeline terminal is 'write stream'")
+        else:
+            raise ValueError(f"unknown raster pipeline step {name!r}")
+    return ops
+
+
+def run_raster_pipeline(spark: SparkSession, spec: str) -> DataFrame:
+    """Assemble the raster step chain into one lazy plan."""
+    from gdal_spark.operators.raster import source_grid
+
+    df = source_grid(spark)
+    for kind, payload in _compile_raster_steps(spec):
+        if kind == "where":
+            df = df.where(payload)
+        else:
+            df = df.selectExpr(*[f"{e} AS {c}" for c, e in payload])
+    return df
+
+
+def render_raster_pipeline_sql(spec: str, src_select: str) -> str:
+    """The SAME compiled ops rendered as nested ANSI SQL (the oracle)."""
+    sql = src_select
+    for kind, payload in _compile_raster_steps(spec):
+        if kind == "where":
+            sql = f"SELECT * FROM ({sql}) q WHERE {payload}"
+        else:
+            cols = ", ".join(f"{e} AS {c}" for c, e in payload)
+            sql = f"SELECT {cols} FROM ({sql}) q"
+    return sql
+
+
 def run_vector_pipeline(spark: SparkSession, sf_dir: str, spec: str) -> DataFrame:
     """Assemble the step chain into one lazy plan and run the terminal."""
     df: DataFrame | None = None

@@ -9035,6 +9035,42 @@ def q_raster_unscale(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# `gdal raster pipeline` step-chain API (gdal_raster_pipeline.rst:35-195)
+# — the raster twin of `vector_pipeline`.  The step compiler in
+# gdal_spark/pipeline.py emits ONE op list consumed by BOTH the Spark
+# runner and the DuckDB SQL renderer, so the oracle below is literally
+# the same program: -srcwin clip, band select (renumbered), unscale,
+# -scale to Byte, integer-factor NN resize, all fused into one codegen
+# projection chain over the source scan.
+# --------------------------------------------------------------------------
+
+_RP_SPEC = (
+    "read raster:source ! clip 50,30,250,130 ! select 2,3"
+    " ! unscale 5.0e-1,-3.0e0 ! scale 7,107,0,255 ! resize 2 ! write stream"
+)
+
+
+def _raster_pipeline_oracle() -> str:
+    from gdal_spark.pipeline import render_raster_pipeline_sql
+
+    src = (
+        f"SELECT band, px, py, CAST({_SRC_VAL} AS INT) AS value"
+        f" FROM ({_SRC_GRID_CTE}) s"
+    )
+    return render_raster_pipeline_sql(_RP_SPEC, src)
+
+
+@register("raster_pipeline", _raster_pipeline_oracle())
+def q_raster_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`gdal raster pipeline read ! clip ! select ! unscale ! scale !
+    resize ! write` — every step a lazy per-pixel transform, the chain
+    one whole-stage-codegen plan over the source scan."""
+    from gdal_spark.pipeline import run_raster_pipeline
+
+    return run_raster_pipeline(spark, _RP_SPEC)
+
+
+# --------------------------------------------------------------------------
 # gdalbuildvrt heterogeneous-grid composite
 # (apps/gdalbuildvrt_lib.cpp): union extent across sources,
 # -resolution highest = min(we_res) / max(ns_res) (:1014-1018), each

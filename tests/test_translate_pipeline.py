@@ -112,3 +112,31 @@ class TestStepChainAPI:
             parse_pipeline("read corpus:docs ! filter a > 1")
         steps = parse_pipeline("read x ! limit 5 ! write stream")
         assert [s[0] for s in steps] == ["read", "limit", "write"]
+
+
+class TestRasterStepChain:
+    def test_steps_compose_and_do_work(self):
+        """Each step changes the result (the composition is non-vacuous)."""
+        import duckdb
+
+        from gdal_spark.pipeline import render_raster_pipeline_sql
+
+        src = (
+            f"SELECT band, px, py, CAST({R._SRC_VAL} AS INT) AS value"
+            f" FROM ({R._SRC_GRID_CTE}) s"
+        )
+        full = R._RP_SPEC
+        n_full = duckdb.sql(render_raster_pipeline_sql(full, src)).df()
+        assert len(n_full) == 100 * 50 * 2  # window/2 x selected bands
+        # dropping the resize step quadruples the rows
+        no_resize = full.replace(" ! resize 2", "")
+        assert len(duckdb.sql(
+            render_raster_pipeline_sql(no_resize, src)).df()) == 4 * len(n_full)
+        # band renumbering: selected bands 2,3 emerge as 1,2
+        assert sorted(n_full.band.unique()) == [1, 2]
+
+    def test_plan_is_fused(self, spark):
+        df = R.QUERIES["raster_pipeline"](spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "EvalPython" not in plan
