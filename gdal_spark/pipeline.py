@@ -224,6 +224,57 @@ def render_raster_pipeline_sql(spec: str, src_select: str) -> str:
     return sql
 
 
+# ----------------------------------------------------------------- mixed
+# `gdal pipeline` proper (apps/gdalalg_pipeline.cpp; gdal_pipeline.rst)
+# exists to MIX vector and raster steps in one chain.  The bridge step
+# here is `rasterize <zoom>` (gdal_vector_rasterize / gdalalg_vector
+# rasterize): a vector layer burns into the canonical raster columns
+# (band, px, py, value) — global north-up pixel coords at the given
+# mercator zoom, burn value = zone_id % 255 + 1, REPLACE merge — and
+# every raster step can then continue the chain.
+
+
+def run_mixed_pipeline(spark: SparkSession, spec: str) -> DataFrame:
+    """read <vector layer> ! rasterize <zoom> ! <raster steps> ! write."""
+    from gdal_spark import zones
+    from gdal_spark.operators.rasterize import rasterize_values
+
+    steps = parse_pipeline(spec)
+    if [s[0] for s in steps[:2]] != ["read", "rasterize"]:
+        raise ValueError("mixed pipeline starts 'read <layer> ! rasterize <zoom>'")
+    if steps[0][1][0] != "zones:rect":
+        raise ValueError("mixed pipeline reads the rect zone layer")
+    zoom = int(steps[1][1][0])
+    z = zones.rect_zones(spark).select("zone_id", "geom_wkt")
+    r = rasterize_values(z, zoom)
+    side = (1 << zoom) * 256
+    df = r.selectExpr(
+        "CAST(1 AS INT) AS band",
+        "CAST(tx * 256 + ci AS INT) AS px",
+        f"CAST({side - 1} - (ty * 256 + rj) AS INT) AS py",
+        "CAST(burn AS INT) AS value",
+    )
+    suffix = " ! ".join(
+        " ".join([n, *a]) for n, a in [("read", ["raster:source"])] + steps[2:]
+    )
+    for kind, payload in _compile_raster_steps(suffix):
+        if kind == "where":
+            df = df.where(payload)
+        else:
+            df = df.selectExpr(*[f"{e} AS {c}" for c, e in payload])
+    return df
+
+
+def render_mixed_pipeline_sql(spec: str, burn_px_select: str) -> str:
+    """Oracle twin: the rasterized-pixel SQL feeds the SAME raster-step
+    renderer the engine's op compiler produces."""
+    steps = parse_pipeline(spec)
+    suffix = " ! ".join(
+        " ".join([n, *a]) for n, a in [("read", ["raster:source"])] + steps[2:]
+    )
+    return render_raster_pipeline_sql(suffix, burn_px_select)
+
+
 def run_vector_pipeline(spark: SparkSession, sf_dir: str, spec: str) -> DataFrame:
     """Assemble the step chain into one lazy plan and run the terminal."""
     df: DataFrame | None = None

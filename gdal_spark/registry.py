@@ -8907,6 +8907,41 @@ def q_warp_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# MIXED `gdal pipeline` (apps/gdalalg_pipeline.cpp; the unified CLI's
+# vector+raster chains): vector layer -> rasterize bridge -> raster
+# steps, one declarative chain.  The rasterize stage is the engine's
+# oracle-checked burn-attribute kernel (rasterize_attr); the raster
+# suffix reuses the SAME dual-rendered step compiler as
+# `raster_pipeline`, so the whole mixed oracle is the burn-pixel SQL
+# spliced into the identical step program.
+# --------------------------------------------------------------------------
+
+_MIX_SPEC = (
+    "read zones:rect ! rasterize 2 ! resize 2 ! scale 1,255,0,100 ! write stream"
+)
+
+
+def _mixed_pipeline_oracle() -> str:
+    from gdal_spark.pipeline import render_mixed_pipeline_sql
+
+    burn = f"""{_RAST_PX_CTE}
+SELECT CAST(1 AS INT) AS band, CAST(tx * 256 + ci AS INT) AS px,
+       CAST({(1 << _RZOOM) * 256 - 1} - (ty * 256 + rj) AS INT) AS py,
+       CAST(max(zone_id) % 255 + 1 AS INT) AS value
+FROM hit GROUP BY tx, ty, ci, rj"""
+    return render_mixed_pipeline_sql(_MIX_SPEC, burn)
+
+
+@register("mixed_pipeline", _mixed_pipeline_oracle())
+def q_mixed_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`gdal pipeline read zones ! rasterize 2 ! resize 2 ! scale !
+    write` — the vector->raster bridge in the step-chain API."""
+    from gdal_spark.pipeline import run_mixed_pipeline
+
+    return run_mixed_pipeline(spark, _MIX_SPEC)
+
+
+# --------------------------------------------------------------------------
 # ogrtindex / `gdal vector index` (apps/gdalalg_vector_index.cpp:706-715):
 # one feature per source layer — LOCATION = "dataset,layerIdx"
 # (:521-524 CPLOPrintf("%s,%d")) and geometry = the layer extent as the

@@ -140,3 +140,29 @@ class TestRasterStepChain:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
         assert "EvalPython" not in plan
+
+
+class TestMixedPipeline:
+    def test_bridge_validation(self):
+        import pytest
+
+        from gdal_spark.pipeline import run_mixed_pipeline
+
+        with pytest.raises(ValueError, match="rasterize"):
+            run_mixed_pipeline(None, "read zones:rect ! resize 2 ! write stream")
+
+    def test_raster_suffix_does_work(self):
+        """The raster steps transform the burn output (non-vacuous):
+        scale maps burn values into [0, 100] and resize samples roughly
+        a quarter of the burned pixels."""
+        import duckdb
+
+        full = duckdb.sql(R.ORACLES["mixed_pipeline"]).df()
+        assert 0 <= full.value.min() and full.value.max() <= 100
+        assert len(full) > 1000
+        no_resize = duckdb.sql(
+            R.ORACLES["mixed_pipeline"].replace(
+                "WHERE (px - 1) % 2 = 0 AND (py - 1) % 2 = 0", "WHERE TRUE"
+            )
+        ).df()
+        assert len(no_resize) > 3 * len(full)
