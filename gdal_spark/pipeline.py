@@ -275,6 +275,39 @@ def render_mixed_pipeline_sql(spec: str, burn_px_select: str) -> str:
     return render_raster_pipeline_sql(suffix, burn_px_select)
 
 
+# The REVERSE bridge — raster -> vector via `polygonize`
+# (gdal raster polygonize / gdalalg_raster_polygonize.cpp): connected
+# components of the pixel grid become vector features (label, value,
+# n_pixels, pixel-space envelope), and the vector steps (filter /
+# select / limit) continue the chain.
+
+
+def run_raster_vector_pipeline(
+    spark: SparkSession, spec: str, px_df: DataFrame, w: int, h: int
+) -> DataFrame:
+    """read <raster> ! polygonize ! <vector steps> ! write."""
+    from gdal_spark.operators.polygonize import polygonize
+
+    steps = parse_pipeline(spec)
+    if [s[0] for s in steps[:2]] != ["read", "polygonize"]:
+        raise ValueError("reverse bridge starts 'read <raster> ! polygonize'")
+    df = polygonize(px_df, w, h)
+    for name, args in steps[2:]:
+        if name == "filter":
+            df = df.where(" ".join(args))
+        elif name == "select":
+            df = df.select(*[f.strip() for f in args[0].split(",")])
+        elif name == "limit":
+            df = df.limit(int(args[0]))
+        elif name == "write":
+            if args[0] != "stream":
+                df.write.mode("overwrite").parquet(args[0])
+            return df
+        else:
+            raise ValueError(f"unknown post-polygonize step {name!r}")
+    raise AssertionError("unreachable: parse enforces a write terminal")
+
+
 def run_vector_pipeline(spark: SparkSession, sf_dir: str, spec: str) -> DataFrame:
     """Assemble the step chain into one lazy plan and run the terminal."""
     df: DataFrame | None = None

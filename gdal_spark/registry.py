@@ -8941,6 +8941,36 @@ def q_mixed_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_mixed_pipeline(spark, _MIX_SPEC)
 
 
+# The REVERSE bridge: raster -> polygonize -> vector steps.  Filter and
+# select text is shared verbatim between the runner and this oracle
+# wrapper over the closed-form polygonize oracle.
+_PGP_FILTER = "value IN (1, 2) AND n_pixels >= 1"
+_PGP_FIELDS = "label,value,n_pixels,pxmin,pymin,pxmax,pymax"
+_PGP_SPEC = (
+    "read raster:pgfix ! polygonize"
+    f" ! filter {_PGP_FILTER} ! select {_PGP_FIELDS} ! write stream"
+)
+
+_PGP_ORACLE = (
+    f"SELECT {_PGP_FIELDS.replace(',', ', ')} FROM ({_POLYGONIZE_ORACLE}) p"
+    f" WHERE {_PGP_FILTER}"
+)
+
+
+@register("polygonize_pipeline", _PGP_ORACLE)
+def q_polygonize_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`gdal pipeline read <raster> ! polygonize ! filter ! select !
+    write` — connected components become vector features mid-chain."""
+    from gdal_spark.pipeline import run_raster_vector_pipeline
+
+    px_df = spark.range(_PG_W * _PG_H).select(
+        (F.col("id") % _PG_W).cast("int").alias("px"),
+        ((F.col("id") - (F.col("id") % _PG_W)) / _PG_W).cast("int").alias("py"),
+    )
+    px_df = px_df.withColumn("value", F.expr(_PG_VALUE_SQL).cast("long"))
+    return run_raster_vector_pipeline(spark, _PGP_SPEC, px_df, _PG_W, _PG_H)
+
+
 # --------------------------------------------------------------------------
 # ogrtindex / `gdal vector index` (apps/gdalalg_vector_index.cpp:706-715):
 # one feature per source layer — LOCATION = "dataset,layerIdx"
