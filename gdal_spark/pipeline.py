@@ -191,6 +191,15 @@ def _compile_raster_steps(spec: str) -> list[tuple[str, object]]:
                     py=f"CAST(floor((py - {h}) / {k}) AS INT)",
                 )
             )
+        elif name == "calc":
+            # gdal raster calc (gdalalg_raster_calc.cpp / gdal_calc.py):
+            # per-pixel expression over the band value; raw SQL text
+            # shared verbatim with the oracle
+            ops.append(proj(value=f"({' '.join(args)})"))
+        elif name == "set-type":
+            # gdal raster set-type (gdalalg_raster_set_type.cpp): cast
+            # the band type; integer targets truncate like GDALCopyWords
+            ops.append(proj(value=f"CAST(value AS {args[0].upper()})"))
         elif name == "write":
             if args[0] != "stream":
                 raise ValueError("raster pipeline terminal is 'write stream'")

@@ -9111,7 +9111,8 @@ def q_raster_unscale(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _RP_SPEC = (
     "read raster:source ! clip 50,30,250,130 ! select 2,3"
-    " ! unscale 5.0e-1,-3.0e0 ! scale 7,107,0,255 ! resize 2 ! write stream"
+    " ! unscale 5.0e-1,-3.0e0 ! scale 7,107,0,255 ! resize 2"
+    " ! calc value * 2 - value % 3 ! set-type int ! write stream"
 )
 
 
