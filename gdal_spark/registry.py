@@ -8972,6 +8972,81 @@ def q_polygonize_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Temporal joins (driver-mandated custom operators the reference lacks:
+# as-of join, range join — event-attribution primitives).  asof_join is
+# the UNION-MERGE construction (one shuffle+sort per key, running
+# last-IGNORE-NULLS window), the scalable shape of DuckDB's native
+# ASOF JOIN, which the oracle uses directly — a true cross-
+# implementation check.  range_join_time is the bucketed range join
+# (explode to 2 candidate buckets, equi-join, exact filter) vs the
+# oracle's plain inequality join.
+# --------------------------------------------------------------------------
+
+_ASOF_ORACLE = """
+WITH v AS (
+  SELECT user_id, ts, max(event_id) AS ref_id
+  FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+),
+c AS (SELECT event_id AS probe_id, user_id, ts FROM events WHERE event_type = 'click')
+SELECT c.probe_id, c.user_id, epoch_us(c.ts) AS ts_us, v.ref_id
+FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts >= v.ts
+"""
+
+
+@register("asof_join", _ASOF_ORACLE)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest 'view' at or before each 'click' per user — the as-of
+    attribution join."""
+    from gdal_spark.operators.temporal import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.filter("event_type = 'click'").select(
+        F.col("event_id").alias("probe_id"), "user_id", "ts"
+    )
+    views = ev.filter("event_type = 'view'").select(
+        "user_id", "ts", F.col("event_id").alias("ref_id")
+    )
+    out = asof_join(clicks, views)
+    return out.select(
+        "probe_id", "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "ref_id",
+    )
+
+
+_RANGE_TIME_ORACLE = """
+WITH e AS (SELECT event_id AS probe_id, user_id, ts FROM events WHERE event_type = 'error'),
+v AS (SELECT user_id, ts FROM events WHERE event_type = 'view')
+SELECT e.probe_id, e.user_id, epoch_us(e.ts) AS ts_us,
+       CAST(count(v.ts) AS BIGINT) AS n_in_window
+FROM e LEFT JOIN v ON e.user_id = v.user_id
+  AND epoch_us(v.ts) > epoch_us(e.ts) - 86400000000
+  AND epoch_us(v.ts) <= epoch_us(e.ts)
+GROUP BY e.probe_id, e.user_id, e.ts
+"""
+
+
+@register("range_join_time", _RANGE_TIME_ORACLE)
+def q_range_join_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per 'error' event, count of same-user 'view' events in the
+    preceding day (half-open window] — bucketed range join; the fixture
+    window is chosen so ~36% of probes have hits (max 5)."""
+    from gdal_spark.operators.temporal import range_join_time
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    errs = ev.filter("event_type = 'error'").select(
+        F.col("event_id").alias("probe_id"), "user_id", "ts"
+    )
+    views = ev.filter("event_type = 'view'").select("user_id", "ts")
+    out = range_join_time(errs, views, window_s=86400)
+    return out.select(
+        "probe_id", "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "n_in_window",
+    )
+
+
+# --------------------------------------------------------------------------
 # ogrtindex / `gdal vector index` (apps/gdalalg_vector_index.cpp:706-715):
 # one feature per source layer — LOCATION = "dataset,layerIdx"
 # (:521-524 CPLOPrintf("%s,%d")) and geometry = the layer extent as the
