@@ -9047,6 +9047,67 @@ def q_range_join_time(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Hypertable-style cascading time rollup (the TimescaleDB continuous-
+# aggregate shape, driver-mandated): the DAY level aggregates FROM the
+# HOUR rollup, never re-reading the raw corpus — at 100 TB the second
+# level reads |users|x|hours| rows, not events.  Value sums run on
+# centi-quantized BIGINTs so every aggregate is order-proof (the same
+# rule as kmeans_embed/local_supplier_volume).  Epoch-aligned buckets:
+# day = hour DIV 24 exactly.
+# --------------------------------------------------------------------------
+
+_ROLLUP_ORACLE = """
+WITH h AS (
+  SELECT user_id,
+         CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT) AS bucket,
+         count(*) AS n_events,
+         sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_c
+  FROM events GROUP BY 1, 2
+)
+SELECT 'hour' AS level, user_id, bucket, n_events, sum_value_c FROM h
+UNION ALL
+SELECT 'day' AS level, user_id,
+       CAST(floor(bucket / 24.0) AS BIGINT) AS bucket,
+       sum(n_events) AS n_events, sum(sum_value_c) AS sum_value_c
+FROM h GROUP BY 2, 3
+"""
+
+
+@register("time_rollup", _ROLLUP_ORACLE)
+def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cascading (user, hour) -> (user, day) rollup; the day level
+    consumes the persisted hour rollup, one shuffle each."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hour = (
+        ev.groupBy(
+            "user_id",
+            F.expr(
+                "CAST(floor(unix_micros(CAST(ts AS TIMESTAMP)) / 3600000000.0) AS BIGINT)"
+            ).alias("bucket"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("sum_value_c"),
+        )
+        .persist()
+    )
+    day = hour.groupBy(
+        "user_id",
+        F.expr("CAST(floor(bucket / 24.0) AS BIGINT)").alias("bucket"),
+    ).agg(
+        F.sum("n_events").alias("n_events"),
+        F.sum("sum_value_c").alias("sum_value_c"),
+    )
+    return hour.select(
+        F.lit("hour").alias("level"), "user_id", "bucket", "n_events", "sum_value_c"
+    ).unionByName(
+        day.select(
+            F.lit("day").alias("level"), "user_id", "bucket", "n_events", "sum_value_c"
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # ogrtindex / `gdal vector index` (apps/gdalalg_vector_index.cpp:706-715):
 # one feature per source layer — LOCATION = "dataset,layerIdx"
 # (:521-524 CPLOPrintf("%s,%d")) and geometry = the layer extent as the
