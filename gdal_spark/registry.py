@@ -423,8 +423,8 @@ def q_order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 _LOCAL_SUPPLIER_SQL = """
 SELECT n.n_name AS nation,
-       SUM(CAST(floor(l.l_extendedprice * (1.0e0 - l.l_discount) * 1.0e2)
-                AS BIGINT)) AS revenue_c,
+       CAST(SUM(CAST(floor(l.l_extendedprice * (1.0e0 - l.l_discount) * 1.0e2)
+                AS BIGINT)) AS BIGINT) AS revenue_c,
        count(*) AS n_items
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
@@ -3439,8 +3439,10 @@ ar0 AS (
   SELECT zone_id, CAST(round(tri_area / 1.0e4) AS BIGINT) AS t_a
   FROM {_geod.steps_to_sql(_geod_tri_arms("zz"), _geod.TRI_AREA_STEPS)} w
 ),
-ln1 AS (SELECT zone_id, sum(e_m) AS geod_len_m FROM ln0 GROUP BY zone_id),
-ar1 AS (SELECT zone_id, sum(t_a) AS geod_area_k FROM ar0 GROUP BY zone_id)
+ln1 AS (SELECT zone_id, CAST(sum(e_m) AS BIGINT) AS geod_len_m
+        FROM ln0 GROUP BY zone_id),
+ar1 AS (SELECT zone_id, CAST(sum(t_a) AS BIGINT) AS geod_area_k
+        FROM ar0 GROUP BY zone_id)
 SELECT ln1.zone_id, geod_len_m, geod_area_k
 FROM ln1 JOIN ar1 ON ln1.zone_id = ar1.zone_id
 """
@@ -4057,7 +4059,7 @@ s AS (
 )
 SELECT user_id, CAST(sid AS int) AS session_id, count(*) AS n_events,
        min(ts) AS session_start, max(ts) AS session_end,
-       SUM(CAST(floor(value * 1.0e4) AS BIGINT)) AS value_4
+       CAST(SUM(CAST(floor(value * 1.0e4) AS BIGINT)) AS BIGINT) AS value_4
 FROM s GROUP BY user_id, sid
 """
 
@@ -9061,14 +9063,15 @@ WITH h AS (
   SELECT user_id,
          CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT) AS bucket,
          count(*) AS n_events,
-         sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_c
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
   FROM events GROUP BY 1, 2
 )
 SELECT 'hour' AS level, user_id, bucket, n_events, sum_value_c FROM h
 UNION ALL
 SELECT 'day' AS level, user_id,
        CAST(floor(bucket / 24.0) AS BIGINT) AS bucket,
-       sum(n_events) AS n_events, sum(sum_value_c) AS sum_value_c
+       CAST(sum(n_events) AS BIGINT) AS n_events,
+       CAST(sum(sum_value_c) AS BIGINT) AS sum_value_c
 FROM h GROUP BY 2, 3
 """
 
