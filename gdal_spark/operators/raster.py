@@ -1169,3 +1169,177 @@ def nodata_to_alpha(grid: DataFrame, nodata: int, nbands: int) -> DataFrame:
         )
     )
     return grid.select("band", "px", "py", "value").unionByName(alpha)
+
+
+# --------------------------------------------------------------------------
+# gdal raster update (apps/gdalalg_raster_update.cpp): warp a source
+# raster INTO an existing destination dataset — dst pixels whose center
+# falls inside the source extent (and inside the optional clipping
+# geometry, :84-93,:131-134) take the nearest-neighbour source sample
+# unless that sample is srcnodata; everything else is left untouched.
+# The update then drives a PARTIAL overview refresh over the source
+# extent bbox (:137-188 computes overviewRefreshBBox from the source
+# corners; gdalalg_raster_overview_refresh.cpp:397
+# PartialRefreshFromSourceExtent recomputes only the overview blocks
+# intersecting it).
+# --------------------------------------------------------------------------
+
+# source raster: half-resolution pixels at a fractional origin, so the
+# NN back-projection key is a real grid remap (not an identity)
+UPD_OX, UPD_OY = 120.25, 40.25
+UPD_RES = 0.5
+UPD_W, UPD_H = 160, 100
+UPD_NODATA = 13
+
+# shared formula text (Spark F.expr == DuckDB SQL, exact binary
+# fractions only — memory: spark-duckdb-parity): NN source key of a dst
+# pixel center, and the rectilinear concave cutline containment test
+UPD_KEY_X = (
+    "CAST(floor((CAST(px AS DOUBLE) + 5.0e-1 - 1.2025e2) / 5.0e-1) AS BIGINT)"
+)
+UPD_KEY_Y = (
+    "CAST(floor((CAST(py AS DOUBLE) + 5.0e-1 - 4.025e1) / 5.0e-1) AS BIGINT)"
+)
+# L-shaped concave cutline with a hole, in dst world coords (cutline
+# edges on integer coords, pixel centers at *.5 — never coincident, so
+# center containment is unambiguous; rectilinear keeps the mask in
+# whole-stage codegen, the general ray-cast path is covered by
+# cutline_crop)
+UPD_CUTLINE_PRED = (
+    "(((CAST(px AS DOUBLE) + 5.0e-1 >= 1.30e2 AND CAST(px AS DOUBLE) + 5.0e-1 < 1.90e2"
+    " AND CAST(py AS DOUBLE) + 5.0e-1 >= 5.0e1 AND CAST(py AS DOUBLE) + 5.0e-1 < 8.0e1)"
+    " OR (CAST(px AS DOUBLE) + 5.0e-1 >= 1.30e2 AND CAST(px AS DOUBLE) + 5.0e-1 < 1.60e2"
+    " AND CAST(py AS DOUBLE) + 5.0e-1 >= 8.0e1 AND CAST(py AS DOUBLE) + 5.0e-1 < 8.8e1))"
+    " AND NOT (CAST(px AS DOUBLE) + 5.0e-1 >= 1.40e2 AND CAST(px AS DOUBLE) + 5.0e-1 < 1.50e2"
+    " AND CAST(py AS DOUBLE) + 5.0e-1 >= 5.5e1 AND CAST(py AS DOUBLE) + 5.0e-1 < 6.5e1))"
+)
+
+
+def update_src(spark: SparkSession) -> DataFrame:
+    """(sx, sy, value) — value = (sx*11 + sy*3 + 5) % 256; cells where
+    the formula lands on UPD_NODATA are the transparent holes."""
+    df = spark.range(UPD_W * UPD_H)
+    sx = (F.col("id") % UPD_W).cast("long")
+    sy = (F.col("id") / UPD_W).cast("long")
+    value = ((sx * 11 + sy * 3 + 5) % 256).cast("int")
+    return df.select(sx.alias("sx"), sy.alias("sy"), value.alias("value"))
+
+
+def raster_update(
+    dst: DataFrame,
+    src: DataFrame,
+    nodata: int = UPD_NODATA,
+    cutline_pred: str | None = UPD_CUTLINE_PRED,
+) -> DataFrame:
+    """gdal raster update: dst keeps its value except where (a) the
+    pixel center is inside the cutline, (b) the NN source sample exists,
+    and (c) that sample is not srcnodata.
+
+    Spark shape: ONE equi-join on the computed source pixel key — the
+    source side is broadcast here (a patch raster is normally small
+    relative to the 100 TB base); a base-sized patch degrades gracefully
+    to a shuffle hash join on the same key.  Everything else is
+    whole-stage codegen."""
+    keyed = dst.withColumn("_sx", F.expr(UPD_KEY_X)).withColumn(
+        "_sy", F.expr(UPD_KEY_Y)
+    )
+    patch = F.broadcast(
+        src.select(
+            F.col("sx").alias("_sx"),
+            F.col("sy").alias("_sy"),
+            F.col("value").alias("_src_value"),
+        )
+    )
+    j = keyed.join(patch, ["_sx", "_sy"], "left")
+    inside = F.expr(cutline_pred) if cutline_pred else F.lit(True)
+    newv = F.when(
+        inside & F.col("_src_value").isNotNull() & (F.col("_src_value") != nodata),
+        F.col("_src_value"),
+    ).otherwise(F.col("value"))
+    return j.select("px", "py", newv.cast("int").alias("value"))
+
+
+# --------------------------------------------------------------------------
+# gdal raster overview refresh (partial): recompute ONLY the overview
+# blocks intersecting a dirty window; untouched overview rows pass
+# through with zero recompute (gdalalg_raster_overview_refresh.cpp:397
+# PartialRefreshFromSourceExtent — block-aligned window in overview
+# space, :403-436).
+# --------------------------------------------------------------------------
+
+OVR_BLOCK = 16  # overview pixels per refresh block (reference: dataset block size)
+
+
+def overview_grid(base: DataFrame) -> DataFrame:
+    """Level-1 overview of a (px, py, value) grid: AVERAGE resampler,
+    floor(mean(2x2) + 0.5) (gcore/overview.cpp average) — one shrinking
+    shuffle with map-side partial aggregation."""
+    return (
+        base.groupBy(
+            (F.col("px") / 2).cast("long").alias("opx"),
+            (F.col("py") / 2).cast("long").alias("opy"),
+        )
+        .agg(F.sum("value").alias("_s"))
+        .select(
+            "opx",
+            "opy",
+            F.expr("CAST(floor(_s / 4.0e0 + 5.0e-1) AS int)").alias("value"),
+        )
+    )
+
+
+def refresh_window(
+    xmin: float, ymin: float, xmax: float, ymax: float, block: int = OVR_BLOCK
+) -> tuple[int, int, int, int]:
+    """Dirty window (world coords at level 0, 1 unit per base pixel)
+    -> block-aligned half-open overview-pixel rect, the reference's
+    block-granularity refresh region (overview_refresh.cpp:403-436)."""
+    import math as _math
+
+    ox0 = int(_math.floor(xmin / 2.0))
+    ox1 = int(_math.ceil(xmax / 2.0))
+    oy0 = int(_math.floor(ymin / 2.0))
+    oy1 = int(_math.ceil(ymax / 2.0))
+    return (
+        (ox0 // block) * block,
+        -(-ox1 // block) * block,
+        (oy0 // block) * block,
+        -(-oy1 // block) * block,
+    )
+
+
+def overview_refresh(
+    old_ovr: DataFrame,
+    new_base: DataFrame,
+    window: tuple[int, int, int, int],
+) -> DataFrame:
+    """Partial refresh: overview pixels inside the block-aligned dirty
+    window are recomputed from the (updated) base; the rest pass through
+    from the pre-existing overview.  ``refreshed`` marks which path a
+    row took.
+
+    Scale shape: the recompute side reads ONLY the dirty base window
+    (the px/py range predicate prunes the scan before the halving
+    shuffle); the pass-through side is a filter with no aggregation —
+    at 100 TB a small patch refresh touches a small fraction of
+    partitions instead of rebuilding the pyramid."""
+    bx0, bx1, by0, by1 = window
+    dirty_o = (
+        (F.col("opx") >= bx0)
+        & (F.col("opx") < bx1)
+        & (F.col("opy") >= by0)
+        & (F.col("opy") < by1)
+    )
+    keep = old_ovr.filter(~dirty_o).withColumn("refreshed", F.lit(0))
+    fresh = (
+        overview_grid(
+            new_base.filter(
+                (F.col("px") >= 2 * bx0)
+                & (F.col("px") < 2 * bx1)
+                & (F.col("py") >= 2 * by0)
+                & (F.col("py") < 2 * by1)
+            )
+        )
+        .withColumn("refreshed", F.lit(1))
+    )
+    return keep.unionByName(fresh)

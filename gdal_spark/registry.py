@@ -9375,3 +9375,131 @@ def q_buildvrt(spark: SparkSession, sf_dir: str) -> DataFrame:
             "left",
         ).drop(f"{name}_px", f"{name}_py")
     return d.selectExpr("opx", "opy", f"CAST({_BV_OUT} AS INT) AS v")
+
+
+# --------------------------------------------------------------------------
+# gdal raster update (apps/gdalalg_raster_update.cpp): warp a source
+# raster into an existing destination — dst pixels take the NN source
+# sample where the center lies inside the source extent AND the
+# clipping geometry (:84-93), srcnodata transparent; then drive a
+# PARTIAL overview refresh over the source-extent bbox (:137-188 →
+# gdalalg_raster_overview_refresh.cpp:397).  Fixture: half-resolution
+# source at a fractional origin over the band-1 grid, concave holed
+# rectilinear cutline (closed-form containment — the general ray-cast
+# cutline path is covered by cutline_crop).
+# --------------------------------------------------------------------------
+from gdal_spark.operators.raster import (  # noqa: E402
+    UPD_CUTLINE_PRED,
+    UPD_KEY_X,
+    UPD_KEY_Y,
+    UPD_NODATA,
+    UPD_OX,
+    UPD_OY,
+    UPD_RES,
+    UPD_H as _UPD_H,
+    UPD_W as _UPD_W,
+    refresh_window,
+)
+
+_UPD_DST_CTE = (
+    f"SELECT px, py, CAST({_SRC_VAL} AS int) AS value"
+    f" FROM ({_SRC_GRID_CTE}) g WHERE band = 1"
+)
+_UPD_SRC_CTE = f"""
+SELECT CAST(i % {_UPD_W} AS BIGINT) AS sx,
+       CAST((i - (i % {_UPD_W})) / {_UPD_W} AS BIGINT) AS sy,
+       CAST(((i % {_UPD_W}) * 11
+             + CAST((i - (i % {_UPD_W})) / {_UPD_W} AS BIGINT) * 3 + 5) % 256
+            AS int) AS value
+FROM range(0, {_UPD_W * _UPD_H}) t(i)
+"""
+
+_UPDATE_ORACLE = f"""
+WITH dst AS ({_UPD_DST_CTE}),
+src AS ({_UPD_SRC_CTE}),
+k AS (
+  SELECT px, py, value, {UPD_KEY_X} AS _sx, {UPD_KEY_Y} AS _sy FROM dst
+),
+j AS (
+  SELECT k.px, k.py, k.value, s.value AS src_value
+  FROM k LEFT JOIN src s ON s.sx = k._sx AND s.sy = k._sy
+)
+SELECT px, py,
+       CAST(CASE WHEN {UPD_CUTLINE_PRED}
+                  AND src_value IS NOT NULL AND src_value <> {UPD_NODATA}
+                 THEN src_value ELSE value END AS int) AS value
+FROM j
+"""
+
+
+@register("raster_update", _UPDATE_ORACLE)
+def q_raster_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal raster update: NN warp of the patch into the base raster,
+    cutline-masked, srcnodata-transparent; ONE broadcast equi-join on
+    the computed source key, everything else codegen."""
+    from gdal_spark.operators.raster import raster_update, source_grid, update_src
+
+    dst = source_grid(spark).filter(F.col("band") == 1).select("px", "py", "value")
+    return raster_update(dst, update_src(spark))
+
+
+_UPD_WIN = refresh_window(
+    UPD_OX, UPD_OY, UPD_OX + _UPD_W * UPD_RES, UPD_OY + _UPD_H * UPD_RES
+)
+_OVR_HALVE = (
+    "SELECT CAST(floor(px / 2.0e0) AS BIGINT) AS opx,"
+    " CAST(floor(py / 2.0e0) AS BIGINT) AS opy,"
+    " CAST(floor(sum(value) / 4.0e0 + 5.0e-1) AS int) AS value"
+    " FROM {src} GROUP BY 1, 2"
+)
+
+_OVR_REFRESH_ORACLE = f"""
+WITH dst AS ({_UPD_DST_CTE}),
+src AS ({_UPD_SRC_CTE}),
+k AS (
+  SELECT px, py, value, {UPD_KEY_X} AS _sx, {UPD_KEY_Y} AS _sy FROM dst
+),
+j AS (
+  SELECT k.px, k.py, k.value, s.value AS src_value
+  FROM k LEFT JOIN src s ON s.sx = k._sx AND s.sy = k._sy
+),
+upd AS (
+  SELECT px, py,
+         CAST(CASE WHEN {UPD_CUTLINE_PRED}
+                    AND src_value IS NOT NULL AND src_value <> {UPD_NODATA}
+                   THEN src_value ELSE value END AS int) AS value
+  FROM j
+),
+old_o AS ({_OVR_HALVE.format(src="dst")}),
+new_o AS (
+  {_OVR_HALVE.format(
+      src=f"(SELECT * FROM upd WHERE px >= {2 * _UPD_WIN[0]} AND px < {2 * _UPD_WIN[1]}"
+          f" AND py >= {2 * _UPD_WIN[2]} AND py < {2 * _UPD_WIN[3]}) w"
+  )}
+)
+SELECT opx, opy, value, 0 AS refreshed FROM old_o
+WHERE NOT (opx >= {_UPD_WIN[0]} AND opx < {_UPD_WIN[1]}
+           AND opy >= {_UPD_WIN[2]} AND opy < {_UPD_WIN[3]})
+UNION ALL
+SELECT opx, opy, value, 1 AS refreshed FROM new_o
+"""
+
+
+@register("overview_refresh", _OVR_REFRESH_ORACLE)
+def q_overview_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial overview refresh after a raster update
+    (gdalalg_raster_overview_refresh.cpp:397 block-aligned window):
+    only overview blocks under the update bbox are recomputed from the
+    updated base; stale rows outside pass through — the recompute scan
+    reads only the dirty window."""
+    from gdal_spark.operators.raster import (
+        overview_grid,
+        overview_refresh,
+        raster_update,
+        source_grid,
+        update_src,
+    )
+
+    dst = source_grid(spark).filter(F.col("band") == 1).select("px", "py", "value")
+    upd = raster_update(dst, update_src(spark))
+    return overview_refresh(overview_grid(dst), upd, _UPD_WIN)
