@@ -9503,3 +9503,82 @@ def q_overview_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     dst = source_grid(spark).filter(F.col("band") == 1).select("px", "py", "value")
     upd = raster_update(dst, update_src(spark))
     return overview_refresh(overview_grid(dst), upd, _UPD_WIN)
+
+
+# --------------------------------------------------------------------------
+# BM25 relevance scoring over the document corpus (Robertson/Sparck
+# Jones; the Lucene BM25Similarity formulation with the +1 idf guard) —
+# the search-scoring primitive a training-data pipeline uses for
+# query-based decontamination and quality slicing.  Everything is one
+# token explode + three shrinking aggregates; corpus-level stats
+# (n_docs, sum_dl) ride in on a broadcast 1-row dim.  Per-(doc, term)
+# scores are ppm-quantized to BIGINT BEFORE the per-doc sum, so the
+# final aggregate is order-proof (memory: spark-duckdb-parity).
+# --------------------------------------------------------------------------
+_BM25_TERMS = ("spark", "merge", "customer", "scan")
+_BM25_IN = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+# k1 = 1.2, b = 0.75; dl/avgdl expressed as dl*n_docs/sum_dl (one
+# division instead of two — identical text both engines)
+_BM25_TERM_PPM = (
+    "CAST(floor("
+    "ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 5.0e-1)"
+    " / (CAST(df AS DOUBLE) + 5.0e-1) + 1.0e0)"
+    " * (CAST(tf AS DOUBLE) * (1.2e0 + 1.0e0))"
+    " / (CAST(tf AS DOUBLE) + 1.2e0 * (1.0e0 - 7.5e-1"
+    "    + 7.5e-1 * CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE)"
+    "      / CAST(sum_dl AS DOUBLE)))"
+    " * 1.0e6 + 5.0e-1) AS BIGINT)"
+)
+
+_BM25_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id),
+g AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+tf AS (
+  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+  FROM toks WHERE w IN ({_BM25_IN}) GROUP BY doc_id, w
+),
+df AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY w),
+x AS (
+  SELECT tf.doc_id, {_BM25_TERM_PPM} AS term_ppm
+  FROM tf JOIN df USING (w) JOIN dl USING (doc_id) CROSS JOIN g
+)
+SELECT doc_id, CAST(count(*) AS int) AS n_terms,
+       CAST(sum(term_ppm) AS BIGINT) AS score_ppm
+FROM x GROUP BY doc_id
+"""
+
+
+@register("bm25_score", _BM25_ORACLE)
+def q_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 over documents for a fixed query-term set: tf/df/dl from one
+    token explode, n_docs+sum_dl as a broadcast 1-row dim, df as a
+    broadcast |Q|-row dim — the corpus shuffles once on doc_id for tf
+    and once for dl at 100 TB."""
+    toks = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    g = dl.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    tf = (
+        toks.filter(F.col("w").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("w").agg(F.count("*").alias("df"))
+    x = (
+        tf.join(F.broadcast(df), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(g))
+        .select("doc_id", F.expr(_BM25_TERM_PPM).alias("term_ppm"))
+    )
+    return x.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_terms"),
+        F.sum("term_ppm").alias("score_ppm"),
+    )
