@@ -9582,3 +9582,51 @@ def q_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("int").alias("n_terms"),
         F.sum("term_ppm").alias("score_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# Snapshot-incremental aggregate maintenance (the Iceberg per-snapshot
+# checkpoint/resume shape of the north rule): the per-user rollup for
+# snapshot 2 is computed by MERGING the persisted snapshot-1 partial
+# state with the partial state of the delta rows only — count/sum are
+# distributive, so union-of-partials + re-aggregate is exact.  At
+# 100 TB the delta job reads the new snapshot's files, never the
+# history (here: disjoint ts windows standing in for snapshot file
+# sets).  The oracle recomputes from scratch over the full window —
+# incremental == full is exactly the property being certified.
+# tests/test_checkpoint_incremental.py wires the same merge through
+# CheckpointedJob (state persisted once, resume skips it).
+# --------------------------------------------------------------------------
+_SNAP_T1_US = 1705276800000000  # 2024-01-15 00:00:00 UTC
+_SNAP_T2_US = 1706140800000000  # 2024-01-25 00:00:00 UTC
+
+_SNAP_ORACLE = f"""
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
+FROM events WHERE epoch_us(ts) < {_SNAP_T2_US}
+GROUP BY user_id
+"""
+
+
+def _snap_state(df: DataFrame) -> DataFrame:
+    return df.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("sum_value_c"),
+    )
+
+
+@register("snapshot_delta", _SNAP_ORACLE)
+def q_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    us = F.expr("unix_micros(CAST(ts AS TIMESTAMP))")
+    s1 = _snap_state(ev.filter(us < _SNAP_T1_US))
+    delta = _snap_state(ev.filter((us >= _SNAP_T1_US) & (us < _SNAP_T2_US)))
+    return (
+        s1.unionByName(delta)
+        .groupBy("user_id")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_value_c").alias("sum_value_c"),
+        )
+    )
