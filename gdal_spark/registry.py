@@ -9554,33 +9554,54 @@ FROM x GROUP BY doc_id
 
 @register("bm25_score", _BM25_ORACLE)
 def q_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 over documents for a fixed query-term set: tf/df/dl from one
-    token explode, n_docs+sum_dl as a broadcast 1-row dim, df as a
-    broadcast |Q|-row dim — the corpus shuffles once on doc_id for tf
-    and once for dl at 100 TB."""
+    """BM25 over documents for a fixed query-term set, in WIDE form:
+    because |Q| is a small constant, dl and every per-term tf come out
+    of ONE groupBy(doc_id) (tf_i = sum(when(w = t_i))), and the corpus
+    stats (n_docs, sum_dl) plus every per-term df collapse into ONE
+    broadcast 1-row dim; the scores are then pure codegen.  Exactly one
+    corpus-sized shuffle at 100 TB — the long-form tf⋈dl join (an extra
+    corpus shuffle + join) is what this shape deletes.  Same math as
+    the long-form oracle: per-term ppm quantization, then an exact
+    BIGINT sum."""
     toks = (
         spark.read.parquet(f"{sf_dir}/documents.parquet")
         .select("doc_id", F.explode(F.split("text", " ")).alias("w"))
     )
-    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    g = dl.agg(
-        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+    per = toks.groupBy("doc_id").agg(
+        F.count("*").alias("dl"),
+        *[
+            F.sum(F.when(F.col("w") == t, 1).otherwise(0)).alias(f"tf_{i}")
+            for i, t in enumerate(_BM25_TERMS)
+        ],
     )
-    tf = (
-        toks.filter(F.col("w").isin(*_BM25_TERMS))
-        .groupBy("doc_id", "w")
-        .agg(F.count("*").alias("tf"))
+    g = per.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{i}") > 0, 1).otherwise(0)).alias(f"df_{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
     )
-    df = tf.groupBy("w").agg(F.count("*").alias("df"))
-    x = (
-        tf.join(F.broadcast(df), "w")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(g))
-        .select("doc_id", F.expr(_BM25_TERM_PPM).alias("term_ppm"))
+    term_ppm = [
+        _BM25_TERM_PPM.replace("tf", f"tf_{i}").replace("df", f"df_{i}")
+        for i in range(len(_BM25_TERMS))
+    ]
+    score = " + ".join(
+        f"(CASE WHEN tf_{i} > 0 THEN {t} ELSE CAST(0 AS BIGINT) END)"
+        for i, t in enumerate(term_ppm)
     )
-    return x.groupBy("doc_id").agg(
-        F.count("*").cast("int").alias("n_terms"),
-        F.sum("term_ppm").alias("score_ppm"),
+    n_terms = " + ".join(
+        f"(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END)"
+        for i in range(len(_BM25_TERMS))
+    )
+    return (
+        per.crossJoin(F.broadcast(g))
+        .select(
+            "doc_id",
+            F.expr(n_terms).cast("int").alias("n_terms"),
+            F.expr(score).alias("score_ppm"),
+        )
+        .filter(F.col("n_terms") > 0)
     )
 
 
