@@ -613,11 +613,24 @@ def tile_pyramid_checksums(
     src: DataFrame | None = None,
     resample: str = "nearest",
     overview_method: str = "average",
+    fused: bool = True,
 ) -> DataFrame:
     """Full pyramid zmax..0 with per-tile GDAL checksums.
-    Returns (band, zoom, tx, ty, checksum)."""
+    Returns (band, zoom, tx, ty, checksum).
+
+    ``fused=True`` (average overviews, zmax <= 3): the whole
+    sub-pyramid AND the checksums are computed in ONE applyInPandas
+    keyed on the z0 ancestor — fan-in 4^zmax tiles per group instead of
+    4 per level, so the pyramid costs ONE shuffle + ONE Python stage
+    (vs one shuffle+stage per level plus the eager base checkpoint and
+    the union re-derivation it guards).  Deeper pyramids would chain
+    passes of <=3 levels (fan-in capped at 64 tiles = 4 MB/group); the
+    level-by-level path remains for them and for the non-average
+    overview methods."""
     if src is None:
         src = source_grid(spark)
+    if fused and overview_method == "average" and 0 < zmax <= 3:
+        return _pyramid_checksums_fused(spark, zmax, src, resample)
     # eager checkpoint of the base warp: every overview level AND the
     # final union hang off it — without the pin the union re-derives
     # the full source warp per level (same repeated-subtree shape the
@@ -1343,3 +1356,64 @@ def overview_refresh(
         .withColumn("refreshed", F.lit(1))
     )
     return keep.unionByName(fresh)
+
+
+def _pyramid_checksums_fused(
+    spark: SparkSession, zmax: int, src: DataFrame, resample: str
+) -> DataFrame:
+    """Fused sub-pyramid: group base tiles by (band, z0 ancestor), build
+    every overview level locally with the SAME float math as
+    ``overview_tiles``'s reduce4 (zero-filled 2x2 mosaic, floor(mean +
+    0.5)), checksum every level in place.  Base tiles are consumed
+    exactly once, so no lineage pin is needed."""
+    from gdal_spark.geometry.checksum import checksum_image
+
+    base = base_tiles(spark, src, zmax, resample=resample)
+    out_schema = StructType(
+        [
+            StructField("band", IntegerType()),
+            StructField("zoom", IntegerType()),
+            StructField("tx", LongType()),
+            StructField("ty", LongType()),
+            StructField("checksum", IntegerType()),
+        ]
+    )
+
+    def subpyramid(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        band = int(key[0])
+        cur = {
+            (int(tx), int(ty)): np.frombuffer(d, dtype=np.uint8).reshape(TILE, TILE)
+            for tx, ty, d in zip(pdf["tx"], pdf["ty"], pdf["data"])
+        }
+        rows = []
+        z = zmax
+        while True:
+            for (tx, ty), img in sorted(cur.items()):
+                rows.append((band, z, tx, ty, int(checksum_image(img))))
+            if z == 0:
+                break
+            parents: dict[tuple[int, int], np.ndarray] = {}
+            for pk in {(tx >> 1, ty >> 1) for (tx, ty) in cur}:
+                mosaic = np.zeros((2 * TILE, 2 * TILE), dtype=np.float64)
+                for cx in (0, 1):
+                    for cy in (0, 1):
+                        child = cur.get((2 * pk[0] + cx, 2 * pk[1] + cy))
+                        if child is None:
+                            continue
+                        r0 = 0 if cy == 1 else TILE  # TMS: north child on top
+                        mosaic[r0 : r0 + TILE, cx * TILE : (cx + 1) * TILE] = child
+                quads = mosaic.reshape(TILE, 2, TILE, 2)
+                parents[pk] = np.floor(quads.mean(axis=(1, 3)) + 0.5).astype(
+                    np.uint8
+                )
+            cur = parents
+            z -= 1
+        return pd.DataFrame(
+            rows, columns=["band", "zoom", "tx", "ty", "checksum"]
+        )
+
+    return base.groupBy(
+        "band",
+        F.shiftright("tx", zmax).alias("_ax"),
+        F.shiftright("ty", zmax).alias("_ay"),
+    ).applyInPandas(subpyramid, out_schema)

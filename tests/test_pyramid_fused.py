@@ -1,0 +1,27 @@
+"""Fused sub-pyramid path vs the level-by-level chain: identical
+(band, zoom, tx, ty, checksum) sets — the fused kernel must reproduce
+the chain's per-level float math exactly."""
+
+from gdal_spark.operators.raster import tile_pyramid_checksums
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_fused_matches_chain(spark):
+    fused = tile_pyramid_checksums(spark, zmax=3, fused=True)
+    chain = tile_pyramid_checksums(spark, zmax=3, fused=False)
+    a, b = _rows(fused), _rows(chain)
+    assert len(a) > 0 and a == b
+
+
+def test_fused_single_python_stage(spark):
+    plan = (
+        tile_pyramid_checksums(spark, zmax=3, fused=True)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # one tile-assembly apply + one subpyramid apply, nothing else
+    assert plan.count("FlatMapGroupsInPandas") == 2
