@@ -9651,3 +9651,191 @@ def q_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("sum_value_c").alias("sum_value_c"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# gdal2xyz (swig/python/gdal-utils/osgeo_utils/gdal2xyz.py): raster ->
+# XYZ dump with -srcwin, -skip, -b band selection and -skipnodata
+# (:188-190 skips a pixel iff the FULL selected-band vector equals the
+# per-band srcnodata vector; :196-197 geo = gt corner + (pixel+0.5) *
+# step).  Geo coords emitted as micro-degree BIGINTs (floor(x*1e6+0.5),
+# shared text) so the hash gate compares integers.
+# --------------------------------------------------------------------------
+_XYZ_X0, _XYZ_Y0, _XYZ_W, _XYZ_H, _XYZ_SKIP = 40, 20, 120, 80, 2
+_XYZ_ND1, _XYZ_ND3 = 77, 135  # srcnodata vector for bands (1, 3)
+_XYZ_GX = (
+    "CAST(floor((-1.8e2 + (CAST(px AS DOUBLE) + 5.0e-1) * 9.0e-1) * 1.0e6"
+    " + 5.0e-1) AS BIGINT)"
+)
+_XYZ_GY = (
+    "CAST(floor((9.0e1 + (CAST(py AS DOUBLE) + 5.0e-1) * (-9.0e-1)) * 1.0e6"
+    " + 5.0e-1) AS BIGINT)"
+)
+
+_XYZ_ORACLE = f"""
+WITH g AS ({_SRC_GRID_CTE}),
+v AS (SELECT px, py, band, CAST({_SRC_VAL} AS int) AS value FROM g),
+p AS (
+  SELECT px, py,
+         max(CASE WHEN band = 1 THEN value END) AS b1,
+         max(CASE WHEN band = 3 THEN value END) AS b3
+  FROM v GROUP BY px, py
+)
+SELECT {_XYZ_GX} AS geo_x_udeg, {_XYZ_GY} AS geo_y_udeg, b1, b3
+FROM p
+WHERE px >= {_XYZ_X0} AND px < {_XYZ_X0 + _XYZ_W}
+  AND py >= {_XYZ_Y0} AND py < {_XYZ_Y0 + _XYZ_H}
+  AND (px - {_XYZ_X0}) % {_XYZ_SKIP} = 0
+  AND (py - {_XYZ_Y0}) % {_XYZ_SKIP} = 0
+  AND NOT (b1 = {_XYZ_ND1} AND b3 = {_XYZ_ND3})
+"""
+
+
+@register("raster_xyz", _XYZ_ORACLE)
+def q_raster_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal2xyz -srcwin 40 20 120 80 -skip 2 -b 1 -b 3 -skipnodata:
+    window + stride filters fold into the scan; the band pivot is one
+    bounded (px, py) aggregation."""
+    from gdal_spark.operators.raster import source_grid
+
+    p = (
+        source_grid(spark)
+        .filter(F.col("band").isin(1, 3))
+        .groupBy("px", "py")
+        .agg(
+            F.max(F.when(F.col("band") == 1, F.col("value"))).alias("b1"),
+            F.max(F.when(F.col("band") == 3, F.col("value"))).alias("b3"),
+        )
+    )
+    return (
+        p.filter(
+            (F.col("px") >= _XYZ_X0) & (F.col("px") < _XYZ_X0 + _XYZ_W)
+            & (F.col("py") >= _XYZ_Y0) & (F.col("py") < _XYZ_Y0 + _XYZ_H)
+            & ((F.col("px") - _XYZ_X0) % _XYZ_SKIP == 0)
+            & ((F.col("py") - _XYZ_Y0) % _XYZ_SKIP == 0)
+            & ~((F.col("b1") == _XYZ_ND1) & (F.col("b3") == _XYZ_ND3))
+        )
+        .select(
+            F.expr(_XYZ_GX).alias("geo_x_udeg"),
+            F.expr(_XYZ_GY).alias("geo_y_udeg"),
+            "b1",
+            "b3",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# gdal_retile (osgeo_utils/gdal_retile.py:87-105, 412-420): re-chunk a
+# raster into tileWidth x tileHeight tiles with overlap — tile (xi, yi)
+# 1-based starts at offset (xi-1)*(tileWidth-overlap) and is clamped to
+# the raster edge; with overlap > 0 a pixel belongs to up to 2 tiles
+# per axis.  Emitted as per-tile aggregates (count / sum / actual w+h,
+# which proves the edge clamp) rather than exploded pixels.
+# --------------------------------------------------------------------------
+_RT_TW, _RT_TH, _RT_OV = 96, 64, 16
+_RT_SX, _RT_SY = _RT_TW - _RT_OV, _RT_TH - _RT_OV  # strides 80, 48
+# countTiles per the reference: 1 + ceil((size - tile) / stride)
+_RT_CX = 1 + -(-(SRC_W - _RT_TW) // _RT_SX)
+_RT_CY = 1 + -(-(SRC_H - _RT_TH) // _RT_SY)
+_RT_XI = (
+    f"unnest(generate_series(greatest(1, CAST(floor((px - {_RT_TW}) / {_RT_SX}.0e0) AS BIGINT) + 2),"
+    f" least({_RT_CX}, CAST(floor(px / {_RT_SX}.0e0) AS BIGINT) + 1)))"
+)
+_RT_YI = (
+    f"unnest(generate_series(greatest(1, CAST(floor((py - {_RT_TH}) / {_RT_SY}.0e0) AS BIGINT) + 2),"
+    f" least({_RT_CY}, CAST(floor(py / {_RT_SY}.0e0) AS BIGINT) + 1)))"
+)
+
+_RETILE_ORACLE = f"""
+WITH g AS ({_SRC_GRID_CTE}),
+v AS (SELECT px, py, band, CAST({_SRC_VAL} AS int) AS value FROM g),
+x AS (SELECT *, {_RT_XI} AS xi FROM v),
+t AS (SELECT *, {_RT_YI} AS yi FROM x)
+SELECT band, xi, yi,
+       CAST(count(*) AS BIGINT) AS n_pixels,
+       CAST(sum(value) AS BIGINT) AS sum_value,
+       CAST(max(px) - min(px) + 1 AS int) AS tile_w,
+       CAST(max(py) - min(py) + 1 AS int) AS tile_h
+FROM t GROUP BY band, xi, yi
+"""
+
+
+@register("retile", _RETILE_ORACLE)
+def q_retile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal_retile -ps 96 64 -overlap 16: each pixel fans out to its
+    <=2x2 owning tiles via sequence()+explode (Generate in codegen),
+    one tile-key aggregation; edge tiles show clamped w/h."""
+    from gdal_spark.operators.raster import source_grid
+
+    sx = (
+        f"sequence(greatest(1, CAST(floor((px - {_RT_TW}) / {_RT_SX}.0e0) AS BIGINT) + 2),"
+        f" least({_RT_CX}, CAST(floor(px / {_RT_SX}.0e0) AS BIGINT) + 1))"
+    )
+    sy = (
+        f"sequence(greatest(1, CAST(floor((py - {_RT_TH}) / {_RT_SY}.0e0) AS BIGINT) + 2),"
+        f" least({_RT_CY}, CAST(floor(py / {_RT_SY}.0e0) AS BIGINT) + 1))"
+    )
+    return (
+        source_grid(spark)
+        .withColumn("xi", F.explode(F.expr(sx)))
+        .withColumn("yi", F.explode(F.expr(sy)))
+        .groupBy("band", "xi", "yi")
+        .agg(
+            F.count("*").alias("n_pixels"),
+            F.sum("value").alias("sum_value"),
+            (F.max("px") - F.min("px") + 1).cast("int").alias("tile_w"),
+            (F.max("py") - F.min("py") + 1).cast("int").alias("tile_h"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# gdalcompare (osgeo_utils/gdalcompare.py:79-126 compare_image_pixels):
+# per-band pixels-differing count + maximum absolute pixel difference
+# between a golden and a new dataset.  Fixture: golden = the 3-band
+# source; new = the same dataset with band 1 replaced by the
+# raster_update output — band 1 differs, bands 2-3 prove the zero path.
+# --------------------------------------------------------------------------
+_COMPARE_ORACLE = f"""
+WITH g3 AS ({_SRC_GRID_CTE}),
+golden AS (SELECT band, px, py, CAST({_SRC_VAL} AS int) AS value FROM g3),
+upd AS ({_UPDATE_ORACLE}),
+new_ds AS (
+  SELECT band, px, py, value FROM golden WHERE band <> 1
+  UNION ALL
+  SELECT 1 AS band, px, py, value FROM upd
+)
+SELECT g.band,
+       CAST(sum(CASE WHEN g.value <> n.value THEN 1 ELSE 0 END) AS BIGINT)
+         AS pixels_differing,
+       CAST(max(abs(g.value - n.value)) AS BIGINT) AS max_pixel_difference
+FROM golden g JOIN new_ds n
+  ON g.band = n.band AND g.px = n.px AND g.py = n.py
+GROUP BY g.band
+"""
+
+
+@register("raster_compare", _COMPARE_ORACLE)
+def q_raster_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdalcompare golden-vs-new: one co-keyed equi-join + per-band
+    aggregate; at 100 TB both sides shuffle once on (band, px, py) (or
+    zero times when both are bucketed on the pixel key)."""
+    from gdal_spark.operators.raster import raster_update, source_grid, update_src
+
+    golden = source_grid(spark)
+    b1 = golden.filter(F.col("band") == 1).select("px", "py", "value")
+    new_b1 = raster_update(b1, update_src(spark)).select(
+        F.lit(1).cast("int").alias("band"), "px", "py", "value"
+    )
+    new_ds = golden.filter(F.col("band") != 1).unionByName(new_b1)
+    j = golden.withColumnRenamed("value", "g").join(
+        new_ds.withColumnRenamed("value", "n"), ["band", "px", "py"]
+    )
+    return j.groupBy("band").agg(
+        F.sum(F.when(F.col("g") != F.col("n"), 1).otherwise(0)).alias(
+            "pixels_differing"
+        ),
+        F.max(F.abs(F.col("g") - F.col("n"))).cast("long").alias(
+            "max_pixel_difference"
+        ),
+    )
