@@ -87,13 +87,17 @@ def _intersection_candidates(
     zoom: int,
     wkt_col: str = "geom_wkt",
     geom_format: str = "wkt",
+    with_rect_flag: bool = False,
 ) -> DataFrame:
     """Cell join + canonical-cell dedup + envelope prefilter.
     polydocs must carry envelope columns xmin/ymin/xmax/ymax."""
     z = str(zoom)
     docs = _env_cells(polydocs, zoom, "xmin", "ymin", "xmax", "ymax")
     # adds cell_tx/ty + env_* (WKB layers: envelope off the raw bytes)
-    zcells = zone_cell_index(zones, zoom, wkt_col, geom_format=geom_format)
+    zcells = zone_cell_index(
+        zones, zoom, wkt_col, with_rect_flag=with_rect_flag,
+        geom_format=geom_format,
+    )
     cand = docs.join(F.broadcast(zcells), ["cell_tx", "cell_ty"], "inner")
     # envelope overlap (inclusive bbox test, ogrgeometry.cpp:586-593)
     cand = cand.filter(
@@ -253,15 +257,55 @@ def intersection_join(
     ``geom_format="wkb"`` consumes a WKB BinaryType zone column
     (geo-parquet / Arrow ogc.wkb): envelopes come off the raw bytes and
     the clip kernel parses WKB once per distinct zone per executor —
-    same cache, same kernels, parity-pinned in tests/test_pip_wkb.py."""
-    cand = _intersection_candidates(polydocs, zones, zoom, wkt_col, geom_format)
-    schema = StructType(
-        [f for f in cand.schema.fields]
-        + [StructField("piece_area", DoubleType()), StructField("piece_wkt", StringType())]
+    same cache, same kernels, parity-pinned in tests/test_pip_wkb.py.
+
+    Rectangle zones (IsRectangle, ogrgeometry.cpp:8822) with rect docs
+    resolve their piece areas in PURE JVM codegen — the same min/max
+    math as the kernel's rect path (overlay.py rect rows), so the two
+    branches are bit-identical; only genuinely non-rect candidates
+    transfer through Arrow (the pip_join rect_fast shape; with AQE an
+    all-rect layer collapses the Python branch entirely).  WKT emission
+    and WKT-doc pairs keep the kernel (Python float formatting)."""
+    use_rect = not emit_wkt and doc_wkt_col is None
+    cand = _intersection_candidates(
+        polydocs, zones, zoom, wkt_col, geom_format, with_rect_flag=use_rect
     )
-    pieces = cand.mapInPandas(
-        _clip_kernel(wkt_col, doc_wkt_col, emit_wkt, geom_format), schema
-    )
+    if use_rect:
+        rect_cand = cand.filter(F.col("is_rect")).drop("is_rect")
+        ix0 = F.greatest(F.col("xmin"), F.col("env_xmin"))
+        iy0 = F.greatest(F.col("ymin"), F.col("env_ymin"))
+        ix1 = F.least(F.col("xmax"), F.col("env_xmax"))
+        iy1 = F.least(F.col("ymax"), F.col("env_ymax"))
+        rect_pieces = rect_cand.withColumn(
+            "piece_area",
+            F.when(
+                (ix0 < ix1) & (iy0 < iy1), (ix1 - ix0) * (iy1 - iy0)
+            ).otherwise(F.lit(0.0)),
+        ).withColumn("piece_wkt", F.lit(None).cast(StringType()))
+        poly_cand = cand.filter(~F.col("is_rect")).drop("is_rect")
+        schema = StructType(
+            [f for f in poly_cand.schema.fields]
+            + [
+                StructField("piece_area", DoubleType()),
+                StructField("piece_wkt", StringType()),
+            ]
+        )
+        pieces = rect_pieces.unionByName(
+            poly_cand.mapInPandas(
+                _clip_kernel(wkt_col, doc_wkt_col, emit_wkt, geom_format), schema
+            )
+        )
+    else:
+        schema = StructType(
+            [f for f in cand.schema.fields]
+            + [
+                StructField("piece_area", DoubleType()),
+                StructField("piece_wkt", StringType()),
+            ]
+        )
+        pieces = cand.mapInPandas(
+            _clip_kernel(wkt_col, doc_wkt_col, emit_wkt, geom_format), schema
+        )
     return pieces.filter(F.col("piece_area") > AREA_EPS).drop(
         "env_xmin", "env_ymin", "env_xmax", "env_ymax"
     )
