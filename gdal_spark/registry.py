@@ -9839,3 +9839,87 @@ def q_raster_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_pixel_difference"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Character-trigram LM quality scoring (the CCNet/KenLM-style corpus
+# quality signal: score each document by the mean log-probability of
+# its character trigrams under a model trained on the corpus itself).
+# Scale shape: the MODEL is one trigram-count aggregation (map-side
+# combine collapses each partition to <= |alphabet|^3 rows before the
+# exchange) + a prefix-bigram window over the model table (dim-sized),
+# then broadcast back; the doc side re-extracts trigrams and makes ONE
+# corpus shuffle for the per-doc mean.  Per-trigram ln P is computed
+# once per DISTINCT trigram and micro-quantized to BIGINT in the model,
+# so every per-doc aggregate is an exact integer sum (order-proof —
+# memory: spark-duckdb-parity).
+# --------------------------------------------------------------------------
+_LM_LNP_U = (
+    "CAST(floor(ln(CAST(tri_cnt AS DOUBLE) / CAST(big_cnt AS DOUBLE)) * 1.0e6)"
+    " AS BIGINT)"
+)
+
+_LM_ORACLE = f"""
+WITH tri AS (
+  SELECT doc_id, substr(text, CAST(i AS int), 3) AS t
+  FROM documents,
+       LATERAL (SELECT unnest(generate_series(1, length(text) - 2)) AS i)
+  WHERE length(text) >= 3
+),
+m0 AS (SELECT t, CAST(count(*) AS BIGINT) AS tri_cnt FROM tri GROUP BY t),
+m AS (
+  SELECT t, {_LM_LNP_U} AS lnp_u
+  FROM (
+    SELECT t, tri_cnt,
+           CAST(sum(tri_cnt) OVER (PARTITION BY substr(t, 1, 2)) AS BIGINT)
+             AS big_cnt
+    FROM m0
+  )
+)
+SELECT tri.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tri,
+       CAST(sum(m.lnp_u) AS BIGINT) AS sum_lnp_u,
+       CAST(floor(CAST(sum(m.lnp_u) AS DOUBLE) / count(*)) AS BIGINT)
+         AS avg_lnp_u
+FROM tri JOIN m USING (t)
+GROUP BY tri.doc_id
+"""
+
+
+@register("lm_quality", _LM_ORACLE)
+def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    tri = (
+        docs.filter(F.length("text") >= 3)
+        .select(
+            "doc_id",
+            F.explode(F.expr("sequence(1, length(text) - 2)")).alias("i"),
+            "text",
+        )
+        .select("doc_id", F.expr("substr(text, CAST(i AS int), 3)").alias("t"))
+    )
+    m0 = tri.groupBy("t").agg(F.count("*").alias("tri_cnt"))
+    from pyspark.sql import Window
+
+    big = F.sum("tri_cnt").over(Window.partitionBy(F.expr("substr(t, 1, 2)")))
+    model = m0.withColumn("big_cnt", big).select(
+        "t", F.expr(_LM_LNP_U).alias("lnp_u")
+    )
+    return (
+        tri.join(F.broadcast(model), "t")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tri"),
+            F.sum("lnp_u").alias("sum_lnp_u"),
+        )
+        .select(
+            "doc_id",
+            "n_tri",
+            "sum_lnp_u",
+            F.expr(
+                "CAST(floor(CAST(sum_lnp_u AS DOUBLE) / n_tri) AS BIGINT)"
+            ).alias("avg_lnp_u"),
+        )
+    )
