@@ -618,18 +618,18 @@ def tile_pyramid_checksums(
     """Full pyramid zmax..0 with per-tile GDAL checksums.
     Returns (band, zoom, tx, ty, checksum).
 
-    ``fused=True`` (average overviews, zmax <= 3): the whole
-    sub-pyramid AND the checksums are computed in ONE applyInPandas
-    keyed on the z0 ancestor — fan-in 4^zmax tiles per group instead of
-    4 per level, so the pyramid costs ONE shuffle + ONE Python stage
-    (vs one shuffle+stage per level plus the eager base checkpoint and
-    the union re-derivation it guards).  Deeper pyramids would chain
-    passes of <=3 levels (fan-in capped at 64 tiles = 4 MB/group); the
-    level-by-level path remains for them and for the non-average
-    overview methods."""
+    ``fused=True`` (average overviews): sub-pyramid AND checksums are
+    computed in chained applyInPandas passes of up to 3 levels each,
+    keyed on the pass's deepest ancestor — fan-in up to 4^3 = 64 tiles
+    (4 MB) per group instead of 4 per level, so a zmax-level pyramid
+    costs ceil(zmax/3) shuffles + Python stages (vs one per level plus
+    the eager base checkpoint and the union re-derivation it guards).
+    Intermediate passes carry the pass-floor tiles forward; levels
+    above the floor leave each pass as checksum rows only.  The
+    level-by-level path remains for the non-average overview methods."""
     if src is None:
         src = source_grid(spark)
-    if fused and overview_method == "average" and 0 < zmax <= 3:
+    if fused and overview_method == "average" and zmax > 0:
         return _pyramid_checksums_fused(spark, zmax, src, resample)
     # eager checkpoint of the base warp: every overview level AND the
     # final union hang off it — without the pin the union re-derives
@@ -1358,62 +1358,104 @@ def overview_refresh(
     return keep.unionByName(fresh)
 
 
+_PYR_PASS_LEVELS = 3  # levels per fused pass: fan-in <= 4^3 = 64 tiles (4 MB)
+
+
 def _pyramid_checksums_fused(
     spark: SparkSession, zmax: int, src: DataFrame, resample: str
 ) -> DataFrame:
-    """Fused sub-pyramid: group base tiles by (band, z0 ancestor), build
-    every overview level locally with the SAME float math as
+    """Fused sub-pyramid in chained passes: each pass groups the current
+    level's tiles by their ancestor ``k <= 3`` levels up, builds the
+    intermediate overview levels locally with the SAME float math as
     ``overview_tiles``'s reduce4 (zero-filled 2x2 mosaic, floor(mean +
-    0.5)), checksum every level in place.  Base tiles are consumed
-    exactly once, so no lineage pin is needed."""
+    0.5)) and checksums them in place; non-final passes carry the
+    pass-floor tiles forward as binary data for the next pass.  Tiles
+    are consumed exactly once per pass, so no lineage pin is needed,
+    and a zmax-level pyramid costs ceil(zmax/3) shuffles."""
     from gdal_spark.geometry.checksum import checksum_image
 
-    base = base_tiles(spark, src, zmax, resample=resample)
-    out_schema = StructType(
-        [
-            StructField("band", IntegerType()),
-            StructField("zoom", IntegerType()),
-            StructField("tx", LongType()),
-            StructField("ty", LongType()),
-            StructField("checksum", IntegerType()),
-        ]
-    )
+    cs_fields = [
+        StructField("band", IntegerType()),
+        StructField("zoom", IntegerType()),
+        StructField("tx", LongType()),
+        StructField("ty", LongType()),
+        StructField("checksum", IntegerType()),
+    ]
 
-    def subpyramid(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        band = int(key[0])
-        cur = {
-            (int(tx), int(ty)): np.frombuffer(d, dtype=np.uint8).reshape(TILE, TILE)
-            for tx, ty, d in zip(pdf["tx"], pdf["ty"], pdf["data"])
-        }
-        rows = []
-        z = zmax
-        while True:
-            for (tx, ty), img in sorted(cur.items()):
-                rows.append((band, z, tx, ty, int(checksum_image(img))))
-            if z == 0:
-                break
-            parents: dict[tuple[int, int], np.ndarray] = {}
-            for pk in {(tx >> 1, ty >> 1) for (tx, ty) in cur}:
-                mosaic = np.zeros((2 * TILE, 2 * TILE), dtype=np.float64)
-                for cx in (0, 1):
-                    for cy in (0, 1):
-                        child = cur.get((2 * pk[0] + cx, 2 * pk[1] + cy))
-                        if child is None:
-                            continue
-                        r0 = 0 if cy == 1 else TILE  # TMS: north child on top
-                        mosaic[r0 : r0 + TILE, cx * TILE : (cx + 1) * TILE] = child
-                quads = mosaic.reshape(TILE, 2, TILE, 2)
-                parents[pk] = np.floor(quads.mean(axis=(1, 3)) + 0.5).astype(
-                    np.uint8
-                )
-            cur = parents
-            z -= 1
-        return pd.DataFrame(
-            rows, columns=["band", "zoom", "tx", "ty", "checksum"]
+    def make_pass(z_top: int, k: int, carry_floor: bool):
+        z_floor = z_top - k
+        cols = ["band", "zoom", "tx", "ty", "checksum"] + (
+            ["data"] if carry_floor else []
         )
 
-    return base.groupBy(
-        "band",
-        F.shiftright("tx", zmax).alias("_ax"),
-        F.shiftright("ty", zmax).alias("_ay"),
-    ).applyInPandas(subpyramid, out_schema)
+        def subpyramid(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            band = int(key[0])
+            cur = {
+                (int(tx), int(ty)): np.frombuffer(d, dtype=np.uint8).reshape(
+                    TILE, TILE
+                )
+                for tx, ty, d in zip(pdf["tx"], pdf["ty"], pdf["data"])
+            }
+            rows = []
+            z = z_top
+            while True:
+                for (tx, ty), img in sorted(cur.items()):
+                    row = [band, z, tx, ty, int(checksum_image(img))]
+                    if carry_floor:
+                        row.append(img.tobytes() if z == z_floor else None)
+                    rows.append(tuple(row))
+                if z == z_floor:
+                    break
+                parents: dict[tuple[int, int], np.ndarray] = {}
+                for pk in {(tx >> 1, ty >> 1) for (tx, ty) in cur}:
+                    mosaic = np.zeros((2 * TILE, 2 * TILE), dtype=np.float64)
+                    for cx in (0, 1):
+                        for cy in (0, 1):
+                            child = cur.get((2 * pk[0] + cx, 2 * pk[1] + cy))
+                            if child is None:
+                                continue
+                            r0 = 0 if cy == 1 else TILE  # TMS: north child top
+                            mosaic[
+                                r0 : r0 + TILE, cx * TILE : (cx + 1) * TILE
+                            ] = child
+                    quads = mosaic.reshape(TILE, 2, TILE, 2)
+                    parents[pk] = np.floor(quads.mean(axis=(1, 3)) + 0.5).astype(
+                        np.uint8
+                    )
+                cur = parents
+                z -= 1
+            return pd.DataFrame(rows, columns=cols)
+
+        schema = StructType(
+            cs_fields + ([StructField("data", BinaryType())] if carry_floor else [])
+        )
+        return subpyramid, schema
+
+    cur = base_tiles(spark, src, zmax, resample=resample)
+    outs = []
+    z = zmax
+    while True:
+        k = min(_PYR_PASS_LEVELS, z)
+        last = z - k == 0
+        kernel, schema = make_pass(z, k, carry_floor=not last)
+        po = cur.groupBy(
+            "band",
+            F.shiftright("tx", k).alias("_ax"),
+            F.shiftright("ty", k).alias("_ay"),
+        ).applyInPandas(kernel, schema)
+        if last:
+            outs.append(po)
+            break
+        outs.append(
+            po.filter(F.col("zoom") > z - k).select(
+                "band", "zoom", "tx", "ty", "checksum"
+            )
+        )
+        cur = po.filter(F.col("zoom") == z - k).select(
+            "band", "zoom", "tx", "ty", "data"
+        )
+        z -= k
+
+    from functools import reduce as _reduce
+
+    return _reduce(DataFrame.unionByName, outs)

@@ -25,3 +25,12 @@ def test_fused_single_python_stage(spark):
     )
     # one tile-assembly apply + one subpyramid apply, nothing else
     assert plan.count("FlatMapGroupsInPandas") == 2
+
+
+def test_fused_multipass_matches_chain(spark):
+    """zmax=5 forces two fused passes (3 + 2 levels) — identical to the
+    level-by-level chain."""
+    fused = tile_pyramid_checksums(spark, zmax=5, fused=True)
+    chain = tile_pyramid_checksums(spark, zmax=5, fused=False)
+    a, b = _rows(fused), _rows(chain)
+    assert len(a) == sum(3 * 4**z for z in range(6)) and a == b
