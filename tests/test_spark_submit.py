@@ -12,12 +12,12 @@ import tempfile
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _submit(zip_path: str, out_dir: str) -> str:
+def _submit(zip_path: str, out_dir: str, master: str = "local[4]") -> str:
     r = subprocess.run(
         [
             "spark-submit",
             "--master",
-            "local[4]",
+            master,
             "--py-files",
             zip_path,
             os.path.join(REPO, "jobs", "tile_job.py"),
@@ -56,3 +56,37 @@ def test_spark_submit_pyfiles_and_resume():
             d for d in os.listdir(out) if d.startswith("zoom=")
         )
         assert zooms == ["zoom=0", "zoom=1", "zoom=2", "zoom=3"]
+
+
+def test_spark_submit_two_cluster_sizes():
+    """North-rule shape: the SAME spark-submit job at N and 4N
+    parallelism (local[2] vs local[8]) produces bit-identical tiles —
+    results are independent of cluster size."""
+    import duckdb
+
+    zip_path = os.path.join(tempfile.gettempdir(), "gdal_spark_test2.zip")
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "package_pyfiles.py"), zip_path],
+        check=True,
+        cwd=REPO,
+    )
+    with tempfile.TemporaryDirectory() as out2, tempfile.TemporaryDirectory() as out8:
+        assert _submit(zip_path, out2, master="local[2]") == ("4", "0")
+        assert _submit(zip_path, out8, master="local[8]") == ("4", "0")
+        con = duckdb.connect()
+        diff = con.execute(
+            f"""
+            SELECT count(*) FROM (
+              SELECT * FROM read_parquet('{out2}/zoom=*/data/*.parquet')
+              EXCEPT
+              SELECT * FROM read_parquet('{out8}/zoom=*/data/*.parquet')
+            )
+            """
+        ).fetchone()[0]
+        n2 = con.execute(
+            f"SELECT count(*) FROM read_parquet('{out2}/zoom=*/data/*.parquet')"
+        ).fetchone()[0]
+        n8 = con.execute(
+            f"SELECT count(*) FROM read_parquet('{out8}/zoom=*/data/*.parquet')"
+        ).fetchone()[0]
+        assert n2 == n8 and n2 > 0 and diff == 0
