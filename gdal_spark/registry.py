@@ -9923,3 +9923,107 @@ def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_lnp_u"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# gdalenhance -equalize (apps/gdalenhance.cpp:360-447
+# ComputeEqualizationLUTs): per-band histogram -> zero the extreme bins
+# (nodata guard, :395-396) -> cumulative histogram with the half-bin
+# offset cum[i] = total_before_i + hist[i]/2 (:409-413) -> LUT[v] =
+# clamp(cum[v]*256 / total, 0, 255) (:434-439, all integer division) ->
+# per-pixel LUT apply.  For Byte data the default histogram is one bin
+# per value, so the bin index IS the pixel value.  Divergence: the
+# reference allows an APPROXIMATE (sampled) histogram
+# (GDALGetDefaultHistogramEx bForce=TRUE); the engine computes the
+# exact histogram — deterministic and distributed-friendly.
+# Scale shape: ONE map-side-combined histogram aggregation (<= 256 rows
+# per band), LUT as a window program over that dim table, broadcast
+# back; the raster side never shuffles.
+# --------------------------------------------------------------------------
+_ENH_X0, _ENH_X1, _ENH_Y0, _ENH_Y1 = 100, 200, 50, 110
+
+_ENH_LUT_CTES = """
+hist AS (
+  SELECT band, value AS bin,
+         CASE WHEN value IN (0, 255) THEN CAST(0 AS BIGINT)
+              ELSE CAST(count(*) AS BIGINT) END AS c
+  FROM grid GROUP BY band, value
+),
+cum AS (
+  SELECT band, bin,
+         CAST(coalesce(sum(c) OVER (PARTITION BY band ORDER BY bin
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              + CAST(floor(c / 2.0e0) AS BIGINT) AS BIGINT) AS ch,
+         CAST(sum(c) OVER (PARTITION BY band) AS BIGINT) AS total
+  FROM hist
+),
+lut AS (
+  SELECT band, bin,
+         CAST(greatest(0, least(255,
+              CAST(floor(ch * 256 / CAST(total AS DOUBLE)) AS BIGINT)))
+              AS int) AS lut_value
+  FROM cum
+)
+"""
+
+_ENHANCE_ORACLE = f"""
+WITH g AS ({_SRC_GRID_CTE}),
+grid AS (SELECT band, px, py, CAST({_SRC_VAL} AS int) AS value FROM g),
+{_ENH_LUT_CTES}
+SELECT grid.band, px, py, lut.lut_value AS value
+FROM grid JOIN lut ON grid.band = lut.band AND grid.value = lut.bin
+WHERE px >= {_ENH_X0} AND px < {_ENH_X1}
+  AND py >= {_ENH_Y0} AND py < {_ENH_Y1}
+"""
+
+
+@register("enhance_equalize", _ENHANCE_ORACLE)
+def q_enhance_equalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdalenhance -equalize over the 3-band grid, output windowed to
+    keep the contract row count bounded; the LUT is trained on the FULL
+    grid."""
+    from pyspark.sql import Window
+
+    from gdal_spark.operators.raster import source_grid
+
+    grid = source_grid(spark)
+    hist = grid.groupBy("band", F.col("value").alias("bin")).agg(
+        F.when(F.col("bin").isin(0, 255), F.lit(0).cast("long"))
+        .otherwise(F.count("*"))
+        .alias("c")
+    )
+    wcum = (
+        Window.partitionBy("band")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wtot = Window.partitionBy("band")
+    cum = hist.select(
+        "band",
+        "bin",
+        (
+            F.coalesce(F.sum("c").over(wcum), F.lit(0))
+            + F.expr("CAST(floor(c / 2.0e0) AS BIGINT)")
+        ).alias("ch"),
+        F.sum("c").over(wtot).alias("total"),
+    )
+    lut = cum.select(
+        "band",
+        "bin",
+        F.expr(
+            "CAST(greatest(0, least(255,"
+            " CAST(floor(ch * 256 / CAST(total AS DOUBLE)) AS BIGINT)))"
+            " AS int)"
+        ).alias("lut_value"),
+    )
+    win = grid.filter(
+        (F.col("px") >= _ENH_X0) & (F.col("px") < _ENH_X1)
+        & (F.col("py") >= _ENH_Y0) & (F.col("py") < _ENH_Y1)
+    )
+    return (
+        win.join(
+            F.broadcast(lut),
+            (win["band"] == lut["band"]) & (win["value"] == lut["bin"]),
+        )
+        .select(win["band"], "px", "py", F.col("lut_value").alias("value"))
+    )
