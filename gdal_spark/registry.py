@@ -10027,3 +10027,68 @@ def q_enhance_equalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(win["band"], "px", "py", F.col("lut_value").alias("value"))
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic corpus shuffle / shard assignment (the training-order
+# primitive: give every document a reproducible pseudorandom global
+# position and a shard id, stable under repartition and resume — the
+# same no-RNG-state rule as stratified_sample/source_cap).  Spark
+# shape: ONE range-partitioned global sort on the md5 key (Exchange
+# rangepartitioning + local sort — the scalable total order); shard =
+# hash-bucket of the key, position = global row_number.
+# --------------------------------------------------------------------------
+_SHUF_SHARDS = 8
+
+_SHUFFLE_ORACLE = f"""
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+            - 1 AS BIGINT) AS pos,
+       CAST((row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+            - 1) % {_SHUF_SHARDS} AS int) AS shard
+FROM documents
+"""
+
+
+@register("corpus_shuffle", _SHUFFLE_ORACLE)
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed global rank WITHOUT a single-partition window: range-
+    partition on the shuffle key, rank locally within each sorted range
+    (window partitioned by spark_partition_id), and add the cumulative
+    count of the preceding ranges (a partition-count-sized dim,
+    broadcast back).  Correct for ANY contiguous range partitioning, so
+    RangePartitioner's sampled boundaries don't affect the output."""
+    from pyspark.sql import Window
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.md5(F.col("doc_id").cast("string")).alias("_k")
+    )
+    # persisted: BOTH the counts dim and the final join consume this
+    # stage, and partition offsets must be computed from the exact same
+    # range boundaries the join side sees (multiply-referenced-stage
+    # rule — lazy persist, CLAUDE.md)
+    ranged = (
+        d.repartitionByRange(32, "_k", "doc_id")
+        .sortWithinPartitions("_k", "doc_id")
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = ranged.groupBy("_pid").agg(F.count("*").alias("_cnt"))
+    woff = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # tiny dim: one row per partition
+    offsets = counts.select(
+        "_pid", F.coalesce(F.sum("_cnt").over(woff), F.lit(0)).alias("_off")
+    )
+    local = F.row_number().over(
+        Window.partitionBy("_pid").orderBy("_k", "doc_id")
+    )
+    pos = F.col("_off") + local - 1
+    return (
+        ranged.join(F.broadcast(offsets), "_pid")
+        .select(
+            "doc_id",
+            pos.cast("long").alias("pos"),
+            (pos % _SHUF_SHARDS).cast("int").alias("shard"),
+        )
+    )
