@@ -10092,3 +10092,85 @@ def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
             (pos % _SHUF_SHARDS).cast("int").alias("shard"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# gdal_minmax_location (osgeo_utils/samples/gdal_minmax_location.py /
+# GDALRasterBand::ComputeMinMaxLocation): per band, the min and max
+# values with the FIRST pixel location hitting each (the reference's
+# scan order = row-major ⇒ deterministic tie-break smallest (py, px)),
+# plus the georeferenced center coords gt(px+0.5, py+0.5) (:43-48) as
+# micro-degree BIGINTs.  One aggregation per band: lexicographic
+# struct-min/max folds value AND location into a single map-side-
+# combined pass (the max side negates the location so ties still
+# resolve to the first scan-order pixel).
+# --------------------------------------------------------------------------
+_MML_ORACLE = f"""
+WITH g AS ({_SRC_GRID_CTE}),
+grid AS (SELECT band, px, py, CAST({_SRC_VAL} AS int) AS value FROM g),
+m AS (SELECT band, min(value) AS min_value, max(value) AS max_value
+      FROM grid GROUP BY band),
+mn AS (
+  SELECT grid.band, CAST(min(py * {SRC_W} + px) AS BIGINT) AS k
+  FROM grid JOIN m ON grid.band = m.band AND grid.value = m.min_value
+  GROUP BY grid.band
+),
+mx AS (
+  SELECT grid.band, CAST(min(py * {SRC_W} + px) AS BIGINT) AS k
+  FROM grid JOIN m ON grid.band = m.band AND grid.value = m.max_value
+  GROUP BY grid.band
+),
+loc AS (
+  SELECT m.band, m.min_value, m.max_value,
+         CAST(mn.k % {SRC_W} AS int) AS min_px,
+         CAST(floor(mn.k / {SRC_W}.0e0) AS int) AS min_py,
+         CAST(mx.k % {SRC_W} AS int) AS max_px,
+         CAST(floor(mx.k / {SRC_W}.0e0) AS int) AS max_py
+  FROM m JOIN mn ON m.band = mn.band JOIN mx ON m.band = mx.band
+)
+SELECT band, min_value, min_px, min_py,
+       {_XYZ_GX.replace("px", "min_px")} AS min_gx_udeg,
+       {_XYZ_GY.replace("py", "min_py")} AS min_gy_udeg,
+       max_value, max_px, max_py,
+       {_XYZ_GX.replace("px", "max_px")} AS max_gx_udeg,
+       {_XYZ_GY.replace("py", "max_py")} AS max_gy_udeg
+FROM loc
+"""
+
+
+@register("minmax_location", _MML_ORACLE)
+def q_minmax_location(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.operators.raster import source_grid
+
+    g = source_grid(spark)
+    mn = F.min(F.struct("value", "py", "px")).alias("mn")
+    mx = F.max(
+        F.struct(
+            "value",
+            (-F.col("py")).alias("npy"),
+            (-F.col("px")).alias("npx"),
+        )
+    ).alias("mx")
+    agg = g.groupBy("band").agg(mn, mx)
+    out = agg.select(
+        "band",
+        F.col("mn.value").alias("min_value"),
+        F.col("mn.px").alias("min_px"),
+        F.col("mn.py").alias("min_py"),
+        F.col("mx.value").alias("max_value"),
+        (-F.col("mx.npx")).cast("int").alias("max_px"),
+        (-F.col("mx.npy")).cast("int").alias("max_py"),
+    )
+    return out.select(
+        "band",
+        "min_value",
+        "min_px",
+        "min_py",
+        F.expr(_XYZ_GX.replace("px", "min_px")).alias("min_gx_udeg"),
+        F.expr(_XYZ_GY.replace("py", "min_py")).alias("min_gy_udeg"),
+        "max_value",
+        "max_px",
+        "max_py",
+        F.expr(_XYZ_GX.replace("px", "max_px")).alias("max_gx_udeg"),
+        F.expr(_XYZ_GY.replace("py", "max_py")).alias("max_gy_udeg"),
+    )
