@@ -519,3 +519,90 @@ def fill_nodata(
     return nod.unionByName(v).groupBy("gtx", "gty").applyInPandas(
         kernel, _FILL_SCHEMA
     )
+
+
+_KF_SCHEMA = StructType(
+    [
+        StructField("px", IntegerType()),
+        StructField("py", IntegerType()),
+        StructField("is_nd", IntegerType()),
+        StructField("num", LongType()),
+        StructField("den", LongType()),
+    ]
+)
+
+# VRT kernel filter coefficients (3x3, row-major like m_adfKernelCoefs):
+# integer 1-2-1 Gaussian-ish taps keep num/den exact integers, so the
+# normalized result is ONE double division — aggregation-order-proof
+KF_COEFS = (1, 2, 1, 2, 4, 2, 1, 2, 1)
+
+
+def kernel_filter(
+    pixels: DataFrame, width: int, height: int, nodata: int
+) -> DataFrame:
+    """VRTKernelFilteredSource (frmts/vrt/vrtfilters.cpp:470-600,
+    normalized non-separable case): per interior pixel, if the CENTER
+    sample is nodata the output is nodata (:530-534); otherwise sum
+    coef*value over the 3x3 taps SKIPPING nodata taps while also
+    dropping their coefficients from the kernel sum (:543-551), then
+    divide (:560-566; zero kernel sum -> 0).  Emits the exact integer
+    (num, den) pair plus the center-nodata flag; the caller renders the
+    division with shared SQL text.  Same halo-tile shape as the DEM
+    stencils; global border pixels are interior-only like the rest of
+    the focal family."""
+
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        gtx, gty = int(key[0]), int(key[1])
+        spx = pdf["px"].to_numpy(np.int64)
+        spy = pdf["py"].to_numpy(np.int64)
+        val = pdf["value"].to_numpy(np.int64)
+        x0 = gtx * GRID_TILE - 1
+        y0 = gty * GRID_TILE - 1
+        w = GRID_TILE + 2
+        win = np.zeros((w, w), dtype=np.int64)
+        sel = (spx >= x0) & (spx < x0 + w) & (spy >= y0) & (spy < y0 + w)
+        win[spy[sel] - y0, spx[sel] - x0] = val[sel]
+        pxs = np.arange(gtx * GRID_TILE, min((gtx + 1) * GRID_TILE, width))
+        pys = np.arange(gty * GRID_TILE, min((gty + 1) * GRID_TILE, height))
+        pxs = pxs[(pxs >= 1) & (pxs <= width - 2)]
+        pys = pys[(pys >= 1) & (pys <= height - 2)]
+        if pxs.size == 0 or pys.size == 0:
+            return pd.DataFrame(
+                {"px": [], "py": [], "is_nd": [], "num": [], "den": []}
+            ).astype(
+                {
+                    "px": "int32",
+                    "py": "int32",
+                    "is_nd": "int32",
+                    "num": "int64",
+                    "den": "int64",
+                }
+            )
+        cx = pxs - x0
+        cy = pys - y0
+        num = np.zeros((pys.size, pxs.size), dtype=np.int64)
+        den = np.zeros_like(num)
+        k = 0
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                tap = win[np.ix_(cy + dy, cx + dx)]
+                ok = tap != nodata
+                num += KF_COEFS[k] * tap * ok
+                den += KF_COEFS[k] * ok
+                k += 1
+        center = win[np.ix_(cy, cx)]
+        is_nd = (center == nodata).astype(np.int32)
+        yy, xx = np.meshgrid(pys, pxs, indexing="ij")
+        return pd.DataFrame(
+            {
+                "px": xx.ravel().astype("int32"),
+                "py": yy.ravel().astype("int32"),
+                "is_nd": is_nd.ravel(),
+                "num": num.ravel(),
+                "den": den.ravel(),
+            }
+        )
+
+    return _with_halo_tiles(pixels).groupBy("gtx", "gty").applyInPandas(
+        kernel, _KF_SCHEMA
+    )

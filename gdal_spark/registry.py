@@ -10174,3 +10174,64 @@ def q_minmax_location(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_XYZ_GX.replace("px", "max_px")).alias("max_gx_udeg"),
         F.expr(_XYZ_GY.replace("py", "max_py")).alias("max_gy_udeg"),
     )
+
+
+# --------------------------------------------------------------------------
+# VRT kernel filter (frmts/vrt/vrtfilters.cpp VRTKernelFilteredSource,
+# the engine behind <KernelFilteredSource> and the gdalfilter sample):
+# normalized 3x3 convolution with the reference's nodata contract —
+# center nodata passes nodata through (:530-534), nodata taps drop out
+# of BOTH the weighted sum and the kernel sum (:543-551), zero kernel
+# sum -> 0 (:562).  Integer 1-2-1 taps keep (num, den) exact, so the
+# normalized value is one shared-text division; emitted micro-quantized.
+# --------------------------------------------------------------------------
+_KF_ND = 13
+_KF_VAL_U = (
+    f"CAST(CASE WHEN is_nd = 1 THEN {_KF_ND} * 1000000"
+    " WHEN den = 0 THEN 0"
+    " ELSE CAST(floor(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) * 1.0e6"
+    " + 5.0e-1) AS BIGINT) END AS BIGINT)"
+)
+
+
+def _kf_tap_sql() -> tuple[str, str]:
+    from gdal_spark.operators.focal import KF_COEFS
+
+    vals, dens = [], []
+    k = 0
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            v = f"(((px + {dx}) * 7 + (py + {dy}) * 13 + 29) % 256)"
+            c = KF_COEFS[k]
+            vals.append(f"(CASE WHEN {v} <> {_KF_ND} THEN {c} * {v} ELSE 0 END)")
+            dens.append(f"(CASE WHEN {v} <> {_KF_ND} THEN {c} ELSE 0 END)")
+            k += 1
+    return " + ".join(vals), " + ".join(dens)
+
+
+_KF_NUM_SQL, _KF_DEN_SQL = _kf_tap_sql()
+
+_KFILTER_ORACLE = f"""
+WITH g AS ({_SRC_GRID_CTE}),
+b1 AS (SELECT px, py FROM g WHERE band = 1
+       AND px >= 1 AND px <= {SRC_W - 2} AND py >= 1 AND py <= {SRC_H - 2}),
+t AS (
+  SELECT px, py,
+         CASE WHEN ((px * 7 + py * 13 + 29) % 256) = {_KF_ND}
+              THEN 1 ELSE 0 END AS is_nd,
+         CAST({_KF_NUM_SQL} AS BIGINT) AS num,
+         CAST({_KF_DEN_SQL} AS BIGINT) AS den
+  FROM b1
+)
+SELECT px, py, {_KF_VAL_U} AS filt_u FROM t
+"""
+
+
+@register("vrt_kernel_filter", _KFILTER_ORACLE)
+def q_vrt_kernel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.operators.focal import kernel_filter
+    from gdal_spark.operators.raster import SRC_H as _H, SRC_W as _W, source_grid
+
+    b1 = source_grid(spark).filter(F.col("band") == 1).select("px", "py", "value")
+    out = kernel_filter(b1, _W, _H, nodata=_KF_ND)
+    return out.select("px", "py", F.expr(_KF_VAL_U).alias("filt_u"))
