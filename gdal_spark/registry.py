@@ -10235,3 +10235,60 @@ def q_vrt_kernel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     b1 = source_grid(spark).filter(F.col("band") == 1).select("px", "py", "value")
     out = kernel_filter(b1, _W, _H, nodata=_KF_ND)
     return out.select("px", "py", F.expr(_KF_VAL_U).alias("filt_u"))
+
+
+# --------------------------------------------------------------------------
+# ogr2ogr -upsert (ogr2ogr_lib.cpp:7254 UpsertFeature instead of
+# CreateFeature; ogrlayer.cpp UpsertFeature = update the matching
+# feature if one exists, else insert): the MERGE-INTO primitive.
+# Fixture: the customer layer upserted with a deterministic patch —
+# every c_custkey % 10 == 3 gets acctbal+100 and segment 'PATCHED'
+# (update path), plus 5 brand-new keys past max (insert path).  Spark
+# shape: patch side broadcast (the typical small-delta case), FULL
+# OUTER join on the key, source-wins coalesce — a corpus-sized patch
+# degrades to one co-keyed shuffle join.  Money compared in cents
+# (BIGINT) per the parity rules.
+# --------------------------------------------------------------------------
+_UPS_PATCH = """
+SELECT c_custkey, c_name, c_nationkey,
+       c_acctbal + 1.0e2 AS c_acctbal, 'PATCHED' AS c_mktsegment
+FROM customer WHERE c_custkey % 10 = 3
+UNION ALL
+SELECT mx + k AS c_custkey, concat('NEW#', CAST(mx + k AS STRING)) AS c_name,
+       CAST(7 AS int) AS c_nationkey, 1.0e3 AS c_acctbal,
+       'INSERTED' AS c_mktsegment
+FROM (SELECT max(c_custkey) AS mx FROM customer) m,
+     (SELECT CAST(i AS BIGINT) + 1 AS k FROM range(0, 5) t(i)) s
+"""
+
+_UPSERT_ORACLE = f"""
+WITH patch AS ({_UPS_PATCH})
+SELECT coalesce(p.c_custkey, c.c_custkey) AS c_custkey,
+       coalesce(p.c_name, c.c_name) AS c_name,
+       coalesce(p.c_nationkey, c.c_nationkey) AS c_nationkey,
+       CAST(round(coalesce(p.c_acctbal, c.c_acctbal) * 100) AS BIGINT)
+         AS acctbal_c,
+       coalesce(p.c_mktsegment, c.c_mktsegment) AS c_mktsegment
+FROM customer c FULL OUTER JOIN patch p ON c.c_custkey = p.c_custkey
+"""
+
+
+@register("vector_upsert", _UPSERT_ORACLE)
+def q_vector_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.read.parquet(f"{sf_dir}/customer.parquet").createOrReplaceTempView(
+        "customer"
+    )
+    patch = spark.sql(_UPS_PATCH)
+    c = spark.table("customer")
+    p = F.broadcast(patch).alias("p")
+    j = c.alias("c").join(p, F.expr("c.c_custkey = p.c_custkey"), "full_outer")
+    pick = lambda col: F.coalesce(F.col(f"p.{col}"), F.col(f"c.{col}"))  # noqa: E731
+    return j.select(
+        pick("c_custkey").alias("c_custkey"),
+        pick("c_name").alias("c_name"),
+        pick("c_nationkey").alias("c_nationkey"),
+        F.expr(
+            "CAST(round(coalesce(p.c_acctbal, c.c_acctbal) * 100) AS BIGINT)"
+        ).alias("acctbal_c"),
+        pick("c_mktsegment").alias("c_mktsegment"),
+    )
