@@ -34,3 +34,21 @@ def test_fused_multipass_matches_chain(spark):
     chain = tile_pyramid_checksums(spark, zmax=5, fused=False)
     a, b = _rows(fused), _rows(chain)
     assert len(a) == sum(3 * 4**z for z in range(6)) and a == b
+
+
+def test_fused_partial_coverage_matches_chain(spark):
+    """Source covering only a corner of the world: parents with missing
+    children must zero-fill identically in the fused kernel and the
+    level-by-level chain."""
+    import pyspark.sql.functions as F
+
+    from gdal_spark.operators.raster import source_grid
+
+    src = source_grid(spark).filter((F.col("px") < 120) & (F.col("py") < 70))
+    fused = tile_pyramid_checksums(spark, zmax=3, src=src, fused=True)
+    chain = tile_pyramid_checksums(spark, zmax=3, src=src, fused=False)
+    a, b = _rows(fused), _rows(chain)
+    assert len(a) > 0 and a == b
+    # partial coverage: strictly fewer base tiles than the full world
+    zmax_tiles = sum(1 for r in a if r[1] == 3)
+    assert 0 < zmax_tiles < 64 * 3
