@@ -10292,3 +10292,101 @@ def q_vector_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("acctbal_c"),
         pick("c_mktsegment").alias("c_mktsegment"),
     )
+
+
+# --------------------------------------------------------------------------
+# GDALSuggestedWarpOutput (alg/gdaltransformer.cpp:342-1130): plan the
+# output grid of a warp — sample a (nSteps+1)^2 pixel grid through the
+# transform (nSteps = clamp(round(min(W,H)/50), 20, 100), :446-451),
+# extent = min/max over SUCCESSFUL samples, pixel size = the distance
+# between the first and last sample (both must succeed, else fall back
+# to the extent deltas, :1081-1090) divided by the source diagonal
+# (:1099-1101), size = floor(extent/ps + 0.5) (:1127-1128).  Two
+# fixture configs cover BOTH diagonal branches: 'world' (the ±90°
+# source — polar rows fail the mercator transform, so the extent
+# fallback fires) and 'window' (an interior srcwin where every sample
+# succeeds — the true first/last diagonal).  Outputs micro-quantized.
+# --------------------------------------------------------------------------
+_SWO_STEPS = 20  # round(min(400,200)/50)=4 -> clamped up to 20
+_SWO_LIMIT = mercator.sql_double(85.05112877980659)
+
+
+def _swo_cte(name: str, x0: int, y0: int, w: int, h: int) -> str:
+    """One config: sample grid, projected extent, first/last samples."""
+    n = _SWO_STEPS
+    lon = f"(-1.8e2 + ({x0} + i % {n + 1} * {w} / {n}.0e0 ) * 9.0e-1)"
+    lat = (
+        f"(9.0e1 + ({y0} + CAST((i - (i % {n + 1})) / {n + 1} AS BIGINT)"
+        f" * {h} / {n}.0e0) * (-9.0e-1))"
+    )
+    return f"""
+{name}_s AS (
+  SELECT i, {lon} AS lon, {lat} AS lat
+  FROM range(0, {(n + 1) * (n + 1)}) t(i)
+),
+{name}_p AS (
+  SELECT i, {mercator.sql_mx('lon')} AS mx, {mercator.sql_my('lat')} AS my
+  FROM {name}_s
+  WHERE lat > -{_SWO_LIMIT} AND lat < {_SWO_LIMIT}
+),
+{name}_e AS (
+  SELECT min(mx) AS minx, max(mx) AS maxx, min(my) AS miny, max(my) AS maxy,
+         count(*) AS n_ok,
+         CAST(min(i) AS BIGINT) AS i0, CAST(max(i) AS BIGINT) AS i1
+  FROM {name}_p
+),
+{name}_d AS (
+  SELECT e.*, 
+         CASE WHEN e.i0 = 0 AND e.i1 = {(n + 1) * (n + 1) - 1}
+              THEN (SELECT mx FROM {name}_p WHERE i = e.i1)
+                   - (SELECT mx FROM {name}_p WHERE i = e.i0)
+              ELSE e.maxx - e.minx END AS dx,
+         CASE WHEN e.i0 = 0 AND e.i1 = {(n + 1) * (n + 1) - 1}
+              THEN (SELECT my FROM {name}_p WHERE i = e.i1)
+                   - (SELECT my FROM {name}_p WHERE i = e.i0)
+              ELSE e.maxy - e.miny END AS dy
+  FROM {name}_e e
+),
+{name}_o AS (
+  SELECT '{name}' AS config, n_ok,
+         CAST(floor(minx * 1.0e6 + 5.0e-1) AS BIGINT) AS minx_u,
+         CAST(floor(maxy * 1.0e6 + 5.0e-1) AS BIGINT) AS maxy_u,
+         CAST(floor(sqrt(dx * dx + dy * dy)
+              / sqrt({w}.0e0 * {w} + {h}.0e0 * {h}) * 1.0e6 + 5.0e-1)
+              AS BIGINT) AS ps_u,
+         CAST(floor((maxx - minx) / (sqrt(dx * dx + dy * dy)
+              / sqrt({w}.0e0 * {w} + {h}.0e0 * {h})) + 5.0e-1) AS BIGINT)
+           AS n_pixels,
+         CAST(floor((maxy - miny) / (sqrt(dx * dx + dy * dy)
+              / sqrt({w}.0e0 * {w} + {h}.0e0 * {h})) + 5.0e-1) AS BIGINT)
+           AS n_lines
+  FROM {name}_d
+)
+"""
+
+
+_SWO_ORACLE = f"""
+WITH {_swo_cte("world", 0, 0, SRC_W, SRC_H)},
+{_swo_cte("window", 60, 20, 200, 120)}
+SELECT * FROM world_o UNION ALL SELECT * FROM window_o
+"""
+
+
+@register("suggested_warp_output", _SWO_ORACLE)
+def q_suggested_warp_output(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warp output-grid planning: the 441-point sample grid, projection,
+    extent and size math run as one declarative plan per config (the
+    sample grid is dim-sized by construction — the reference caps it at
+    101^2 regardless of raster size, so this stays a metadata-cost
+    operation at any scale)."""
+    sqls = []
+    for name, (x0, y0, w, h) in {
+        "world": (0, 0, SRC_W, SRC_H),
+        "window": (60, 20, 200, 120),
+    }.items():
+        sqls.append(
+            f"WITH {_swo_cte(name, x0, y0, w, h)} SELECT * FROM {name}_o"
+        )
+    a = spark.sql(sqls[0])
+    b = spark.sql(sqls[1])
+    return a.unionByName(b)
