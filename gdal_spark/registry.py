@@ -9654,6 +9654,49 @@ def q_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Snapshot-table changelog scan (gdal_spark/table.py — the Iceberg-
+# analog commit/time-travel/incremental layer; reference parity:
+# ogr2ogr -append / -overwrite dataset updates,
+# apps/ogr2ogr_lib.cpp:2426-2447).  Three append snapshots of the
+# orders layer are committed to a real SnapshotTable on disk; the
+# query is the files-added-since-snapshot-1 incremental read — at
+# 100 TB the delta job opens ONLY the two appended file sets, never
+# snapshot 1's history.  The oracle recomputes the same row set from
+# the base table.  price_c uses the repo's shared round-to-cents text
+# (memory: spark-duckdb-parity).
+# --------------------------------------------------------------------------
+_TABLE_INC_PRICE = "CAST(round(o_totalprice * 1.0e2) AS BIGINT)"
+
+_TABLE_INC_ORACLE = f"""
+SELECT o_orderkey, {_TABLE_INC_PRICE} AS price_c
+FROM orders WHERE o_orderkey % 3 IN (1, 2)
+"""
+
+
+@register("table_incremental", _TABLE_INC_ORACLE)
+def q_table_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    from gdal_spark.table import SnapshotTable
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "gdal_spark_snaptab_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:8],
+    )
+    t = SnapshotTable(spark, root)
+    if t.current_snapshot_id() != 3:  # idempotent build, reused across runs
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderkey", F.expr(_TABLE_INC_PRICE).alias("price_c")
+        )
+        for r in (0, 1, 2):
+            t.append(o.filter(F.expr(f"o_orderkey % 3 = {r}")))
+    return t.incremental(1)
+
+
+# --------------------------------------------------------------------------
 # gdal2xyz (swig/python/gdal-utils/osgeo_utils/gdal2xyz.py): raster ->
 # XYZ dump with -srcwin, -skip, -b band selection and -skipnodata
 # (:188-190 skips a pixel iff the FULL selected-band vector equals the

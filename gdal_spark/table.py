@@ -1,0 +1,301 @@
+"""Iceberg-analog snapshot table: atomic commits, time travel,
+incremental scan — the catalog-less core of the protocol behind the
+north rule's "checkpoint per Iceberg snapshot".
+
+Reference parity: ``ogr2ogr -append`` / ``-overwrite`` dataset-update
+modes (apps/ogr2ogr_lib.cpp:2426-2447,2647-2722) are exactly snapshot
+``append`` / ``overwrite`` commits here, and gdal2tiles ``--resume``
+(gdal2tiles.py:1497-1500) is a reader of the committed state; what the
+reference lacks — point-in-time reads of an earlier dataset state and
+a files-added-since changelog — is the Iceberg layer this module adds.
+
+Layout (Iceberg's metadata layering, minus the catalog):
+
+    <root>/data/snap<k>-<nonce>-<i>.parquet   immutable data files
+                                         (per-attempt nonce: losing
+                                         writers never collide)
+    <root>/metadata/snap-<k>.json        manifest: operation, parent,
+                                         FULL file list with per-file
+                                         row counts (lineage+metrics)
+    <root>/metadata/version-hint.text    current snapshot id, replaced
+                                         atomically (os.replace)
+
+Commit protocol: stage data files under ``<root>/tmp-commit-<k>/``,
+move them into ``data/``, write the manifest, then atomically swap the
+version hint.  Readers resolve the hint first and only ever open files
+named by a committed manifest, so a crash at ANY point leaves the table
+readable at its previous snapshot; orphaned staging dirs and data files
+are invisible and swept by the next commit.  Concurrency is optimistic,
+Iceberg-style: a commit re-checks immediately before the hint swap that
+the current snapshot is still the parent it built against and raises
+``CommitConflict`` otherwise (first writer wins; no lock files).
+
+Scale notes (100 TB): manifests carry file-level row counts so readers
+plan from metadata without listing the directory; ``read`` hands Spark
+the manifest's file list directly, so partition pruning and column
+projection work exactly as on a plain parquet scan; ``incremental``
+reads ONLY the files added after the from-snapshot — the delta-job
+shape (registry ``snapshot_delta``) where maintenance cost follows the
+delta, never the history.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class CommitConflict(RuntimeError):
+    """Another writer committed against the same parent snapshot."""
+
+
+class IncrementalAcrossOverwrite(ValueError):
+    """Incremental scans are append-only; an overwrite breaks the chain."""
+
+
+def _read_json(path: str) -> dict:
+    with open(path) as f:
+        return json.load(f)
+
+
+class SnapshotTable:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self._data = os.path.join(root, "data")
+        self._meta = os.path.join(root, "metadata")
+        os.makedirs(self._data, exist_ok=True)
+        os.makedirs(self._meta, exist_ok=True)
+
+    # ------------------------------------------------------------ metadata
+    def _hint_path(self) -> str:
+        return os.path.join(self._meta, "version-hint.text")
+
+    def _manifest_path(self, sid: int) -> str:
+        return os.path.join(self._meta, f"snap-{sid}.json")
+
+    def current_snapshot_id(self) -> int | None:
+        try:
+            with open(self._hint_path()) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return None
+
+    def _manifest(self, sid: int) -> dict:
+        return _read_json(self._manifest_path(sid))
+
+    def _resolve(self, snapshot_id: int | None) -> int:
+        sid = self.current_snapshot_id() if snapshot_id is None else snapshot_id
+        if sid is None:
+            raise ValueError(f"{self.root}: table has no committed snapshot")
+        if not os.path.exists(self._manifest_path(sid)):
+            raise ValueError(f"{self.root}: no snapshot {sid}")
+        return sid
+
+    # -------------------------------------------------------------- commit
+    def _commit(self, df: DataFrame, operation: str) -> int:
+        parent = self.current_snapshot_id()
+        sid = (parent or 0) + 1
+        # sweep leftovers from a crashed attempt at this id (invisible to
+        # readers: nothing references them until a manifest + hint commit)
+        staging = os.path.join(self.root, f"tmp-commit-{sid}")
+        if os.path.exists(staging):
+            shutil.rmtree(staging)
+
+        df.write.mode("overwrite").parquet(staging)
+        # per-ATTEMPT nonce in the file names (Iceberg's write UUID):
+        # a losing concurrent writer must never collide with — let alone
+        # delete — the committed winner's files for the same snapshot id
+        nonce = uuid.uuid4().hex[:8]
+        new_files, i = [], 0
+        for name in sorted(os.listdir(staging)):
+            if not name.endswith(".parquet"):
+                continue
+            dest = os.path.join(
+                self._data, f"snap{sid}-{nonce}-{i:05d}.parquet"
+            )
+            os.replace(os.path.join(staging, name), dest)
+            new_files.append(dest)
+            i += 1
+        shutil.rmtree(staging)
+
+        # per-file lineage + metrics in ONE job (input_file_name groupBy),
+        # not a count per file
+        counts: dict[str, int] = {}
+        if new_files:
+            rows = (
+                self.spark.read.parquet(*new_files)
+                .groupBy(F.input_file_name().alias("f"))
+                .count()
+                .collect()
+            )
+            for r in rows:
+                counts[os.path.basename(r["f"].removeprefix("file://"))] = r[
+                    "count"
+                ]
+
+        base = (
+            self._manifest(parent)["files"]
+            if operation == "append" and parent is not None
+            else []
+        )
+        manifest = {
+            "snapshot_id": sid,
+            "parent_id": parent,
+            "operation": operation,
+            "files": base
+            + [
+                {"path": p, "rows": counts.get(os.path.basename(p), 0)}
+                for p in new_files
+            ],
+            "added_files": [
+                {"path": p, "rows": counts.get(os.path.basename(p), 0)}
+                for p in new_files
+            ],
+        }
+        mpath = self._manifest_path(sid)
+        tmp_m = mpath + ".tmp"
+        with open(tmp_m, "w") as f:
+            json.dump(manifest, f, indent=1)
+
+        # optimistic check THEN atomic swap — first writer wins
+        if self.current_snapshot_id() != parent:
+            os.remove(tmp_m)
+            for p in new_files:
+                os.remove(p)
+            raise CommitConflict(
+                f"{self.root}: parent moved past snapshot {parent}"
+            )
+        os.replace(tmp_m, mpath)
+        tmp_h = self._hint_path() + ".tmp"
+        with open(tmp_h, "w") as f:
+            f.write(str(sid))
+        os.replace(tmp_h, self._hint_path())
+        return sid
+
+    def append(self, df: DataFrame) -> int:
+        return self._commit(df, "append")
+
+    def overwrite(self, df: DataFrame) -> int:
+        return self._commit(df, "overwrite")
+
+    # --------------------------------------------------------------- reads
+    def _files(self, manifest: dict, key: str = "files") -> list[str]:
+        return [f["path"] for f in manifest[key]]
+
+    def read(self, snapshot_id: int | None = None) -> DataFrame:
+        """Current state, or the state AS OF an earlier snapshot."""
+        files = self._files(self._manifest(self._resolve(snapshot_id)))
+        if not files:
+            raise ValueError(f"{self.root}: snapshot has no data files")
+        return self.spark.read.parquet(*files)
+
+    def incremental(
+        self, from_id: int, to_id: int | None = None
+    ) -> DataFrame:
+        """Rows in files ADDED in snapshots (from_id, to_id] — the
+        changelog scan.  Append-only by definition (Iceberg's
+        incremental scan has the same restriction): any overwrite
+        inside the range raises."""
+        to = self._resolve(to_id)
+        if from_id > to:
+            raise ValueError(f"from {from_id} > to {to}")
+        files: list[str] = []
+        sid = to
+        while sid > from_id:
+            m = self._manifest(sid)
+            if m["operation"] != "append":
+                raise IncrementalAcrossOverwrite(
+                    f"{self.root}: snapshot {sid} is {m['operation']!r}"
+                )
+            files.extend(self._files(m, "added_files"))
+            sid = m["parent_id"]
+            if sid is None:
+                break
+        if sid is not None and sid > from_id:
+            raise ValueError(f"{self.root}: no chain back to {from_id}")
+        if not files:
+            return self.read(to).limit(0)
+        return self.spark.read.parquet(*files)
+
+    def snapshots(self) -> DataFrame:
+        """Metadata table (Iceberg ``table.snapshots``): one row per
+        committed snapshot with operation + file/row metrics."""
+        cur = self.current_snapshot_id()
+        rows = []
+        for name in sorted(os.listdir(self._meta)):
+            if not (name.startswith("snap-") and name.endswith(".json")):
+                continue
+            m = _read_json(os.path.join(self._meta, name))
+            rows.append(
+                (
+                    m["snapshot_id"],
+                    m["parent_id"],
+                    m["operation"],
+                    len(m["files"]),
+                    sum(f["rows"] for f in m["files"]),
+                    sum(f["rows"] for f in m["added_files"]),
+                    m["snapshot_id"] == cur,
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "snapshot_id int, parent_id int, operation string, "
+            "n_files int, total_rows bigint, added_rows bigint, "
+            "is_current boolean",
+        )
+
+    # ---------------------------------------------------------- lifecycle
+    def rollback(self, snapshot_id: int) -> None:
+        """Point the table back at an earlier snapshot (its manifest and
+        files are untouched — later snapshots become unreferenced)."""
+        sid = self._resolve(snapshot_id)
+        tmp = self._hint_path() + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(sid))
+        os.replace(tmp, self._hint_path())
+
+    def expire_snapshots(self, keep_last: int = 1) -> list[str]:
+        """Drop manifests older than the last ``keep_last`` snapshots
+        (current chain order) and delete data files no kept manifest
+        references.  Returns the deleted file paths."""
+        cur = self.current_snapshot_id()
+        if cur is None:
+            return []
+        chain = []
+        sid: int | None = cur
+        while sid is not None and os.path.exists(self._manifest_path(sid)):
+            chain.append(sid)
+            sid = self._manifest(sid)["parent_id"]
+        keep = set(chain[: max(keep_last, 1)])
+        # snapshots past the current hint (e.g. after rollback) are
+        # unreferenced by definition
+        all_sids = {
+            int(n[5:-5])
+            for n in os.listdir(self._meta)
+            if n.startswith("snap-") and n.endswith(".json")
+        }
+        referenced: set[str] = set()
+        for s in keep:
+            referenced.update(self._files(self._manifest(s)))
+        deleted = []
+        for s in sorted(all_sids - keep):
+            for p in self._files(self._manifest(s)):
+                if p not in referenced and os.path.exists(p):
+                    os.remove(p)
+                    deleted.append(p)
+            os.remove(self._manifest_path(s))
+        # orphan sweep (Iceberg remove_orphan_files): data files no
+        # remaining manifest references — crashed attempts, conflict
+        # losers.  Single-writer assumption at sweep time, as in Iceberg.
+        for name in sorted(os.listdir(self._data)):
+            p = os.path.join(self._data, name)
+            if p not in referenced:
+                os.remove(p)
+                deleted.append(p)
+        return deleted
