@@ -9606,6 +9606,131 @@ def q_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Hybrid-retrieval reciprocal-rank fusion (RRF, Cormack et al. 2009 —
+# the standard lexical+semantic fusion a retrieval-augmented training
+# pipeline runs): BM25 ranking over documents fused with cosine ranking
+# against a fixed query embedding (vec 0).  100 TB shape: each system
+# produces a DISTRIBUTED top-K first (orderBy+limit plans as
+# TakeOrderedAndProject — partial per-partition top-K, no global rank
+# window over the corpus); ranks, the full-outer fusion join, and the
+# final top-N then run over two bounded K-row lists.  The RRF term
+# 1/(60+rank) is floor-quantized to BIGINT micro-units so the fused sum
+# is an exact integer in both engines.
+# --------------------------------------------------------------------------
+_RRF_KSYS = 50  # per-system candidate list size
+_RRF_TOPN = 20
+
+
+def _rrf_u(col: str) -> str:
+    return f"CAST(floor(1.0e9 / (6.0e1 + CAST({col} AS DOUBLE))) AS BIGINT)"
+
+
+_RRF_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id),
+g AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+tf AS (
+  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+  FROM toks WHERE w IN ({_BM25_IN}) GROUP BY doc_id, w
+),
+df AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY w),
+x AS (
+  SELECT tf.doc_id, {_BM25_TERM_PPM} AS term_ppm
+  FROM tf JOIN df USING (w) JOIN dl USING (doc_id) CROSS JOIN g
+),
+bm AS (SELECT doc_id, CAST(sum(term_ppm) AS BIGINT) AS score_ppm
+       FROM x GROUP BY doc_id),
+lex AS (
+  SELECT doc_id, r FROM (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY score_ppm DESC, doc_id) AS r
+    FROM bm
+  ) WHERE r <= {_RRF_KSYS}
+),
+sem0 AS (
+  SELECT e.vec_id AS doc_id,
+         list_cosine_similarity(
+           e.embedding,
+           (SELECT embedding FROM embeddings WHERE vec_id = 0)) AS cos
+  FROM embeddings e WHERE e.vec_id <> 0
+),
+sem AS (
+  SELECT doc_id, r FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS r
+    FROM sem0
+  ) WHERE r <= {_RRF_KSYS}
+),
+fused AS (
+  SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+         CAST((CASE WHEN l.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+            + (CASE WHEN s.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS int)
+           AS n_sys,
+         COALESCE({_rrf_u('l.r')}, CAST(0 AS BIGINT))
+           + COALESCE({_rrf_u('s.r')}, CAST(0 AS BIGINT)) AS rrf_u
+  FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
+)
+SELECT doc_id, n_sys, rrf_u, CAST(rnk AS int) AS rnk FROM (
+  SELECT *, row_number() OVER (ORDER BY rrf_u DESC, doc_id) AS rnk
+  FROM fused
+) WHERE rnk <= {_RRF_TOPN}
+"""
+
+
+@register("rrf_fusion", _RRF_ORACLE)
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RRF over (BM25 top-K, cosine-vs-vec-0 top-K).  Per-system lists
+    come from distributed top-K (TakeOrderedAndProject / the brute-GEMM
+    kernel's per-batch top-K); only the two K-row lists see windows."""
+    from gdal_spark.operators.similarity import brute_force_topk
+
+    bm = q_bm25_score(spark, sf_dir)
+    lex = (
+        bm.orderBy(F.desc("score_ppm"), "doc_id")
+        .limit(_RRF_KSYS)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("score_ppm"), "doc_id"))
+            .alias("r"),
+        )
+    )
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    sem = brute_force_topk(
+        e.filter(F.col("vec_id") == 0), e, k=_RRF_KSYS
+    ).select(F.col("neighbor_id").alias("doc_id"), F.col("rnk").alias("r"))
+    zero = F.lit(0).cast("bigint")
+    fused = (
+        lex.alias("l")
+        .join(sem.alias("s"), F.expr("l.doc_id = s.doc_id"), "full_outer")
+        .select(
+            F.coalesce(F.col("l.doc_id"), F.col("s.doc_id")).alias("doc_id"),
+            (
+                F.when(F.col("l.doc_id").isNotNull(), 1).otherwise(0)
+                + F.when(F.col("s.doc_id").isNotNull(), 1).otherwise(0)
+            )
+            .cast("int")
+            .alias("n_sys"),
+            (
+                F.coalesce(F.expr(_rrf_u("l.r")), zero)
+                + F.coalesce(F.expr(_rrf_u("s.r")), zero)
+            ).alias("rrf_u"),
+        )
+    )
+    return (
+        fused.withColumn(
+            "rnk",
+            F.row_number()
+            .over(Window.orderBy(F.desc("rrf_u"), "doc_id"))
+            .cast("int"),
+        )
+        .filter(F.col("rnk") <= _RRF_TOPN)
+    )
+
+
+# --------------------------------------------------------------------------
 # Snapshot-incremental aggregate maintenance (the Iceberg per-snapshot
 # checkpoint/resume shape of the north rule): the per-user rollup for
 # snapshot 2 is computed by MERGING the persisted snapshot-1 partial
