@@ -188,17 +188,38 @@ def rects_polys_intersection_area(
     T = len(tris)
     if N == 0 or T == 0:
         return np.zeros(N)
-    subj = np.repeat(tris, N, axis=0)  # (T*N, 3, 2) grouped by triangle
-    r = np.tile(rects, (T, 1))  # matching rects
-    x0, y0, x1, y1 = r[:, 0], r[:, 1], r[:, 2], r[:, 3]
-    edges = [  # CCW rect boundary as 4 directed clip edges
-        (x0, y0, x1, y0),
-        (x1, y0, x1, y1),
-        (x1, y1, x0, y1),
-        (x0, y1, x0, y0),
-    ]
-    areas = clip_convex_areas(subj, edges)
-    weighted = areas * np.repeat(weights, N)
+    # bbox prefilter on the T x N pair grid: a (triangle, rect) pair
+    # whose bboxes don't overlap contributes EXACTLY 0.0, so only the
+    # surviving pairs go through the padded S-H passes.  Results are
+    # scattered back into the full (T, N) zero matrix and summed with
+    # the SAME reshape(T, N).sum(axis=0) as the unfiltered path, so the
+    # output is bit-identical (omitted terms are exact zeros in the
+    # same summation slots).
+    tx0 = tris[:, :, 0].min(axis=1)
+    tx1 = tris[:, :, 0].max(axis=1)
+    ty0 = tris[:, :, 1].min(axis=1)
+    ty1 = tris[:, :, 1].max(axis=1)
+    rx0, ry0, rx1, ry1 = rects[:, 0], rects[:, 1], rects[:, 2], rects[:, 3]
+    live = (
+        (tx0[:, None] < rx1[None, :])
+        & (tx1[:, None] > rx0[None, :])
+        & (ty0[:, None] < ry1[None, :])
+        & (ty1[:, None] > ry0[None, :])
+    )  # (T, N), triangle-major like the job layout below
+    flat = live.ravel()
+    weighted = np.zeros(T * N)
+    if flat.any():
+        ti, ni = np.nonzero(live)
+        subj = tris[ti]  # (K, 3, 2)
+        x0, y0, x1, y1 = rx0[ni], ry0[ni], rx1[ni], ry1[ni]
+        edges = [  # CCW rect boundary as 4 directed clip edges
+            (x0, y0, x1, y0),
+            (x1, y0, x1, y1),
+            (x1, y1, x0, y1),
+            (x0, y1, x0, y0),
+        ]
+        areas = clip_convex_areas(subj, edges)
+        weighted[flat] = areas * weights[ti]
     return weighted.reshape(T, N).sum(axis=0)
 
 

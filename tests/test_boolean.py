@@ -144,3 +144,52 @@ class TestRectilinear:
         rr = rectilinear_rects(mp)
         area = ((rr[:, 2] - rr[:, 0]) * (rr[:, 3] - rr[:, 1])).sum()
         assert area == pytest.approx(8.0)
+
+
+class TestBboxPrefilterBitParity:
+    """The T x N bbox prefilter in rects_polys_intersection_area must be
+    invisible: skipped pairs are exact zeros in the same summation
+    slots, so the filtered result is BIT-identical to running the
+    padded S-H on every pair (the pre-prefilter job layout)."""
+
+    def _unfiltered(self, rects, tris, weights):
+        from gdal_spark.geometry.boolean import clip_convex_areas
+
+        N, T = len(rects), len(tris)
+        subj = np.repeat(tris, N, axis=0)
+        r = np.tile(rects, (T, 1))
+        x0, y0, x1, y1 = r[:, 0], r[:, 1], r[:, 2], r[:, 3]
+        edges = [
+            (x0, y0, x1, y0),
+            (x1, y0, x1, y1),
+            (x1, y1, x0, y1),
+            (x0, y1, x0, y0),
+        ]
+        areas = clip_convex_areas(subj, edges)
+        weighted = areas * np.repeat(weights, N)
+        return weighted.reshape(T, N).sum(axis=0)
+
+    def test_random_soups_bit_identical(self):
+        from gdal_spark.geometry.boolean import (
+            rects_polys_intersection_area,
+            weighted_triangles,
+        )
+
+        rng = np.random.default_rng(42)
+        for _ in range(25):
+            # ragged random star polygon -> triangle soup with signs
+            k = rng.integers(5, 12)
+            ang = np.sort(rng.uniform(0, 2 * np.pi, k))
+            rad = rng.uniform(0.5, 4.0, k)
+            ring = np.c_[rad * np.cos(ang), rad * np.sin(ang)]
+            ring = np.vstack([ring, ring[:1]])
+            tris, w = weighted_triangles([[ring]])
+            n = int(rng.integers(1, 40))
+            cx = rng.uniform(-5, 5, n)
+            cy = rng.uniform(-5, 5, n)
+            hw = rng.uniform(0.05, 2.0, n)
+            hh = rng.uniform(0.05, 2.0, n)
+            rects = np.c_[cx - hw, cy - hh, cx + hw, cy + hh]
+            got = rects_polys_intersection_area(rects, tris, w)
+            exp = self._unfiltered(rects, tris, w)
+            np.testing.assert_array_equal(got, exp)
