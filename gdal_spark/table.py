@@ -30,6 +30,12 @@ Iceberg-style: a commit re-checks immediately before the hint swap that
 the current snapshot is still the parent it built against and raises
 ``CommitConflict`` otherwise (first writer wins; no lock files).
 
+Streaming: ``foreach_batch_sink()`` turns the table into an
+exactly-once Structured Streaming sink — one snapshot per micro-batch,
+keyed by batch_id; a micro-batch replayed after a crash between the
+sink commit and the checkpoint commit is deduplicated by
+``last_batch_id`` (the standard foreachBatch idempotence pattern).
+
 Scale notes (100 TB): manifests carry file-level row counts so readers
 plan from metadata without listing the directory; ``read`` hands Spark
 the manifest's file list directly, so partition pruning and column
@@ -98,7 +104,9 @@ class SnapshotTable:
         return sid
 
     # -------------------------------------------------------------- commit
-    def _commit(self, df: DataFrame, operation: str) -> int:
+    def _commit(
+        self, df: DataFrame, operation: str, batch_id: int | None = None
+    ) -> int:
         parent = self.current_snapshot_id()
         sid = (parent or 0) + 1
         # sweep leftovers from a crashed attempt at this id (invisible to
@@ -144,10 +152,19 @@ class SnapshotTable:
             if operation == "append" and parent is not None
             else []
         )
+        parent_last = (
+            self._manifest(parent).get("last_batch_id", -1)
+            if parent is not None
+            else -1
+        )
         manifest = {
             "snapshot_id": sid,
             "parent_id": parent,
             "operation": operation,
+            "batch_id": batch_id,
+            "last_batch_id": max(
+                parent_last, batch_id if batch_id is not None else -1
+            ),
             "files": base
             + [
                 {"path": p, "rows": counts.get(os.path.basename(p), 0)}
@@ -180,6 +197,34 @@ class SnapshotTable:
 
     def append(self, df: DataFrame) -> int:
         return self._commit(df, "append")
+
+    # ----------------------------------------------- streaming (foreachBatch)
+    def last_batch_id(self) -> int:
+        """Highest streaming batch id ever committed (-1 if none)."""
+        sid = self.current_snapshot_id()
+        if sid is None:
+            return -1
+        return self._manifest(sid).get("last_batch_id", -1)
+
+    def append_batch(self, df: DataFrame, batch_id: int) -> bool:
+        """Exactly-once micro-batch append: Structured Streaming replays
+        a micro-batch after a crash between the sink commit and the
+        checkpoint commit, so a batch_id at or below the last committed
+        one is SKIPPED (the Iceberg foreachBatch idempotence pattern).
+        Returns True if the snapshot committed, False if deduplicated."""
+        if batch_id <= self.last_batch_id():
+            return False
+        self._commit(df, "append", batch_id=batch_id)
+        return True
+
+    def foreach_batch_sink(self):
+        """``df.writeStream.foreachBatch(table.foreach_batch_sink())`` —
+        one snapshot per micro-batch, replay-safe."""
+
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            self.append_batch(batch_df, batch_id)
+
+        return sink
 
     def overwrite(self, df: DataFrame) -> int:
         return self._commit(df, "overwrite")

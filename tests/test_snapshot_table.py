@@ -221,3 +221,52 @@ def test_span_sequence_passthrough(spark, root, sf_dir):
         ),
     ).first()
     assert agg["n"] == docs.count() and agg["ok"] == agg["n"]
+
+
+def test_streaming_exactly_once_sink(spark, root, tmp_path):
+    """Structured Streaming -> SnapshotTable via foreachBatch: one
+    snapshot per micro-batch, keyed by batch_id.  A rerun from the same
+    checkpoint adds nothing; a replayed batch_id (crash between sink
+    commit and checkpoint commit) is deduplicated — the exactly-once
+    sink pattern the north rule's per-snapshot checkpointing implies."""
+    from gdal_spark.table import SnapshotTable
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    for i in range(3):  # 3 files + maxFilesPerTrigger=1 -> 3 micro-batches
+        spark.range(i * 10, i * 10 + 10).selectExpr("id AS k").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+    t = SnapshotTable(spark, root)
+
+    def run():
+        q = (
+            spark.readStream.schema("k bigint")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(t.foreach_batch_sink())
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    assert t.read().count() == 30
+    assert sorted(r["k"] for r in t.read().collect()) == list(range(30))
+    n_snaps = t.snapshots().count()
+    assert n_snaps >= 2  # rate-limited into multiple micro-batches
+    assert t.last_batch_id() >= 1
+
+    run()  # same checkpoint, no new data -> zero new snapshots
+    assert t.snapshots().count() == n_snaps
+    assert t.read().count() == 30
+
+    # crash replay: the sink sees the SAME batch_id again -> skipped
+    dup = spark.range(5).selectExpr("id AS k")
+    assert t.append_batch(dup, t.last_batch_id()) is False
+    assert t.read().count() == 30
+    # and the changelog covers exactly the post-snapshot-1 micro-batches
+    assert (
+        t.incremental(1).count() == 30 - t.read(snapshot_id=1).count()
+    )
