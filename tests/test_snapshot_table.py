@@ -270,3 +270,65 @@ def test_streaming_exactly_once_sink(spark, root, tmp_path):
     assert (
         t.incremental(1).count() == 30 - t.read(snapshot_id=1).count()
     )
+
+
+def test_snapshot_table_model_random_op_sequences(spark):
+    """Model-based pin: any sequence of append/overwrite/rollback leaves
+    EVERY addressable snapshot readable with exactly the rows the model
+    predicts (including stale orphan branches left behind by rollback,
+    whose manifests are only rewritten if their id is re-committed)."""
+    import shutil
+    import tempfile
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    val = st.lists(
+        st.integers(min_value=0, max_value=99), min_size=1, max_size=5
+    )
+    op = st.one_of(
+        st.tuples(st.just("append"), val),
+        st.tuples(st.just("overwrite"), val),
+        st.tuples(st.just("rollback"), st.integers(min_value=0)),
+    )
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(st.lists(op, min_size=1, max_size=8))
+    def run(ops):
+        root = tempfile.mkdtemp(prefix="snaptab_model_")
+        try:
+            t = SnapshotTable(spark, root)
+            model: dict[int, list[int]] = {}  # sid -> sorted rows
+            cur: int | None = None
+            for kind, arg in ops:
+                if kind == "rollback":
+                    if cur is None:
+                        continue
+                    chain = [cur]
+                    # model chain: walk parents we know (ids below cur
+                    # that are chain-ancestors is enough: roll to any
+                    # EXISTING model id — the table allows that)
+                    target = sorted(model)[arg % len(model)]
+                    t.rollback(target)
+                    cur = target
+                    continue
+                vals = arg
+                df = spark.createDataFrame(
+                    [(v,) for v in vals], "k int"
+                )
+                sid = t.append(df) if kind == "append" else t.overwrite(df)
+                base = model.get(cur, []) if kind == "append" else []
+                model[sid] = sorted(base + vals)
+                cur = sid
+            assert t.current_snapshot_id() == cur
+            for sid, rows in model.items():
+                got = sorted(r["k"] for r in t.read(sid).collect())
+                assert got == rows, (sid, got, rows)
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+    run()
