@@ -9822,6 +9822,47 @@ def q_table_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Snapshot-table equality deletes (Iceberg v2 merge-on-read): snapshot 1
+# appends two thirds of the orders layer, snapshot 2 commits a DELETE
+# FILE for keys divisible by 7 (no data file rewritten — the read
+# applies a scoped anti-join), snapshot 3 appends the last third, whose
+# %7 keys SURVIVE because the delete only covers files added at or
+# before its snapshot (the sequence-number rule).  The oracle encodes
+# exactly that semantics against the base table.
+# --------------------------------------------------------------------------
+_TABLE_DEL_ORACLE = f"""
+SELECT o_orderkey, {_TABLE_INC_PRICE} AS price_c
+FROM orders
+WHERE (o_orderkey % 3 IN (0, 1) AND o_orderkey % 7 <> 0)
+   OR o_orderkey % 3 = 2
+"""
+
+
+@register("table_deletes", _TABLE_DEL_ORACLE)
+def q_table_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    from gdal_spark.table import SnapshotTable
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "gdal_spark_deltab_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:8],
+    )
+    t = SnapshotTable(spark, root)
+    if t.current_snapshot_id() != 3:
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderkey", F.expr(_TABLE_INC_PRICE).alias("price_c")
+        )
+        t.append(o.filter(F.expr("o_orderkey % 3 IN (0, 1)")))
+        t.delete_where("o_orderkey % 7 = 0", ["o_orderkey"])
+        t.append(o.filter(F.expr("o_orderkey % 3 = 2")))
+    return t.read()
+
+
+# --------------------------------------------------------------------------
 # gdal2xyz (swig/python/gdal-utils/osgeo_utils/gdal2xyz.py): raster ->
 # XYZ dump with -srcwin, -skip, -b band selection and -skipnodata
 # (:188-190 skips a pixel iff the FULL selected-band vector equals the

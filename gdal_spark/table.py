@@ -30,6 +30,12 @@ Iceberg-style: a commit re-checks immediately before the hint swap that
 the current snapshot is still the parent it built against and raises
 ``CommitConflict`` otherwise (first writer wins; no lock files).
 
+Equality deletes (Iceberg v2 merge-on-read): ``delete_where`` commits a
+DELETE FILE of matching keys instead of rewriting data files; reads
+apply it as an anti-join scoped to data files added at or before the
+delete's snapshot (the sequence-number rule — re-appended keys
+survive).  ``compact()`` rewrites the state and drops the delete chain.
+
 Streaming: ``foreach_batch_sink()`` turns the table into an
 exactly-once Structured Streaming sink — one snapshot per micro-batch,
 keyed by batch_id; a micro-batch replayed after a crash between the
@@ -105,7 +111,11 @@ class SnapshotTable:
 
     # -------------------------------------------------------------- commit
     def _commit(
-        self, df: DataFrame, operation: str, batch_id: int | None = None
+        self,
+        df: DataFrame,
+        operation: str,
+        batch_id: int | None = None,
+        delete_key_cols: list[str] | None = None,
     ) -> int:
         parent = self.current_snapshot_id()
         sid = (parent or 0) + 1
@@ -120,12 +130,13 @@ class SnapshotTable:
         # a losing concurrent writer must never collide with — let alone
         # delete — the committed winner's files for the same snapshot id
         nonce = uuid.uuid4().hex[:8]
+        stem = "del" if operation == "delete" else "snap"
         new_files, i = [], 0
         for name in sorted(os.listdir(staging)):
             if not name.endswith(".parquet"):
                 continue
             dest = os.path.join(
-                self._data, f"snap{sid}-{nonce}-{i:05d}.parquet"
+                self._data, f"{stem}{sid}-{nonce}-{i:05d}.parquet"
             )
             os.replace(os.path.join(staging, name), dest)
             new_files.append(dest)
@@ -147,16 +158,22 @@ class SnapshotTable:
                     "count"
                 ]
 
-        base = (
-            self._manifest(parent)["files"]
-            if operation == "append" and parent is not None
+        pm = self._manifest(parent) if parent is not None else {}
+        base = pm.get("files", []) if operation in ("append", "delete") else []
+        parent_dels = (
+            pm.get("delete_files", [])
+            if operation in ("append", "delete")
             else []
         )
-        parent_last = (
-            self._manifest(parent).get("last_batch_id", -1)
-            if parent is not None
-            else -1
-        )
+        parent_last = pm.get("last_batch_id", -1)
+        new_entries = [
+            {
+                "path": p,
+                "rows": counts.get(os.path.basename(p), 0),
+                "added_sid": sid,
+            }
+            for p in new_files
+        ]
         manifest = {
             "snapshot_id": sid,
             "parent_id": parent,
@@ -165,15 +182,20 @@ class SnapshotTable:
             "last_batch_id": max(
                 parent_last, batch_id if batch_id is not None else -1
             ),
-            "files": base
-            + [
-                {"path": p, "rows": counts.get(os.path.basename(p), 0)}
-                for p in new_files
-            ],
-            "added_files": [
-                {"path": p, "rows": counts.get(os.path.basename(p), 0)}
-                for p in new_files
-            ],
+            "files": base + ([] if operation == "delete" else new_entries),
+            "added_files": [] if operation == "delete" else new_entries,
+            # equality-delete files (Iceberg v2 merge-on-read): each
+            # applies to data files ADDED AT OR BEFORE its snapshot, so
+            # keys re-appended later survive
+            "delete_files": parent_dels
+            + (
+                [
+                    {"path": p, "key_cols": delete_key_cols, "sid": sid}
+                    for p in new_files
+                ]
+                if operation == "delete"
+                else []
+            ),
         }
         mpath = self._manifest_path(sid)
         tmp_m = mpath + ".tmp"
@@ -234,11 +256,48 @@ class SnapshotTable:
         return [f["path"] for f in manifest[key]]
 
     def read(self, snapshot_id: int | None = None) -> DataFrame:
-        """Current state, or the state AS OF an earlier snapshot."""
-        files = self._files(self._manifest(self._resolve(snapshot_id)))
+        """Current state, or the state AS OF an earlier snapshot.
+        Equality-delete files (merge-on-read) are applied as anti-joins
+        scoped to the data files they cover: a delete at snapshot d
+        masks rows only from files added at sid <= d, so re-appended
+        keys survive — the Iceberg sequence-number rule."""
+        m = self._manifest(self._resolve(snapshot_id))
+        files = m["files"]
         if not files:
             raise ValueError(f"{self.root}: snapshot has no data files")
-        return self.spark.read.parquet(*files)
+        dels = m.get("delete_files", [])
+        if not dels:
+            return self.spark.read.parquet(*[f["path"] for f in files])
+        groups: dict[int, list[str]] = {}
+        for f in files:
+            groups.setdefault(f.get("added_sid", 0), []).append(f["path"])
+        out = None
+        for added_sid, paths in sorted(groups.items()):
+            df = self.spark.read.parquet(*paths)
+            for d in dels:
+                if d["sid"] >= added_sid:
+                    keys = self.spark.read.parquet(d["path"])
+                    df = df.join(keys, d["key_cols"], "left_anti")
+            out = df if out is None else out.unionByName(df)
+        return out
+
+    def delete_where(self, condition: str, key_cols: list[str]) -> int:
+        """Equality-delete commit: rows of the CURRENT state matching
+        ``condition`` are masked by writing their distinct ``key_cols``
+        as a delete file — no data file is rewritten (merge-on-read).
+        Rows appended after this snapshot are untouched even if their
+        keys match."""
+        keys = (
+            self.read().filter(condition).select(*key_cols).distinct()
+        )
+        return self._commit(keys, "delete", delete_key_cols=key_cols)
+
+    def compact(self) -> int:
+        """Rewrite the current state into fresh data files and drop the
+        delete-file chain (Iceberg rewrite_data_files): read-time
+        anti-joins disappear; old files become unreferenced and fall to
+        ``expire_snapshots``."""
+        return self._commit(self.read(), "overwrite")
 
     def incremental(
         self, from_id: int, to_id: int | None = None
@@ -285,6 +344,7 @@ class SnapshotTable:
                     len(m["files"]),
                     sum(f["rows"] for f in m["files"]),
                     sum(f["rows"] for f in m["added_files"]),
+                    len(m.get("delete_files", [])),
                     m["snapshot_id"] == cur,
                 )
             )
@@ -292,7 +352,7 @@ class SnapshotTable:
             rows,
             "snapshot_id int, parent_id int, operation string, "
             "n_files int, total_rows bigint, added_rows bigint, "
-            "is_current boolean",
+            "n_delete_files int, is_current boolean",
         )
 
     # ---------------------------------------------------------- lifecycle
@@ -327,7 +387,9 @@ class SnapshotTable:
         }
         referenced: set[str] = set()
         for s in keep:
-            referenced.update(self._files(self._manifest(s)))
+            m = self._manifest(s)
+            referenced.update(self._files(m))
+            referenced.update(d["path"] for d in m.get("delete_files", []))
         deleted = []
         for s in sorted(all_sids - keep):
             for p in self._files(self._manifest(s)):

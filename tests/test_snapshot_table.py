@@ -332,3 +332,71 @@ def test_snapshot_table_model_random_op_sequences(spark):
             shutil.rmtree(root, ignore_errors=True)
 
     run()
+
+
+def test_equality_deletes_merge_on_read(spark, root):
+    """delete_where masks matching keys without rewriting data files;
+    keys appended AFTER the delete survive (Iceberg sequence-number
+    rule); time travel before the delete still sees everything."""
+    t = SnapshotTable(spark, root)
+    t.append(_batch(spark, 0, 10, "a"))  # snap 1
+    sid = t.delete_where("k % 3 = 0", ["k"])  # snap 2: masks 0,3,6,9
+    assert sid == 2
+    assert sorted(r["k"] for r in t.read().collect()) == [
+        1, 2, 4, 5, 7, 8,
+    ]
+    assert t.read(snapshot_id=1).count() == 10  # pre-delete time travel
+    # no data file was rewritten: snap 2 carries snap 1's files verbatim
+    m = {r["snapshot_id"]: r for r in t.snapshots().collect()}
+    assert m[2]["operation"] == "delete"
+    assert m[2]["n_files"] == m[1]["n_files"]
+    assert m[2]["added_rows"] == 0 and m[2]["n_delete_files"] >= 1
+
+    # re-append a deleted key AFTER the delete -> it survives
+    t.append(_batch(spark, 3, 4, "later"))  # snap 3: k=3 again
+    got = sorted((r["k"], r["tag"]) for r in t.read().collect())
+    assert (3, "later") in got and (3, "a") not in got
+    assert len(got) == 7
+
+    # a second delete masks across BOTH file generations
+    t.delete_where("k = 7 OR k = 3", ["k"])  # snap 4
+    ks = sorted(r["k"] for r in t.read().collect())
+    assert ks == [1, 2, 4, 5, 8]
+
+
+def test_compact_drops_delete_chain_and_expire_reclaims(spark, root):
+    t = SnapshotTable(spark, root)
+    t.append(_batch(spark, 0, 10, "a"))
+    t.delete_where("k >= 5", ["k"])
+    before = _vals(t.read())
+    sid = t.compact()
+    assert _vals(t.read()) == before  # content-preserving rewrite
+    m = {r["snapshot_id"]: r for r in t.snapshots().collect()}
+    assert m[sid]["n_delete_files"] == 0  # read-time anti-joins gone
+    # the delete file and old data files become unreferenced
+    deleted = t.expire_snapshots(keep_last=1)
+    assert any("del" in os.path.basename(p) for p in deleted)
+    assert _vals(t.read()) == before
+
+
+def test_delete_breaks_incremental_chain(spark, root):
+    t = SnapshotTable(spark, root)
+    t.append(_batch(spark, 0, 5, "a"))
+    t.delete_where("k = 0", ["k"])
+    t.append(_batch(spark, 5, 8, "b"))
+    with pytest.raises(IncrementalAcrossOverwrite):
+        t.incremental(1).count()
+    assert t.incremental(2).count() == 3  # post-delete appends scan fine
+
+
+def test_expire_keeps_delete_files_referenced_by_kept_snapshots(
+    spark, root
+):
+    t = SnapshotTable(spark, root)
+    t.append(_batch(spark, 0, 10, "a"))
+    t.delete_where("k < 2", ["k"])
+    t.append(_batch(spark, 10, 12, "b"))  # current references the delete
+    t.expire_snapshots(keep_last=1)
+    assert sorted(r["k"] for r in t.read().collect()) == [
+        2, 3, 4, 5, 6, 7, 8, 9, 10, 11,
+    ]
