@@ -290,6 +290,13 @@ def test_snapshot_table_model_random_op_sequences(spark):
         st.tuples(st.just("append"), val),
         st.tuples(st.just("overwrite"), val),
         st.tuples(st.just("rollback"), st.integers(min_value=0)),
+        st.tuples(
+            st.just("delete"),
+            st.tuples(
+                st.integers(min_value=2, max_value=5),
+                st.integers(min_value=0, max_value=4),
+            ),
+        ),
     )
 
     @settings(
@@ -308,13 +315,21 @@ def test_snapshot_table_model_random_op_sequences(spark):
                 if kind == "rollback":
                     if cur is None:
                         continue
-                    chain = [cur]
-                    # model chain: walk parents we know (ids below cur
-                    # that are chain-ancestors is enough: roll to any
-                    # EXISTING model id — the table allows that)
+                    # roll to any EXISTING model id — the table allows
+                    # reading/branching from orphan branches too
                     target = sorted(model)[arg % len(model)]
                     t.rollback(target)
                     cur = target
+                    continue
+                if kind == "delete":
+                    if cur is None:
+                        continue
+                    m, r = arg
+                    sid = t.delete_where(f"k % {m} = {r}", ["k"])
+                    model[sid] = sorted(
+                        v for v in model[cur] if v % m != r
+                    )
+                    cur = sid
                     continue
                 vals = arg
                 df = spark.createDataFrame(
