@@ -42,13 +42,17 @@ keyed by batch_id; a micro-batch replayed after a crash between the
 sink commit and the checkpoint commit is deduplicated by
 ``last_batch_id`` (the standard foreachBatch idempotence pattern).
 
-Scale notes (100 TB): manifests carry file-level row counts so readers
-plan from metadata without listing the directory; ``read`` hands Spark
-the manifest's file list directly, so partition pruning and column
-projection work exactly as on a plain parquet scan; ``incremental``
-reads ONLY the files added after the from-snapshot — the delta-job
-shape (registry ``snapshot_delta``) where maintenance cost follows the
-delta, never the history.
+Scale notes (100 TB): manifests carry file-level row counts AND
+per-file min/max column stats (``stats_cols``) so readers plan from
+metadata without listing the directory; ``pruned_read`` opens only the
+files whose recorded range can match a predicate (Iceberg scan
+planning — a selective query touches metadata plus the matching files,
+never the table); ``read`` hands Spark the manifest's file list
+directly, so row-group pruning and column projection work exactly as
+on a plain parquet scan; ``incremental`` reads ONLY the files added
+after the from-snapshot — the delta-job shape (registry
+``snapshot_delta``) where maintenance cost follows the delta, never
+the history.
 """
 
 from __future__ import annotations
@@ -76,9 +80,20 @@ def _read_json(path: str) -> dict:
 
 
 class SnapshotTable:
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        stats_cols: list[str] | None = None,
+    ):
+        """``stats_cols``: columns whose per-file min/max are recorded in
+        each commit's manifest (numeric or string), enabling
+        manifest-level file skipping via :meth:`pruned_read` — the
+        Iceberg scan-planning feature that makes a predicate touch only
+        the files whose value range can match."""
         self.spark = spark
         self.root = root
+        self.stats_cols = stats_cols or []
         self._data = os.path.join(root, "data")
         self._meta = os.path.join(root, "metadata")
         os.makedirs(self._data, exist_ok=True)
@@ -143,20 +158,32 @@ class SnapshotTable:
             i += 1
         shutil.rmtree(staging)
 
-        # per-file lineage + metrics in ONE job (input_file_name groupBy),
-        # not a count per file
+        # per-file lineage + metrics + column min/max stats in ONE job
+        # (input_file_name groupBy), not a job per file
         counts: dict[str, int] = {}
+        stats: dict[str, dict[str, list]] = {}
         if new_files:
+            scan = self.spark.read.parquet(*new_files)
+            scols = [
+                c
+                for c in self.stats_cols
+                if operation != "delete" and c in scan.columns
+            ]
+            aggs = [F.count(F.lit(1)).alias("_n")]
+            for c in scols:
+                aggs.append(F.min(c).alias(f"_min_{c}"))
+                aggs.append(F.max(c).alias(f"_max_{c}"))
             rows = (
-                self.spark.read.parquet(*new_files)
-                .groupBy(F.input_file_name().alias("f"))
-                .count()
+                scan.groupBy(F.input_file_name().alias("f"))
+                .agg(*aggs)
                 .collect()
             )
             for r in rows:
-                counts[os.path.basename(r["f"].removeprefix("file://"))] = r[
-                    "count"
-                ]
+                name = os.path.basename(r["f"].removeprefix("file://"))
+                counts[name] = r["_n"]
+                stats[name] = {
+                    c: [r[f"_min_{c}"], r[f"_max_{c}"]] for c in scols
+                }
 
         pm = self._manifest(parent) if parent is not None else {}
         base = pm.get("files", []) if operation in ("append", "delete") else []
@@ -171,6 +198,7 @@ class SnapshotTable:
                 "path": p,
                 "rows": counts.get(os.path.basename(p), 0),
                 "added_sid": sid,
+                "stats": stats.get(os.path.basename(p), {}),
             }
             for p in new_files
         ]
@@ -262,9 +290,11 @@ class SnapshotTable:
         masks rows only from files added at sid <= d, so re-appended
         keys survive — the Iceberg sequence-number rule."""
         m = self._manifest(self._resolve(snapshot_id))
-        files = m["files"]
-        if not files:
+        if not m["files"]:
             raise ValueError(f"{self.root}: snapshot has no data files")
+        return self._scan(m, m["files"])
+
+    def _scan(self, m: dict, files: list[dict]) -> DataFrame:
         dels = m.get("delete_files", [])
         if not dels:
             return self.spark.read.parquet(*[f["path"] for f in files])
@@ -280,6 +310,59 @@ class SnapshotTable:
                     df = df.join(keys, d["key_cols"], "left_anti")
             out = df if out is None else out.unionByName(df)
         return out
+
+    # -------------------------------------------- manifest-level pruning
+    def pruned_files(
+        self,
+        col: str,
+        lo=None,
+        hi=None,
+        snapshot_id: int | None = None,
+    ) -> list[dict]:
+        """Data-file entries whose manifest [min, max] range for ``col``
+        can intersect [lo, hi] (either bound optional).  Files with no
+        recorded stats for ``col`` are KEPT — pruning is never unsound."""
+        m = self._manifest(self._resolve(snapshot_id))
+        keep = []
+        for f in m["files"]:
+            s = f.get("stats", {}).get(col)
+            if (
+                s is None
+                or s[0] is None  # all-NULL file: range unknown
+                or (
+                    (hi is None or s[0] <= hi)
+                    and (lo is None or s[1] >= lo)
+                )
+            ):
+                keep.append(f)
+        return keep
+
+    def pruned_read(
+        self,
+        col: str,
+        lo=None,
+        hi=None,
+        snapshot_id: int | None = None,
+    ) -> DataFrame:
+        """Range scan with manifest-level file skipping: only files
+        whose recorded [min, max] can contain a row in [lo, hi] are
+        opened; the residual row-level filter still applies (and
+        equality deletes apply to the survivors exactly as in
+        :meth:`read`).  The Iceberg scan-planning shape: at 100 TB a
+        selective predicate touches metadata plus the handful of
+        matching files, never the table."""
+        m = self._manifest(self._resolve(snapshot_id))
+        files = self.pruned_files(col, lo, hi, snapshot_id)
+        if not files:
+            base = self.read(snapshot_id).limit(0)
+        else:
+            base = self._scan(m, files)
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (F.col(col) >= F.lit(lo))
+        if hi is not None:
+            cond = cond & (F.col(col) <= F.lit(hi))
+        return base.filter(cond)
 
     def delete_where(self, condition: str, key_cols: list[str]) -> int:
         """Equality-delete commit: rows of the CURRENT state matching

@@ -415,3 +415,39 @@ def test_expire_keeps_delete_files_referenced_by_kept_snapshots(
     assert sorted(r["k"] for r in t.read().collect()) == [
         2, 3, 4, 5, 6, 7, 8, 9, 10, 11,
     ]
+
+
+def test_manifest_stats_file_pruning(spark, root):
+    """Manifest-level scan planning: per-file min/max stats recorded at
+    commit let a range predicate open ONLY the files whose range can
+    match; the result equals the unpruned filter, deletes still apply,
+    and pruning without stats is a no-op (never unsound)."""
+    t = SnapshotTable(spark, root, stats_cols=["k"])
+    t.append(_batch(spark, 0, 100, "a").coalesce(1))
+    t.append(_batch(spark, 100, 200, "b").coalesce(1))
+    t.append(_batch(spark, 200, 300, "c").coalesce(1))
+
+    assert len(t.pruned_files("k")) == 3  # no bounds: everything
+    hit = t.pruned_files("k", 120, 150)
+    assert len(hit) == 1  # only the middle file's range intersects
+    assert hit[0]["stats"]["k"] == [100, 199]
+
+    got = sorted(r["k"] for r in t.pruned_read("k", 120, 150).collect())
+    exp = sorted(
+        r["k"]
+        for r in t.read().filter("k >= 120 AND k <= 150").collect()
+    )
+    assert got == exp and len(got) == 31
+
+    # equality deletes apply to the pruned survivors exactly as in read
+    t.delete_where("k = 130", ["k"])
+    ks = {r["k"] for r in t.pruned_read("k", 120, 150).collect()}
+    assert 130 not in ks and len(ks) == 30
+
+    # a column with no recorded stats prunes nothing (sound fallback)
+    assert len(t.pruned_files("tag", "a", "a")) == 3
+
+    # fully out-of-range predicate: zero files, empty result, schema kept
+    assert t.pruned_files("k", 1000, 2000) == []
+    empty = t.pruned_read("k", 1000, 2000)
+    assert empty.count() == 0 and empty.columns == ["k", "tag"]
