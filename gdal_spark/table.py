@@ -125,27 +125,10 @@ class SnapshotTable:
         return sid
 
     # -------------------------------------------------------------- commit
-    def _commit(
-        self,
-        df: DataFrame,
-        operation: str,
-        batch_id: int | None = None,
-        delete_key_cols: list[str] | None = None,
-    ) -> int:
-        parent = self.current_snapshot_id()
-        sid = (parent or 0) + 1
-        # sweep leftovers from a crashed attempt at this id (invisible to
-        # readers: nothing references them until a manifest + hint commit)
-        staging = os.path.join(self.root, f"tmp-commit-{sid}")
-        if os.path.exists(staging):
-            shutil.rmtree(staging)
-
+    def _stage_files(
+        self, df: DataFrame, staging: str, stem: str, sid: int, nonce: str
+    ) -> list[str]:
         df.write.mode("overwrite").parquet(staging)
-        # per-ATTEMPT nonce in the file names (Iceberg's write UUID):
-        # a losing concurrent writer must never collide with — let alone
-        # delete — the committed winner's files for the same snapshot id
-        nonce = uuid.uuid4().hex[:8]
-        stem = "del" if operation == "delete" else "snap"
         new_files, i = [], 0
         for name in sorted(os.listdir(staging)):
             if not name.endswith(".parquet"):
@@ -157,6 +140,44 @@ class SnapshotTable:
             new_files.append(dest)
             i += 1
         shutil.rmtree(staging)
+        return new_files
+
+    def _commit(
+        self,
+        df: DataFrame | None,
+        operation: str,
+        batch_id: int | None = None,
+        delete_key_cols: list[str] | None = None,
+        delete_df: DataFrame | None = None,
+    ) -> int:
+        """One snapshot commit carrying data files (``df``), an
+        equality-delete file (``delete_df`` of ``delete_key_cols``), or
+        BOTH (merge/upsert)."""
+        parent = self.current_snapshot_id()
+        sid = (parent or 0) + 1
+        # sweep leftovers from a crashed attempt at this id (invisible to
+        # readers: nothing references them until a manifest + hint commit)
+        staging = os.path.join(self.root, f"tmp-commit-{sid}")
+        if os.path.exists(staging):
+            shutil.rmtree(staging)
+
+        if operation == "delete":
+            df, delete_df = None, df
+        # per-ATTEMPT nonce in the file names (Iceberg's write UUID):
+        # a losing concurrent writer must never collide with — let alone
+        # delete — the committed winner's files for the same snapshot id
+        nonce = uuid.uuid4().hex[:8]
+        new_files: list[str] = []
+        del_files: list[str] = []
+        if delete_df is not None:
+            # the delete file commits FIRST within the staging order so a
+            # crash can never publish data without its paired delete
+            # (nothing is visible either way until the hint swap)
+            del_files = self._stage_files(
+                delete_df, staging, "del", sid, nonce
+            )
+        if df is not None:
+            new_files = self._stage_files(df, staging, "snap", sid, nonce)
 
         # per-file lineage + metrics + column min/max stats in ONE job
         # (input_file_name groupBy), not a job per file
@@ -164,11 +185,7 @@ class SnapshotTable:
         stats: dict[str, dict[str, list]] = {}
         if new_files:
             scan = self.spark.read.parquet(*new_files)
-            scols = [
-                c
-                for c in self.stats_cols
-                if operation != "delete" and c in scan.columns
-            ]
+            scols = [c for c in self.stats_cols if c in scan.columns]
             aggs = [F.count(F.lit(1)).alias("_n")]
             for c in scols:
                 aggs.append(F.min(c).alias(f"_min_{c}"))
@@ -186,12 +203,9 @@ class SnapshotTable:
                 }
 
         pm = self._manifest(parent) if parent is not None else {}
-        base = pm.get("files", []) if operation in ("append", "delete") else []
-        parent_dels = (
-            pm.get("delete_files", [])
-            if operation in ("append", "delete")
-            else []
-        )
+        keeps_history = operation in ("append", "delete", "merge")
+        base = pm.get("files", []) if keeps_history else []
+        parent_dels = pm.get("delete_files", []) if keeps_history else []
         parent_last = pm.get("last_batch_id", -1)
         new_entries = [
             {
@@ -210,20 +224,17 @@ class SnapshotTable:
             "last_batch_id": max(
                 parent_last, batch_id if batch_id is not None else -1
             ),
-            "files": base + ([] if operation == "delete" else new_entries),
-            "added_files": [] if operation == "delete" else new_entries,
+            "files": base + new_entries,
+            "added_files": new_entries,
             # equality-delete files (Iceberg v2 merge-on-read): each
-            # applies to data files ADDED AT OR BEFORE its snapshot, so
-            # keys re-appended later survive
+            # applies to data files added BEFORE its snapshot, so keys
+            # re-appended later — including this commit's own data files
+            # (merge) — survive
             "delete_files": parent_dels
-            + (
-                [
-                    {"path": p, "key_cols": delete_key_cols, "sid": sid}
-                    for p in new_files
-                ]
-                if operation == "delete"
-                else []
-            ),
+            + [
+                {"path": p, "key_cols": delete_key_cols, "sid": sid}
+                for p in del_files
+            ],
         }
         mpath = self._manifest_path(sid)
         tmp_m = mpath + ".tmp"
@@ -233,7 +244,7 @@ class SnapshotTable:
         # optimistic check THEN atomic swap — first writer wins
         if self.current_snapshot_id() != parent:
             os.remove(tmp_m)
-            for p in new_files:
+            for p in new_files + del_files:
                 os.remove(p)
             raise CommitConflict(
                 f"{self.root}: parent moved past snapshot {parent}"
@@ -305,7 +316,8 @@ class SnapshotTable:
         for added_sid, paths in sorted(groups.items()):
             df = self.spark.read.parquet(*paths)
             for d in dels:
-                if d["sid"] >= added_sid:
+                if d["sid"] > added_sid:  # strictly-later deletes only:
+                    # a merge's own data files are never self-masked
                     keys = self.spark.read.parquet(d["path"])
                     df = df.join(keys, d["key_cols"], "left_anti")
             out = df if out is None else out.unionByName(df)
@@ -374,6 +386,18 @@ class SnapshotTable:
             self.read().filter(condition).select(*key_cols).distinct()
         )
         return self._commit(keys, "delete", delete_key_cols=key_cols)
+
+    def merge(self, source: DataFrame, key_cols: list[str]) -> int:
+        """MERGE INTO (upsert, the table-level ogr2ogr -upsert /
+        UpsertFeature analog, apps/ogr2ogr_lib.cpp:7254): ONE snapshot
+        carrying an equality-delete file for the source's keys (masking
+        any existing rows with those keys) plus data files with every
+        source row.  Matched rows are replaced, unmatched inserted,
+        untouched rows kept — merge-on-read, no data file rewritten."""
+        keys = source.select(*key_cols).distinct()
+        return self._commit(
+            source, "merge", delete_key_cols=key_cols, delete_df=keys
+        )
 
     def compact(self) -> int:
         """Rewrite the current state into fresh data files and drop the

@@ -451,3 +451,49 @@ def test_manifest_stats_file_pruning(spark, root):
     assert t.pruned_files("k", 1000, 2000) == []
     empty = t.pruned_read("k", 1000, 2000)
     assert empty.count() == 0 and empty.columns == ["k", "tag"]
+
+
+def test_merge_upsert_single_snapshot(spark, root):
+    """MERGE INTO semantics in ONE snapshot: matched keys replaced,
+    new keys inserted, untouched rows kept; the commit's own data files
+    are not masked by its own delete file; time travel still sees the
+    pre-merge state; a later plain delete applies to merged rows too."""
+    t = SnapshotTable(spark, root, stats_cols=["k"])
+    t.append(_batch(spark, 0, 10, "base"))  # snap 1
+    src = _batch(spark, 5, 12, "upd")  # 5-9 matched, 10-11 new
+    sid = t.merge(src, ["k"])
+    assert sid == 2
+    got = dict((r["k"], r["tag"]) for r in t.read().collect())
+    assert len(got) == 12
+    assert all(got[k] == "base" for k in range(0, 5))
+    assert all(got[k] == "upd" for k in range(5, 12))
+    assert t.read(snapshot_id=1).count() == 10  # pre-merge time travel
+    m = {r["snapshot_id"]: r for r in t.snapshots().collect()}
+    assert m[2]["operation"] == "merge"
+    assert m[2]["added_rows"] == 7 and m[2]["n_delete_files"] >= 1
+    # merged data files carry stats -> pruning sees them (empty part
+    # files have no group in the stats job and are soundly kept)
+    hit = t.pruned_files("k", 11, 11)
+    assert any(f["stats"].get("k") == [11, 11] for f in hit)
+    assert sorted(
+        r["k"] for r in t.pruned_read("k", 10, 11).collect()
+    ) == [10, 11]
+    # chain: merge is not append-only
+    with pytest.raises(IncrementalAcrossOverwrite):
+        t.incremental(1).count()
+    # a LATER delete masks merged rows (strictly-later rule)
+    t.delete_where("k = 6", ["k"])
+    assert 6 not in {r["k"] for r in t.read().collect()}
+
+
+def test_merge_then_compact_round_trip(spark, root):
+    t = SnapshotTable(spark, root)
+    t.append(_batch(spark, 0, 6, "a"))
+    t.merge(_batch(spark, 3, 8, "b"), ["k"])
+    before = _vals(t.read())
+    t.compact()
+    assert _vals(t.read()) == before
+    assert (
+        {r["n_delete_files"] for r in t.snapshots().collect() if r["is_current"]}
+        == {0}
+    )
