@@ -9863,6 +9863,50 @@ def q_table_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Snapshot-table MERGE INTO (upsert — the table-level twin of
+# `vector_upsert`'s ogr2ogr -upsert / UpsertFeature semantics,
+# apps/ogr2ogr_lib.cpp:7254): snapshot 1 appends the full orders layer,
+# snapshot 2 merges a source that re-prices every %7 key (+11 cents).
+# ONE snapshot carries the matched-keys delete file plus the source
+# rows, so the read shows updated prices for matched keys and original
+# rows for the rest — which is exactly what the oracle recomputes.
+# --------------------------------------------------------------------------
+_TABLE_MERGE_ORACLE = f"""
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 7 = 0
+            THEN {_TABLE_INC_PRICE} + 11
+            ELSE {_TABLE_INC_PRICE} END AS price_c
+FROM orders
+"""
+
+
+@register("table_merge", _TABLE_MERGE_ORACLE)
+def q_table_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    from gdal_spark.table import SnapshotTable
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "gdal_spark_mrgtab_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:8],
+    )
+    t = SnapshotTable(spark, root)
+    if t.current_snapshot_id() != 2:
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderkey", F.expr(_TABLE_INC_PRICE).alias("price_c")
+        )
+        t.append(o)
+        src = o.filter(F.expr("o_orderkey % 7 = 0")).select(
+            "o_orderkey", (F.col("price_c") + F.lit(11)).alias("price_c")
+        )
+        t.merge(src, ["o_orderkey"])
+    return t.read()
+
+
+# --------------------------------------------------------------------------
 # gdal2xyz (swig/python/gdal-utils/osgeo_utils/gdal2xyz.py): raster ->
 # XYZ dump with -srcwin, -skip, -b band selection and -skipnodata
 # (:188-190 skips a pixel iff the FULL selected-band vector equals the

@@ -297,6 +297,7 @@ def test_snapshot_table_model_random_op_sequences(spark):
                 st.integers(min_value=0, max_value=4),
             ),
         ),
+        st.tuples(st.just("merge"), val),
     )
 
     @settings(
@@ -328,6 +329,20 @@ def test_snapshot_table_model_random_op_sequences(spark):
                     sid = t.delete_where(f"k % {m} = {r}", ["k"])
                     model[sid] = sorted(
                         v for v in model[cur] if v % m != r
+                    )
+                    cur = sid
+                    continue
+                if kind == "merge":
+                    if cur is None:
+                        continue
+                    vals = sorted(set(arg))  # upsert: one row per key
+                    df = spark.createDataFrame(
+                        [(v,) for v in vals], "k int"
+                    )
+                    sid = t.merge(df, ["k"])
+                    model[sid] = sorted(
+                        [v for v in model[cur] if v not in set(vals)]
+                        + vals
                     )
                     cur = sid
                     continue
