@@ -1,0 +1,164 @@
+"""Positive physical-plan pins for the headline bench queries.
+
+test_driver_contract.py enforces the NEGATIVE hygiene rules over every
+registered query (no BatchEvalPython, no CartesianProduct).  This module
+pins the POSITIVE claims SURVEY.md §9 makes about the headline suite —
+the properties that make each plan survive a 100 TB corpus — so a
+refactor that silently degrades a broadcast join into a sort-merge
+shuffle, or un-prunes a scan, fails the gate instead of only showing up
+as a bench regression:
+
+* corpus-side shuffle counts (zero for the map-side kernels),
+* BroadcastHashJoin (never SortMergeJoin) where the dim-table contract
+  claims one,
+* column pruning (wide ``text`` never read by geometry-only queries),
+* predicate pushdown reaching the parquet scan.
+
+Plan-string counting caveats (see the census note in SURVEY §9): a
+subtree shared by several union branches prints once PER BRANCH, and an
+InMemoryRelation prints its cached child plan once per reference — so
+node counts on the plan string are a PRINT census, not an execution
+census.  Pins below therefore assert presence/absence and documented
+print-census upper bounds, never exact execution counts.
+"""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from gdal_spark import corpus, zones
+
+_SHUFFLE = re.compile(
+    r"Exchange (hashpartitioning|rangepartitioning|SinglePartition|RoundRobin)"
+)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _shuffles(plan: str) -> int:
+    """Shuffle-exchange PRINTS (BroadcastExchange deliberately excluded:
+    broadcasting a dim table is the cheap path, not a corpus shuffle)."""
+    return len(_SHUFFLE.findall(plan))
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return corpus.load_docs(spark, sf_dir, replicate=1)
+
+
+class TestMapSideKernelsNeverShuffle:
+    """The zero-shuffle claims: these operators answer from a single
+    corpus scan; every byte of parallelism is embarrassing.  Zero prints
+    of a shuffle exchange implies zero executed shuffles."""
+
+    def test_knn_zero_shuffle(self, spark, docs):
+        from gdal_spark.operators.knn import knn_join, knn_targets
+
+        df = knn_join(docs.select("doc_id", "lon", "lat"), knn_targets(spark), k=5)
+        plan = _plan(df)
+        assert _shuffles(plan) == 0, plan
+        assert "SortMergeJoin" not in plan
+
+    def test_strtree_zero_shuffle_zero_join(self, spark, docs):
+        from gdal_spark.operators.strtree_join import pip_join_strtree
+
+        df = pip_join_strtree(docs, zones.rich_zones(spark, n=100))
+        plan = _plan(df)
+        assert _shuffles(plan) == 0, plan
+        assert "Join" not in plan, plan
+
+    def test_ann_brute_zero_shuffle(self, spark, sf_dir):
+        from gdal_spark.operators.similarity import brute_force_topk
+
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        plan = _plan(brute_force_topk(e, e, k=3))
+        assert _shuffles(plan) == 0, plan
+
+
+class TestBroadcastDimJoins:
+    """Dim-sized method layers must broadcast: the corpus side of the
+    candidate join never moves.  The rect/poly fork prints the shared
+    broadcast-join subtree once per union branch, so the pin is
+    presence + zero shuffle prints + no merge-join anywhere."""
+
+    def _pin_broadcast_only(self, df):
+        plan = _plan(df)
+        assert "BroadcastHashJoin" in plan, plan
+        assert "SortMergeJoin" not in plan, plan
+        assert "ShuffledHashJoin" not in plan, plan
+        assert _shuffles(plan) == 0, plan
+
+    def test_pip_join_broadcasts_zone_cells(self, spark, docs):
+        from gdal_spark.operators.pip_join import pip_join
+
+        z = zones.rect_zones(spark).drop("zxmin", "zymin", "zxmax", "zymax")
+        self._pin_broadcast_only(pip_join(docs, z))
+
+    def test_clip_broadcasts_zone_cells(self, spark, sf_dir):
+        from gdal_spark.operators.overlay import intersection_join
+
+        pdocs = corpus.load_polydocs(spark, sf_dir, replicate=1)
+        cz = zones.clip_zones(spark).drop("zxmin", "zymin", "zxmax", "zymax")
+        self._pin_broadcast_only(intersection_join(pdocs, cz, emit_wkt=False))
+
+    def test_clip_general_broadcasts_zone_cells(self, spark, sf_dir):
+        from gdal_spark.operators.overlay import intersection_join
+
+        pdocs = corpus.load_polydocs(spark, sf_dir, replicate=1)
+        self._pin_broadcast_only(
+            intersection_join(pdocs, zones.rich_zones(spark), emit_wkt=False)
+        )
+
+
+class TestBoundedShuffles:
+    """Print-census UPPER BOUNDS for the two multi-stage pipelines.
+    The bounds are the current known-good census (minhash: 1 real
+    corpus shuffle into band buckets + persisted-stage reprints;
+    pyramid: one shrinking partial-agg exchange per level, reprinted
+    once per union branch that chains through it).  A new per-round or
+    per-row shuffle, or lost stage reuse, blows well past them."""
+
+    def test_minhash_md5_census_bound(self, spark, docs):
+        from gdal_spark.operators.text import minhash_md5_pairs
+
+        plan = _plan(minhash_md5_pairs(docs.select("doc_id", "text")))
+        assert _shuffles(plan) <= 8, plan
+
+    def test_tile_pyramid_census_bound(self, spark, docs):
+        from gdal_spark.operators.tiling import tile_pyramid
+
+        zmax = 8
+        plan = _plan(tile_pyramid(docs.select("lon", "lat"), zmax))
+        # 36 = sum over union branches of the levels each chains through
+        assert _shuffles(plan) <= 36, plan
+
+
+class TestScanHygiene:
+    def test_geometry_queries_never_read_text(self, spark, docs):
+        """Column pruning reaches the parquet scan: the wide ``text``
+        column must not appear in any ReadSchema of geometry-only
+        pipelines (at 100 TB text dominates the row; reading it for a
+        lon/lat query is a ~10x scan tax)."""
+        from gdal_spark.operators.knn import knn_join, knn_targets
+        from gdal_spark.operators.tiling import tile_pyramid
+
+        for df in (
+            knn_join(docs.select("doc_id", "lon", "lat"), knn_targets(spark), k=5),
+            tile_pyramid(docs.select("lon", "lat"), 8),
+        ):
+            for m in re.finditer(r"ReadSchema: (\S+)", _plan(df)):
+                assert "text" not in m.group(1), m.group(1)
+
+    def test_filter_pushdown_reaches_scan(self, spark, sf_dir):
+        """A translate-style WHERE lands in PushedFilters, not only a
+        post-scan Filter.  The plan printer TRUNCATES long filter lists
+        ("PushedFilters: [IsNotNull(l_quantity), Gr..."), so match the
+        opening bracket + first pushed predicate, not a closed list."""
+        import __spark_entry__ as entry_mod
+
+        df = entry_mod.queries()["between_filter"](spark, sf_dir)
+        plan = _plan(df)
+        assert re.search(r"PushedFilters: \[\w", plan), plan
