@@ -44,6 +44,18 @@ def _shuffles(plan: str) -> int:
     return len(_SHUFFLE.findall(plan))
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _fresh_cache(spark):
+    """Plan pins must see the plan a FRESH reader gets.  Earlier test
+    modules leave cached projections behind (registry queries lazily
+    persist multiply-referenced stages), and Spark's cache manager
+    substitutes a matching InMemoryRelation — whose printed child scan
+    carries the BUILD-time ReadSchema (e.g. the wide ``text`` column) —
+    into any later plan over the same subtree, turning these pins into
+    test-order-dependent flakes."""
+    spark.catalog.clearCache()
+
+
 @pytest.fixture(scope="module")
 def docs(spark, sf_dir):
     return corpus.load_docs(spark, sf_dir, replicate=1)
