@@ -10643,3 +10643,157 @@ def q_suggested_warp_output(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = spark.sql(sqls[0])
     b = spark.sql(sqls[1])
     return a.unionByName(b)
+
+
+# --------------------------------------------------------------------------
+# Floyd-Steinberg dither (alg/gdaldither.cpp GDALDitherRGB2PCT, the
+# public nBits=5 static-cube configuration) — formerly declared out of
+# scope for lack of a distributed formulation; the faithful formulation
+# is PER-IMAGE parallelism (the recurrence is serial inside one image,
+# exactly as the reference's own scanline loop is), which is also the
+# realistic 100 TB shape: a corpus of millions of bounded-size images.
+# Spark: one applyInPandas group per image (operators/dither.py, a
+# direct port of the scanline loop).  Oracle: a DuckDB RECURSIVE CTE
+# stepping pixel-by-pixel in scanline order, carrying the (W+2)*3 error
+# buffer as an INT[] — a genuinely independent second implementation
+# (different state layout, different nearest-color evaluation), matched
+# bit-exactly.  All 10 palette entries are exercised by the fixture.
+# --------------------------------------------------------------------------
+_DI_NIMG, _DI_W, _DI_H = 12, 12, 10
+_DI_PAL = [
+    (0, 0, 0),
+    (255, 0, 0),
+    (0, 255, 0),
+    (0, 0, 255),
+    (255, 255, 0),
+    (255, 0, 255),
+    (0, 255, 255),
+    (255, 255, 255),
+    (128, 128, 128),
+    (64, 192, 96),
+]
+_DI_L = (_DI_W + 2) * 3
+_DI_ZEROS = "[" + ",".join(["0"] * _DI_L) + "]"
+_DI_KIDX = "[" + ",".join(str(k) for k in range(_DI_L)) + "]"
+_DI_PIDX = "[" + ",".join(str(j) for j in range(len(_DI_PAL))) + "]"
+_DI_PR = "[" + ",".join(str(p[0]) for p in _DI_PAL) + "]"
+_DI_PG = "[" + ",".join(str(p[1]) for p in _DI_PAL) + "]"
+_DI_PB = "[" + ",".join(str(p[2]) for p in _DI_PAL) + "]"
+
+_DI_PIX_CTE = f"""
+SELECT image_id, px, py,
+       CAST((image_id * 31 + px * 7 + py * 13) % 256 AS int) AS r,
+       CAST((image_id * 17 + px * 11 + py * 5) % 256 AS int) AS g,
+       CAST((image_id * 23 + px * 3 + py * 19) % 256 AS int) AS b
+FROM (
+  SELECT CAST((i - i % {_DI_W * _DI_H}) / {_DI_W * _DI_H} AS int) AS image_id,
+         CAST((i % {_DI_W * _DI_H}) % {_DI_W} AS int) AS px,
+         CAST(((i % {_DI_W * _DI_H}) - (i % {_DI_W * _DI_H}) % {_DI_W})
+              / {_DI_W} AS int) AS py
+  FROM range(0, {_DI_NIMG * _DI_W * _DI_H}) t(i)
+)
+"""
+
+_DITHER_ORACLE = f"""
+WITH RECURSIVE
+pix AS ({_DI_PIX_CTE}),
+st(image_id, pos, lr, lg, lb, prev, cur, idx) AS (
+  SELECT image_id, CAST(-1 AS int), 0, 0, 0,
+         CAST({_DI_ZEROS} AS INT[]), CAST({_DI_ZEROS} AS INT[]),
+         CAST(NULL AS int)
+  FROM (SELECT DISTINCT image_id FROM pix)
+  UNION ALL
+  SELECT image_id, pos, lr2, lg2, lb2,
+         CASE WHEN i = {_DI_W - 1} THEN cur2 ELSE prev END,
+         CASE WHEN i = {_DI_W - 1} THEN CAST({_DI_ZEROS} AS INT[])
+              ELSE cur2 END,
+         idx
+  FROM (
+    SELECT image_id, pos, i, prev, idx,
+           CAST(list_transform({_DI_KIDX}, k -> cur[k + 1]
+                + CASE k - i * 3
+                  WHEN 0 THEN sr WHEN 1 THEN sg WHEN 2 THEN sb
+                  WHEN 3 THEN er - 5 * sr WHEN 4 THEN eg - 5 * sg
+                  WHEN 5 THEN eb - 5 * sb
+                  WHEN 6 THEN sr WHEN 7 THEN sg WHEN 8 THEN sb
+                  ELSE 0 END) AS INT[]) AS cur2,
+           CASE WHEN i = {_DI_W - 1} THEN 0 ELSE 2 * sr END AS lr2,
+           CASE WHEN i = {_DI_W - 1} THEN 0 ELSE 2 * sg END AS lg2,
+           CASE WHEN i = {_DI_W - 1} THEN 0 ELSE 2 * sb END AS lb2
+    FROM (
+      SELECT *, CAST(trunc(er / 6.0) AS int) AS sr,
+             CAST(trunc(eg / 6.0) AS int) AS sg,
+             CAST(trunc(eb / 6.0) AS int) AS sb
+      FROM (
+        SELECT *, rr - {_DI_PR}[idx + 1] AS er,
+               gg - {_DI_PG}[idx + 1] AS eg, bb - {_DI_PB}[idx + 1] AS eb
+        FROM (
+          SELECT *, CAST(list_position(dl, list_min(dl)) - 1 AS int) AS idx
+          FROM (
+            SELECT *,
+              list_transform({_DI_PIDX}, j ->
+                abs(((rr // 8) * 255) // 31 - {_DI_PR}[j + 1]) +
+                abs(((gg // 8) * 255) // 31 - {_DI_PG}[j + 1]) +
+                abs(((bb // 8) * 255) // 31 - {_DI_PB}[j + 1])) AS dl
+            FROM (
+              SELECT st.image_id AS image_id, CAST(st.pos + 1 AS int) AS pos,
+                     CAST((st.pos + 1) % {_DI_W} AS int) AS i,
+                     st.prev AS prev, st.cur AS cur,
+                     greatest(0, least(255,
+                       greatest(0, least(255,
+                         p.r + st.prev[((st.pos + 1) % {_DI_W}) * 3 + 4]))
+                       + st.lr)) AS rr,
+                     greatest(0, least(255,
+                       greatest(0, least(255,
+                         p.g + st.prev[((st.pos + 1) % {_DI_W}) * 3 + 5]))
+                       + st.lg)) AS gg,
+                     greatest(0, least(255,
+                       greatest(0, least(255,
+                         p.b + st.prev[((st.pos + 1) % {_DI_W}) * 3 + 6]))
+                       + st.lb)) AS bb
+              FROM st JOIN pix p
+                ON p.image_id = st.image_id
+               AND p.py * {_DI_W} + p.px = st.pos + 1
+            )
+          )
+        )
+      )
+    )
+  )
+)
+SELECT image_id, CAST(pos % {_DI_W} AS int) AS px,
+       CAST((pos - pos % {_DI_W}) / {_DI_W} AS int) AS py, idx
+FROM st WHERE pos >= 0
+"""
+
+
+@register("rgb_dither", _DITHER_ORACLE)
+def q_rgb_dither(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Floyd-Steinberg dither a 12-image corpus to the 10-color palette:
+    one shuffle on image_id, each image's serial recurrence inside its
+    own Arrow task (see operators/dither.py for the scale contract)."""
+    from gdal_spark.operators.dither import dither_rgb
+
+    n = _DI_NIMG * _DI_W * _DI_H
+    base = spark.range(n)
+    per = _DI_W * _DI_H
+    img = (F.col("id") / per).cast("int")
+    px = (F.col("id") % per % _DI_W).cast("int")
+    py = ((F.col("id") % per) / _DI_W).cast("int")
+    pix = base.select(
+        img.alias("image_id"), px.alias("px"), py.alias("py")
+    ).select(
+        "image_id",
+        "px",
+        "py",
+        ((F.col("image_id") * 31 + F.col("px") * 7 + F.col("py") * 13) % 256)
+        .cast("int")
+        .alias("r"),
+        ((F.col("image_id") * 17 + F.col("px") * 11 + F.col("py") * 5) % 256)
+        .cast("int")
+        .alias("g"),
+        ((F.col("image_id") * 23 + F.col("px") * 3 + F.col("py") * 19) % 256)
+        .cast("int")
+        .alias("b"),
+    )
+    return dither_rgb(pix, _DI_PAL)
