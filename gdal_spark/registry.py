@@ -10797,3 +10797,143 @@ def q_rgb_dither(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("b"),
     )
     return dither_rgb(pix, _DI_PAL)
+
+
+# --------------------------------------------------------------------------
+# Multidimensional datasets (gcore/gdalmultidim.cpp GDALMDArray;
+# apps/gdalmdimtranslate_lib.cpp, gdalmdiminfo_lib.cpp) — formerly
+# declared out of scope; the tabular re-expression (one INT index
+# column per dimension + value, operators/mdim.py) covers the model's
+# query surface with zero-shuffle codegen plans.
+#
+# mdim_translate = GetView "[1:5,8::-2,::-1]" (positive-step slice,
+# negative-step slice with explicit start, full reversal — NumPy basic
+# slicing, gdalmultidim.cpp:5678) -> GetTransposed [0,2,1] ->
+# GetUnscaled (value*0.25 + 10, exact binary fractions) -> row-major
+# linearization in the NEW axis order (what mdimtranslate writes).
+# The oracle INVERTS the composition: it generates the output index
+# space directly and maps each output cell back to its source value —
+# a genuinely different formulation from the engine's filter+remap.
+# --------------------------------------------------------------------------
+_MD_T, _MD_Y, _MD_X = 6, 10, 12
+_MD_RAW = "((t * 37 + y * 11 + x * 7) % 100)"
+
+_MDIM_TRANSLATE_ORACLE = f"""
+WITH o AS (
+  SELECT CAST((i - i % 60) / 60 AS int) AS tt,
+         CAST(((i % 60) - (i % 60) % 5) / 5 AS int) AS xx,
+         CAST((i % 60) % 5 AS int) AS yy
+  FROM range(0, 240) t(i)
+),
+src AS (
+  SELECT tt, xx, yy, (1 + tt) AS t, (8 - 2 * yy) AS y, (11 - xx) AS x
+  FROM o
+)
+SELECT tt AS time, xx AS x, yy AS y,
+       CAST((tt * 12 + xx) * 5 + yy AS BIGINT) AS pos,
+       CAST({_MD_RAW} * 250000 + 10000000 AS BIGINT) AS val_u
+FROM src
+"""
+
+
+def _mdim_base(spark: SparkSession) -> DataFrame:
+    n = _MD_T * _MD_Y * _MD_X
+    per = _MD_Y * _MD_X
+    df = spark.range(n)
+    t = (F.col("id") / per).cast("int")
+    y = ((F.col("id") % per) / _MD_X).cast("int")
+    x = (F.col("id") % per % _MD_X).cast("int")
+    return df.select(t.alias("time"), y.alias("y"), x.alias("x")).select(
+        "time",
+        "y",
+        "x",
+        (
+            (F.col("time") * 37 + F.col("y") * 11 + F.col("x") * 7) % 100
+        ).cast("int").alias("value"),
+    )
+
+
+@register("mdim_translate", _MDIM_TRANSLATE_ORACLE)
+def q_mdim_translate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mdimtranslate composition: slice -> transpose -> unscale ->
+    linearize, all pure codegen (zero Exchange)."""
+    from gdal_spark.operators.mdim import (
+        MDim,
+        linearize,
+        mdim_transpose,
+        mdim_unscale,
+        mdim_view,
+    )
+
+    dims = [MDim("time", _MD_T), MDim("y", _MD_Y), MDim("x", _MD_X)]
+    df, dims = mdim_view(_mdim_base(spark), dims, "[1:5,8::-2,::-1]")
+    df, dims = mdim_transpose(df, dims, [0, 2, 1])
+    df = mdim_unscale(df, 0.25, 10.0)
+    df = linearize(df, dims)
+    return df.select(
+        "time",
+        "x",
+        "y",
+        "pos",
+        F.expr("CAST(floor(value * 1.0e6 + 5.0e-1) AS BIGINT)").alias("val_u"),
+    )
+
+
+# mdiminfo statistics (GDALMDArray::GetStatistics over valid samples)
+# for two arrays — the 3-D array above plus a 2-D array with a planted
+# nodata pattern — emitted as EXACT BIGINT partials (n, min, max, sum,
+# sum of squares): distributive and aggregation-order-proof, which is
+# what makes distributed array statistics reproducible.
+_MD_B_RAW = "CASE WHEN (y * 5 + x) % 37 = 0 THEN 255 ELSE (y * 13 + x * 3) % 200 END"
+
+_MDIM_INFO_ORACLE = f"""
+WITH a AS (
+  SELECT CAST({_MD_RAW} AS BIGINT) AS v
+  FROM (
+    SELECT CAST((i - i % 120) / 120 AS int) AS t,
+           CAST(((i % 120) - (i % 120) % 12) / 12 AS int) AS y,
+           CAST((i % 120) % 12 AS int) AS x
+    FROM range(0, 720) s(i)
+  )
+),
+b AS (
+  SELECT CAST({_MD_B_RAW} AS BIGINT) AS v
+  FROM (
+    SELECT CAST((i - i % 20) / 20 AS int) AS y, CAST(i % 20 AS int) AS x
+    FROM range(0, 320) s(i)
+  )
+  -- GetStatistics skips nodata samples
+),
+stats AS (
+  SELECT 'a3d' AS array_name, count(*) AS n_valid, min(v) AS vmin,
+         max(v) AS vmax, CAST(sum(v) AS BIGINT) AS vsum,
+         CAST(sum(v * v) AS BIGINT) AS vsumsq
+  FROM a
+  UNION ALL
+  SELECT 'b2d', count(*), min(v), max(v), CAST(sum(v) AS BIGINT),
+         CAST(sum(v * v) AS BIGINT)
+  FROM b WHERE v <> 255
+)
+SELECT array_name, CAST(n_valid AS BIGINT) AS n_valid, vmin, vmax,
+       vsum, vsumsq
+FROM stats
+"""
+
+
+@register("mdim_info", _MDIM_INFO_ORACLE)
+def q_mdim_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mdiminfo statistics for two arrays (one with nodata): a single
+    map-side-combined aggregate per array, exact integer partials."""
+    from gdal_spark.operators.mdim import mdim_stats
+
+    a = _mdim_base(spark)
+    nb = 16 * 20
+    b = (
+        spark.range(nb)
+        .select(
+            (F.col("id") / 20).cast("int").alias("y"),
+            (F.col("id") % 20).cast("int").alias("x"),
+        )
+        .select(F.expr(_MD_B_RAW).cast("int").alias("value"))
+    )
+    return mdim_stats(a, "a3d").unionByName(mdim_stats(b, "b2d", nodata=255))
