@@ -10937,3 +10937,54 @@ def q_mdim_info(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.expr(_MD_B_RAW).cast("int").alias("value"))
     )
     return mdim_stats(a, "a3d").unionByName(mdim_stats(b, "b2d", nodata=255))
+
+
+# --------------------------------------------------------------------------
+# Coverage simplification (gdal vector simplify-coverage,
+# apps/gdalalg_vector_simplify_coverage.cpp — a GEOS>=3.12 pass-through
+# in the reference, version-gated at :46-47; re-implemented here as arc
+# extraction + per-arc Visvalingam-Whyatt, operators/coverage_simplify.py).
+# Fixture: a 3-polygon coverage — A|B share a unit staircase arc, A|C
+# and B|C share straight arcs, C's outer boundary carries a small bump.
+# Area tolerance 3.5 is chosen so EVERY VW removal order converges to
+# the same result (every intermediate effective area on the staircase
+# stays < 3.5 until it is a chord; all exterior corners are >= 4.5), so
+# the literal oracle is robust to tie-break details.  preserve=true
+# keeps C's bump (outer boundary untouched); preserve=false removes it.
+# Shared boundaries stay IDENTICAL in both owners by construction (the
+# coverage guarantee); pytest additionally pins topology preservation
+# and the closed-loop (donut/island) arc case.
+# --------------------------------------------------------------------------
+_COV_A = "POLYGON ((0 0,4 0,5 1,4 2,5 3,4 4,5 5,4 6,0 6,0 0))"
+_COV_B = "POLYGON ((4 0,8 0,8 6,4 6,5 5,4 4,5 3,4 2,5 1,4 0))"
+_COV_C = "POLYGON ((0 6,4 6,8 6,8 9,5 9,4 10,3 9,0 9,0 6))"
+
+_COVERAGE_SIMPLIFY_ORACLE = """
+SELECT * FROM (VALUES
+  ('preserve', 1, 'POLYGON ((0 0,4 0,4 6,0 6,0 0))'),
+  ('preserve', 2, 'POLYGON ((4 0,8 0,8 6,4 6,4 0))'),
+  ('preserve', 3, 'POLYGON ((0 6,4 6,8 6,8 9,5 9,4 10,3 9,0 9,0 6))'),
+  ('full', 1, 'POLYGON ((0 0,4 0,4 6,0 6,0 0))'),
+  ('full', 2, 'POLYGON ((4 0,8 0,8 6,4 6,4 0))'),
+  ('full', 3, 'POLYGON ((0 6,4 6,8 6,8 9,0 9,0 6))')
+) t(config, fid, wkt)
+"""
+
+
+@register("coverage_simplify", _COVERAGE_SIMPLIFY_ORACLE)
+def q_coverage_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplify the 3-polygon coverage under both boundary policies:
+    shared arcs collapse identically in both owners (no gaps/overlaps),
+    the outer boundary simplifies only when preserve_boundary=False."""
+    from gdal_spark.operators.coverage_simplify import simplify_coverage
+
+    feats = spark.createDataFrame(
+        [(1, _COV_A), (2, _COV_B), (3, _COV_C)], "fid int, geom_wkt string"
+    )
+    a = simplify_coverage(feats, 3.5, preserve_boundary=True).select(
+        F.lit("preserve").alias("config"), "fid", "wkt"
+    )
+    b = simplify_coverage(feats, 3.5, preserve_boundary=False).select(
+        F.lit("full").alias("config"), "fid", "wkt"
+    )
+    return a.unionByName(b)
