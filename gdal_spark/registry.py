@@ -417,15 +417,25 @@ def q_order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Multi-way dim join + grouped revenue (the OGR SQL multi-table FROM
 # clause, ogr_gensql.cpp swq JOIN support, in the classic local-supplier
 # shape): fact table lineitem shuffles ONCE on orderkey; customer/
-# supplier/nation/region are broadcast dims.  Revenue is floored to
-# integer cents PER ROW before summing, so the aggregate is
-# order-proof across engines (memory: spark-duckdb-parity).
+# supplier/nation/region are broadcast dims.
+#
+# Revenue is EXACT int64 "cent-percent" units: price and discount are
+# 2-decimal money stored as double, so round(x * 1e2) sits ~1e-9 from
+# its integer (0.4999999991 away from the nearest .5 tie) — a one-ulp
+# cross-engine difference cannot flip it.  The previous form,
+# floor(price * (1 - disc) * 1e2), put 29 of this query's rows EXACTLY
+# on integer boundaries (exact rationals with denominator 100), where
+# any single-ulp evaluation divergence flips floor() by a whole unit —
+# the round-3 driver red row.  Rule: never floor/round an arithmetic
+# product whose exact value can land ON the quantizer grid; convert
+# each 2-decimal column to int64 first, then stay integer.
 # --------------------------------------------------------------------------
 _LOCAL_SUPPLIER_SQL = """
 SELECT n.n_name AS nation,
-       CAST(SUM(CAST(floor(l.l_extendedprice * (1.0e0 - l.l_discount) * 1.0e2)
-                AS BIGINT)) AS BIGINT) AS revenue_c,
-       count(*) AS n_items
+       CAST(SUM(CAST(round(l.l_extendedprice * 1.0e2) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 1.0e2) AS BIGINT)))
+            AS BIGINT) AS revenue_cpct,
+       CAST(count(*) AS BIGINT) AS n_items
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
