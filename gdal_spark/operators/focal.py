@@ -506,9 +506,16 @@ def fill_nodata(
                 numer = numer + w * np.where(found, vv[j], 0.0)
                 denom = denom + w
         filled = denom > 0.0
+        # +1e-6 nudge: single-quadrant fills of integer values land the
+        # exact value of (numer/denom)*1e4 ON an integer, where floor()
+        # flips on single-ulp cross-engine drift; the achievable-value gap
+        # off those integers is >= 2e-4 and drift <= ~4e-9, so the nudge
+        # floors drifted exact-integers to their true value and leaves all
+        # other rows unchanged.  SAME text as the oracle SQL.
         v4 = pd.array(
             np.where(filled, np.floor(np.divide(
-                numer, np.where(filled, denom, 1.0)) * 1e4), 0).astype(np.int64),
+                numer, np.where(filled, denom, 1.0)) * 1e4 + 1.0e-6), 0)
+            .astype(np.int64),
             dtype="Int64",
         )
         v4[~filled] = pd.NA

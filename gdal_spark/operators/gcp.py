@@ -412,8 +412,16 @@ def geoloc_backmap(
     s = geoloc.select(
         "glx",
         "gly",
-        F.floor((F.col("lon") - F.lit(x0)) / F.lit(dx)).cast("int").alias("tx"),
-        F.floor((F.col("lat") - F.lit(y0)) / F.lit(dy)).cast("int").alias("ty"),
+        # +1e-5 nudge: quarter-lattice geoloc lons land (lon-x0)/dx exactly
+        # ON cell boundaries (26k of 144k samples), where the index floor
+        # flips a sample into the neighboring cell on single-ulp
+        # cross-engine drift; the off-boundary gap is 1/12 grid units and
+        # drift <= ~1e-9, so the nudge keeps every boundary sample in its
+        # true (upper) cell.  SAME text as the oracle scatter CTE.
+        F.floor((F.col("lon") - F.lit(x0)) / F.lit(dx) + F.lit(1.0e-5))
+        .cast("int").alias("tx"),
+        F.floor((F.col("lat") - F.lit(y0)) / F.lit(dy) + F.lit(1.0e-5))
+        .cast("int").alias("ty"),
         "lon",
         "lat",
     ).filter(

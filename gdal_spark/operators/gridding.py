@@ -90,7 +90,14 @@ def grid_linear(nodes: DataFrame, targets: DataFrame) -> DataFrame:
                 sel = np.nonzero(m)[0][inside]
                 out_i.append(ii[sel])
                 out_j.append(jj[sel])
-                out_v.append(np.floor(v * 1.0e6).astype(np.int64))
+                # +1e-5 nudge: flat/planar triangle patches make the exact
+                # value of v*1e6 land ON integers (47 exact + 348 within-ulp
+                # rows at sf0.001), where floor() flips on any single-ulp
+                # cross-engine drift.  The achievable-value gap off those
+                # integers is >= 3.8e-4 and drift is <= ~6e-8, so +1e-5
+                # floors every drifted exact-integer to its true value and
+                # leaves every other row unchanged.  SAME text as the oracle.
+                out_v.append(np.floor(v * 1.0e6 + 1.0e-5).astype(np.int64))
             if not out_i:
                 continue
             yield pd.DataFrame(

@@ -834,12 +834,19 @@ def pansharpen(pan: DataFrame, ms: DataFrame) -> DataFrame:
         "px",
         "py",
         *[
+            # +1e-8 nudge after the half-up shift: Brovey ratios land the
+            # exact value of b*factor ON X.5 for ~429 fixture pixels, where
+            # floor(x + 0.5) flips on a single-ulp cross-engine drift; the
+            # achievable-value gap off those ties is >= 5e-4, drift <=
+            # ~2e-13, so +1e-8 resolves every tie upward (the reference's
+            # half-up) bit-robustly.  SAME text as the oracle.
             F.floor(
                 F.least(
                     F.greatest(F.col(f"b{b}") * factor, F.lit(0.0)),
                     F.lit(255.0),
                 )
                 + F.lit(0.5)
+                + F.lit(1.0e-8)
             )
             .cast("int")
             .alias(f"v{b}")

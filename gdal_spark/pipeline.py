@@ -173,11 +173,19 @@ def _compile_raster_steps(spec: str) -> list[tuple[str, object]]:
             smin, smax, dmin, dmax = (float(v) for v in args[0].split(","))
             sc = (dmax - dmin) / (smax - smin)
             off = dmin - smin * sc
+            # +1e-8 after the half-up shift: rational scale factors land
+            # the exact scaled value ON X.5 for many pixels (20k of 30k on
+            # the registry fixture), where floor(x + 0.5) flips on a
+            # single-ulp cross-engine drift; the achievable-value gap off
+            # the ties is >= 2.5e-2 and drift <= ~2e-13, so the nudge
+            # resolves every tie upward (half-up) bit-robustly.  The
+            # compiler feeds both engines, so the text stays shared.
             ops.append(
                 proj(
                     value=(
                         f"CAST(floor(least(greatest(CAST(value AS DOUBLE) * {_sd(sc)}"
-                        f" + ({_sd(off)}), {_sd(dmin)}), {_sd(dmax)}) + 5.0e-1) AS INT)"
+                        f" + ({_sd(off)}), {_sd(dmin)}), {_sd(dmax)}) + 5.0e-1"
+                        f" + 1.0e-8) AS INT)"
                     )
                 )
             )

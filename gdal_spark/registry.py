@@ -1858,7 +1858,7 @@ p AS (
   WHERE {_BL_PXF} > 0 AND {_BL_PXF} < {SRC_W - 1}
     AND {_BL_PYF} > 0 AND {_BL_PYF} < {SRC_H - 1}
 )
-SELECT doc_id, band, CAST(floor(v * 1.0e4) AS BIGINT) AS v4
+SELECT doc_id, band, CAST(floor(v * 1.0e4 + 1.0e-6) AS BIGINT) AS v4
 FROM p
 """
 
@@ -1878,7 +1878,7 @@ def q_raster_probe_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select(
         "doc_id",
         "band",
-        F.expr(f"CAST(floor({_BL_VAL} * 1.0e4) AS BIGINT)").alias("v4"),
+        F.expr(f"CAST(floor({_BL_VAL} * 1.0e4 + 1.0e-6) AS BIGINT)").alias("v4"),
     )
 
 
@@ -1953,8 +1953,8 @@ p AS (
   WHERE {_CUBIC_INTERIOR}
 )
 SELECT doc_id, band,
-       CAST(floor(vc * 1.0e4) AS BIGINT) AS v4_cubic,
-       CAST(floor(vs * 1.0e4) AS BIGINT) AS v4_spline
+       CAST(floor(vc * 1.0e4 + 1.0e-6) AS BIGINT) AS v4_cubic,
+       CAST(floor(vs * 1.0e4 + 1.0e-6) AS BIGINT) AS v4_spline
 FROM p
 """
 
@@ -1970,10 +1970,10 @@ def q_raster_probe_cubic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select(
         "doc_id",
         "band",
-        F.expr(f"CAST(floor({_probe4x4(_cubic_w)} * 1.0e4) AS BIGINT)").alias(
+        F.expr(f"CAST(floor({_probe4x4(_cubic_w)} * 1.0e4 + 1.0e-6) AS BIGINT)").alias(
             "v4_cubic"
         ),
-        F.expr(f"CAST(floor({_probe4x4(_spline_w)} * 1.0e4) AS BIGINT)").alias(
+        F.expr(f"CAST(floor({_probe4x4(_spline_w)} * 1.0e4 + 1.0e-6) AS BIGINT)").alias(
             "v4_spline"
         ),
     )
@@ -2485,7 +2485,8 @@ b0 AS (
 ),
 b1 AS (SELECT i, j, z1, z2, z3, l1, l2, ((1.0e0 - l1) - l2) AS l3 FROM b0)
 SELECT CAST(i AS int) AS i, CAST(j AS int) AS j,
-       CAST(floor((((z1 * l1) + (z2 * l2)) + (z3 * l3)) * 1.0e6) AS BIGINT) AS v6
+       CAST(floor((((z1 * l1) + (z2 * l2)) + (z3 * l3)) * 1.0e6 + 1.0e-5)
+            AS BIGINT) AS v6
 FROM b1 WHERE l1 > 0.0e0 AND l2 > 0.0e0 AND l3 > 0.0e0
 """
 
@@ -4047,9 +4048,15 @@ def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Gaps-and-islands: break flag via lag(), session id via running sum,
 # aggregates per (user, session).  The gap compare runs on EXACT
 # microsecond integers both engines (unix_micros / epoch_us), value sums
-# are floored per row before summing (order-proof), tiebreak on
+# are quantized per row before summing (order-proof), tiebreak on
 # event_id.  One shuffle on user_id; session windows never span users,
 # so the partitioning is the natural one at any scale.
+#
+# value is exactly 4-decimal, so value*1e4 sits within a few ulps of
+# its integer — round() recovers it robustly (0.5 - eps from the tie),
+# whereas floor() was a knife-edge: 888/1000 rows landed exactly ON an
+# integer and 112 within 8 ulps (the local_supplier_volume fragility
+# class; memory: spark-duckdb-parity).
 # --------------------------------------------------------------------------
 _SESSION_GAP_US = 1800 * 1_000_000
 
@@ -4069,7 +4076,7 @@ s AS (
 )
 SELECT user_id, CAST(sid AS int) AS session_id, count(*) AS n_events,
        min(ts) AS session_start, max(ts) AS session_end,
-       CAST(SUM(CAST(floor(value * 1.0e4) AS BIGINT)) AS BIGINT) AS value_4
+       CAST(SUM(CAST(round(value * 1.0e4) AS BIGINT)) AS BIGINT) AS value_4
 FROM s GROUP BY user_id, sid
 """
 
@@ -4099,7 +4106,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
-        F.sum(F.floor(F.col("value") * 1.0e4).cast("long")).alias("value_4"),
+        F.sum(F.expr("CAST(round(value * 1.0e4) AS BIGINT)")).alias("value_4"),
     ).select(
         "user_id",
         F.col("sid").cast("int").alias("session_id"),
@@ -5904,16 +5911,20 @@ _VSG_CELLS = f"""
          {_VSG_NODE.format(gx="cx", gy="cy + 1")} AS s01,
          {_VSG_NODE.format(gx="cx + 1", gy="cy + 1")} AS s11
 """
-# fractional position inside the cell: exact eighths
-_VSG_SHIFT = (
-    "((1.0e0 - fy) * ((1.0e0 - fx) * s00 + fx * s10)"
-    " + fy * ((1.0e0 - fx) * s01 + fx * s11))"
+# Bilinear blend at exact eighths, kept in INTEGER 64ths: shift64 =
+# 64 * shift with fx8 = px%8, fy8 = py%8.  The float form
+# floor(1e6 * (value*0.3048 + shift)) was a knife-edge on EVERY row —
+# the exact value is always an integer (1e6*0.3048 = 304800 and
+# 1e6/64 = 15625 are integers), so all 80k rows sat within ulps of a
+# floor boundary (the local_supplier_volume fragility class).  Exact
+# BIGINT arithmetic emits that integer directly: micrometers =
+# value*304800 + shift64*15625.  srcUnitToMeter = 0.3048 (feet),
+# dstUnitToMeter = 1.
+_VSG_SHIFT64 = (
+    "((8 - fy8) * ((8 - fx8) * s00 + fx8 * s10)"
+    " + fy8 * ((8 - fx8) * s01 + fx8 * s11))"
 )
-# src values are feet (srcUnitToMeter = 0.3048), dst in meters
-_VSG_OUT = (
-    f"CAST(floor(1.0e6 * ((CAST(value AS DOUBLE) * 3.048e-1 + {_VSG_SHIFT})"
-    " / 1.0e0)) AS BIGINT)"
-)
+_VSG_OUT = f"CAST(value * 304800 + {_VSG_SHIFT64} * 15625 AS BIGINT)"
 
 _VSHIFT_ORACLE = f"""
 WITH g AS ({{src_grid}}),
@@ -5927,8 +5938,8 @@ s AS (
   SELECT px, py, value,
          CAST(CAST((px - px % {_VSG_STEP}) / {_VSG_STEP} AS INT) AS INT) AS cx,
          CAST(CAST((py - py % {_VSG_STEP}) / {_VSG_STEP} AS INT) AS INT) AS cy,
-         CAST(px % {_VSG_STEP} AS DOUBLE) / {_VSG_STEP}.0e0 AS fx,
-         CAST(py % {_VSG_STEP} AS DOUBLE) / {_VSG_STEP}.0e0 AS fy
+         CAST(px % {_VSG_STEP} AS BIGINT) AS fx8,
+         CAST(py % {_VSG_STEP} AS BIGINT) AS fy8
   FROM v
 )
 SELECT px, py, {_VSG_OUT} AS shifted_um
@@ -5971,8 +5982,8 @@ def q_vshift_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "px", "py", "value",
         f"CAST(CAST((px - px % {_VSG_STEP}) / {_VSG_STEP} AS INT) AS INT) AS cx",
         f"CAST(CAST((py - py % {_VSG_STEP}) / {_VSG_STEP} AS INT) AS INT) AS cy",
-        f"CAST(px % {_VSG_STEP} AS DOUBLE) / {_VSG_STEP}.0e0 AS fx",
-        f"CAST(py % {_VSG_STEP} AS DOUBLE) / {_VSG_STEP}.0e0 AS fy",
+        f"CAST(px % {_VSG_STEP} AS BIGINT) AS fx8",
+        f"CAST(py % {_VSG_STEP} AS BIGINT) AS fy8",
     )
     return s.join(F.broadcast(cells), ["cx", "cy"]).selectExpr(
         "px", "py", f"{_VSG_OUT} AS shifted_um"
@@ -6102,9 +6113,14 @@ stp AS (
   FROM ang2
 ),
 stk AS (
+  -- +1e-9 after the half-up shift: round-angle arcs land |da|/step0
+  -- exactly ON half-integers (7 of the 20 fixture steps), where
+  -- floor(x + 0.5) flips nSteps on single-ulp cross-engine drift; the
+  -- off-tie gap is >= 6.5e-2 and drift <= ~6e-14, so the nudge
+  -- resolves every tie upward (the reference's int(x + 0.5)) robustly.
   SELECT *,
-    greatest(CAST(floor(abs((a1 - a0) / step0) + 5.0e-1) AS INT), 4) AS ns1,
-    greatest(CAST(floor(abs((a2 - a1) / step0) + 5.0e-1) AS INT), 4) AS ns2
+    greatest(CAST(floor(abs((a1 - a0) / step0) + 5.0e-1 + 1.0e-9) AS INT), 4) AS ns1,
+    greatest(CAST(floor(abs((a2 - a1) / step0) + 5.0e-1 + 1.0e-9) AS INT), 4) AS ns2
   FROM stp
 ),
 stk2 AS (
@@ -6921,10 +6937,18 @@ def q_mosaic(spark: SparkSession, sf_dir: str) -> DataFrame:
 # window filter pushes into the range scan.
 # --------------------------------------------------------------------------
 _TW_X0, _TW_Y0, _TW_W, _TW_H = 50, 30, 200, 100
-# -scale 20 220 0 255: dfScale = 255/200 = 1.275, dfOffset = -20*1.275
+# -scale 20 220 0 255: dfScale = 255/200 = 51/40, dfOffset = -20*51/40.
+# Kept EXACT in integers: scaled = (51*v - 1020)/40, clamped to
+# [0, 255]*40, then round-half-up = floor(x + 1/2) as the integer
+# division (N + 20) div 40.  The float form floor(clamp(v*1.275e0 -
+# 2.55e1) + 5.0e-1) put every 40th value exactly ON the floor boundary
+# (scaled value exactly X.5 — 938 on-grid + 234 near-ulp rows at
+# sf0.001), the local_supplier_volume fragility class; v is an integer,
+# so the rational math is exactly representable in BIGINT.
 _TS_EXPR = (
-    "floor(least(greatest(CAST({v} AS DOUBLE) * 1.275e0 + (-2.55e1), 0.0e0),"
-    " 2.55e2) + 5.0e-1)"
+    "CAST(((least(greatest(51 * ({v}) - 1020, 0), 10200) + 20)"
+    " - ((least(greatest(51 * ({v}) - 1020, 0), 10200) + 20) % 40))"
+    " / 40 AS BIGINT)"
 )
 
 _TRANSLATE_ORACLE = f"""
@@ -7086,7 +7110,8 @@ long AS (
   FROM f, (SELECT CAST(j + 1 AS int) AS band FROM range(0, {MS_BANDS}) t(j)) k
 )
 SELECT CAST(band AS int) AS band, px, py,
-       CAST(floor(LEAST(GREATEST(b * factor, 0.0e0), 2.55e2) + 5.0e-1) AS int)
+       CAST(floor(LEAST(GREATEST(b * factor, 0.0e0), 2.55e2) + 5.0e-1
+                  + 1.0e-8) AS int)
          AS value
 FROM long
 """
@@ -7239,7 +7264,7 @@ SELECT n.px, n.py,
           + coalesce(p.wtr * p.vtr, 0.0e0) + coalesce(p.wbr * p.vbr, 0.0e0))
          / ((coalesce(p.wtl, 0.0e0) + coalesce(p.wbl, 0.0e0))
             + coalesce(p.wtr, 0.0e0) + coalesce(p.wbr, 0.0e0))
-         * 1.0e4) AS BIGINT) AS v4
+         * 1.0e4 + 1.0e-6) AS BIGINT) AS v4
 FROM nod n LEFT JOIN piv p ON n.px = p.px AND n.py = p.py
 """
 
@@ -8295,8 +8320,8 @@ gl AS (
 gv AS (SELECT glx, gly, {_GL_LON} AS lon, {_GL_LAT} AS lat FROM gl),
 sc AS (
   SELECT glx, gly, lon, lat,
-         CAST(floor((lon - ({_sd(_BM_X0)})) / {_sd(_BM_DX)}) AS int) AS tx,
-         CAST(floor((lat - {_sd(_BM_Y0)}) / ({_sd(_BM_DY)})) AS int) AS ty
+         CAST(floor((lon - ({_sd(_BM_X0)})) / {_sd(_BM_DX)} + 1.0e-5) AS int) AS tx,
+         CAST(floor((lat - {_sd(_BM_Y0)}) / ({_sd(_BM_DY)}) + 1.0e-5) AS int) AS ty
   FROM gv
 ),
 sb AS (
@@ -8361,7 +8386,7 @@ f_{ch} AS (
             + coalesce(p.wtr * p.vtr, 0.0e0) + coalesce(p.wbr * p.vbr, 0.0e0))
            / ((coalesce(p.wtl, 0.0e0) + coalesce(p.wbl, 0.0e0))
               + coalesce(p.wtr, 0.0e0) + coalesce(p.wbr, 0.0e0))
-           * 1.0e4) AS BIGINT) AS v4
+           * 1.0e4 + 1.0e-6) AS BIGINT) AS v4
   FROM nod_{ch} n LEFT JOIN piv_{ch} p ON n.tx = p.tx AND n.ty = p.ty
 )"""
 

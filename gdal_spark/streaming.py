@@ -72,7 +72,7 @@ def stream_sessionize(
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.floor(F.col("value") * 1.0e4).cast("long")).alias(
+            F.sum(F.expr("CAST(round(value * 1.0e4) AS BIGINT)")).alias(
                 "value_4"
             ),
         )

@@ -84,9 +84,11 @@ class TestVshiftGrid:
         for px in range(0, 400, _VSG_STEP):
             for py in range(0, 200, _VSG_STEP):
                 gx, gy = px // _VSG_STEP, py // _VSG_STEP
-                expect = int(
-                    np.floor(1e6 * (terr(px, py) * 0.3048 + node(gx, gy)))
-                )
+                # exact integer micrometers: 1e6*0.3048 = 304800 and the
+                # node shift is a whole meter -> *1e6; the float form
+                # np.floor(1e6*(v*0.3048 + node)) sits ON the boundary
+                # for every pixel and drifts a ulp either way
+                expect = terr(px, py) * 304800 + node(gx, gy) * 1000000
                 assert by[(px, py)] == expect
         # bounds at a sample of off-node pixels
         for px, py in [(3, 5), (37, 41), (399, 199), (123, 77)]:
