@@ -6239,6 +6239,313 @@ def q_compound_to_line(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Arc re-detection — OGRGeometryFactory::curveFromLineString
+# (ogr/ogrgeometryfactory.cpp:6214) + OGRGF_DetectArc (:5650): the
+# stroker's inverse.  The FULL pipeline is under test: the fixture
+# compound curves are stroked by the oracle-proven curve_to_line
+# machinery (same shared SQL text both engines, bit-identical
+# vertices), then the detector re-derives the arc/line segmentation —
+# the flagship assertion being the exact round trip (detected arcs ==
+# the original 3-point CIRCULARSTRINGs, both midpoint-selection paths:
+# the regular-lattice index midpoint for symmetric arcs and the
+# irregular-step detection :5896 that pins the stroker's explicit
+# intermediate for asymmetric ones).
+#
+# Engine: faithful greedy scan per curve (operators/curve_detect.py,
+# applyInPandas group per curve_id — the dither distribution contract).
+# Oracle: an INDEPENDENT formulation — per-triple circle parameters via
+# window functions, maximal compatible-neighbor runs (gaps-and-islands),
+# per-run midpoint/full-circle/piece assembly in pure SQL.  The two
+# differ where the reference compares each triple to the run's ANCHOR
+# (tolerance scale, max-step bound, 40-degree span) and the oracle
+# compares neighbors / run-firsts: equivalent whenever within-run
+# parameter drift is orders below the 1e-7 tolerance and spans/steps
+# sit far from the 40-degree / 2x-step bounds — true by construction
+# for exactly-stroked arcs (drift ~1e-13, steps ~4 degrees), pinned by
+# tests/test_curve_detect.py.  Coordinates in the output are SELECTED
+# input vertices (no arithmetic), so values are bit-exact copies of the
+# stroke on both sides.
+# --------------------------------------------------------------------------
+_CFL_SEGS = """
+  SELECT 0 AS cmp_id, 0 AS seg_idx, 'line' AS seg_type,
+         0.0e0 AS x0, 0.0e0 AS y0, 5.0e0 AS x1, 0.0e0 AS y1, 1.0e1 AS x2, 0.0e0 AS y2
+  UNION ALL SELECT 0, 1, 'arc', 1.0e1, 0.0e0, 1.5e1, 5.0e0, 2.0e1, 0.0e0
+  UNION ALL SELECT 0, 2, 'line', 2.0e1, 0.0e0, 2.2e1, 0.0e0, 2.5e1, 0.0e0
+  UNION ALL SELECT 1, 0, 'arc', 0.0e0, 2.0e1, 4.0e0, 2.4e1, 8.0e0, 2.0e1
+  UNION ALL SELECT 1, 1, 'arc', 8.0e0, 2.0e1, 1.2e1, 1.6e1, 1.6e1, 2.0e1
+  UNION ALL SELECT 2, 0, 'line', 0.0e0, 4.0e1, 1.5e0, 4.15e1, 3.0e0, 4.3e1
+  UNION ALL SELECT 2, 1, 'line', 3.0e0, 4.3e1, 4.5e0, 4.15e1, 6.0e0, 4.0e1
+  UNION ALL SELECT 2, 2, 'line', 6.0e0, 4.0e1, 7.5e0, 4.15e1, 9.0e0, 4.3e1
+  UNION ALL SELECT 2, 3, 'line', 9.0e0, 4.3e1, 1.05e1, 4.15e1, 1.2e1, 4.0e1
+  UNION ALL SELECT 3, 0, 'arc', 0.0e0, -1.0e1, 0.0e0, 1.0e1, 0.0e0, -1.0e1
+  UNION ALL SELECT 4, 0, 'arc', 2.0e1, 1.5e1, 2.4e1, 7.0e0, 2.5e1, 0.0e0
+  UNION ALL SELECT 5, 0, 'line', 0.0e0, 3.0e1, 5.0e0, 3.0e1, 1.0e1, 3.0e1
+  UNION ALL SELECT 5, 1, 'line', 1.0e1, 3.0e1, 1.5e1, 3.0e1, 2.0e1, 3.0e1
+"""
+
+# Stroke the fixture into stroked(curve_id, seq, x, y) — the compound
+# machinery verbatim (arc segments through _CURVE_PARAMS/_CURVE_EMIT,
+# line segments pass endpoints through, joint vertices deduped).
+_CFL_STROKE_FMT = (
+    "segs AS ({segs}),\n"
+    "arcs AS (SELECT cmp_id * 100 + seg_idx AS arc_id, x0, y0, x1, y1, x2, y2"
+    " FROM segs WHERE seg_type = 'arc'),\n"
+    + _CURVE_PARAMS
+    + ",\n"
+    + _CURVE_EMIT
+    + ", stroked0 AS ("
+    + _CURVE_FINAL
+    + "),\n"
+    + """
+allv AS (
+  SELECT CAST(floor(CAST(arc_id AS DOUBLE) / 1.0e2) AS INT) AS cmp_id,
+         arc_id % 100 AS seg_idx, seq, x, y
+  FROM stroked0
+  UNION ALL
+  SELECT cmp_id, seg_idx, 0 AS seq, x0 AS x, y0 AS y FROM segs WHERE seg_type = 'line'
+  UNION ALL
+  SELECT cmp_id, seg_idx, 1 AS seq, x2 AS x, y2 AS y FROM segs WHERE seg_type = 'line'
+),
+stroked AS (
+  SELECT cmp_id AS curve_id,
+         CAST(row_number() OVER (PARTITION BY cmp_id ORDER BY seg_idx, seq)
+              - 1 AS INT) AS seq,
+         x, y
+  FROM allv
+  WHERE NOT (seg_idx > 0 AND seq = 0)
+)"""
+)
+
+# anchor decimal scale (ogrgeometryfactory.cpp:5689-5694), in neighbor
+# form (previous triple's values — see the section comment)
+_CFL_PSCALE = (
+    "power(1.0e1, ceil(log10(greatest(1.0e0, pR, abs(pcx), abs(pcy)))))"
+)
+
+_CFL_DETECT = f"""
+nn AS (SELECT curve_id, count(*) AS n FROM stroked GROUP BY curve_id),
+tri0 AS (
+  SELECT curve_id, n, seq AS k, x AS tx0, y AS ty0,
+         lead(x, 1) OVER w AS tx1, lead(y, 1) OVER w AS ty1,
+         lead(x, 2) OVER w AS tx2, lead(y, 2) OVER w AS ty2
+  FROM stroked JOIN nn USING (curve_id)
+  WINDOW w AS (PARTITION BY curve_id ORDER BY seq)
+),
+tri AS (SELECT * FROM tri0 WHERE k + 2 <= n - 1),
+dp0 AS (SELECT *, greatest(abs(tx1 - tx0), abs(ty1 - ty0),
+                           abs(tx2 - tx1), abs(ty2 - ty1)) AS dscl FROM tri),
+dp1 AS (SELECT *, CASE WHEN dscl > 0.0e0 THEN 1.0e0 / dscl ELSE 0.0e0 END AS dinv FROM dp0),
+dp2 AS (SELECT *, (tx1 - tx0) * dinv AS ddx01, (ty1 - ty0) * dinv AS ddy01,
+               (tx2 - tx1) * dinv AS ddx12, (ty2 - ty1) * dinv AS ddy12 FROM dp1),
+dp3 AS (SELECT *, ddx01 * ddy12 - ddx12 * ddy01 AS ddet FROM dp2),
+dp4 AS (SELECT *,
+  CASE WHEN tx0 = tx2 AND ty0 = ty2 AND (tx0 <> tx1 OR ty0 <> ty1) THEN 1
+       WHEN tx0 = tx2 AND ty0 = ty2 THEN -1
+       WHEN abs(ddet) < 1.0e-8 THEN 0 ELSE 2 END AS dkind
+  FROM dp3),
+dp5 AS (SELECT *,
+  ddx01 * ((tx0 + tx1) * dinv) + ddy01 * ((ty0 + ty1) * dinv) AS dc01,
+  ddx12 * ((tx1 + tx2) * dinv) + ddy12 * ((ty1 + ty2) * dinv) AS dc12
+  FROM dp4),
+dp6 AS (SELECT *,
+  CASE WHEN dkind = 1 THEN (tx0 + tx1) / 2.0e0
+       WHEN dkind = 2 THEN 5.0e-1 * dscl * (dc01 * ddy12 - dc12 * ddy01) / ddet
+       ELSE 0.0e0 END AS dcx,
+  CASE WHEN dkind = 1 THEN (ty0 + ty1) / 2.0e0
+       WHEN dkind = 2 THEN 5.0e-1 * dscl * (dc12 * ddx01 - dc01 * ddx12) / ddet
+       ELSE 0.0e0 END AS dcy
+  FROM dp5),
+dp7 AS (SELECT *,
+  CASE WHEN dkind >= 1
+       THEN sqrt((dcx - tx0) * (dcx - tx0) + (dcy - ty0) * (dcy - ty0))
+       ELSE 0.0e0 END AS dR,
+  CASE WHEN dkind = 1 THEN atan2(ty0 - dcy, tx0 - dcx)
+       WHEN dkind = 2 THEN atan2((ty0 - dcy) * dinv, (tx0 - dcx) * dinv)
+       ELSE 0.0e0 END AS da0,
+  CASE WHEN dkind = 2 THEN atan2((ty1 - dcy) * dinv, (tx1 - dcx) * dinv) ELSE 0.0e0 END AS da1r,
+  CASE WHEN dkind = 2 THEN atan2((ty2 - dcy) * dinv, (tx2 - dcx) * dinv) ELSE 0.0e0 END AS da2r
+  FROM dp6),
+dp8 AS (SELECT *,
+  CASE WHEN dkind = 1 THEN da0 + pi()
+       WHEN dkind = 2 AND ddet < 0.0e0 AND da1r > da0 THEN da1r - 2.0e0 * pi()
+       WHEN dkind = 2 AND ddet >= 0.0e0 AND da1r < da0 THEN da1r + 2.0e0 * pi()
+       WHEN dkind = 2 THEN da1r ELSE 0.0e0 END AS da1
+  FROM dp7),
+dp9 AS (SELECT *,
+  CASE WHEN dkind = 1 THEN da0 + 2.0e0 * pi()
+       WHEN dkind = 2 AND ddet < 0.0e0 AND da2r > da1 THEN da2r - 2.0e0 * pi()
+       WHEN dkind = 2 AND ddet >= 0.0e0 AND da2r < da1 THEN da2r + 2.0e0 * pi()
+       WHEN dkind = 2 THEN da2r ELSE 0.0e0 END AS da2
+  FROM dp8),
+tpar AS (
+  SELECT curve_id, n, k, dR, dcx, dcy, da0, da2,
+         da1 - da0 AS dd10, da2 - da1 AS dd21,
+         greatest(abs(da1 - da0), abs(da2 - da1)) AS dmaxd
+  FROM dp9 WHERE dkind >= 1
+),
+cp AS (
+  SELECT *, lag(k) OVER w AS pk, lag(dR) OVER w AS pR,
+         lag(dcx) OVER w AS pcx, lag(dcy) OVER w AS pcy,
+         lag(dd10) OVER w AS pd10, lag(dmaxd) OVER w AS pmaxd
+  FROM tpar WINDOW w AS (PARTITION BY curve_id ORDER BY k)
+),
+cf AS (
+  SELECT *,
+    CASE WHEN pk = k - 1
+          AND abs(dR - pR) <= 1.0e-7 * {_CFL_PSCALE}
+          AND abs(dcx - pcx) <= 1.0e-7 * {_CFL_PSCALE}
+          AND abs(dcy - pcy) <= 1.0e-7 * {_CFL_PSCALE}
+          AND pd10 * dd10 >= 0.0e0
+          AND abs(dd10) < 2.0e0 * pmaxd AND abs(dd21) < 2.0e0 * pmaxd
+         THEN 0 ELSE 1 END AS brk
+  FROM cp
+),
+rg AS (SELECT *, sum(brk) OVER (PARTITION BY curve_id ORDER BY k) AS grp FROM cf),
+runs AS (
+  SELECT curve_id, grp, any_value(n) AS n, min(k) AS i, max(k) AS jlast,
+         count(*) AS m,
+         arg_min(dd10, k) AS ad10, arg_min(dd21, k) AS ad21,
+         arg_min(dmaxd, k) AS amaxd,
+         arg_min(abs(da2 - da0), k) AS aspan
+  FROM rg GROUP BY curve_id, grp
+),
+acc AS (
+  SELECT *, i + m AS jeff, i + m + 1 AS e,
+         CASE WHEN abs(ad10 - ad21) / amaxd < 1.0e-4 THEN 1 ELSE 0 END AS cstep
+  FROM runs
+  WHERE m >= 3 AND aspan < 2.0e0 * 2.0e1 / 1.8e2 * pi()
+),
+acc2 AS (
+  SELECT *, CASE WHEN cstep = 1 THEN amaxd * 1.0e-4 ELSE amaxd / 1.0e1 END AS deps
+  FROM acc
+),
+midc AS (
+  SELECT a.curve_id, a.grp,
+         min(CASE WHEN abs(abs(t.dd10) - a.amaxd) > a.deps THEN t.k * 2
+                  WHEN abs(abs(t.dd21) - a.amaxd) > a.deps THEN t.k * 2 + 1
+             END) AS mc
+  FROM acc2 a JOIN rg t ON t.curve_id = a.curve_id AND t.grp = a.grp
+   AND t.k >= a.i + 2
+  WHERE a.deps < pi() / 1.8e2
+  GROUP BY a.curve_id, a.grp
+),
+amid AS (
+  SELECT a.*,
+         CASE WHEN m.mc IS NULL THEN -1
+              WHEN m.mc % 2 = 0
+              THEN m.mc // 2 + CASE WHEN a.cstep = 1 THEN 0 ELSE 1 END
+              ELSE (m.mc - 1) // 2 + CASE WHEN a.cstep = 1 THEN 1 ELSE 2 END
+         END AS imid
+  FROM acc2 a LEFT JOIN midc m ON m.curve_id = a.curve_id AND m.grp = a.grp
+),
+afin AS (
+  SELECT a.*,
+         CASE WHEN si.x = se.x AND si.y = se.y THEN 1 ELSE 0 END AS isfull,
+         (a.i + a.jeff + 2) // 4 AS q1,
+         (a.i + a.jeff + 1) // 2 AS q2,
+         (3 * (a.i + a.jeff + 2)) // 4 AS q3,
+         CASE WHEN a.imid >= 1 AND a.imid < a.jeff THEN a.imid
+              ELSE (a.i + a.jeff + 1) // 2 END AS midv
+  FROM amid a
+  JOIN stroked si ON si.curve_id = a.curve_id AND si.seq = a.i
+  JOIN stroked se ON se.curve_id = a.curve_id AND se.seq = a.e
+),
+aord AS (
+  SELECT *, row_number() OVER (PARTITION BY curve_id ORDER BY i) AS arcno,
+         lag(e) OVER (PARTITION BY curve_id ORDER BY i) AS preve
+  FROM afin
+),
+aset AS (SELECT *, CASE WHEN preve IS NULL OR preve <> i THEN 1 ELSE 0 END AS np FROM aord),
+aps AS (SELECT *, sum(np) OVER (PARTITION BY curve_id ORDER BY arcno) AS apc FROM aset),
+apts AS (
+  SELECT curve_id, apc, arcno * 10 + 0 AS ord, i AS vidx FROM aps WHERE np = 1
+  UNION ALL SELECT curve_id, apc, arcno * 10 + 1, q1 FROM aps WHERE isfull = 1
+  UNION ALL SELECT curve_id, apc, arcno * 10 + 2,
+                   CASE WHEN isfull = 1 THEN q2 ELSE midv END FROM aps
+  UNION ALL SELECT curve_id, apc, arcno * 10 + 3, q3 FROM aps WHERE isfull = 1
+  UNION ALL SELECT curve_id, apc, arcno * 10 + 4, e FROM aps
+),
+abounds AS (SELECT curve_id, apc, min(vidx) AS ps, max(vidx) AS pe
+            FROM apts GROUP BY curve_id, apc),
+lb AS (
+  SELECT curve_id, ps, pe, n,
+         lead(ps) OVER (PARTITION BY curve_id ORDER BY ps) AS nxt,
+         row_number() OVER (PARTITION BY curve_id ORDER BY ps) AS rn
+  FROM abounds JOIN nn USING (curve_id)
+),
+lpieces AS (
+  SELECT curve_id, 0 AS s, ps AS t FROM lb WHERE rn = 1 AND ps > 0
+  UNION ALL
+  SELECT curve_id, pe AS s, coalesce(nxt, n - 1) AS t
+  FROM lb WHERE coalesce(nxt, n - 1) > pe
+  UNION ALL
+  SELECT nn.curve_id, 0 AS s, nn.n - 1 AS t
+  FROM nn LEFT JOIN abounds USING (curve_id)
+  WHERE abounds.curve_id IS NULL
+),
+pieces AS (
+  SELECT curve_id, 'ARC' AS piece_type, apc AS pid, ps AS pstart FROM abounds
+  UNION ALL
+  SELECT curve_id, 'LINE', -1, s FROM lpieces
+),
+pord AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY curve_id ORDER BY pstart)
+                 - 1 AS INT) AS piece_idx
+  FROM pieces
+),
+outa AS (
+  SELECT p.curve_id, p.piece_idx, 'ARC' AS piece_type,
+         CAST(row_number() OVER (PARTITION BY a.curve_id, a.apc ORDER BY a.ord)
+              - 1 AS INT) AS pt_idx,
+         s.x, s.y
+  FROM pord p
+  JOIN apts a ON a.curve_id = p.curve_id AND a.apc = p.pid
+             AND p.piece_type = 'ARC'
+  JOIN stroked s ON s.curve_id = a.curve_id AND s.seq = a.vidx
+),
+outl AS (
+  SELECT p.curve_id, p.piece_idx, 'LINE' AS piece_type,
+         CAST(s.seq - l.s AS INT) AS pt_idx, s.x, s.y
+  FROM pord p
+  JOIN lpieces l ON l.curve_id = p.curve_id AND l.s = p.pstart
+                AND p.piece_type = 'LINE'
+  JOIN stroked s ON s.curve_id = l.curve_id AND s.seq BETWEEN l.s AND l.t
+)
+SELECT CAST(curve_id AS INT) AS curve_id, piece_idx, piece_type, pt_idx, x, y
+FROM (SELECT * FROM outa UNION ALL SELECT * FROM outl) u
+"""
+
+_CFL_ORACLE = (
+    "WITH "
+    + _CFL_STROKE_FMT.format(
+        segs=_CFL_SEGS,
+        k1="unnest(generate_series(1, CAST(ns1 AS BIGINT)))",
+        k2="unnest(generate_series(1, CAST(ns2 AS BIGINT)))",
+    )
+    + ",\n"
+    + _CFL_DETECT
+)
+
+
+@register("curve_from_line", _CFL_ORACLE)
+def q_curve_from_line(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stroke the compound fixtures (shared SQL, bit-identical to the
+    oracle's stroke) then re-detect arcs: one shuffle on curve_id, each
+    curve's serial greedy scan in its own Arrow task."""
+    from gdal_spark.operators.curve_detect import curve_from_line
+
+    stroke = _CFL_STROKE_FMT.format(
+        segs=_CFL_SEGS,
+        k1="explode(sequence(1, ns1))",
+        k2="explode(sequence(1, ns2))",
+    )
+    stroked = spark.sql(
+        "WITH " + stroke + " SELECT curve_id, seq, x, y FROM stroked"
+    )
+    return curve_from_line(stroked)
+
+
+# --------------------------------------------------------------------------
 # Exact area of closed curve geometries — OGRCircularString::get_Area
 # (ogr/ogrcircularstring.cpp:846) + OGRCurvePolygon::get_Area: full
 # circle = π·R², convex closed curves = control-polygon shoelace
