@@ -11330,3 +11330,339 @@ def q_coverage_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("full").alias("config"), "fid", "wkt"
     )
     return a.unionByName(b)
+
+
+# --------------------------------------------------------------------------
+# SimpleSURF feature detection + matching — alg/gdal_octave.cpp +
+# alg/gdal_simplesurf.cpp + alg/gdalmatching.cpp at the reference
+# defaults (octave 2, INTERVALS 4, SURF_THRESHOLD 0.001,
+# MATCHING_THRESHOLD 0.015).  Engine: operators/surf.py — exact-integer
+# luminosity units end-to-end (see its docstring for the float->int
+# strengthening and the IEEE-deterministic Hessian), one applyInPandas
+# group per image / per pair.  Oracle: an INDEPENDENT pure-SQL
+# formulation — integral image via two window cumsums, every
+# GetRectangleSum as four decorrelated integral lookups with the
+# reference's corner clamps, 26-neighbor extremum join, descriptor
+# quadrants via a generated (kp x quad x subquad) grid, and the
+# matcher's quirky 2nd-nearest tracker reproduced with window prefix
+# minima.  The oracle omits the greedy alreadyMatched exclusion
+# (sequential state); tests/test_surf.py pins greedy == order-free on
+# this fixture (each keypoint's nearest partner is unique and exact).
+#
+# Fixture (both engines render the SAME integer-arithmetic SQL): two
+# 208x144 images of quadratic integer blobs; image 2 = image 1
+# translated by (5, 3) with one blob amplitude-modified (220 -> 218)
+# and the isolated top-right blob present in image 1 only.  Planted
+# outcomes, all reference-faithful: 5 exact matches (3 blob centers +
+# 2 saddles, dist2 = 0), the first-scanned saddle pair self-rejected
+# by the matcher's best2 quirk (nearest scanned first => ratio 1,
+# gdal_simplesurf.cpp:424-447), the modified pair accepted by the 0.8
+# ratio test then pruned by the 0.015 normalized gate, the image-1-only
+# blob unmatched (and, being the first -1-sign keypoint, anchoring
+# every best2 scan > 0 — what makes greedy == order-free provable
+# here).  Image-2 keypoint count < image-1 count exercises the
+# collection swap (:389-402).
+# --------------------------------------------------------------------------
+_SURF_W, _SURF_H = 208, 144
+_SURF_BLOBS = """
+  SELECT 1 AS img, 185 AS bx, 40 AS bcy, 240 AS amp, 3 AS coef
+  UNION ALL SELECT 1, 55, 50, 240, 3
+  UNION ALL SELECT 1, 55, 75, 200, 2
+  UNION ALL SELECT 1, 55, 100, 180, 3
+  UNION ALL SELECT 1, 120, 70, 220, 5
+  UNION ALL SELECT 2, 60, 53, 240, 3
+  UNION ALL SELECT 2, 60, 78, 200, 2
+  UNION ALL SELECT 2, 60, 103, 180, 3
+  UNION ALL SELECT 2, 125, 73, 218, 5
+"""
+
+# {rng} = dialect row source: DuckDB "SELECT range AS {a} FROM range(N)",
+# Spark "SELECT id AS {a} FROM range(N)"
+_SURF_PIX_FMT = f"""
+blobs AS ({_SURF_BLOBS}),
+grid AS (
+  SELECT i.img, x.px, y.py
+  FROM (SELECT 1 AS img UNION ALL SELECT 2) i,
+       (SELECT {{idc}} AS px FROM range({_SURF_W})) x,
+       (SELECT {{idc}} AS py FROM range({_SURF_H})) y
+),
+pix AS (
+  SELECT g.img, g.px, g.py,
+         100 * least(coalesce(sum(greatest(
+             b.amp - b.coef * ((g.px - b.bx) * (g.px - b.bx)
+                               + (g.py - b.bcy) * (g.py - b.bcy)), 0)), 0),
+           255) AS lum
+  FROM grid g LEFT JOIN blobs b ON b.img = g.img
+  GROUP BY g.img, g.px, g.py
+)"""
+
+_SURF_PIX_SPARK = (
+    "WITH "
+    + _SURF_PIX_FMT.format(idc="id")
+    + " SELECT img AS image_id, px, py, lum FROM pix"
+)
+
+
+def _surf_gv(img: str, r: str, c: str) -> str:
+    """GetValue(r, c) as a decorrelated integral lookup (0 outside)."""
+    return (
+        f"coalesce((SELECT s FROM ii WHERE ii.img = {img}"
+        f" AND ii.r = ({r}) AND ii.c = ({c})), 0)"
+    )
+
+
+def _surf_rect(img: str, row: str, col: str, w: str, h: str) -> str:
+    """GetRectangleSum (gdal_octave.cpp:82-119) with the reference's
+    corner clamps, over exact-integer prefix sums."""
+    ltr = f"(CASE WHEN ({row}) <= {_SURF_H} THEN ({row}) - 1 ELSE -1 END)"
+    ltc = f"(CASE WHEN ({col}) <= {_SURF_W} THEN ({col}) - 1 ELSE -1 END)"
+    rbr = f"(least(({row}) + ({h}) - 1, {_SURF_H} - 1))"
+    rbc = f"(least(({col}) + ({w}) - 1, {_SURF_W} - 1))"
+    return (
+        f"greatest({_surf_gv(img, ltr, ltc)} + {_surf_gv(img, rbr, rbc)}"
+        f" - {_surf_gv(img, ltr, rbc)} - {_surf_gv(img, rbr, ltc)}, 0)"
+    )
+
+
+def _surf_haar_x(img: str, row: str, col: str, size: int) -> str:
+    return (
+        _surf_rect(img, row, f"({col}) + {size // 2}", str(size // 2), str(size))
+        + " - "
+        + _surf_rect(img, row, col, str(size // 2), str(size))
+    )
+
+
+def _surf_haar_y(img: str, row: str, col: str, size: int) -> str:
+    return (
+        _surf_rect(img, f"({row}) + {size // 2}", col, str(size), str(size // 2))
+        + " - "
+        + _surf_rect(img, row, col, str(size), str(size // 2))
+    )
+
+
+# Hessian box responses (gdal_octave.cpp:184-199, incl. the asymmetric
+# `c - lobe - 1` / `c - (lobe - 1) / 2` quirks) — lay params are grid
+# columns (fs, lobe, lpart, rad).
+_SURF_DXX = (
+    _surf_rect("hg.img", "hg.r - hg.lobe + 1", "hg.c - hg.rad", "hg.fs", "hg.lpart")
+    + " - 3 * "
+    + _surf_rect(
+        "hg.img",
+        "hg.r - hg.lobe + 1",
+        "hg.c - ((hg.lobe - 1) // 2)",
+        "hg.lobe",
+        "hg.lpart",
+    )
+)
+_SURF_DYY = (
+    _surf_rect("hg.img", "hg.r - hg.rad", "hg.c - hg.lobe - 1", "hg.lpart", "hg.fs")
+    + " - 3 * "
+    + _surf_rect(
+        "hg.img", "hg.r - hg.lobe + 1", "hg.c - hg.lobe + 1", "hg.lpart", "hg.lobe"
+    )
+)
+_SURF_DXY = (
+    _surf_rect("hg.img", "hg.r - hg.lobe", "hg.c - hg.lobe", "hg.lobe", "hg.lobe")
+    + " + "
+    + _surf_rect("hg.img", "hg.r + 1", "hg.c + 1", "hg.lobe", "hg.lobe")
+    + " - "
+    + _surf_rect("hg.img", "hg.r - hg.lobe", "hg.c + 1", "hg.lobe", "hg.lobe")
+    + " - "
+    + _surf_rect("hg.img", "hg.r + 1", "hg.c - hg.lobe", "hg.lobe", "hg.lobe")
+)
+
+# descriptor grid: scale 4 (octave 2) -> haar 8, descSide 80, quad 20,
+# sub 4 (gdal_simplesurf.cpp:301-358); cur = kp - 40 + q*20 + s*4 + 2 - 4
+_SURF_CUR_R = "k.y - 40 + dq.qr * 20 + ds.sr * 4 - 2"
+_SURF_CUR_C = "k.x - 40 + dq.qc * 20 + ds.sc * 4 - 2"
+
+# Keypoints + long-format descriptors, shared by both SURF oracles.
+_SURF_KP_CTES = f"""
+lum AS (SELECT img, py AS r, px AS c, lum FROM pix),
+rowc AS (
+  SELECT img, r, c,
+         sum(lum) OVER (PARTITION BY img, r ORDER BY c
+                        ROWS UNBOUNDED PRECEDING) AS rs
+  FROM lum
+),
+ii AS MATERIALIZED (
+  SELECT img, r, c,
+         sum(rs) OVER (PARTITION BY img, c ORDER BY r
+                       ROWS UNBOUNDED PRECEDING) AS s
+  FROM rowc
+),
+lay AS (
+  SELECT CAST(t.lay AS INT) AS lay,
+         3 * 4 * CAST(t.lay AS INT) + 1 AS fs
+  FROM (SELECT range + 1 AS lay FROM range(4)) t
+),
+lay2 AS (
+  SELECT lay, fs, (fs - 1) // 2 AS rad, fs // 3 AS lobe,
+         2 * (fs // 3) - 1 AS lpart
+  FROM lay
+),
+hg AS (
+  SELECT i.img, l.lay, l.fs, l.rad, l.lobe, l.lpart, rr.r, cc.c
+  FROM (SELECT 1 AS img UNION ALL SELECT 2) i
+  CROSS JOIN lay2 l
+  JOIN (SELECT range AS r FROM range({_SURF_H})) rr
+    ON rr.r >= l.rad AND rr.r <= {_SURF_H} - l.rad
+  JOIN (SELECT range AS c FROM range({_SURF_W})) cc
+    ON cc.c >= l.rad AND cc.c <= {_SURF_W} - l.rad
+),
+hraw AS MATERIALIZED (
+  SELECT hg.img, hg.lay, hg.r, hg.c, hg.fs,
+         {_SURF_DXX} AS ixx, {_SURF_DYY} AS iyy, {_SURF_DXY} AS ixy
+  FROM hg
+),
+hes AS MATERIALIZED (
+  SELECT img, lay, r, c,
+         (CAST(ixx AS DOUBLE) / CAST(fs * fs * 25500 AS DOUBLE))
+           * (CAST(iyy AS DOUBLE) / CAST(fs * fs * 25500 AS DOUBLE))
+         - 9.0e-1 * 9.0e-1
+           * (CAST(ixy AS DOUBLE) / CAST(fs * fs * 25500 AS DOUBLE))
+           * (CAST(ixy AS DOUBLE) / CAST(fs * fs * 25500 AS DOUBLE)) AS det,
+         CASE WHEN CAST(ixx AS DOUBLE) / CAST(fs * fs * 25500 AS DOUBLE)
+                   + CAST(iyy AS DOUBLE) / CAST(fs * fs * 25500 AS DOUBLE)
+                   >= 0.0e0 THEN 1 ELSE -1 END AS sgn
+  FROM hraw
+),
+tri AS (
+  SELECT 0 AS k, 1 AS bot, 2 AS mid, 3 AS top, 18 AS trad, 12 AS mrad
+  UNION ALL SELECT 1, 2, 3, 4, 24, 18
+),
+kp0 AS MATERIALIZED (
+  SELECT m.img, t.k, m.r, m.c, m.sgn, t.mrad
+  FROM hes m
+  JOIN tri t ON m.lay = t.mid
+  JOIN hes n ON n.img = m.img AND n.lay BETWEEN t.bot AND t.top
+     AND n.r BETWEEN m.r - 1 AND m.r + 1
+     AND n.c BETWEEN m.c - 1 AND m.c + 1
+     AND NOT (n.lay = m.lay AND n.r = m.r AND n.c = m.c)
+  WHERE m.det >= 1.0e-3
+    AND m.r > t.trad AND m.c > t.trad
+    AND m.r + t.trad < {_SURF_H} AND m.c + t.trad < {_SURF_W}
+  GROUP BY m.img, t.k, m.r, m.c, m.sgn, t.mrad, m.det
+  HAVING count(*) = 26 AND bool_and(n.det < m.det)
+),
+kp AS (
+  SELECT img, CAST(row_number() OVER (PARTITION BY img ORDER BY k, r, c)
+                   - 1 AS INT) AS kp,
+         c AS x, r AS y, 4 AS scale, mrad AS radius, sgn
+  FROM kp0
+),
+dgrid AS (
+  SELECT k.img, k.kp, k.x, k.y, k.scale, k.radius, k.sgn,
+         CAST(dq.qr * 4 + dq.qc AS INT) AS quad,
+         {_surf_haar_x("k.img", _SURF_CUR_R, _SURF_CUR_C, 8)} AS hx,
+         {_surf_haar_y("k.img", _SURF_CUR_R, _SURF_CUR_C, 8)} AS hy
+  FROM kp k
+  CROSS JOIN (SELECT a.range AS qr, b.range AS qc
+              FROM range(4) a, range(4) b) dq
+  CROSS JOIN (SELECT a.range AS sr, b.range AS sc
+              FROM range(5) a, range(5) b) ds
+),
+dsc AS MATERIALIZED (
+  SELECT img, kp, x, y, scale, radius, sgn, quad,
+         CAST(sum(hx) AS BIGINT) AS dx, CAST(sum(hy) AS BIGINT) AS dy,
+         CAST(sum(abs(hx)) AS BIGINT) AS adx,
+         CAST(sum(abs(hy)) AS BIGINT) AS ady
+  FROM dgrid
+  GROUP BY img, kp, x, y, scale, radius, sgn, quad
+)"""
+
+_SURF_FEAT_ORACLE = (
+    "WITH "
+    + _SURF_PIX_FMT.format(idc="range")
+    + ",\n"
+    + _SURF_KP_CTES
+    + """
+SELECT CAST(img AS INT) AS image_id, kp, CAST(x AS INT) AS x,
+       CAST(y AS INT) AS y, CAST(scale AS INT) AS scale,
+       CAST(radius AS INT) AS radius, CAST(sgn AS INT) AS sign,
+       quad, dx, dy, adx, ady
+FROM dsc
+"""
+)
+
+# Matching (gdal_simplesurf.cpp:364-480): image 2 has fewer keypoints
+# -> the reference swaps so the scan iterates image-2 keypoints (i)
+# against image-1 candidates (j) in keypoint-index order.  best2 is
+# the quirky tracker: min over the first candidate's distance and
+# every non-prefix-min distance.  alreadyMatched omitted (pinned
+# equivalent on this fixture, tests/test_surf.py).
+_SURF_MATCH_ORACLE = (
+    "WITH "
+    + _SURF_PIX_FMT.format(idc="range")
+    + ",\n"
+    + _SURF_KP_CTES
+    + """,
+d2 AS MATERIALIZED (
+  SELECT a.kp AS i, b.kp AS j, a.sgn,
+         a.x AS x2, a.y AS y2, a.scale AS scale2,
+         b.x AS x1, b.y AS y1, b.scale AS scale1,
+         CAST(sum((a.dx - b.dx) * (a.dx - b.dx)
+                  + (a.dy - b.dy) * (a.dy - b.dy)
+                  + (a.adx - b.adx) * (a.adx - b.adx)
+                  + (a.ady - b.ady) * (a.ady - b.ady)) AS BIGINT) AS d
+  FROM dsc a JOIN dsc b
+    ON a.img = 2 AND b.img = 1 AND a.sgn = b.sgn AND a.quad = b.quad
+  GROUP BY a.kp, b.kp, a.sgn, a.x, a.y, a.scale, b.x, b.y, b.scale
+),
+scan AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY i ORDER BY j) AS rn,
+         min(d) OVER (PARTITION BY i ORDER BY j
+                      ROWS UNBOUNDED PRECEDING) AS runmin
+  FROM d2
+),
+agg AS (
+  SELECT i,
+         min(d) AS best,
+         arg_min(j, d) AS bi,
+         min(CASE WHEN rn = 1 OR d > runmin THEN d END) AS best2,
+         arg_min(x1, d) AS x1, arg_min(y1, d) AS y1,
+         arg_min(scale1, d) AS scale1,
+         any_value(x2) AS x2, any_value(y2) AS y2,
+         any_value(scale2) AS scale2, any_value(sgn) AS sgn
+  FROM scan GROUP BY i
+),
+acc AS (
+  SELECT * FROM agg
+  WHERE best2 > 0 AND best >= 0
+    AND 25 * CAST(best AS HUGEINT) < 16 * CAST(best2 AS HUGEINT)
+),
+mx AS (SELECT coalesce(max(best), 0) AS m FROM acc)
+SELECT 1 AS pair_id,
+       CAST(row_number() OVER (ORDER BY i) - 1 AS INT) AS match_idx,
+       CAST(x1 AS INT) AS x1, CAST(y1 AS INT) AS y1,
+       CAST(x2 AS INT) AS x2, CAST(y2 AS INT) AS y2,
+       CAST(scale1 AS INT) AS scale1, CAST(scale2 AS INT) AS scale2,
+       CAST(sgn AS INT) AS sign, best AS dist2
+FROM acc, mx
+WHERE 40000 * CAST(best AS HUGEINT) <= 9 * CAST(mx.m AS HUGEINT)
+"""
+)
+
+
+@register("surf_features", _SURF_FEAT_ORACLE)
+def q_surf_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURF keypoints + exact-integer descriptors for both fixture
+    images, one row per (keypoint, quadrant); one applyInPandas group
+    per image (the multimodal corpus contract)."""
+    from gdal_spark.operators.surf import surf_features
+
+    return surf_features(spark.sql(_SURF_PIX_SPARK))
+
+
+@register("surf_match", _SURF_MATCH_ORACLE)
+def q_surf_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end GDALComputeMatchingPoints: detect on both images,
+    greedy-match descriptors, ratio + normalized-distance pruning;
+    one applyInPandas group per image pair."""
+    from gdal_spark.operators.surf import surf_match
+
+    pix = spark.sql(_SURF_PIX_SPARK).selectExpr(
+        "1 AS pair_id", "image_id", "px", "py", "lum"
+    )
+    return surf_match(pix)
