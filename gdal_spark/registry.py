@@ -10690,6 +10690,265 @@ def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Sequence packing (training-data pipeline): concatenate the corpus in a
+# deterministic global order and cut fixed-capacity training sequences;
+# a document spanning a boundary splits into pieces.  The global token
+# offset is the corpus_shuffle distributed-rank pattern applied to SUM
+# instead of COUNT (range partition -> per-partition cumulative sums +
+# a broadcast partition-offset dim — no single-partition window), so
+# the packing plan scales to any corpus size; each doc then fans out to
+# its owning sequences with pure integer math (zero extra shuffles).
+# --------------------------------------------------------------------------
+_PACK_CAP = 512  # tokens per packed training sequence
+
+_PACK_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n,
+         CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS o
+  FROM t
+),
+s AS (
+  SELECT doc_id, n, o,
+         CAST(unnest(generate_series(o // {_PACK_CAP},
+                                     (o + n - 1) // {_PACK_CAP}))
+              AS BIGINT) AS seq_id
+  FROM c
+)
+SELECT doc_id, seq_id,
+  CAST(GREATEST(o, seq_id * {_PACK_CAP}) - o AS BIGINT) AS piece_start,
+  CAST(LEAST(o + n, (seq_id + 1) * {_PACK_CAP})
+       - GREATEST(o, seq_id * {_PACK_CAP}) AS BIGINT) AS n_toks,
+  CAST(GREATEST(o, seq_id * {_PACK_CAP}) - seq_id * {_PACK_CAP} AS BIGINT)
+    AS seq_off
+FROM s
+"""
+
+
+@register("seq_pack", _PACK_ORACLE)
+def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n")
+    )
+    # persisted: the partition-sum dim and the fan-out consume the same
+    # range boundaries (multiply-referenced-stage rule, CLAUDE.md)
+    ranged = (
+        d.repartitionByRange(32, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    psums = ranged.groupBy("_pid").agg(F.sum("n").alias("_pn"))
+    woff = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = psums.select(
+        "_pid", F.coalesce(F.sum("_pn").over(woff), F.lit(0)).alias("_poff")
+    )
+    wloc = Window.partitionBy("_pid").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cap = _PACK_CAP
+    return (
+        ranged.join(F.broadcast(offsets), "_pid")
+        .withColumn(
+            "o",
+            F.col("_poff") + F.coalesce(F.sum("n").over(wloc), F.lit(0)),
+        )
+        .select(
+            "doc_id", "n", "o",
+            F.explode(
+                F.expr(f"sequence(o DIV {cap}, (o + n - 1) DIV {cap})")
+            ).alias("seq_id"),
+        )
+        .selectExpr(
+            "doc_id",
+            "CAST(seq_id AS BIGINT) AS seq_id",
+            f"CAST(GREATEST(o, seq_id * {cap}) - o AS BIGINT) AS piece_start",
+            f"CAST(LEAST(o + n, (seq_id + 1) * {cap})"
+            f" - GREATEST(o, seq_id * {cap}) AS BIGINT) AS n_toks",
+            f"CAST(GREATEST(o, seq_id * {cap}) - seq_id * {cap} AS BIGINT)"
+            " AS seq_off",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# DSIR importance weights (Xie et al. 2023, "Data Selection for Language
+# Models via Importance Resampling"): per-doc log importance weight
+# log p_target(x) - log p_raw(x) under hashed-bigram bag-of-ngrams
+# models with add-one smoothing.  Target distribution = the docs with
+# doc_id % 10 = 0 (a stand-in for the curated target domain); raw = the
+# whole corpus.  The per-bucket log-ratio is computed ONCE per bucket
+# (a <= 256-row dim, broadcast back) and micro-quantized to BIGINT
+# before the per-doc sum, so the aggregate is an exact integer sum in
+# any aggregation order — the same ln-once-per-distinct-key pattern as
+# lm_quality.  Corpus side: one gram explode + one groupBy(doc_id);
+# the model aggregations are map-side combined into <= 256 rows.
+# --------------------------------------------------------------------------
+_DSIR_B = 256  # hashed feature buckets
+
+# shared formula text (both engines): add-one smoothed log-likelihood
+# ratio, micro-quantized.  Division shapes identical on both sides so
+# the double inputs to ln() are bit-identical.
+_DSIR_W_U = (
+    "CAST(floor(ln((CAST(COALESCE(t_cnt, 0) + 1 AS DOUBLE)"
+    f" / CAST(t_tot + {_DSIR_B} AS DOUBLE))"
+    " / (CAST(r_cnt + 1 AS DOUBLE)"
+    f" / CAST(r_tot + {_DSIR_B} AS DOUBLE))) * 1.0e6) AS BIGINT)"
+)
+
+_DSIR_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+g AS (
+  SELECT doc_id, array_to_string(list_slice(w, st, st + 1), ' ') AS gram
+  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS st
+        FROM w WHERE len(w) >= 2) sub
+),
+gb AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5(gram), 1, 7))::BIGINT % {_DSIR_B}
+              AS BIGINT) AS b
+  FROM g
+),
+r AS (SELECT b, CAST(count(*) AS BIGINT) AS r_cnt FROM gb GROUP BY b),
+t AS (SELECT b, CAST(count(*) AS BIGINT) AS t_cnt
+      FROM gb WHERE doc_id % 10 = 0 GROUP BY b),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS r_tot,
+         CAST(SUM(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS t_tot
+  FROM gb
+),
+wd AS (
+  SELECT r.b, {_DSIR_W_U} AS w_u
+  FROM r LEFT JOIN t ON r.b = t.b, tot
+)
+SELECT gb.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(SUM(w_u) AS BIGINT) AS dsir_w_u
+FROM gb JOIN wd ON gb.b = wd.b
+GROUP BY gb.doc_id
+"""
+
+
+@register("dsir_weights", _DSIR_ORACLE)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    gb = (
+        d.select("doc_id", F.split("text", " ").alias("w"))
+        .filter(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            F.explode(F.expr("sequence(1, size(w) - 1)")).alias("st"),
+            "w",
+        )
+        .select(
+            "doc_id",
+            F.expr("array_join(slice(w, st, 2), ' ')").alias("gram"),
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                "CAST(conv(substring(md5(gram), 1, 7), 16, 10) AS BIGINT)"
+                f" % {_DSIR_B}"
+            ).alias("b"),
+        )
+        .persist()  # model aggs + final join share this stage (CLAUDE.md)
+    )
+    r = gb.groupBy("b").agg(F.count("*").alias("r_cnt"))
+    t = (
+        gb.filter(F.col("doc_id") % 10 == 0)
+        .groupBy("b")
+        .agg(F.count("*").alias("t_cnt"))
+    )
+    tot = gb.agg(
+        F.count("*").alias("r_tot"),
+        F.sum(
+            F.when(F.col("doc_id") % 10 == 0, 1).otherwise(0)
+        ).alias("t_tot"),
+    )
+    wd = (
+        r.join(t, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select("b", F.expr(_DSIR_W_U).alias("w_u"))
+    )
+    return (
+        gb.join(F.broadcast(wd), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum("w_u").cast("long").alias("dsir_w_u"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact global quality deciles (training-data pipeline: CCNet/RedPajama
+# head/middle/tail bucketing by a quality signal — here the n_chars
+# column as the stand-in score).  Bucket = floor(rank * K / n) over the
+# EXACT global rank (deterministic ties via doc_id), computed with the
+# distributed-rank pattern (range partition on the sort key, local
+# row_number, broadcast partition-count offsets) — the explicit floor
+# formula, not NTILE, so both engines share the integer math.
+# --------------------------------------------------------------------------
+_QB_K = 10
+
+_QB_ORACLE = f"""
+WITH r AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+         CAST(ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) - 1
+              AS BIGINT) AS rk,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n
+  FROM documents
+)
+SELECT doc_id, n_chars, rk,
+       CAST((rk * {_QB_K}) // n AS BIGINT) AS decile
+FROM r
+"""
+
+
+@register("quality_buckets", _QB_ORACLE)
+def q_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    ranged = (
+        d.repartitionByRange(32, F.col("n_chars").desc(), F.col("doc_id"))
+        .sortWithinPartitions(F.col("n_chars").desc(), "doc_id")
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = ranged.groupBy("_pid").agg(F.count("*").alias("_cnt"))
+    woff = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_pid", F.coalesce(F.sum("_cnt").over(woff), F.lit(0)).alias("_off")
+    )
+    total = counts.agg(F.sum("_cnt").alias("n"))
+    local = F.row_number().over(
+        Window.partitionBy("_pid").orderBy(F.col("n_chars").desc(), "doc_id")
+    )
+    return (
+        ranged.join(F.broadcast(offsets), "_pid")
+        .crossJoin(F.broadcast(total))
+        .withColumn("rk", (F.col("_off") + local - 1).cast("long"))
+        .selectExpr(
+            "doc_id", "n_chars", "rk",
+            f"CAST((rk * {_QB_K}) DIV n AS BIGINT) AS decile",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # gdal_minmax_location (osgeo_utils/samples/gdal_minmax_location.py /
 # GDALRasterBand::ComputeMinMaxLocation): per band, the min and max
 # values with the FIRST pixel location hitting each (the reference's
