@@ -10701,42 +10701,54 @@ def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 _PACK_CAP = 512  # tokens per packed training sequence
 
+def _pack_oracle_ctes(rel: str) -> str:
+    """CTE chain packing relation ``rel`` (doc_id, n) into fixed-capacity
+    sequences; terminal CTE ``packed`` has the 5 output columns."""
+    return f"""
+pc AS (
+  SELECT doc_id, n,
+         CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS o
+  FROM {rel}
+),
+ps AS (
+  SELECT doc_id, n, o,
+         CAST(unnest(generate_series(o // {_PACK_CAP},
+                                     (o + n - 1) // {_PACK_CAP}))
+              AS BIGINT) AS seq_id
+  FROM pc
+),
+packed AS (
+  SELECT doc_id, seq_id,
+    CAST(GREATEST(o, seq_id * {_PACK_CAP}) - o AS BIGINT) AS piece_start,
+    CAST(LEAST(o + n, (seq_id + 1) * {_PACK_CAP})
+         - GREATEST(o, seq_id * {_PACK_CAP}) AS BIGINT) AS n_toks,
+    CAST(GREATEST(o, seq_id * {_PACK_CAP}) - seq_id * {_PACK_CAP} AS BIGINT)
+      AS seq_off
+  FROM ps
+)"""
+
+
 _PACK_ORACLE = f"""
 WITH t AS (
   SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
   FROM documents
 ),
-c AS (
-  SELECT doc_id, n,
-         CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
-                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-              AS BIGINT) AS o
-  FROM t
-),
-s AS (
-  SELECT doc_id, n, o,
-         CAST(unnest(generate_series(o // {_PACK_CAP},
-                                     (o + n - 1) // {_PACK_CAP}))
-              AS BIGINT) AS seq_id
-  FROM c
-)
-SELECT doc_id, seq_id,
-  CAST(GREATEST(o, seq_id * {_PACK_CAP}) - o AS BIGINT) AS piece_start,
-  CAST(LEAST(o + n, (seq_id + 1) * {_PACK_CAP})
-       - GREATEST(o, seq_id * {_PACK_CAP}) AS BIGINT) AS n_toks,
-  CAST(GREATEST(o, seq_id * {_PACK_CAP}) - seq_id * {_PACK_CAP} AS BIGINT)
-    AS seq_off
-FROM s
+{_pack_oracle_ctes('t')}
+SELECT doc_id, seq_id, piece_start, n_toks, seq_off FROM packed
 """
 
 
-@register("seq_pack", _PACK_ORACLE)
-def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _pack_pieces(d: DataFrame) -> DataFrame:
+    """Pack (doc_id, n) rows into fixed-capacity training sequences in
+    doc_id order: global token offset via the corpus_shuffle
+    distributed-rank pattern applied to SUM (range partition ->
+    per-partition cumulative sums + broadcast partition-offset dim; no
+    single-partition window), then each doc fans out to its owning
+    sequences with pure integer math (zero extra shuffles)."""
     from pyspark.sql import Window
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n")
-    )
     # persisted: the partition-sum dim and the fan-out consume the same
     # range boundaries (multiply-referenced-stage rule, CLAUDE.md)
     ranged = (
@@ -10778,6 +10790,14 @@ def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("seq_pack", _PACK_ORACLE)
+def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n")
+    )
+    return _pack_pieces(d)
+
+
 # --------------------------------------------------------------------------
 # DSIR importance weights (Xie et al. 2023, "Data Selection for Language
 # Models via Importance Resampling"): per-doc log importance weight
@@ -10803,9 +10823,12 @@ _DSIR_W_U = (
     f" / CAST(r_tot + {_DSIR_B} AS DOUBLE))) * 1.0e6) AS BIGINT)"
 )
 
-_DSIR_ORACLE = f"""
-WITH w AS (
-  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+def _dsir_oracle_ctes(rel: str) -> str:
+    """CTE chain scoring relation ``rel`` (doc_id, text); terminal CTE
+    ``dw`` holds (doc_id, n_grams, dsir_w_u)."""
+    return f"""
+w AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM {rel}
 ),
 g AS (
   SELECT doc_id, array_to_string(list_slice(w, st, st + 1), ' ') AS gram
@@ -10830,18 +10853,24 @@ tot AS (
 wd AS (
   SELECT r.b, {_DSIR_W_U} AS w_u
   FROM r LEFT JOIN t ON r.b = t.b, tot
-)
-SELECT gb.doc_id,
-       CAST(count(*) AS BIGINT) AS n_grams,
-       CAST(SUM(w_u) AS BIGINT) AS dsir_w_u
-FROM gb JOIN wd ON gb.b = wd.b
-GROUP BY gb.doc_id
+),
+dw AS (
+  SELECT gb.doc_id,
+         CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(SUM(w_u) AS BIGINT) AS dsir_w_u
+  FROM gb JOIN wd ON gb.b = wd.b
+  GROUP BY gb.doc_id
+)"""
+
+
+_DSIR_ORACLE = f"""
+WITH {_dsir_oracle_ctes('documents')}
+SELECT doc_id, n_grams, dsir_w_u FROM dw
 """
 
 
-@register("dsir_weights", _DSIR_ORACLE)
-def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+def _dsir_weights_df(d: DataFrame) -> DataFrame:
+    """Per-doc DSIR importance weight over (doc_id, text) rows."""
     gb = (
         d.select("doc_id", F.split("text", " ").alias("w"))
         .filter(F.size("w") >= 2)
@@ -10887,6 +10916,105 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("long").alias("n_grams"),
             F.sum("w_u").cast("long").alias("dsir_w_u"),
         )
+    )
+
+
+@register("dsir_weights", _DSIR_ORACLE)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _dsir_weights_df(d.select("doc_id", "text"))
+
+
+# --------------------------------------------------------------------------
+# End-to-end pretraining-mix pipeline (the realistic 100 TB curation
+# job, composed as ONE Catalyst plan): exact-dedup keeper -> DSIR
+# importance scoring of the survivors -> per-source top-K selection
+# (the quality/domain-mix gate; WindowGroupLimit pushes a partial top-K
+# map-side before the per-source shuffle) -> sequence packing of the
+# selected subset.  The corpus has no exact duplicates at test scale,
+# so the query PLANTS clones of doc_id < 5 (same expression both
+# engines — the _PII_AUG precedent) and the keeper stage provably drops
+# them.  Selection ties break on doc_id; packing order is doc_id.
+# --------------------------------------------------------------------------
+_MIX_TOPK = 10  # docs kept per source
+
+_MIX_ORACLE = f"""
+WITH aug AS (
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text, source FROM documents WHERE doc_id < 5
+),
+kd AS (
+  SELECT doc_id, text, source
+  FROM (SELECT doc_id, text, source,
+               ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                  ORDER BY doc_id) AS krn
+        FROM aug) k
+  WHERE krn = 1
+),
+{_dsir_oracle_ctes('kd')},
+ranked AS (
+  SELECT kd.doc_id, kd.source, dw.dsir_w_u,
+         CAST(len(string_split(kd.text, ' ')) AS BIGINT) AS n,
+         ROW_NUMBER() OVER (PARTITION BY kd.source
+                            ORDER BY dw.dsir_w_u DESC, kd.doc_id) AS rn
+  FROM kd JOIN dw ON kd.doc_id = dw.doc_id
+),
+sel AS (SELECT doc_id, source, dsir_w_u, n FROM ranked WHERE rn <= {_MIX_TOPK}),
+{_pack_oracle_ctes('sel')}
+SELECT p.doc_id, sel.source, sel.dsir_w_u,
+       p.seq_id, p.piece_start, p.n_toks, p.seq_off
+FROM packed p JOIN sel ON p.doc_id = sel.doc_id
+"""
+
+
+@register("pretrain_mix", _MIX_ORACLE)
+def q_pretrain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "source"
+    )
+    clones = d.filter(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text", "source"
+    )
+    aug = d.unionByName(clones)
+    # keeper via one content-hash shuffle (no corpus-sized join side):
+    # row_number over md5(text) keeps the min-doc_id row per group
+    kd = (
+        aug.withColumn(
+            "krn",
+            F.row_number().over(
+                Window.partitionBy(F.md5("text")).orderBy("doc_id")
+            ),
+        )
+        .filter(F.col("krn") == 1)
+        .drop("krn")
+        .persist()  # dsir grams + the ranked stage both consume kd
+    )
+    dw = _dsir_weights_df(kd.select("doc_id", "text"))
+    ranked = (
+        kd.join(dw.select("doc_id", "dsir_w_u"), "doc_id")
+        .select(
+            "doc_id", "source", "dsir_w_u",
+            F.size(F.split("text", " ")).cast("long").alias("n"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy(
+                    F.col("dsir_w_u").desc(), "doc_id"
+                )
+            ),
+        )
+    )
+    sel = ranked.filter(F.col("rn") <= _MIX_TOPK).drop("rn").persist()
+    packed = _pack_pieces(sel.select("doc_id", "n"))
+    return packed.join(
+        F.broadcast(sel.select("doc_id", "source", "dsir_w_u")), "doc_id"
+    ).select(
+        "doc_id", "source", "dsir_w_u",
+        "seq_id", "piece_start", "n_toks", "seq_off",
     )
 
 
