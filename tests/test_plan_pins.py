@@ -148,6 +148,46 @@ class TestBoundedShuffles:
         assert _shuffles(plan) <= 36, plan
 
 
+class TestTrainingPipelinePlans:
+    """Positive pins for the curation-family queries: the distributed
+    global-rank/cumsum stages shuffle by RANGE (never SinglePartition),
+    dim joins broadcast, and the per-source top-K selection keeps its
+    WindowGroupLimit (partial top-K map-side — the property that bounds
+    a hot source's reducer to #map-partitions x K rows).  Bounds are
+    fresh-cache print censuses (see module docstring caveat)."""
+
+    def _q(self, spark, sf_dir, name):
+        import __spark_entry__ as entry_mod
+
+        spark.catalog.clearCache()
+        return _plan(entry_mod.queries()[name](spark, sf_dir))
+
+    def test_seq_pack_range_partition_and_broadcast(self, spark, sf_dir):
+        plan = self._q(spark, sf_dir, "seq_pack")
+        assert "Exchange rangepartitioning" in plan, plan
+        assert "BroadcastHashJoin" in plan, plan
+        assert "SortMergeJoin" not in plan, plan
+        assert _shuffles(plan) <= 6, plan
+
+    def test_dsir_model_joins_broadcast(self, spark, sf_dir):
+        plan = self._q(spark, sf_dir, "dsir_weights")
+        assert "BroadcastHashJoin" in plan, plan
+        assert "SortMergeJoin" not in plan, plan
+        assert _shuffles(plan) <= 6, plan
+
+    def test_quality_buckets_range_partition(self, spark, sf_dir):
+        plan = self._q(spark, sf_dir, "quality_buckets")
+        assert "Exchange rangepartitioning" in plan, plan
+        assert "SortMergeJoin" not in plan, plan
+        assert _shuffles(plan) <= 10, plan
+
+    def test_pretrain_mix_window_group_limit(self, spark, sf_dir):
+        plan = self._q(spark, sf_dir, "pretrain_mix")
+        assert "WindowGroupLimit" in plan, plan
+        assert "SortMergeJoin" not in plan, plan
+        assert _shuffles(plan) <= 40, plan
+
+
 class TestScanHygiene:
     def test_geometry_queries_never_read_text(self, spark, docs):
         """Column pruning reaches the parquet scan: the wide ``text``
