@@ -10164,6 +10164,52 @@ def q_table_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Snapshot-table hidden partitioning (Iceberg partition spec): the table
+# is laid out by bucket[8](doc_id) — a TRANSFORM recorded per file in
+# the manifest, never a user-visible column — and equality lookups open
+# only the files whose partition tuple can match (scan planning from
+# metadata; the residual row filter still applies).  The reader names
+# source columns only, so a 100 TB table can re-bucket under its
+# queries.  tests/test_table_partition.py pins the pruning actually
+# skips files and the Spark/Python transform agreement; this query pins
+# the end-to-end values at the driver surface.
+# --------------------------------------------------------------------------
+_TABLE_PART_ORACLE = """
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+FROM documents WHERE doc_id IN (7, 42, 123)
+"""
+
+
+@register("table_partitioned", _TABLE_PART_ORACLE)
+def q_table_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    from gdal_spark.table import SnapshotTable
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "gdal_spark_parttab_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:8],
+    )
+    t = SnapshotTable(
+        spark, root, partition_spec=[("doc_id", "bucket[8]")]
+    )
+    if t.current_snapshot_id() != 2:  # idempotent build, reused across runs
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", F.col("n_chars").cast("long").alias("n_chars")
+        )
+        t.append(d.filter("doc_id % 2 = 0").repartition(4, "doc_id"))
+        t.append(d.filter("doc_id % 2 = 1").repartition(4, "doc_id"))
+    out = None
+    for key in (7, 42, 123):
+        part = t.partition_pruned_read({"doc_id": key})
+        out = part if out is None else out.unionByName(part)
+    return out.select("doc_id", "n_chars")
+
+
+# --------------------------------------------------------------------------
 # Snapshot-table equality deletes (Iceberg v2 merge-on-read): snapshot 1
 # appends two thirds of the orders layer, snapshot 2 commits a DELETE
 # FILE for keys divisible by 7 (no data file rewritten — the read

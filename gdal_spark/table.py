@@ -79,21 +79,72 @@ def _read_json(path: str) -> dict:
         return json.load(f)
 
 
+def _pt_expr(col: str, transform: str) -> str:
+    """Spark SQL text computing an Iceberg-style partition transform of
+    ``col``.  ``bucket[N]`` uses the repo's md5 idiom (reproducible in
+    plain Python for read-side pruning — Iceberg's murmur3 plays the
+    same role); ``truncate[W]`` floors to the width (pmod keeps the
+    floor semantics for negatives)."""
+    if transform == "identity":
+        return col
+    if transform.startswith("bucket["):
+        n = int(transform[7:-1])
+        return (
+            f"pmod(CAST(conv(substring(md5(CAST({col} AS STRING)), 1, 7),"
+            f" 16, 10) AS BIGINT), {n})"
+        )
+    if transform.startswith("truncate["):
+        w = int(transform[9:-1])
+        return f"{col} - pmod({col}, {w})"
+    raise ValueError(f"unknown partition transform: {transform}")
+
+
+def _pt_value(value, transform: str):
+    """The same transform computed driver-side on a predicate value, so
+    scan planning needs no Spark job.  int/string source values only
+    (their str() matches Spark's CAST AS STRING rendering)."""
+    import hashlib
+
+    if transform == "identity":
+        return value
+    if transform.startswith("bucket["):
+        n = int(transform[7:-1])
+        h = hashlib.md5(str(value).encode()).hexdigest()[:7]
+        return int(h, 16) % n
+    if transform.startswith("truncate["):
+        w = int(transform[9:-1])
+        return value - (value % w)
+    raise ValueError(f"unknown partition transform: {transform}")
+
+
 class SnapshotTable:
     def __init__(
         self,
         spark: SparkSession,
         root: str,
         stats_cols: list[str] | None = None,
+        partition_spec: list[tuple[str, str]] | None = None,
     ):
         """``stats_cols``: columns whose per-file min/max are recorded in
         each commit's manifest (numeric or string), enabling
         manifest-level file skipping via :meth:`pruned_read` — the
         Iceberg scan-planning feature that makes a predicate touch only
-        the files whose value range can match."""
+        the files whose value range can match.
+
+        ``partition_spec``: Iceberg-style HIDDEN partitioning — a list
+        of ``(source_col, transform)`` with transform ``identity`` /
+        ``bucket[N]`` / ``truncate[W]``.  Data files are laid out by the
+        TRANSFORM of the column (never by a user-visible partition
+        column: the source column stays in the data, the derived value
+        lives only in the manifest), and equality predicates prune files
+        via :meth:`partition_pruned_read` without the reader knowing the
+        layout.  The spec may change between commits (spec evolution):
+        files written under an older spec carry their own (possibly
+        empty) partition tuple and are never pruned unsoundly."""
         self.spark = spark
         self.root = root
         self.stats_cols = stats_cols or []
+        self.partition_spec = partition_spec or []
         self._data = os.path.join(root, "data")
         self._meta = os.path.join(root, "metadata")
         os.makedirs(self._data, exist_ok=True)
@@ -126,19 +177,41 @@ class SnapshotTable:
 
     # -------------------------------------------------------------- commit
     def _stage_files(
-        self, df: DataFrame, staging: str, stem: str, sid: int, nonce: str
-    ) -> list[str]:
-        df.write.mode("overwrite").parquet(staging)
+        self, df: DataFrame, staging: str, stem: str, sid: int, nonce: str,
+        partitioned: bool = False,
+    ) -> list[tuple[str, dict]]:
+        """Write ``df`` to staging and move its files into data/; returns
+        (path, partition_tuple) pairs.  With a partition spec (and
+        ``partitioned``), the write lays files out by the TRANSFORM
+        columns (dropped from the file contents by partitionBy — hidden
+        partitioning: the source columns stay, the derived ones exist
+        only in directory names, parsed here into the manifest)."""
+        spec = self.partition_spec if partitioned else []
+        if spec:
+            pcols = []
+            for i, (col, tr) in enumerate(spec):
+                df = df.withColumn(f"_p{i}", F.expr(_pt_expr(col, tr)))
+                pcols.append(f"_p{i}")
+            df.write.mode("overwrite").partitionBy(*pcols).parquet(staging)
+        else:
+            df.write.mode("overwrite").parquet(staging)
         new_files, i = [], 0
-        for name in sorted(os.listdir(staging)):
-            if not name.endswith(".parquet"):
-                continue
-            dest = os.path.join(
-                self._data, f"{stem}{sid}-{nonce}-{i:05d}.parquet"
-            )
-            os.replace(os.path.join(staging, name), dest)
-            new_files.append(dest)
-            i += 1
+        for dirpath, _dirs, names in sorted(os.walk(staging)):
+            part: dict[str, str] = {}
+            rel = os.path.relpath(dirpath, staging)
+            if rel != ".":
+                for seg in rel.split(os.sep):
+                    k, _, v = seg.partition("=")
+                    part[k] = v
+            for name in sorted(names):
+                if not name.endswith(".parquet"):
+                    continue
+                dest = os.path.join(
+                    self._data, f"{stem}{sid}-{nonce}-{i:05d}.parquet"
+                )
+                os.replace(os.path.join(dirpath, name), dest)
+                new_files.append((dest, part))
+                i += 1
         shutil.rmtree(staging)
         return new_files
 
@@ -167,24 +240,30 @@ class SnapshotTable:
         # a losing concurrent writer must never collide with — let alone
         # delete — the committed winner's files for the same snapshot id
         nonce = uuid.uuid4().hex[:8]
-        new_files: list[str] = []
+        new_files: list[tuple[str, dict]] = []
         del_files: list[str] = []
+        schema_json = None
         if delete_df is not None:
             # the delete file commits FIRST within the staging order so a
             # crash can never publish data without its paired delete
             # (nothing is visible either way until the hint swap)
-            del_files = self._stage_files(
-                delete_df, staging, "del", sid, nonce
-            )
+            del_files = [
+                p for p, _ in self._stage_files(
+                    delete_df, staging, "del", sid, nonce
+                )
+            ]
         if df is not None:
-            new_files = self._stage_files(df, staging, "snap", sid, nonce)
+            schema_json = df.schema.jsonValue()
+            new_files = self._stage_files(
+                df, staging, "snap", sid, nonce, partitioned=True
+            )
 
         # per-file lineage + metrics + column min/max stats in ONE job
         # (input_file_name groupBy), not a job per file
         counts: dict[str, int] = {}
         stats: dict[str, dict[str, list]] = {}
         if new_files:
-            scan = self.spark.read.parquet(*new_files)
+            scan = self.spark.read.parquet(*[p for p, _ in new_files])
             scols = [c for c in self.stats_cols if c in scan.columns]
             aggs = [F.count(F.lit(1)).alias("_n")]
             for c in scols:
@@ -213,13 +292,21 @@ class SnapshotTable:
                 "rows": counts.get(os.path.basename(p), 0),
                 "added_sid": sid,
                 "stats": stats.get(os.path.basename(p), {}),
+                # hidden-partition tuple: spec-name -> directory value
+                # (strings as partitionBy wrote them), resolved against
+                # the spec recorded IN THIS MANIFEST — spec evolution
+                # never reinterprets older files
+                "partition": part,
+                "spec": [list(s) for s in self.partition_spec],
             }
-            for p in new_files
+            for p, part in new_files
         ]
         manifest = {
             "snapshot_id": sid,
             "parent_id": parent,
             "operation": operation,
+            "schema": schema_json
+            or (pm.get("schema") if keeps_history else None),
             "batch_id": batch_id,
             "last_batch_id": max(
                 parent_last, batch_id if batch_id is not None else -1
@@ -244,7 +331,7 @@ class SnapshotTable:
         # optimistic check THEN atomic swap — first writer wins
         if self.current_snapshot_id() != parent:
             os.remove(tmp_m)
-            for p in new_files + del_files:
+            for p in [q for q, _ in new_files] + del_files:
                 os.remove(p)
             raise CommitConflict(
                 f"{self.root}: parent moved past snapshot {parent}"
@@ -305,22 +392,29 @@ class SnapshotTable:
             raise ValueError(f"{self.root}: snapshot has no data files")
         return self._scan(m, m["files"])
 
+    def _read_parquet(self, paths: list[str]) -> DataFrame:
+        # mergeSchema: schema evolution is merge-on-read — a file written
+        # before a column was added simply lacks it, and the union schema
+        # fills NULL (time travel to an older snapshot sees only older
+        # files, hence the older schema, with no extra bookkeeping)
+        return self.spark.read.option("mergeSchema", "true").parquet(*paths)
+
     def _scan(self, m: dict, files: list[dict]) -> DataFrame:
         dels = m.get("delete_files", [])
         if not dels:
-            return self.spark.read.parquet(*[f["path"] for f in files])
+            return self._read_parquet([f["path"] for f in files])
         groups: dict[int, list[str]] = {}
         for f in files:
             groups.setdefault(f.get("added_sid", 0), []).append(f["path"])
         out = None
         for added_sid, paths in sorted(groups.items()):
-            df = self.spark.read.parquet(*paths)
+            df = self._read_parquet(paths)
             for d in dels:
                 if d["sid"] > added_sid:  # strictly-later deletes only:
                     # a merge's own data files are never self-masked
                     keys = self.spark.read.parquet(d["path"])
                     df = df.join(keys, d["key_cols"], "left_anti")
-            out = df if out is None else out.unionByName(df)
+            out = df if out is None else out.unionByName(df, allowMissingColumns=True)
         return out
 
     # -------------------------------------------- manifest-level pruning
@@ -374,6 +468,54 @@ class SnapshotTable:
             cond = cond & (F.col(col) >= F.lit(lo))
         if hi is not None:
             cond = cond & (F.col(col) <= F.lit(hi))
+        return base.filter(cond)
+
+    # ------------------------------------------- hidden-partition pruning
+    def partition_pruned_files(
+        self, eq: dict, snapshot_id: int | None = None
+    ) -> list[dict]:
+        """Data-file entries whose hidden-partition tuple can contain a
+        row matching the equality predicates ``eq`` (source_col ->
+        value).  Each file is judged against the spec IT was written
+        under (recorded per entry): a predicate column the file's spec
+        doesn't cover, or a file with no partition tuple at all (older
+        spec), keeps the file — pruning is never unsound."""
+        m = self._manifest(self._resolve(snapshot_id))
+        keep = []
+        for f in m["files"]:
+            spec = f.get("spec") or []
+            part = f.get("partition") or {}
+            match = True
+            for i, (col, tr) in enumerate(spec):
+                key = f"_p{i}"
+                if col in eq and key in part:
+                    want = str(_pt_value(eq[col], tr))
+                    if part[key] != want:
+                        match = False
+                        break
+            if match:
+                keep.append(f)
+        return keep
+
+    def partition_pruned_read(
+        self, eq: dict, snapshot_id: int | None = None
+    ) -> DataFrame:
+        """Equality scan with hidden-partition file skipping: only files
+        whose partition tuple can hold the predicate values are opened,
+        then the residual row-level equality still applies (and equality
+        deletes apply to the survivors exactly as in :meth:`read`).
+        The reader names SOURCE columns only — the layout (bucket width,
+        truncation) stays the table's private concern, which is what
+        lets a 100 TB table re-partition under its queries."""
+        m = self._manifest(self._resolve(snapshot_id))
+        files = self.partition_pruned_files(eq, snapshot_id)
+        if not files:
+            base = self.read(snapshot_id).limit(0)
+        else:
+            base = self._scan(m, files)
+        cond = F.lit(True)
+        for col, v in eq.items():
+            cond = cond & (F.col(col) == F.lit(v))
         return base.filter(cond)
 
     def delete_where(self, condition: str, key_cols: list[str]) -> int:
