@@ -106,6 +106,70 @@ class TestPartitionPruning:
         )
 
 
+class TestHilbertClusteredManifestPruning:
+    def test_clustered_layout_prunes_manifest_files(self, spark, tmp_path):
+        """The Iceberg scan-planning composition: a table written in
+        Hilbert order has TIGHT per-file lon/lat manifest stats, so a
+        bbox query opens few files; the same data in doc_id order has
+        world-spanning stats in every file and prunes nothing.  Results
+        must be identical across layouts (pruning is planning only)."""
+        from gdal_spark.operators.layout import with_hilbert_key
+
+        n = 4096
+        pts = spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            ((F.col("id") % 64) / 64.0 * 360.0 - 180.0).alias("lon"),
+            ((F.col("id") / 64).cast("long") / 64.0 * 170.0 - 85.0).alias(
+                "lat"
+            ),
+        )
+        bbox = dict(xmin=-10.0, xmax=10.0, ymin=-10.0, ymax=10.0)
+
+        def kept(t):
+            by_lon = {
+                f["path"]
+                for f in t.pruned_files("lon", bbox["xmin"], bbox["xmax"])
+            }
+            both = [
+                f
+                for f in t.pruned_files("lat", bbox["ymin"], bbox["ymax"])
+                if f["path"] in by_lon
+            ]
+            return both, len(t._manifest(t.current_snapshot_id())["files"])
+
+        tc = SnapshotTable(
+            spark, str(tmp_path / "clustered"), stats_cols=["lon", "lat"]
+        )
+        tc.append(
+            with_hilbert_key(pts)
+            .repartitionByRange(16, "hkey")
+            .sortWithinPartitions("hkey")
+            .drop("hkey")
+        )
+        tn = SnapshotTable(
+            spark, str(tmp_path / "natural"), stats_cols=["lon", "lat"]
+        )
+        tn.append(pts.repartition(16, "doc_id"))
+
+        ck, ctot = kept(tc)
+        nk, ntot = kept(tn)
+        assert len(ck) < ctot / 2, (len(ck), ctot)  # clustered: few files
+        assert len(nk) == ntot  # shuffled: every file spans the world
+        # identical answers either way — pruning is scan planning only
+        cond = (
+            (F.col("lon") >= bbox["xmin"]) & (F.col("lon") <= bbox["xmax"])
+            & (F.col("lat") >= bbox["ymin"]) & (F.col("lat") <= bbox["ymax"])
+        )
+        want = sorted(r["doc_id"] for r in tn.read().filter(cond).collect())
+        got = sorted(
+            r["doc_id"]
+            for r in tc._scan(
+                tc._manifest(tc.current_snapshot_id()), ck
+            ).filter(cond).collect()
+        )
+        assert got == want and len(got) > 0
+
+
 class TestSchemaEvolution:
     def test_added_column_is_null_for_old_files(self, spark, root):
         t = SnapshotTable(spark, root)
