@@ -368,22 +368,11 @@ def minhash_md5_signatures(
     return df2.select(id_col, sigs.alias("sigs"))
 
 
-def minhash_md5_pairs(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    num_perm: int = 16,
-    bands: int = 4,
-    ngram: int = 3,
-    min_equal: int = 6,
-) -> DataFrame:
-    """Near-dup pairs via banded LSH over the md5 signatures — the same
-    plan shape as :func:`minhash_lsh_pairs` (explode to band buckets,
-    self-equi-join, narrow pair dedup, sig re-attach) but every value is
-    SQL-reproducible, so the driver oracle checks the WHOLE pipeline."""
+def _md5_banded(sigs: DataFrame, id_col: str, num_perm: int, bands: int) -> DataFrame:
+    """Explode md5-MinHash signatures to (id, band, bucket) LSH rows;
+    bucket = md5 over the band's signature lanes (SQL-reproducible)."""
     rows = num_perm // bands
-    sigs = minhash_md5_signatures(df, text_col, id_col, num_perm, ngram).persist()
-    banded = sigs.select(
+    return sigs.select(
         F.col(id_col),
         F.explode(
             F.array(
@@ -405,6 +394,23 @@ def minhash_md5_pairs(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
+
+
+def minhash_md5_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    bands: int = 4,
+    ngram: int = 3,
+    min_equal: int = 6,
+) -> DataFrame:
+    """Near-dup pairs via banded LSH over the md5 signatures — the same
+    plan shape as :func:`minhash_lsh_pairs` (explode to band buckets,
+    self-equi-join, narrow pair dedup, sig re-attach) but every value is
+    SQL-reproducible, so the driver oracle checks the WHOLE pipeline."""
+    sigs = minhash_md5_signatures(df, text_col, id_col, num_perm, ngram).persist()
+    banded = _md5_banded(sigs, id_col, num_perm, bands)
     a = banded.alias("a")
     b = banded.alias("b")
     pair_ids = (
@@ -416,6 +422,65 @@ def minhash_md5_pairs(
         )
         .select(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    pairs = pair_ids.join(
+        sigs.select(F.col(id_col).alias("id_a"), F.col("sigs").alias("sa")), "id_a"
+    ).join(
+        sigs.select(F.col(id_col).alias("id_b"), F.col("sigs").alias("sb")), "id_b"
+    )
+    n_equal = F.size(
+        F.filter(F.zip_with("sa", "sb", lambda x, y: x == y), lambda v: v)
+    )
+    return pairs.select("id_a", "id_b", n_equal.alias("n_equal")).filter(
+        F.col("n_equal") >= min_equal
+    )
+
+
+def minhash_md5_pairs_incremental(
+    df: DataFrame,
+    delta,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    bands: int = 4,
+    ngram: int = 3,
+    min_equal: int = 6,
+) -> DataFrame:
+    """Incremental near-dup pairs: only pairs touching a *delta* doc
+    (``delta`` is a boolean Column over ``id_col`` — the newly
+    ingested snapshot tranche; at scale this is the snapshot's own
+    partition, so the filter is metadata-only).  Base×base pairs are
+    the PRIOR snapshot's artifact and never form here.
+
+    The per-snapshot shape at corpus scale: band buckets for the base
+    corpus are a stored artifact of the previous run, so incremental
+    work is |delta| signatures + ONE bucket equi-join of the delta
+    bands (small side) against the full band table — cost scales with
+    |delta| × bucket density, not |corpus|².  In this sandbox both
+    sides derive from one signature pass (same plan, persisted once);
+    the join asymmetry is the contract.
+
+    Reference parity: same LSH family as :func:`minhash_md5_pairs`
+    (Broder '97 min-wise hashes); candidate pairs canonicalised as
+    (least, greatest) so delta×delta pairs dedup across join order.
+    """
+    sigs = minhash_md5_signatures(df, text_col, id_col, num_perm, ngram).persist()
+    banded = _md5_banded(sigs, id_col, num_perm, bands).persist()
+    delta_banded = banded.filter(delta)
+    a = banded.alias("a")
+    b = delta_banded.alias("b")
+    pair_ids = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_a"),
+            F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )

@@ -1156,6 +1156,138 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Bloom-filter decontamination (the 100 TB scale path): instead of
+# broadcasting the benchmark gram STRINGS (a hash table proportional to
+# total bench text), broadcast an m-bit Bloom bitset — k deterministic
+# md5-derived positions per gram.  The corpus scan then prefilters its
+# grams with pure codegen bit math (zero join, zero shuffle); only the
+# tiny bloom-candidate set reaches the exact string verify.  m is a
+# CONSTANT (the bitset, 64 longs here), so materialising the position
+# set driver-side is the same bounded dim contract as the GCP tables —
+# corpus rows never transit the driver.  The oracle reproduces the
+# bloom exactly (same md5 positions), so the false-positive column is
+# itself oracle-checked.
+# --------------------------------------------------------------------------
+_BLOOM_M = 4096  # bits
+_BLOOM_K = 2     # hash functions: md5(gram || '#j'), j in {0,1}
+
+
+def _bloom_pos_sql(hexint_open: str, hexint_close: str, j: int) -> str:
+    """Shared formula text: position j of a gram = 28-bit md5 prefix of
+    (gram || '#j') mod m; ``hexint_open/close`` wrap the dialect's
+    hex-to-int spelling around the md5 call."""
+    return (
+        f"{hexint_open}substring(md5(gram || '#{j}'), 1, 7){hexint_close}"
+        f" % {_BLOOM_M}"
+    )
+
+
+_BLOOM_POS_DUCK = [
+    _bloom_pos_sql("CAST(('0x' || ", ")::BIGINT AS BIGINT)", j)
+    for j in range(_BLOOM_K)
+]
+_BLOOM_POS_SPARK = [
+    _bloom_pos_sql("CAST(conv(", ", 16, 10) AS BIGINT)", j)
+    for j in range(_BLOOM_K)
+]
+
+_BLOOM_DECON_ORACLE = f"""
+WITH s AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+g AS (
+  SELECT doc_id,
+         array_to_string(list_slice(w, st, st + {_DC_N - 1}), ' ') AS gram
+  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - {_DC_N - 1})) AS st
+        FROM s WHERE len(w) >= {_DC_N})
+),
+bench AS (SELECT DISTINCT gram FROM g WHERE doc_id < 10),
+bpos AS (
+  SELECT DISTINCT pos FROM (
+    SELECT {_BLOOM_POS_DUCK[0]} AS pos FROM bench
+    UNION ALL
+    SELECT {_BLOOM_POS_DUCK[1]} AS pos FROM bench
+  )
+),
+corp AS (SELECT DISTINCT doc_id, gram FROM g WHERE doc_id >= 10),
+cand AS (
+  SELECT doc_id, gram FROM corp
+  WHERE {_BLOOM_POS_DUCK[0]} IN (SELECT pos FROM bpos)
+    AND {_BLOOM_POS_DUCK[1]} IN (SELECT pos FROM bpos)
+)
+SELECT c.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bloom_candidates,
+       CAST(SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_contaminated_grams,
+       CAST(SUM(CASE WHEN b.gram IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bloom_false_pos
+FROM cand c LEFT JOIN bench b USING (gram)
+GROUP BY c.doc_id
+"""
+
+
+@register("bloom_decontaminate", _BLOOM_DECON_ORACLE)
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage decontamination: literal Bloom bitset (64 longs in the
+    plan — pure codegen bit test per gram, no join) then exact verify
+    of the surviving candidates via the broadcast bench dim."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    g = (
+        d.select("doc_id", F.split("text", " ").alias("w"))
+        .filter(F.size("w") >= _DC_N)
+        .select(
+            "doc_id", "w",
+            F.explode(F.expr(f"sequence(1, size(w) - {_DC_N - 1})")).alias("st"),
+        )
+        .select(
+            "doc_id",
+            F.expr(f"array_join(slice(w, st, {_DC_N}), ' ')").alias("gram"),
+        )
+    )
+    bench = g.filter(F.col("doc_id") < 10).select("gram").distinct().persist()
+    # bitset build: positions of the bench grams, bounded by m (4096) —
+    # the documented dim contract; corpus rows never transit the driver
+    pos_rows = (
+        bench.select(F.expr(_BLOOM_POS_SPARK[0]).alias("pos"))
+        .unionAll(bench.select(F.expr(_BLOOM_POS_SPARK[1]).alias("pos")))
+        .distinct()
+        .collect()
+    )
+    words = [0] * (_BLOOM_M // 64)
+    for r in pos_rows:
+        p = int(r["pos"])
+        words[p >> 6] |= 1 << (p & 63)
+    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    mask = F.array(*[F.lit(w).cast("long") for w in words])
+    corp = (
+        g.filter(F.col("doc_id") >= 10).dropDuplicates(["doc_id", "gram"])
+        .withColumn("_mask", mask)
+    )
+    for j in range(_BLOOM_K):
+        pos = _BLOOM_POS_SPARK[j]
+        corp = corp.filter(
+            F.expr(
+                f"(shiftright(element_at(_mask, CAST(({pos}) DIV 64 AS INT) + 1),"
+                f" CAST(({pos}) % 64 AS INT)) & 1) = 1"
+            )
+        )
+    return (
+        corp.drop("_mask")
+        .join(
+            F.broadcast(bench.withColumn("_hit", F.lit(1))), "gram", "left"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bloom_candidates"),
+            F.sum(F.when(F.col("_hit").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_contaminated_grams"),
+            F.sum(F.when(F.col("_hit").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_bloom_false_pos"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # End-to-end curation pipeline (training-data pipeline): the composed
 # flow a corpus actually runs — exact-dedup keeper → quality gate
 # (length + lexical-diversity thresholds) → per-source cap → uniform
@@ -1423,6 +1555,32 @@ def q_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return minhash_md5_pairs(d)
+
+
+# Incremental (delta-vs-base) near-dup dedup: the per-snapshot shape of
+# the minhash pipeline.  Delta = doc_id % 10 = 0 stands in for the
+# newly-ingested tranche (at scale: the snapshot's own partition /
+# `table_incremental` read).  Only pairs touching a delta doc form —
+# base×base pairs are the prior run's artifact — so per-snapshot cost
+# scales with |delta| × bucket density, not |corpus|².  The oracle is
+# the FULL minhash pipeline filtered to delta-touching pairs: identical
+# signatures, bands, buckets and verify as `minhash_md5`.
+_MM_INC_ORACLE = f"""
+WITH {_MM_PIPELINE_CTE}
+SELECT id_a, id_b, n_equal FROM mm_pairs
+WHERE id_a % 10 = 0 OR id_b % 10 = 0
+"""
+
+
+@register("minhash_incremental", _MM_INC_ORACLE)
+def q_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-vs-base MinHash LSH: band the delta tranche only on the
+    probe side of the bucket equi-join; emits exactly the pairs with
+    >=1 delta endpoint, canonicalised (least, greatest)."""
+    from gdal_spark.operators.text import minhash_md5_pairs_incremental
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_md5_pairs_incremental(d, F.col("doc_id") % 10 == 0)
 
 
 _DEDUP_CLUSTERS_ORACLE = f"""
