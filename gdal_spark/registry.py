@@ -1288,6 +1288,108 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# HyperLogLog distinct-gram cardinality per source (Flajolet et al.
+# 2007): the mergeable-sketch pattern for 100 TB distinct counts.  The
+# sketch path has NO distinct shuffle — every gram occurrence maps to
+# (bucket, rank) in codegen and the 256 registers fold via partial-agg
+# MAX (duplicates absorbed map-side; registers merge across partitions,
+# snapshots and streams by the same MAX).  The hash is md5-derived so
+# DuckDB reproduces every register; ranks/fold stay integer-exact
+# (CASE ladders, no pow/log) and only the final estimate touches
+# doubles — identical literal text both sides, floor-quantized to
+# milli-units (a transcendental-quotient output, never on-grid).  The
+# exact COUNT(DISTINCT) rides along as the audit column — computed in
+# the SAME (source, bucket) groupBy, since the hash buckets partition
+# the gram space (per-bucket distincts sum to the source distinct) —
+# so the sketch's error is itself oracle-checked with ONE corpus scan
+# and no extra join (spark.sql WITH would otherwise re-execute the
+# gram explode per CTE reference).
+# --------------------------------------------------------------------------
+_HLL_P = 8                       # 2^8 = 256 registers
+_HLL_M = 1 << _HLL_P
+_HLL_VBITS = 28 - _HLL_P         # 20 value bits above the bucket
+_HLL_RMAX = _HLL_VBITS + 1      # rank range [1, 21]
+# alpha_256 * m^2 * 2^RMAX as shared literal text
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / _HLL_M)
+_HLL_SCALE = mercator.sql_double(_HLL_ALPHA * _HLL_M * _HLL_M * (1 << _HLL_RMAX))
+# rank = 1 + #leading-zero bits of the 20-bit value = 1 + #{k : v < 2^k}
+_HLL_RANK = "1 + " + " + ".join(
+    f"(CASE WHEN v < {1 << k} THEN 1 ELSE 0 END)" for k in range(_HLL_VBITS)
+)
+# 2^(RMAX - reg) as an integer CASE ladder (no pow(): stays BIGINT-exact)
+_HLL_TERM = (
+    "CASE reg "
+    + " ".join(f"WHEN {r} THEN {1 << (_HLL_RMAX - r)}" for r in range(1, _HLL_RMAX + 1))
+    + " END"
+)
+
+
+def _hll_sql(split_fn: str, len_fn: str, slice_sql: str, hexint_open: str,
+             hexint_close: str) -> str:
+    """Shared HLL query text; only the gram extraction and hex-to-int
+    spellings differ per dialect."""
+    return f"""
+WITH s AS (SELECT source, {split_fn}(text, ' ') AS w FROM documents),
+g AS (
+  SELECT source, {slice_sql} AS gram
+  FROM (SELECT source, w, unnest(generate_series(1, {len_fn}(w) - {_DC_N - 1})) AS st
+        FROM s WHERE {len_fn}(w) >= {_DC_N})
+),
+h AS (
+  SELECT source, gram,
+         {hexint_open}substring(md5(gram), 1, 7){hexint_close} AS hv
+  FROM g
+),
+b AS (
+  SELECT source, gram, hv % {_HLL_M} AS bucket,
+         CAST((hv - (hv % {_HLL_M})) / {_HLL_M} AS BIGINT) AS v
+  FROM h
+),
+reg AS (
+  SELECT source, bucket, MAX({_HLL_RANK}) AS reg,
+         COUNT(DISTINCT gram) AS nd
+  FROM b GROUP BY source, bucket
+),
+fold AS (
+  SELECT source,
+         CAST(SUM(nd) AS BIGINT) AS n_exact,
+         CAST(SUM({_HLL_TERM}) AS BIGINT)
+           + ({_HLL_M} - COUNT(*)) * {1 << _HLL_RMAX} AS hll_sum,
+         CAST({_HLL_M} - COUNT(*) AS BIGINT) AS hll_zero_registers
+  FROM reg GROUP BY source
+)
+SELECT source, n_exact, hll_sum, hll_zero_registers,
+       CAST(floor({_HLL_SCALE} / CAST(hll_sum AS DOUBLE) * 1.0e3) AS BIGINT)
+         AS hll_estimate_milli
+FROM fold
+"""
+
+
+_HLL_ORACLE = _hll_sql(
+    "string_split", "len",
+    f"array_to_string(list_slice(w, st, st + {_DC_N - 1}), ' ')",
+    "CAST(('0x' || ", ")::BIGINT AS BIGINT)",
+)
+
+_HLL_SPARK = _hll_sql(
+    "split", "size",
+    f"array_join(slice(w, st, {_DC_N}), ' ')",
+    "CAST(conv(", ", 16, 10) AS BIGINT)",
+).replace("unnest(generate_series(1,", "explode(sequence(1,")
+
+
+@register("hll_cardinality", _HLL_ORACLE)
+def q_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinct 8-gram cardinality: exact audit column next
+    to the 256-register HLL estimate; the register fold is one
+    partial-aggregated MAX groupBy (no distinct shuffle on the sketch
+    path)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d.createOrReplaceTempView("documents")
+    return spark.sql(_HLL_SPARK)
+
+
+# --------------------------------------------------------------------------
 # End-to-end curation pipeline (training-data pipeline): the composed
 # flow a corpus actually runs — exact-dedup keeper → quality gate
 # (length + lexical-diversity thresholds) → per-source cap → uniform
