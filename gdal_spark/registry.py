@@ -12359,3 +12359,318 @@ def q_surf_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         "1 AS pair_id", "image_id", "px", "py", "lum"
     )
     return surf_match(pix)
+
+
+# --------------------------------------------------------------------------
+# Exact duplicated-substring REMOVAL (training-data pipeline): the
+# ExactSubstr operation of Lee et al. 2022 ("Deduplicating Training
+# Data Makes Language Models Better", arXiv:2107.06499) — every word
+# position covered by a K-gram that occurs in MORE THAN ONE document is
+# cut from the text, except in the gram's canonical keeper document
+# (MIN doc_id), which keeps its copy.  Complements `dup_spans` (the
+# diagnostic fraction): this emits the CLEANED corpus.  Documented
+# divergence from the suffix-array tool: keeper = min doc_id instead of
+# first byte offset in a concatenated corpus (a deterministic
+# canonicalization; the reference's order depends on shard layout).
+# Scale shape: one gram-key shuffle with map-side combine (count
+# distinct docs + min doc per gram), the g⋈c join reuses the gram
+# exchange, one doc-key groupBy collects each doc's duplicated starts,
+# and the rebuild is pure JVM lambdas over the un-exploded word array
+# (position-indexed `filter(w, (x, i) -> ...)`) — the corpus text
+# itself never word-explodes on the rebuild path.  The DuckDB oracle is
+# an INDEPENDENT formulation (word-position explode + anti-join against
+# the covered-position set + ordered string_agg), not shared text.
+# --------------------------------------------------------------------------
+_SSD_K = 5
+
+_SSD_ORACLE = f"""
+WITH s AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+g AS (
+  SELECT doc_id, st,
+         array_to_string(list_slice(w, st, st + {_SSD_K - 1}), ' ') AS gram
+  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - {_SSD_K - 1})) AS st
+        FROM s WHERE len(w) >= {_SSD_K})
+),
+c AS (SELECT gram, COUNT(DISTINCT doc_id) AS ndocs, MIN(doc_id) AS keeper
+      FROM g GROUP BY gram),
+d AS (SELECT g.doc_id, g.st FROM g JOIN c USING (gram)
+      WHERE c.ndocs > 1 AND g.doc_id <> c.keeper),
+cov AS (SELECT DISTINCT doc_id, st + k AS pos
+        FROM (SELECT doc_id, st, unnest(generate_series(0, {_SSD_K - 1})) AS k
+              FROM d)),
+wp AS (SELECT doc_id, pos, w[pos] AS word
+       FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS pos
+             FROM s)),
+kept AS (SELECT wp.doc_id, wp.pos, wp.word
+         FROM wp LEFT JOIN cov ON wp.doc_id = cov.doc_id AND wp.pos = cov.pos
+         WHERE cov.doc_id IS NULL),
+agg AS (SELECT doc_id, COUNT(*) AS n_kept,
+               string_agg(word, ' ' ORDER BY pos) AS cleaned
+        FROM kept GROUP BY doc_id)
+SELECT s.doc_id,
+       CAST(len(s.w) AS BIGINT) AS n_words,
+       CAST(len(s.w) - COALESCE(agg.n_kept, 0) AS BIGINT) AS n_removed,
+       COALESCE(agg.cleaned, '') AS cleaned_text
+FROM s LEFT JOIN agg USING (doc_id)
+"""
+
+
+def _apply_span_removal(docs_w: DataFrame, dup: DataFrame, k: int) -> DataFrame:
+    """Cut every word position covered by a flagged K-gram start.
+
+    ``docs_w``: (doc_id, w array<string>); ``dup``: (doc_id, st) with st
+    the 1-based start of a flagged gram.  The rebuild stays on the
+    un-exploded array: per-doc flagged starts are collected once
+    (bounded by the doc's own gram count), joined back on doc_id, and
+    the cut is a position-indexed JVM lambda — no word-level explode,
+    no Python."""
+    starts = dup.groupBy("doc_id").agg(F.collect_set("st").alias("starts"))
+    return (
+        docs_w.join(starts, "doc_id", "left")
+        .selectExpr(
+            "doc_id",
+            "CAST(size(w) AS BIGINT) AS n_words",
+            f"""CASE WHEN starts IS NULL THEN w
+                 ELSE filter(w, (x, i) -> NOT exists(starts,
+                      s -> s <= i + 1 AND i + 1 < s + {k})) END AS kept""",
+        )
+        .selectExpr(
+            "doc_id",
+            "n_words",
+            "CAST(n_words - size(kept) AS BIGINT) AS n_removed",
+            "array_join(kept, ' ') AS cleaned_text",
+        )
+    )
+
+
+@register("substring_dedup", _SSD_ORACLE)
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-doc ExactSubstr removal: K=5 word-gram spans occurring in
+    >1 document are cut everywhere except the MIN-doc_id keeper."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    s = d.select("doc_id", F.split("text", " ").alias("w"))
+    g = (
+        s.filter(F.size("w") >= _SSD_K)
+        .select(
+            "doc_id", "w",
+            F.explode(F.expr(f"sequence(1, size(w) - {_SSD_K - 1})")).alias("st"),
+        )
+        .select(
+            "doc_id", "st",
+            F.expr(f"array_join(slice(w, st, {_SSD_K}), ' ')").alias("gram"),
+        )
+    )
+    c = g.groupBy("gram").agg(
+        F.countDistinct("doc_id").alias("ndocs"), F.min("doc_id").alias("keeper")
+    )
+    dup = (
+        g.join(c, "gram")
+        .filter((F.col("ndocs") > 1) & (F.col("doc_id") != F.col("keeper")))
+        .select("doc_id", "st")
+    )
+    return _apply_span_removal(s, dup, _SSD_K)
+
+
+# --------------------------------------------------------------------------
+# Within-doc repeated-span removal (training-data pipeline): the Dolma/
+# RefinedWeb in-document repetition cut — any K-gram occurrence whose
+# start is strictly after the gram's FIRST occurrence in the SAME doc
+# is flagged, and flagged spans are cut (first occurrence survives;
+# positions only covered by first-occurrence grams stay).  The synthetic
+# texts rarely self-repeat, so repeats are planted in-query (docs with
+# doc_id % 7 == 0 re-append their own first 8 words — the house
+# planted-clone pattern), proving the removal path is non-vacuous.
+# Same scale shape as substring_dedup but the gram reduce keys on
+# (doc_id, gram) — skew-free by construction.  Oracle: the independent
+# word-position formulation again.
+# --------------------------------------------------------------------------
+_RR_ORACLE = f"""
+WITH s0 AS (SELECT doc_id, string_split(text, ' ') AS v FROM documents),
+s AS (SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN list_concat(v, list_slice(v, 1, 8))
+                  ELSE v END AS w
+      FROM s0),
+g AS (
+  SELECT doc_id, st,
+         array_to_string(list_slice(w, st, st + {_SSD_K - 1}), ' ') AS gram
+  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - {_SSD_K - 1})) AS st
+        FROM s WHERE len(w) >= {_SSD_K})
+),
+f AS (SELECT doc_id, gram, MIN(st) AS st0 FROM g GROUP BY doc_id, gram),
+d AS (SELECT g.doc_id, g.st FROM g JOIN f
+        ON g.doc_id = f.doc_id AND g.gram = f.gram
+      WHERE g.st > f.st0),
+cov AS (SELECT DISTINCT doc_id, st + k AS pos
+        FROM (SELECT doc_id, st, unnest(generate_series(0, {_SSD_K - 1})) AS k
+              FROM d)),
+wp AS (SELECT doc_id, pos, w[pos] AS word
+       FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS pos
+             FROM s)),
+kept AS (SELECT wp.doc_id, wp.pos, wp.word
+         FROM wp LEFT JOIN cov ON wp.doc_id = cov.doc_id AND wp.pos = cov.pos
+         WHERE cov.doc_id IS NULL),
+agg AS (SELECT doc_id, COUNT(*) AS n_kept,
+               string_agg(word, ' ' ORDER BY pos) AS cleaned
+        FROM kept GROUP BY doc_id)
+SELECT s.doc_id,
+       CAST(len(s.w) AS BIGINT) AS n_words,
+       CAST(len(s.w) - COALESCE(agg.n_kept, 0) AS BIGINT) AS n_removed,
+       COALESCE(agg.cleaned, '') AS cleaned_text
+FROM s LEFT JOIN agg USING (doc_id)
+"""
+
+
+@register("repeat_removal", _RR_ORACLE)
+def q_repeat_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc repeated K-gram removal; first occurrence survives."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    s = d.selectExpr(
+        "doc_id",
+        "CASE WHEN doc_id % 7 = 0"
+        " THEN concat(split(text, ' '), slice(split(text, ' '), 1, 8))"
+        " ELSE split(text, ' ') END AS w",
+    )
+    g = (
+        s.filter(F.size("w") >= _SSD_K)
+        .select(
+            "doc_id", "w",
+            F.explode(F.expr(f"sequence(1, size(w) - {_SSD_K - 1})")).alias("st"),
+        )
+        .select(
+            "doc_id", "st",
+            F.expr(f"array_join(slice(w, st, {_SSD_K}), ' ')").alias("gram"),
+        )
+    )
+    firsts = g.groupBy("doc_id", "gram").agg(F.min("st").alias("st0"))
+    dup = (
+        g.join(firsts, ["doc_id", "gram"])
+        .filter(F.col("st") > F.col("st0"))
+        .select("doc_id", "st")
+    )
+    return _apply_span_removal(s, dup, _SSD_K)
+
+
+# --------------------------------------------------------------------------
+# Count-min-sketch heavy hitters (Cormode & Muthukrishnan 2005): the
+# second mergeable-sketch family next to `hll_cardinality` — word
+# BIGRAM corpus frequencies (~10^3 distinct items, so the 4x64 grid
+# genuinely collides and the estimate is a real overestimate, not a
+# lookup) summarized into a d=4 x w=64 counter grid whose cells are
+# plain SUMs (distributive => map-side combine, mergeable across
+# partitions/snapshots/streams), then the top-10 bigrams by exact
+# count scored with their CMS estimate and the overestimate the sketch
+# guarantees to be >= 0 (pytest-pinned together with the eps*N bound).
+# Scale shape: the corpus reduces ONCE (groupBy word, map-side
+# combined); the sketch build folds over the per-word partial counts
+# (identical counters by distributivity — the raw stream is never
+# re-scanned), so everything past `cnt` is vocabulary-dim-sized.  The
+# md5 row hashes are SQL-reproducible, so DuckDB rebuilds every counter
+# bit-identically; all math stays BIGINT.  Spark runs the chain through
+# _run_cte_chain (cnt/wh multiply-referenced — WITH would re-execute
+# the corpus scan per reference).
+# --------------------------------------------------------------------------
+_CMS_D = 4
+_CMS_W = 64
+_CMS_TOPK = 10
+
+
+def _cms_ctes(slice_sql: str, gen_st: str, len_fn: str, j_gen: str, vch: str,
+              hx_open: str, hx_close: str) -> tuple[list[tuple[str, str]], str]:
+    ctes = [
+        ("s", "SELECT {split}(text, ' ') AS w FROM documents".format(
+            split="string_split" if vch == "VARCHAR" else "split")),
+        ("words",
+         f"SELECT {slice_sql} AS word "
+         f"FROM (SELECT w, {gen_st} AS st FROM s WHERE {len_fn}(w) >= 2)"),
+        ("cnt",
+         "SELECT word, CAST(COUNT(*) AS BIGINT) AS c FROM words GROUP BY word"),
+        ("wh",
+         f"SELECT word, c, j, "
+         f"{hx_open}substring(md5(word || '#' || CAST(j AS {vch})), 1, 7)"
+         f"{hx_close} % {_CMS_W} AS bucket FROM cnt{j_gen}"),
+        ("counters",
+         "SELECT j, bucket, CAST(SUM(c) AS BIGINT) AS n "
+         "FROM wh GROUP BY j, bucket"),
+        ("est",
+         "SELECT word, CAST(MIN(n) AS BIGINT) AS cms "
+         "FROM wh JOIN counters USING (j, bucket) GROUP BY word"),
+    ]
+    final = (
+        "SELECT word, c AS exact_count, cms AS cms_estimate, "
+        "CAST(cms - c AS BIGINT) AS overestimate "
+        f"FROM cnt JOIN est USING (word) ORDER BY c DESC, word LIMIT {_CMS_TOPK}"
+    )
+    return ctes, final
+
+
+_CMS_ORACLE = _with_chain(*_cms_ctes(
+    "array_to_string(list_slice(w, st, st + 1), ' ')",
+    "unnest(generate_series(1, len(w) - 1))", "len",
+    f", range(0, {_CMS_D}) t(j)", "VARCHAR",
+    "CAST(('0x' || ", ")::BIGINT AS BIGINT)",
+))
+
+
+@register("heavy_hitters", _CMS_ORACLE)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d.createOrReplaceTempView("documents")
+    ctes, final = _cms_ctes(
+        "array_join(slice(w, st, 2), ' ')",
+        "explode(sequence(1, size(w) - 1))", "size",
+        f" LATERAL VIEW explode(sequence(0, {_CMS_D - 1})) t AS j",
+        "STRING", "CAST(conv(", ", 16, 10) AS BIGINT)",
+    )
+    return _run_cte_chain(spark, ctes, final, materialize={"cnt", "wh"})
+
+
+# --------------------------------------------------------------------------
+# Deterministic weighted sampling without replacement (Efraimidis &
+# Spirakis 2006 exponential race): sample the 50 docs minimizing
+# -ln(u)/weight with u a 53-bit md5 uniform per doc — selection
+# probability proportional to n_chars, reproducible under repartition/
+# resume (no RNG state, the same property stratified_sample pins for
+# the uniform case).  Exactness: -ln(u) is floor-quantized ONCE per doc
+# to BIGINT micro-units (the dsir_weights ln pattern; grid-distance
+# audit in tests/test_textclean.py), and the race key is the exact
+# integer floor-division (lnu_micro * 1e9) DIV weight — ordering needs
+# no doubles, ties break on doc_id.  Scale shape: pure codegen
+# projection + distributed top-K (TakeOrderedAndProject) — no global
+# sort, no shuffle beyond the K-row reduction.
+# --------------------------------------------------------------------------
+_WS_K = 50
+_TWO53 = "9.007199254740992e15"
+
+
+def _weighted_sample_sql(vch: str, hx_open: str, hx_close: str,
+                         dv: str) -> str:
+    return f"""
+WITH h AS (
+  SELECT doc_id, n_chars,
+         {hx_open}substring(md5(CAST(doc_id AS {vch})), 1, 13){hx_close} AS hv
+  FROM documents
+),
+k AS (
+  SELECT doc_id, n_chars,
+         CAST(floor((0.0e0 - ln((CAST(hv AS DOUBLE) * 2.0e0 + 1.0e0)
+               / {_TWO53})) * 1.0e6) AS BIGINT) AS lnu_micro
+  FROM h
+)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+       CAST((lnu_micro * 1000000000) {dv} n_chars AS BIGINT) AS race_key
+FROM k
+ORDER BY race_key ASC, doc_id ASC
+LIMIT {_WS_K}
+"""
+
+
+_WS_ORACLE = _weighted_sample_sql(
+    "VARCHAR", "CAST(('0x' || ", ")::BIGINT AS BIGINT)", "//")
+
+
+@register("weighted_sample", _WS_ORACLE)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d.createOrReplaceTempView("documents")
+    return spark.sql(_weighted_sample_sql(
+        "STRING", "CAST(conv(", ", 16, 10) AS BIGINT)", "DIV"))
