@@ -12674,3 +12674,191 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d.createOrReplaceTempView("documents")
     return spark.sql(_weighted_sample_sql(
         "STRING", "CAST(conv(", ", 16, 10) AS BIGINT)", "DIV"))
+
+
+# --------------------------------------------------------------------------
+# Per-doc gram novelty vs the preceding corpus (training-data
+# pipeline): for each document, the fraction of its word 5-grams whose
+# FIRST corpus occurrence (min doc_id — the same deterministic order
+# corpus_shuffle/dedup keepers use) is an earlier document.  The
+# memorization-risk / dataset-freshness diagnostic: novelty_ppm near 0
+# means the doc is assembled from already-seen phrases.  One gram-key
+# shuffle (min + count distinct fold map-side), join reuses the gram
+# exchange, one doc-key reduce; identical text both engines.
+# --------------------------------------------------------------------------
+def _gram_novelty_sql(split_fn: str, len_fn: str, slice_sql: str) -> str:
+    return f"""
+WITH s AS (SELECT doc_id, {split_fn}(text, ' ') AS w FROM documents),
+g AS (
+  SELECT doc_id, {slice_sql} AS gram
+  FROM (SELECT doc_id, w, unnest(generate_series(1, {len_fn}(w) - {_SSD_K - 1})) AS st
+        FROM s WHERE {len_fn}(w) >= {_SSD_K})
+),
+m AS (SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY gram)
+SELECT g.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN m.first_doc < g.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_seen_before,
+       CAST(floor(1.0e6 * (COUNT(*) - SUM(CASE WHEN m.first_doc < g.doc_id
+                                              THEN 1 ELSE 0 END))
+                  / COUNT(*)) AS BIGINT) AS novelty_ppm
+FROM g JOIN m USING (gram)
+GROUP BY g.doc_id
+"""
+
+
+_GN_ORACLE = _gram_novelty_sql(
+    "string_split", "len",
+    f"array_to_string(list_slice(w, st, st + {_SSD_K - 1}), ' ')",
+)
+
+
+@register("gram_novelty", _GN_ORACLE)
+def q_gram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d.createOrReplaceTempView("documents")
+    return spark.sql(_gram_novelty_sql(
+        "split", "size", f"array_join(slice(w, st, {_SSD_K}), ' ')",
+    ).replace("unnest(generate_series(1,", "explode(sequence(1,"))
+
+
+# --------------------------------------------------------------------------
+# Language-mix entropy per source (curation diagnostic): the Shannon
+# entropy of each source's language distribution, the signal crawl
+# pipelines use to flag mixed-language hosts.  The per-(source, lang)
+# term -p·ln(p) is computed ONCE per pair and floor-quantized to BIGINT
+# micro-nats (the dsir/bm25 ln pattern: the per-source sum is then an
+# exact integer aggregate in any order); p itself is one IEEE division
+# of two BIGINTs — identical bits both engines.  Two tiny reduces: the
+# corpus folds to the (source, lang) dim map-side, everything after is
+# dim-sized.
+# --------------------------------------------------------------------------
+_LANG_ENT_SQL = """
+WITH sl AS (
+  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents GROUP BY source, lang
+),
+n AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_docs,
+             CAST(COUNT(*) AS BIGINT) AS n_langs
+      FROM sl GROUP BY source),
+t AS (
+  SELECT sl.source, sl.c, n.n_docs, n.n_langs,
+         CAST(floor(0.0e0 - 1.0e6 * (CAST(sl.c AS DOUBLE) / CAST(n.n_docs AS DOUBLE))
+              * ln(CAST(sl.c AS DOUBLE) / CAST(n.n_docs AS DOUBLE))) AS BIGINT)
+           AS term_micro
+  FROM sl JOIN n USING (source)
+)
+SELECT source,
+       MIN(n_docs) AS n_docs,
+       MIN(n_langs) AS n_langs,
+       CAST(SUM(term_micro) AS BIGINT) AS entropy_micronats
+FROM t
+GROUP BY source
+"""
+
+
+@register("lang_entropy", _LANG_ENT_SQL)
+def q_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d.createOrReplaceTempView("documents")
+    return spark.sql(_LANG_ENT_SQL)
+
+
+# --------------------------------------------------------------------------
+# BPE tokenization (training-data pipeline): real byte-pair-encoding
+# merge application (Sennrich et al. 2016; the GPT-2 apply loop) —
+# per doc, the token count under a fixed 12-merge table, plus the
+# visible tokenization of the doc's first word.  The merge table is a
+# tokenizer artifact (frozen literals incl. cascaded merges pa+r, m+er,
+# sc+a, so rank priority is exercised); see operators/bpe.py for the
+# one-at-a-time = batch equivalence argument.  Scale shape: two corpus
+# reduces (vocab pass + doc-scoring pass — inherent to word-cached
+# BPE); the Python loop runs ONLY on the distinct-word dim inside one
+# mapInPandas, and the (word -> n_toks) dim broadcasts back, so the
+# corpus side stays JVM.  Oracle: a DuckDB RECURSIVE CTE stepping the
+# SAME min-rank/leftmost/one-per-step program over list-of-token
+# states; each step shrinks the list by one, so the terminal state per
+# word is the min-length row.
+# --------------------------------------------------------------------------
+_BPE_MERGES_VALUES = ", ".join(
+    f"({rank}, '{left}', '{right}')"
+    for rank, (left, right) in enumerate([
+        ("e", "r"), ("o", "r"), ("i", "n"), ("o", "w"),
+        ("s", "t"), ("l", "u"), ("p", "a"), ("pa", "r"),
+        ("m", "er"), ("a", "t"), ("s", "c"), ("sc", "a"),
+    ])
+)
+
+_BPE_ORACLE = f"""
+WITH RECURSIVE
+merges(rank, l, r) AS (SELECT * FROM (VALUES {_BPE_MERGES_VALUES})),
+vocab AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS word FROM documents),
+rec(word, toks) AS (
+  SELECT word,
+         list_transform(generate_series(1, length(word)),
+                        i -> substring(word, i, 1)) AS toks
+  FROM vocab
+  UNION ALL
+  SELECT word,
+         list_slice(toks, 1, pos - 1) || [pair]
+           || list_slice(toks, pos + 2, len(toks)) AS toks
+  FROM (
+    SELECT word, toks, pos, pair,
+           ROW_NUMBER() OVER (PARTITION BY word ORDER BY rank, pos) AS rn
+    FROM (
+      SELECT r.word, r.toks, r.i AS pos, m.rank, m.l || m.r AS pair
+      FROM (SELECT word, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+            FROM rec) r
+      JOIN merges m ON r.toks[r.i] = m.l AND r.toks[r.i + 1] = m.r
+    )
+  ) WHERE rn = 1
+),
+term AS (
+  SELECT word, toks FROM (
+    SELECT word, toks,
+           ROW_NUMBER() OVER (PARTITION BY word ORDER BY len(toks)) AS rn
+    FROM rec
+  ) WHERE rn = 1
+),
+tok AS (SELECT word, CAST(len(toks) AS BIGINT) AS n_toks,
+               array_to_string(toks, '|') AS toks_pipe
+        FROM term),
+occ AS (SELECT doc_id, string_split(text, ' ')[1] AS w0,
+               unnest(string_split(text, ' ')) AS word
+        FROM documents),
+agg AS (
+  SELECT o.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_words,
+         CAST(SUM(t.n_toks) AS BIGINT) AS n_tokens,
+         MIN(o.w0) AS w0
+  FROM occ o JOIN tok t USING (word)
+  GROUP BY o.doc_id
+)
+SELECT agg.doc_id, agg.n_words, agg.n_tokens,
+       tok.toks_pipe AS first_word_toks
+FROM agg JOIN tok ON agg.w0 = tok.word
+"""
+
+
+@register("bpe_encode", _BPE_ORACLE)
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.operators.bpe import encode_vocab
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    occ = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
+    )
+    tok = encode_vocab(occ.select("word").distinct())
+    agg = (
+        occ.join(F.broadcast(tok), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+            F.expr("min_by(word, pos)").alias("w0"),
+        )
+    )
+    first = tok.selectExpr("word AS w0", "toks_pipe AS first_word_toks")
+    return agg.join(F.broadcast(first), "w0").select(
+        "doc_id", "n_words", "n_tokens", "first_word_toks"
+    )

@@ -149,3 +149,50 @@ def test_weighted_sample_race_is_weighted(con):
     ).fetchone()[0]
     allm = con.execute("SELECT AVG(n_chars) FROM documents").fetchone()[0]
     assert sel > allm
+
+
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01", "sf0.1"])
+def test_lang_entropy_ln_grid_audit(sf):
+    """Knife-edge audit for the per-(source, lang) entropy term: the
+    micro-nat quantization must sit far from the integer grid at every
+    scale (p == 1 terms are exactly 0 by ln(1) == 0 and excluded)."""
+    t = pq.read_table(
+        f"/root/testdata/{sf}/documents.parquet", columns=["source", "lang"]
+    ).to_pandas()
+    worst = 1.0
+    for _, grp in t.groupby("source"):
+        n = len(grp)
+        for c in grp["lang"].value_counts():
+            if c == n:
+                continue
+            x = -1e6 * (c / n) * math.log(c / n)
+            worst = min(worst, abs(x - round(x)))
+    assert worst >= 1e-4, worst
+
+
+def test_bpe_encode_word_semantics():
+    """Hand-derived pins for the merge program: cascades (p+a then
+    pa+r; e+r then m+er), rank priority, and leftmost-first."""
+    from gdal_spark.operators.bpe import encode_word
+
+    assert encode_word("part") == ["par", "t"]          # p+a, pa+r cascade
+    assert encode_word("merge") == ["mer", "g", "e"]    # e+r then m+er
+    assert encode_word("order") == ["or", "d", "er"]    # two disjoint merges
+    assert encode_word("scan") == ["sca", "n"]          # s+c, sc+a cascade
+    assert encode_word("stream") == ["st", "r", "e", "a", "m"]
+    assert encode_word("error") == ["er", "r", "or"]    # leftmost e+r first
+    assert encode_word("a") == ["a"]                    # no pair, unchanged
+
+
+def test_bpe_oracle_matches_python_recompute(con, docs):
+    """The DuckDB recursive-CTE program and the Python apply loop are
+    independent implementations; they must agree on every doc."""
+    from gdal_spark.operators.bpe import encode_word
+
+    rows = con.execute(ORACLES["bpe_encode"]).fetchall()
+    got = {r[0]: r[1:] for r in rows}
+    for doc_id, text, _ in docs:
+        ws = text.split(" ")
+        toks = [encode_word(w) for w in ws]
+        exp = (len(ws), sum(len(t) for t in toks), "|".join(toks[0]))
+        assert got[doc_id] == exp, doc_id
