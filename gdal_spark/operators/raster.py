@@ -1466,3 +1466,49 @@ def _pyramid_checksums_fused(
     from functools import reduce as _reduce
 
     return _reduce(DataFrame.unionByName, outs)
+
+
+def nearblack_floodfill(
+    pixels: DataFrame, width: int, height: int, near_dist: int = 2,
+    fill: int = 0,
+) -> DataFrame:
+    """Clean collar, floodfill mode (apps/nearblack_lib_floodfill.cpp
+    GDALNearblackFloodFillAlg): the collar is the set of near-black
+    pixels 4-connected to a near-black BORDER pixel (Process() seeds the
+    span filler from every border pixel; MustSet == value <= near_dist
+    here), so concave bays reached vertically ARE trimmed and interior
+    near-black lakes SURVIVE — both cases the scanline `nearblack` twin
+    cannot express (its documented divergence, now closed by this
+    operator).
+
+    Distributed shape: the near-black mask runs through the polygonize
+    tile-CC kernel (tile-local numpy relaxation + cross-tile min-label
+    merge — the serial span-filler queue becomes the label-graph
+    relaxation); border-touching labels are a dim set (broadcast
+    semi-join) and the final patch is one co-keyed (px, py) join.  The
+    raster side never drives, never runs per-pixel Python."""
+    from gdal_spark.operators.polygonize import pixel_components
+
+    mask = pixels.filter(F.col("value") <= near_dist).select(
+        "px", "py", F.lit(1).cast("int").alias("value")
+    )
+    comp = pixel_components(mask, width, height)
+    border = (
+        comp.filter(
+            (F.col("px") == 0) | (F.col("px") == width - 1)
+            | (F.col("py") == 0) | (F.col("py") == height - 1)
+        )
+        .select("label")
+        .distinct()
+    )
+    collar = comp.join(F.broadcast(border), "label").select(
+        "px", "py", F.lit(1).alias("collar")
+    )
+    return pixels.join(collar, ["px", "py"], "left").select(
+        "px",
+        "py",
+        F.when(F.col("collar").isNotNull(), F.lit(fill))
+        .otherwise(F.col("value"))
+        .cast("int")
+        .alias("value"),
+    )

@@ -12862,3 +12862,54 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.join(F.broadcast(first), "w0").select(
         "doc_id", "n_words", "n_tokens", "first_word_toks"
     )
+
+
+# --------------------------------------------------------------------------
+# Clean collar, FLOODFILL mode (apps/nearblack_lib_floodfill.cpp):
+# closes the scanline `nearblack` query's documented divergence — the
+# collar is everything near-black 4-CONNECTED to the border, so the
+# fixture's concave bay (entered vertically through a channel, guarded
+# horizontally by bright pixels — the prefix/suffix scan provably
+# cannot trim it) blanks, while the interior near-black lake (not
+# border-connected) survives.  Engine: the polygonize tile-CC kernel
+# over the near-black mask + border-label semi-join (operators/
+# raster.py:nearblack_floodfill).  Oracle: a DuckDB RECURSIVE-UNION
+# breadth-first closure seeded from every border mask pixel — an
+# independent formulation of connectivity, additionally cross-checked
+# by a numpy BFS in tests/test_floodfill.py.
+# --------------------------------------------------------------------------
+_NBF_VAL = (
+    "CASE WHEN px < 4 OR px > 395 OR py < 3 OR py > 196 THEN (px + py) % 3"
+    " WHEN px BETWEEN 20 AND 23 AND py BETWEEN 3 AND 20 THEN (px * py) % 3"
+    " WHEN px BETWEEN 24 AND 60 AND py BETWEEN 18 AND 20 THEN 1"
+    " WHEN px BETWEEN 100 AND 110 AND py BETWEEN 50 AND 60 THEN 2"
+    " ELSE 3 + (px * 7 + py * 13) % 250 END"
+)
+
+_NBF_ORACLE = f"""
+WITH RECURSIVE g AS ({_SRC_GRID_CTE}),
+v AS (SELECT px, py, CAST({_NBF_VAL} AS int) AS value FROM g WHERE band = 1),
+m AS (SELECT px, py FROM v WHERE value <= 2),
+reach AS (
+  SELECT px, py FROM m WHERE px = 0 OR px = 399 OR py = 0 OR py = 199
+  UNION
+  SELECT m.px, m.py
+  FROM reach r JOIN m ON (m.px = r.px AND abs(m.py - r.py) = 1)
+                      OR (m.py = r.py AND abs(m.px - r.px) = 1)
+)
+SELECT v.px, v.py,
+       CAST(CASE WHEN r.px IS NOT NULL THEN 0 ELSE v.value END AS int) AS value
+FROM v LEFT JOIN reach r ON v.px = r.px AND v.py = r.py
+"""
+
+
+@register("nearblack_floodfill", _NBF_ORACLE)
+def q_nearblack_floodfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Floodfill clean-collar on the bay-and-lake fixture."""
+    from gdal_spark.operators.raster import (
+        SRC_H, SRC_W, nearblack_floodfill, source_grid,
+    )
+
+    g = source_grid(spark).filter(F.col("band") == 1)
+    pix = g.select("px", "py", F.expr(_NBF_VAL).cast("int").alias("value"))
+    return nearblack_floodfill(pix, SRC_W, SRC_H, near_dist=2)
