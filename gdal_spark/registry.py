@@ -12446,25 +12446,36 @@ def _apply_span_removal(docs_w: DataFrame, dup: DataFrame, k: int) -> DataFrame:
 @register("substring_dedup", _SSD_ORACLE)
 def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-doc ExactSubstr removal: K=5 word-gram spans occurring in
-    >1 document are cut everywhere except the MIN-doc_id keeper."""
+    >1 document are cut everywhere except the MIN-doc_id keeper.
+
+    The gram's shuffle identity is its md5 as two BIGINTs (the
+    dedup_exact md5-identity contract), computed map-side so the
+    gram-key exchange carries 16-byte keys instead of ~50-byte salted
+    strings — measured ~25% faster at the 500k-doc capacity point, and
+    the win grows with gram length.  The explicit repartition on
+    (h1, h2) is consumed by BOTH the count aggregate and the join probe
+    (one corpus shuffle, Spark reuses the exchange)."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     s = d.select("doc_id", F.split("text", " ").alias("w"))
+    gram = f"md5(array_join(slice(w, st, {_SSD_K}), ' '))"
     g = (
         s.filter(F.size("w") >= _SSD_K)
         .select(
             "doc_id", "w",
             F.explode(F.expr(f"sequence(1, size(w) - {_SSD_K - 1})")).alias("st"),
         )
-        .select(
+        .selectExpr(
             "doc_id", "st",
-            F.expr(f"array_join(slice(w, st, {_SSD_K}), ' ')").alias("gram"),
+            f"CAST(conv(substring({gram}, 1, 15), 16, 10) AS BIGINT) AS h1",
+            f"CAST(conv(substring({gram}, 17, 15), 16, 10) AS BIGINT) AS h2",
         )
+        .repartition("h1", "h2")
     )
-    c = g.groupBy("gram").agg(
+    c = g.groupBy("h1", "h2").agg(
         F.countDistinct("doc_id").alias("ndocs"), F.min("doc_id").alias("keeper")
     )
     dup = (
-        g.join(c, "gram")
+        g.join(c, ["h1", "h2"])
         .filter((F.col("ndocs") > 1) & (F.col("doc_id") != F.col("keeper")))
         .select("doc_id", "st")
     )
@@ -12530,20 +12541,23 @@ def q_repeat_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         " THEN concat(split(text, ' '), slice(split(text, ' '), 1, 8))"
         " ELSE split(text, ' ') END AS w",
     )
+    gram = f"md5(array_join(slice(w, st, {_SSD_K}), ' '))"
     g = (
         s.filter(F.size("w") >= _SSD_K)
         .select(
             "doc_id", "w",
             F.explode(F.expr(f"sequence(1, size(w) - {_SSD_K - 1})")).alias("st"),
         )
-        .select(
+        .selectExpr(
             "doc_id", "st",
-            F.expr(f"array_join(slice(w, st, {_SSD_K}), ' ')").alias("gram"),
+            f"CAST(conv(substring({gram}, 1, 15), 16, 10) AS BIGINT) AS h1",
+            f"CAST(conv(substring({gram}, 17, 15), 16, 10) AS BIGINT) AS h2",
         )
+        .repartition("doc_id")
     )
-    firsts = g.groupBy("doc_id", "gram").agg(F.min("st").alias("st0"))
+    firsts = g.groupBy("doc_id", "h1", "h2").agg(F.min("st").alias("st0"))
     dup = (
-        g.join(firsts, ["doc_id", "gram"])
+        g.join(firsts, ["doc_id", "h1", "h2"])
         .filter(F.col("st") > F.col("st0"))
         .select("doc_id", "st")
     )
@@ -12913,3 +12927,122 @@ def q_nearblack_floodfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = source_grid(spark).filter(F.col("band") == 1)
     pix = g.select("px", "py", F.expr(_NBF_VAL).cast("int").alias("value"))
     return nearblack_floodfill(pix, SRC_W, SRC_H, near_dist=2)
+
+
+# --------------------------------------------------------------------------
+# BPE merge LEARNING (tokenizer training, Sennrich et al. 2016 learn
+# loop): discover the top-R merges from the corpus — per round, count
+# corpus-weighted adjacent symbol pairs over the current tokenization,
+# take the argmax (ties: lexicographically smallest pair — a
+# deterministic canonicalization), and re-tokenize by merging ALL
+# occurrences.  Self-pairs (l == r) are EXCLUDED from candidates
+# (documented contract): for l <> r every occurrence is provably
+# disjoint (an overlap at i, i+1 forces r == l), so the simultaneous
+# merge is well-defined in one pass of pure list lambdas — no
+# sequential scan, no Python anywhere (unlike bpe_encode's word-dim
+# apply loop, the LEARNER is a single Catalyst plan of JVM
+# higher-order functions).  Scale shape: the corpus reduces ONCE to
+# the (word, freq) dim (map-side combined); each of the R=6 rounds is
+# two dim-sized reduces + a 1-row broadcast of the winning pair — the
+# standard distributed tokenizer-train shape.  Spark runs the chain
+# through _run_cte_chain (each tk stage feeds its pair count AND the
+# next round); output = the learned merge table itself (rank, pair,
+# corpus count).  Note: bpe_train's tie-break (smallest pair) is
+# intentionally independent of bpe_encode's frozen artifact (learned
+# offline with a largest-pair tie-break); the pytest recompute pins
+# THESE semantics.
+# --------------------------------------------------------------------------
+_BPT_R = 6
+
+
+def _bpt_ctes(vch: str) -> tuple[list[tuple[str, str]], str]:
+    duck = vch == "VARCHAR"
+    len_fn = "len" if duck else "size"
+    if duck:
+        def chars(w):
+            return (f"list_transform(generate_series(1, length({w})),"
+                    f" i -> substring({w}, i, 1))")
+        unnest_w = "unnest(string_split(text, ' '))"
+        pos_gen = "unnest(generate_series(1, len(toks) - 1))"
+
+        def ms_expr():
+            return ("list_filter(generate_series(1, len(toks) - 1),"
+                    " i -> toks[i] = l0 AND toks[i + 1] = r0)")
+
+        def apply_expr():
+            return ("list_transform("
+                    "list_filter(generate_series(1, len(toks)),"
+                    " p -> NOT list_contains(ms, p - 1)),"
+                    " p -> CASE WHEN list_contains(ms, p) THEN l0 || r0"
+                    " ELSE toks[p] END)")
+        elem_l, elem_r = "toks[i]", "toks[i + 1]"
+    else:
+        def chars(w):
+            return (f"transform(sequence(1, length({w})),"
+                    f" i -> substring({w}, i, 1))")
+        unnest_w = "explode(split(text, ' '))"
+        pos_gen = "explode(sequence(1, size(toks) - 1))"
+
+        def ms_expr():
+            # sequence over the FULL index range (sequence(1, 0) would
+            # descend) with try_element_at guarding the i+1 lookup
+            return ("filter(sequence(1, size(toks)),"
+                    " i -> element_at(toks, i) = l0"
+                    " AND try_element_at(toks, i + 1) = r0)")
+
+        def apply_expr():
+            return ("transform("
+                    "filter(sequence(1, size(toks)),"
+                    " p -> NOT array_contains(ms, p - 1)),"
+                    " p -> CASE WHEN array_contains(ms, p) THEN concat(l0, r0)"
+                    " ELSE element_at(toks, p) END)")
+        elem_l, elem_r = "element_at(toks, i)", "element_at(toks, i + 1)"
+
+    ctes: list[tuple[str, str]] = [
+        ("w0", f"SELECT {unnest_w} AS word FROM documents"),
+        ("tk0",
+         f"SELECT word, CAST(COUNT(*) AS BIGINT) AS f, {chars('word')} AS toks "
+         "FROM w0 GROUP BY word"),
+    ]
+    for r in range(_BPT_R):
+        ctes.append((
+            f"pairs{r}",
+            # the len >= 2 guard matters on the Spark side: sequence(1, 0)
+            # yields [1, 0] (descending), not [] — single-token words would
+            # index past the array
+            f"SELECT {elem_l} AS l, {elem_r} AS r, CAST(SUM(f) AS BIGINT) AS cnt "
+            f"FROM (SELECT f, toks, {pos_gen} AS i FROM tk{r} "
+            f"      WHERE {len_fn}(toks) >= 2) t "
+            f"WHERE {elem_l} <> {elem_r} GROUP BY 1, 2",
+        ))
+        ctes.append((
+            f"best{r}",
+            f"SELECT l AS l0, r AS r0, cnt FROM pairs{r} "
+            "ORDER BY cnt DESC, l, r LIMIT 1",
+        ))
+        ctes.append((
+            f"tk{r + 1}",
+            f"SELECT word, f, {apply_expr()} AS toks "
+            f"FROM (SELECT word, f, toks, l0, r0, {ms_expr()} AS ms "
+            f"      FROM tk{r} CROSS JOIN best{r}) t",
+        ))
+    final = " UNION ALL ".join(
+        f"SELECT {r} AS rank, l0 AS left_sym, r0 AS right_sym, cnt AS pair_count "
+        f"FROM best{r}"
+        for r in range(_BPT_R)
+    )
+    return ctes, final
+
+
+_BPT_ORACLE = _with_chain(*_bpt_ctes("VARCHAR"))
+
+
+@register("bpe_train", _BPT_ORACLE)
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d.createOrReplaceTempView("documents")
+    ctes, final = _bpt_ctes("STRING")
+    return _run_cte_chain(
+        spark, ctes, final,
+        materialize={f"tk{r}" for r in range(_BPT_R)} | {"tk0"},
+    )

@@ -196,3 +196,39 @@ def test_bpe_oracle_matches_python_recompute(con, docs):
         toks = [encode_word(w) for w in ws]
         exp = (len(ws), sum(len(t) for t in toks), "|".join(toks[0]))
         assert got[doc_id] == exp, doc_id
+
+
+def test_bpe_train_matches_python_learner(con, docs):
+    """Plain-Python BPE learner with the query's exact semantics
+    (corpus-weighted pair counts, l != r candidates only, ties to the
+    lexicographically smallest pair, simultaneous disjoint merge)
+    reproduces all emitted merge rows."""
+    from collections import Counter
+
+    freq = Counter()
+    for _, text, _ in docs:
+        freq.update(text.split(" "))
+    toks = {w: list(w) for w in freq}
+    expected = []
+    for rank in range(6):
+        pc = Counter()
+        for w, t in toks.items():
+            for i in range(len(t) - 1):
+                if t[i] != t[i + 1]:
+                    pc[(t[i], t[i + 1])] += freq[w]
+        (left, right), cnt = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        expected.append((rank, left, right, cnt))
+        for w, t in toks.items():
+            nt, i = [], 0
+            while i < len(t):
+                if i + 1 < len(t) and t[i] == left and t[i + 1] == right:
+                    nt.append(left + right)
+                    i += 2
+                else:
+                    nt.append(t[i])
+                    i += 1
+            toks[w] = nt
+    rows = sorted(con.execute(ORACLES["bpe_train"]).fetchall())
+    assert rows == expected
