@@ -339,7 +339,8 @@ def minhash_md5_signatures(
     narrower than the cluster.  At corpus scale the input is already
     wide and no shuffle is added."""
     sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+    # streaming inputs have no .rdd; their parallelism is the source's
+    if not df.isStreaming and df.rdd.getNumPartitions() < sc.defaultParallelism:
         df = df.repartition(sc.defaultParallelism, id_col)
     toks = F.split(F.col(text_col), " ")
     df2 = df.select(F.col(id_col), toks.alias("toks")).filter(

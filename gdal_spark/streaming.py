@@ -198,3 +198,126 @@ def stream_pip_counts(
     )
     joined = pip_join(src, zones, zoom=zoom or DEFAULT_ZOOM)
     return joined.groupBy("zone_id").agg(F.count("*").alias("n_docs"))
+
+
+def stream_neardup(
+    spark: SparkSession,
+    docs_dir: str,
+    schema,
+    num_perm: int = 16,
+    bands: int = 4,
+    ngram: int = 3,
+    min_equal: int = 6,
+    max_files_per_trigger: int | None = 1,
+):
+    """Cross-micro-batch NEAR-duplicate candidate detection — the
+    streaming twin of the batch ``minhash_md5`` banded-LSH pipeline
+    (operators/text.py:minhash_md5_pairs), parity-pinned set-equal to it
+    in tests/test_streaming.py.
+
+    Shape: the SAME whole-stage-codegen md5-MinHash signature kernel the
+    batch path uses runs on the stream (pure column ops — streaming-
+    safe), signatures explode to (band, bucket) LSH keys, and a
+    per-(band, bucket) ``applyInPandasWithState`` group holds every
+    (doc_id, signature) ever seen in that bucket; a new arrival is
+    compared against the bucket's history (and earlier arrivals of the
+    same micro-batch, in doc_id order) and emits (id_a, id_b, n_equal)
+    candidates passing the ``min_equal`` signature-agreement gate.
+    State per group is bounded by LSH bucket occupancy — the same
+    "buckets stay small" property that bounds the batch self-join.  A
+    pair caught by several bands emits once per band (the batch plan's
+    dropDuplicates is the downstream distinct here — the parity test
+    applies it).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from gdal_spark.operators.text import minhash_md5_signatures
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    src = reader.parquet(docs_dir)
+    sigs = minhash_md5_signatures(src, num_perm=num_perm, ngram=ngram)
+    rows = num_perm // bands
+    banded = sigs.select(
+        "doc_id",
+        F.expr("array_join(transform(sigs, x -> CAST(x AS STRING)), '|')").alias(
+            "sig"
+        ),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.col("sigs")[b * rows + j].cast("string")
+                                    for j in range(rows)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "sig", "bb.band", "bb.bucket")
+
+    out_schema = StructType(
+        [
+            StructField("id_a", LongType()),
+            StructField("id_b", LongType()),
+            StructField("n_equal", IntegerType()),
+            StructField("band", IntegerType()),
+        ]
+    )
+    state_schema = StructType([StructField("seen", StringType())])
+
+    def neardup_fn(key, pdfs, state: GroupState):
+        band = int(key[0])
+        seen: list[tuple[int, str]] = []
+        if state.exists:
+            (blob,) = state.get
+            if blob:
+                seen = [
+                    (int(p.split(":", 1)[0]), p.split(":", 1)[1])
+                    for p in blob.split(";")
+                ]
+        out = []
+        for pdf in pdfs:
+            ids = pdf["doc_id"].astype(int).tolist()
+            sgs = pdf["sig"].tolist()
+            for k in sorted(range(len(ids)), key=lambda j: ids[j]):
+                did, sig = ids[k], sgs[k]
+                lanes = sig.split("|")
+                for oid, osig in seen:
+                    if oid == did:
+                        continue
+                    ne = sum(
+                        1 for x, y in zip(osig.split("|"), lanes) if x == y
+                    )
+                    if ne >= min_equal:
+                        a, b = (oid, did) if oid < did else (did, oid)
+                        out.append((a, b, ne, band))
+                seen.append((did, sig))
+        state.update((";".join(f"{i}:{s}" for i, s in seen),))
+        if out:
+            yield pd.DataFrame(out, columns=["id_a", "id_b", "n_equal", "band"])
+
+    return banded.groupBy("band", "bucket").applyInPandasWithState(
+        neardup_fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

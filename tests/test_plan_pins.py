@@ -214,3 +214,41 @@ class TestScanHygiene:
         df = entry_mod.queries()["between_filter"](spark, sf_dir)
         plan = _plan(df)
         assert re.search(r"PushedFilters: \[\w", plan), plan
+
+
+class TestRound4dPlans:
+    """Plan pins for the round-4d training-data family."""
+
+    def _q(self, spark, sf_dir, name):
+        import __spark_entry__ as entry_mod
+
+        spark.catalog.clearCache()
+        return _plan(entry_mod.queries()[name](spark, sf_dir))
+
+    def test_weighted_sample_zero_exchange_topk(self, spark, sf_dir):
+        plan = self._q(spark, sf_dir, "weighted_sample")
+        assert _shuffles(plan) == 0, plan
+        assert "TakeOrderedAndProject" in plan, plan
+        assert "Python" not in plan.replace("collectToPython", ""), plan
+
+    def test_substring_dedup_broadcasts_dims(self, spark, sf_dir):
+        # at test scale the dup-gram dim and starts dim broadcast; the
+        # gram key is the 16-byte md5 pair, never the gram string
+        plan = self._q(spark, sf_dir, "substring_dedup")
+        assert "SortMergeJoin" not in plan, plan
+        assert "Python" not in plan, plan
+
+    def test_bpe_train_is_pure_jvm(self, spark, sf_dir):
+        # the LEARNER is one Catalyst plan: no Arrow/pandas stage at all
+        plan = self._q(spark, sf_dir, "bpe_train")
+        assert "Python" not in plan and "MapInPandas" not in plan, plan
+
+    def test_bpe_encode_python_only_on_vocab_dim(self, spark, sf_dir):
+        # exactly one Arrow-batched Python stage (the distinct-word dim);
+        # the corpus scoring side is JVM with broadcast dim joins
+        plan = self._q(spark, sf_dir, "bpe_encode")
+        # the tok dim is referenced twice (scoring join + first-word
+        # join), so the print census shows the stage once per reference
+        assert 1 <= plan.count("MapInPandas") <= 2, plan
+        assert "BroadcastHashJoin" in plan, plan
+        assert "SortMergeJoin" not in plan, plan

@@ -135,3 +135,42 @@ def test_stream_sessionize_matches_batch(spark, sf_dir):
         for r in q_sessionize(spark, sf_dir).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_stream_neardup_matches_batch(spark, sf_dir):
+    """Cross-batch MinHash near-dup candidates: the streaming
+    per-bucket-state operator must find EXACTLY the batch pipeline's
+    pair set (ids + signature agreement), regardless of which micro-
+    batch each side of a pair arrived in."""
+    from gdal_spark.operators.text import minhash_md5_pairs
+    from gdal_spark.streaming import stream_neardup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    batch = {
+        (r.id_a, r.id_b, r.n_equal) for r in minhash_md5_pairs(docs).collect()
+    }
+    assert batch, "fixture vacuous: batch pipeline found no pairs"
+    with tempfile.TemporaryDirectory() as d:
+        docs.filter("doc_id % 2 = 0").coalesce(1).write.parquet(f"{d}/in")
+        docs.filter("doc_id % 2 = 1").coalesce(1).write.mode("append").parquet(
+            f"{d}/in"
+        )
+        out = stream_neardup(spark, f"{d}/in", docs.schema)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("neardup_test")
+            .outputMode("append")
+            .option("checkpointLocation", f"{d}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {
+            (r.id_a, r.id_b, r.n_equal)
+            for r in spark.sql(
+                "SELECT DISTINCT id_a, id_b, n_equal FROM neardup_test"
+            ).collect()
+        }
+    assert got == batch
