@@ -48,7 +48,16 @@ def _z_of(wkt: str):
 
 
 def _force2d(wkt: str) -> str:
-    typ, payload, _ = parse_wkt_z(wkt)
+    try:
+        typ, payload, _ = parse_wkt_z(wkt)
+    except ValueError:
+        # container types (MULTI*/GEOMETRYCOLLECTION) go through the 2-D
+        # grammar only: a 2-D container is already flat (identity); a
+        # dimensioned container is an honest unsupported case, not a
+        # silent wrong answer
+        if " Z " in wkt or " M " in wkt or " ZM " in wkt:
+            raise
+        return wkt
     return payload_to_wkt_z(typ, payload, has_z=False)
 
 

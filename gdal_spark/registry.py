@@ -13046,3 +13046,82 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, ctes, final,
         materialize={f"tk{r}" for r in range(_BPT_R)} | {"tk0"},
     )
+
+
+# --------------------------------------------------------------------------
+# gdal vector set-geom-type (apps/gdalalg_vector_set_geom_type.cpp) —
+# the last computable gdalalg_vector_* verb: per-feature geometry-type
+# coercion.  Two variants in one output:
+#   * 'multi_xy' = --multi --dim XY: flatten (OGR_GT_Flatten drops
+#     Z/M) then promote to the MULTI container; a geometry already a
+#     subclass of GeometryCollection passes through unchanged (the
+#     :171 OGR_GT_IsSubClassOf rule — GC is NOT rewrapped);
+#   * 'mls_skip' = --geometry-type MULTILINESTRING --skip: forceTo the
+#     explicit target, dropping features whose conversion cannot reach
+#     the target type (TranslateFeature's skip test :246-252) — only
+#     the LINESTRING case survives on this layer.
+# Fixture layer: MULTIPOINT / GEOMETRYCOLLECTION / POINT Z / LINESTRING
+# by doc_id % 4, so every coercion rule fires (Z-flatten, promote,
+# GC-passthrough, explicit-target skip).  Oracle reconstructs every
+# output literal from doc_id arithmetic.
+# --------------------------------------------------------------------------
+_SGT_WKT = (
+    "CASE CAST(doc_id % 4 AS INT)"
+    " WHEN 0 THEN 'MULTIPOINT ((' || c || ' ' || d || '),(' || a || ' ' || b || '))'"
+    " WHEN 1 THEN 'GEOMETRYCOLLECTION (POINT (' || a || ' ' || b ||"
+    " '),LINESTRING (0 0,' || c || ' ' || d || '))'"
+    " WHEN 2 THEN 'POINT Z (' || a || ' ' || b || ' 5)'"
+    " ELSE 'LINESTRING (0 0,' || c || ' ' || d || ')' END"
+)
+
+_SGT_ORACLE = f"""
+WITH docs AS ({{docs}}),
+c AS (
+  SELECT doc_id,
+         CAST({_CA} AS VARCHAR) AS a, CAST({_CB} AS VARCHAR) AS b,
+         CAST({_CC} AS VARCHAR) AS c, CAST({_CD} AS VARCHAR) AS d
+  FROM docs
+)
+SELECT doc_id, 'multi_xy' AS variant,
+       -- the engine codec emits the reference's LEGACY MULTIPOINT
+       -- spelling (no per-member parens), matching ogrmultipoint.cpp
+       CASE CAST(doc_id % 4 AS INT)
+         WHEN 0 THEN 'MULTIPOINT (' || c || ' ' || d || ',' || a || ' ' || b || ')'
+         WHEN 1 THEN 'GEOMETRYCOLLECTION (POINT (' || a || ' ' || b ||
+                     '),LINESTRING (0 0,' || c || ' ' || d || '))'
+         WHEN 2 THEN 'MULTIPOINT (' || a || ' ' || b || ')'
+         ELSE 'MULTILINESTRING ((0 0,' || c || ' ' || d || '))' END AS out_wkt
+FROM c
+UNION ALL
+SELECT doc_id, 'mls_skip' AS variant,
+       'MULTILINESTRING ((0 0,' || c || ' ' || d || '))' AS out_wkt
+FROM c WHERE doc_id % 4 = 3
+"""
+
+
+@register("set_geom_type", _SGT_ORACLE.format(docs=_DOCS_CTE))
+def q_set_geom_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.functions.collections import st_geometrytype, st_multi
+    from gdal_spark.functions.zgeom import st_force2d
+
+    layer = corpus.load_docs(spark, sf_dir).selectExpr(
+        "doc_id",
+        f"CAST({_CA} AS STRING) AS a", f"CAST({_CB} AS STRING) AS b",
+        f"CAST({_CC} AS STRING) AS c", f"CAST({_CD} AS STRING) AS d",
+    ).selectExpr("doc_id", f"{_SGT_WKT} AS wkt")
+    multi_xy = layer.select(
+        "doc_id",
+        F.lit("multi_xy").alias("variant"),
+        st_multi(st_force2d(F.col("wkt"))).alias("out_wkt"),
+    )
+    flat = layer.select("doc_id", st_force2d(F.col("wkt")).alias("g"))
+    mls_skip = (
+        flat.withColumn("gtype", st_geometrytype(F.col("g")))
+        .filter(F.col("gtype") == "LINESTRING")  # forceTo target reachable
+        .select(
+            "doc_id",
+            F.lit("mls_skip").alias("variant"),
+            st_multi(F.col("g")).alias("out_wkt"),
+        )
+    )
+    return multi_xy.unionByName(mls_skip)
