@@ -157,6 +157,77 @@ def with_point_cell(points: DataFrame, zoom: int = DEFAULT_ZOOM) -> DataFrame:
     ).withColumn("cell_ty", F.expr(mercator.sql_ty("lat", str(zoom))))
 
 
+# -------------------------------------------------------------- S2 index
+# The pluggable S2 encoder (SURVEY §7; geometry/s2.py).  One BIGINT cell
+# key instead of (tx, ty): the point side is a single Arrow-batched
+# numpy kernel (the north-star "batched H3/S2 cell encoding in
+# Arrow-vectorized pandas UDFs"), the zone side covers each envelope
+# with a proven-superset (s,t)-bbox per face.  Ids are stored as the
+# SIGNED view of the uint64 bit pattern (faces 4-5 set bit 63) — the
+# equi-join and range-partitioning only care about the bit pattern.
+S2_LEVEL = 6  # ~64x64 cells/face, same granularity class as zoom 6
+
+
+def with_point_cell_s2(points: DataFrame, level: int = S2_LEVEL) -> DataFrame:
+    """Attach the level-``level`` S2 ancestor cell id to each point."""
+    from gdal_spark.geometry import s2
+
+    @F.pandas_udf(LongType())
+    def enc(lat: pd.Series, lon: pd.Series) -> pd.Series:
+        leaf = s2.leaf_from_lat_lng(
+            lat.to_numpy(dtype=np.float64), lon.to_numpy(dtype=np.float64)
+        )
+        return pd.Series(s2.parent_at_level(leaf, level).view(np.int64))
+
+    return points.withColumn("cell_s2", enc(F.col("lat"), F.col("lon")))
+
+
+def zone_cell_index_s2(
+    zones: DataFrame,
+    level: int = S2_LEVEL,
+    wkt_col: str = "geom_wkt",
+    with_rect_flag: bool = False,
+) -> DataFrame:
+    """One row per (zone, covering S2 cell) with the envelope attached —
+    the S2 twin of :func:`zone_cell_index`."""
+    from pyspark.sql.types import DoubleType
+
+    from gdal_spark.geometry import s2
+
+    in_schema = zones.schema
+    extra = [
+        StructField("cell_s2", LongType()),
+        StructField("env_xmin", DoubleType()),
+        StructField("env_ymin", DoubleType()),
+        StructField("env_xmax", DoubleType()),
+        StructField("env_ymax", DoubleType()),
+    ]
+    if with_rect_flag:
+        extra.append(StructField("is_rect", BooleanType()))
+    out_schema = StructType(list(in_schema.fields) + extra)
+    extra_names = [f.name for f in extra]
+
+    def expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for idx, wkt in enumerate(pdf[wkt_col]):
+                env = wkt_envelope(wkt)
+                tail = (wkt_is_rectangle(wkt),) if with_rect_flag else ()
+                for cid in s2.cover_rect(*env, level=level).view(np.int64):
+                    rows.append((idx, int(cid), *env, *tail))
+            if not rows:
+                yield pd.DataFrame(columns=out_schema.names)
+                continue
+            expd = pd.DataFrame(rows, columns=["_i"] + extra_names)
+            base = pdf.reset_index(drop=True)
+            joined = base.iloc[expd["_i"]].reset_index(drop=True)
+            for c in extra_names:
+                joined[c] = expd[c].values
+            yield joined[out_schema.names]
+
+    return zones.mapInPandas(expand, out_schema)
+
+
 # executor-level parsed-geometry cache: the refine kernel reads the zone
 # WKT CARRIED THROUGH THE JOIN (no driver collect — a method layer that
 # doesn't fit the driver still works), parsing each distinct geometry at
@@ -227,8 +298,15 @@ def pip_join(
     wkt_col: str = "geom_wkt",
     rect_fast: bool = True,
     geom_format: str = "wkt",
+    index: str = "mercator",
 ) -> DataFrame:
     """Spatial inner join: point docs x polygon zones.
+
+    ``index`` selects the candidate cell grid: ``"mercator"`` (default,
+    GlobalMercator (tx, ty) at ``zoom``) or ``"s2"`` (S2 cell ids at
+    ``S2_LEVEL`` — one BIGINT join key, whole-sphere incl. poles, Hilbert
+    locality for free).  The refine stage is identical, so both indexes
+    produce bit-identical join output.
 
     ``geom_format="wkb"`` consumes a WKB ``BinaryType`` geometry column
     (geo-parquet / Arrow ``ogc.wkb``, ogrlayerarrow.cpp:2562): cell
@@ -256,19 +334,29 @@ def pip_join(
     once per branch but transfer only genuinely non-rect candidates
     through Arrow.
     """
-    cells = zone_cell_index(
-        zones, zoom, wkt_col, with_rect_flag=rect_fast, geom_format=geom_format
-    )
-    pts = with_point_cell(points, zoom)
+    if index == "s2":
+        if geom_format != "wkt":
+            raise ValueError("index='s2' supports geom_format='wkt'")
+        cells = zone_cell_index_s2(zones, wkt_col=wkt_col, with_rect_flag=rect_fast)
+        pts = with_point_cell_s2(points)
+        keys = ["cell_s2"]
+    elif index == "mercator":
+        cells = zone_cell_index(
+            zones, zoom, wkt_col, with_rect_flag=rect_fast, geom_format=geom_format
+        )
+        pts = with_point_cell(points, zoom)
+        keys = ["cell_tx", "cell_ty"]
+    else:
+        raise ValueError(f"unknown index: {index}")
     if strategy == "broadcast":
-        cand = pts.join(F.broadcast(cells), ["cell_tx", "cell_ty"], "inner")
+        cand = pts.join(F.broadcast(cells), keys, "inner")
     elif strategy == "shuffle":
         # salt the hot cells: point side gets a deterministic salt,
         # zone-cell side is replicated once per salt value
         pts = pts.withColumn("_salt", F.pmod(F.xxhash64("doc_id"), F.lit(salt)))
         salts = pts.sparkSession.range(salt).select(F.col("id").alias("_salt"))
         cells = cells.crossJoin(salts)
-        cand = pts.join(cells, ["cell_tx", "cell_ty", "_salt"], "inner").drop("_salt")
+        cand = pts.join(cells, keys + ["_salt"], "inner").drop("_salt")
     else:
         raise ValueError(f"unknown strategy: {strategy}")
 
@@ -278,7 +366,7 @@ def pip_join(
         & (F.col("lat") >= F.col("env_ymin"))
         & (F.col("lat") <= F.col("env_ymax"))
     )
-    helper = ["cell_tx", "cell_ty", "env_xmin", "env_ymin", "env_xmax", "env_ymax"]
+    helper = keys + ["env_xmin", "env_ymin", "env_xmax", "env_ymax"]
     # exact refine reads the zone WKT carried through the join — both
     # strategies are driver-collect-free, so the method layer is never
     # materialized on the driver

@@ -81,6 +81,27 @@ def q_pip_join_wkb(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "zone_id")
 
 
+# S2-indexed twin: the pluggable S2 cell encoder (geometry/s2.py — the
+# north-star "batched H3/S2 cell encoding in Arrow-vectorized pandas
+# UDFs"; SURVEY §7's promised pluggable encoder).  Point side = ONE
+# numpy pandas UDF emitting a single BIGINT cell key (Hilbert-curve id,
+# faces/quadratic-(s,t)/4-bit-lookup per the published S2 layout); zone
+# side = proven-superset per-face (s,t)-bbox coverage at level 6; join +
+# envelope prefilter + exact ray-cast refine identical to pip_join, so
+# the S2 index is output-invisible — same oracle, bit-identical rows.
+# rect_fast=False forces every candidate through the refine so the
+# driver row exercises the S2 candidate set end-to-end.
+@register("pip_join_s2", _PIP_ORACLE)
+def q_pip_join_s2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.operators.pip_join import pip_join
+
+    docs = corpus.load_docs(spark, sf_dir)
+    z = zones.rect_zones(spark).drop("zxmin", "zymin", "zxmax", "zymax")
+    return pip_join(docs, z, index="s2", rect_fast=False).select(
+        "doc_id", "zone_id"
+    )
+
+
 # STR-tree twin over the CONCAVE-WITH-HOLE rich layer — the north-star
 # "STR-tree per partition" candidate stage (geometry/strtree.py packed
 # R-tree, operators/strtree_join.py): zero-shuffle mapInPandas, tree
