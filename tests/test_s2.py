@@ -141,6 +141,72 @@ class TestKernel:
         assert 1 <= len(c) <= 16
 
 
+class TestS2Layout:
+    def test_s2_clustered_layout_prunes_row_groups(self, spark, sf_dir, tmp_path):
+        """S2 leaf ids are Hilbert keys, so range-clustering a table on
+        them IS a spatial layout: a bbox query overlaps few row groups'
+        lon/lat min/max stats (the test_hilbert.py claim, reusing the
+        same writer with the S2 key instead of the FlatGeobuf key)."""
+        import glob
+
+        import numpy as np
+        import pandas as pd
+        import pyarrow.parquet as pq
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
+
+        from gdal_spark import corpus
+        from gdal_spark.geometry import s2
+        from gdal_spark.operators.layout import write_hilbert_clustered
+
+        docs = corpus.load_docs(spark, sf_dir, replicate=32).select(
+            "doc_id", "lon", "lat"
+        )
+
+        @F.pandas_udf(LongType())
+        def leaf(lat: pd.Series, lon: pd.Series) -> pd.Series:
+            return pd.Series(
+                s2.leaf_from_lat_lng(
+                    lat.to_numpy(np.float64), lon.to_numpy(np.float64)
+                ).view(np.int64)
+            )
+
+        keyed = docs.withColumn("s2key", leaf(F.col("lat"), F.col("lon")))
+        path = str(tmp_path / "s2_clustered")
+        write_hilbert_clustered(
+            keyed, path, num_files=4, key="s2key",
+            **{"parquet.block.size": str(4 * 1024)},
+        )
+
+        xmin, xmax, ymin, ymax = 10.0, 20.0, 10.0, 20.0
+        total = hit = 0
+        for f in glob.glob(path + "/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            sch = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                lo = g.column(sch["lon"]).statistics
+                la = g.column(sch["lat"]).statistics
+                total += 1
+                if lo.min <= xmax and lo.max >= xmin and la.min <= ymax and la.max >= ymin:
+                    hit += 1
+        assert total >= 8, f"row groups too coarse ({total})"
+        assert hit <= 0.5 * total, f"S2 layout not local: {hit}/{total}"
+
+        pred = (
+            (F.col("lon") >= xmin)
+            & (F.col("lon") <= xmax)
+            & (F.col("lat") >= ymin)
+            & (F.col("lat") <= ymax)
+        )
+        a = {r.doc_id for r in docs.filter(pred).collect()}
+        b = {
+            r.doc_id
+            for r in spark.read.parquet(path).filter(pred).collect()
+        }
+        assert a == b and len(a) > 0
+
+
 class TestPipJoinS2Parity:
     def test_same_rows_as_mercator_index(self, spark, sf_dir):
         from gdal_spark import corpus, zones
