@@ -360,12 +360,17 @@ def radius_join(
     cell_deg: float = CELL_DEG,
     lon_col: str = "lon",
     lat_col: str = "lat",
+    inclusive: bool = False,
 ) -> DataFrame:
     """All (doc, target) pairs with squared distance < radius² — the
     fixed-radius variant of the quadtree search (GDALGridMovingAverage's
     search circle, alg/gdalgrid.cpp:644).  Same map-side shape as
     knn_join: bucketed targets per executor, docs never shuffle; each
-    query group only scans buckets within ceil(r/cell)+1 cells."""
+    query group only scans buckets within ceil(r/cell)+1 cells.
+
+    ``inclusive=True`` keeps pairs with d2 == radius² — the invdistnn
+    search test is ``dfR2 <= dfRPower2`` (alg/gdalgrid.cpp:295) while
+    the moving-average one is strict."""
     radius2 = float(radius2_sql)
     radius = float(np.sqrt(radius2))
     rmax = int(np.ceil(radius / cell_deg)) + 1
@@ -412,7 +417,9 @@ def radius_join(
                 ddx = qx[gi][:, None] - tlon[ci][None, :]
                 ddy = qy[gi][:, None] - tlat[ci][None, :]
                 d2 = ddx * ddx + ddy * ddy
-                hit_r, hit_c = np.nonzero(d2 < radius2)
+                hit_r, hit_c = np.nonzero(
+                    d2 <= radius2 if inclusive else d2 < radius2
+                )
                 rows_l.append(gi[hit_r])
                 ids_l.append(tid[ci][hit_c])
                 d2_l.append(d2[hit_r, hit_c])

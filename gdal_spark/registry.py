@@ -2681,6 +2681,212 @@ def q_grid_avg_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# gdalgrid invdistnn FULL surface (GDALGridInverseDistanceToAPower
+# NearestNeighbor, alg/gdalgrid.cpp:241-334; CLI
+# apps/gdalalg_vector_grid_invdistnn.cpp): radius-bounded candidate set
+# (INCLUSIVE d2 <= r², :295), smoothing folded into the weight
+# (rsmoothed2 = d2 + s², :289), the nMaxPoints nearest by rsmoothed2
+# (:309-326), nodata when n < nMinPoints (:330).  grid_idw covers the
+# pure k-nearest core; this query adds the radius / smoothing /
+# min-points / nodata semantics.  Power = 2, so w = 1/rsmoothed2
+# (pow(x, 1) elided — no libm in either engine).  s² = 0.25 > 1e-13
+# means the exact-hit shortcut (:291) is unreachable — documented.
+# Weights are floor-quantized to BIGINT picounits PER TERM before the
+# sum (the bm25/dsir order-proof rule); the grid-distance audit lives
+# in tests/test_invdistnn.py.  Tie-break on equal rsmoothed2 is
+# target_id (the reference multimap keeps quadtree scan order — the
+# usual deterministic canonicalization divergence).
+# --------------------------------------------------------------------------
+_NN_R2 = "1.0e2"  # 10-degree search radius, squared
+_NN_MAXP = 8
+_NN_MINP = 3
+_NN_WQ_SQL = "CAST(floor(1.0e12 / (d2 + 2.5e-1)) AS BIGINT)"
+_NN_WZQ_SQL = "CAST(floor((1.0e12 * tval) / (d2 + 2.5e-1)) AS BIGINT)"
+_NN_VALUE_SQL = (
+    f"CASE WHEN n_used >= {_NN_MINP}"
+    " THEN round(CAST(sum_wz AS DOUBLE) / CAST(sum_w AS DOUBLE), 6)"
+    " ELSE -9.999e3 END"
+)
+
+_INVDISTNN_ORACLE = f"""
+WITH px AS (
+  SELECT (i % {_GRID_W}) AS gx,
+         CAST(((i - (i % {_GRID_W})) / {_GRID_W}) AS BIGINT) AS gy
+  FROM range(0, {_GRID_W * _GRID_H}) t(i)
+),
+pc AS (SELECT gx, gy, {_GLON_SQL} AS lon, {_GLAT_SQL} AS lat FROM px),
+t AS (SELECT target_id, tlon, tlat, {_TVAL_SQL} AS tval
+      FROM ({duckdb_targets_cte()}) raw),
+d AS (
+  SELECT pc.gx, pc.gy, t.target_id, t.tval,
+         (pc.lon - t.tlon) * (pc.lon - t.tlon)
+       + (pc.lat - t.tlat) * (pc.lat - t.tlat) AS d2
+  FROM pc, t
+),
+r AS (
+  SELECT gx, gy, target_id, tval, d2,
+         row_number() OVER (PARTITION BY gx, gy ORDER BY d2, target_id) AS rnk
+  FROM d WHERE d2 <= {_NN_R2}
+),
+agg AS (
+  SELECT gx, gy, CAST(count(*) AS BIGINT) AS n_used,
+         CAST(sum({_NN_WQ_SQL}) AS BIGINT) AS sum_w,
+         CAST(sum({_NN_WZQ_SQL}) AS BIGINT) AS sum_wz
+  FROM r WHERE rnk <= {_NN_MAXP} GROUP BY gx, gy
+)
+SELECT px.gx, px.gy,
+       COALESCE(agg.n_used, 0) AS n_used,
+       CASE WHEN agg.gx IS NULL THEN -9.999e3 ELSE {_NN_VALUE_SQL} END AS idw_nn
+FROM px LEFT JOIN agg ON px.gx = agg.gx AND px.gy = agg.gy
+"""
+
+
+@register("grid_invdistnn", _INVDISTNN_ORACLE)
+def q_grid_invdistnn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.operators.knn import knn_targets, radius_join
+
+    px = spark.range(_GRID_W * _GRID_H).select(
+        (F.col("id") % _GRID_W).alias("gx"),
+        ((F.col("id") - (F.col("id") % _GRID_W)) / _GRID_W).cast("long").alias("gy"),
+    )
+    pc = px.select(
+        "gx", "gy", F.expr(_GLON_SQL).alias("lon"), F.expr(_GLAT_SQL).alias("lat")
+    )
+    j = radius_join(
+        pc, knn_targets(spark), radius2_sql=_NN_R2, inclusive=True
+    ).withColumn("tval", F.expr(_TVAL_SQL))
+    w = Window.partitionBy("gx", "gy").orderBy("d2", "target_id")
+    sel = j.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= _NN_MAXP
+    )
+    agg = sel.groupBy("gx", "gy").agg(
+        F.count("*").cast("long").alias("n_used"),
+        F.expr(f"CAST(sum({_NN_WQ_SQL}) AS BIGINT)").alias("sum_w"),
+        F.expr(f"CAST(sum({_NN_WZQ_SQL}) AS BIGINT)").alias("sum_wz"),
+    )
+    joined = px.join(agg, ["gx", "gy"], "left")
+    return joined.select(
+        "gx", "gy",
+        F.coalesce("n_used", F.lit(0)).cast("long").alias("n_used"),
+        F.expr(
+            f"CASE WHEN n_used IS NULL THEN -9.999e3 ELSE {_NN_VALUE_SQL} END"
+        ).alias("idw_nn"),
+    )
+
+
+# --------------------------------------------------------------------------
+# gdalgrid invdistnn PER-QUADRANT variant (GDALGridInverseDistanceToA
+# PowerNearestNeighborPerQuadrant, alg/gdalgrid.cpp:350-480): candidates
+# bucket into quadrants around the node (iQuadrant = (dfRX>=0) |
+# (dfRY>=0)<<1, :405), then the selection loop ROUND-ROBINS across
+# quadrants — nearest of q0, nearest of q1, q2, q3, then second-nearest
+# of q0, ... (:433-460) — NOT global distance order, so the kept set
+# under nMaxPoints genuinely differs from the plain variant (pinned in
+# tests/test_invdistnn.py).  That loop order is exactly the sort
+# (per-quadrant rank, quadrant): exhausted quadrants simply stop
+# appearing at higher ranks, which is what the iterator-finished flag
+# does.  nMaxPointsPerQuadrant caps the per-quadrant rank (:437-439);
+# nodata when any quadrant contributed < nMinPointsPerQuadrant
+# (:464-472).
+# --------------------------------------------------------------------------
+_NNQ_MAXPQ = 2
+_NNQ_MAXP = 6
+_NNQ_QUAD_SQL = (
+    "CAST((CASE WHEN tlon >= lon THEN 1 ELSE 0 END)"
+    " + (CASE WHEN tlat >= lat THEN 2 ELSE 0 END) AS BIGINT)"
+)
+_NNQ_VALUE_SQL = (
+    "CASE WHEN n_quads >= 4"
+    " THEN round(CAST(sum_wz AS DOUBLE) / CAST(sum_w AS DOUBLE), 6)"
+    " ELSE -9.999e3 END"
+)
+
+_INVDISTNN_Q_ORACLE = f"""
+WITH px AS (
+  SELECT (i % {_GRID_W}) AS gx,
+         CAST(((i - (i % {_GRID_W})) / {_GRID_W}) AS BIGINT) AS gy
+  FROM range(0, {_GRID_W * _GRID_H}) t(i)
+),
+pc AS (SELECT gx, gy, {_GLON_SQL} AS lon, {_GLAT_SQL} AS lat FROM px),
+t AS (SELECT target_id, tlon, tlat, {_TVAL_SQL} AS tval
+      FROM ({duckdb_targets_cte()}) raw),
+d AS (
+  SELECT pc.gx, pc.gy, t.target_id, t.tval, {_NNQ_QUAD_SQL} AS quad,
+         (pc.lon - t.tlon) * (pc.lon - t.tlon)
+       + (pc.lat - t.tlat) * (pc.lat - t.tlat) AS d2
+  FROM pc, t
+),
+rq AS (
+  SELECT gx, gy, target_id, tval, quad, d2,
+         row_number() OVER (
+           PARTITION BY gx, gy, quad ORDER BY d2, target_id) AS qrnk
+  FROM d WHERE d2 <= {_NN_R2}
+),
+rr AS (
+  SELECT gx, gy, target_id, tval, quad, d2, qrnk,
+         row_number() OVER (PARTITION BY gx, gy ORDER BY qrnk, quad) AS pick
+  FROM rq WHERE qrnk <= {_NNQ_MAXPQ}
+),
+agg AS (
+  SELECT gx, gy, CAST(count(*) AS BIGINT) AS n_used,
+         CAST(count(DISTINCT quad) AS BIGINT) AS n_quads,
+         CAST(sum({_NN_WQ_SQL}) AS BIGINT) AS sum_w,
+         CAST(sum({_NN_WZQ_SQL}) AS BIGINT) AS sum_wz
+  FROM rr WHERE pick <= {_NNQ_MAXP} GROUP BY gx, gy
+)
+SELECT px.gx, px.gy,
+       COALESCE(agg.n_used, 0) AS n_used,
+       COALESCE(agg.n_quads, 0) AS n_quads,
+       CASE WHEN agg.gx IS NULL THEN -9.999e3 ELSE {_NNQ_VALUE_SQL} END
+         AS idw_nnq
+FROM px LEFT JOIN agg ON px.gx = agg.gx AND px.gy = agg.gy
+"""
+
+
+@register("grid_invdistnn_quadrant", _INVDISTNN_Q_ORACLE)
+def q_grid_invdistnn_quadrant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.operators.knn import knn_targets, radius_join
+
+    px = spark.range(_GRID_W * _GRID_H).select(
+        (F.col("id") % _GRID_W).alias("gx"),
+        ((F.col("id") - (F.col("id") % _GRID_W)) / _GRID_W).cast("long").alias("gy"),
+    )
+    pc = px.select(
+        "gx", "gy", F.expr(_GLON_SQL).alias("lon"), F.expr(_GLAT_SQL).alias("lat")
+    )
+    t = knn_targets(spark)
+    j = (
+        radius_join(pc, t, radius2_sql=_NN_R2, inclusive=True)
+        .join(F.broadcast(t), "target_id")
+        .withColumn("tval", F.expr(_TVAL_SQL))
+        .withColumn("quad", F.expr(_NNQ_QUAD_SQL))
+    )
+    wq = Window.partitionBy("gx", "gy", "quad").orderBy("d2", "target_id")
+    wr = Window.partitionBy("gx", "gy").orderBy("qrnk", "quad")
+    sel = (
+        j.withColumn("qrnk", F.row_number().over(wq))
+        .filter(F.col("qrnk") <= _NNQ_MAXPQ)
+        .withColumn("pick", F.row_number().over(wr))
+        .filter(F.col("pick") <= _NNQ_MAXP)
+    )
+    agg = sel.groupBy("gx", "gy").agg(
+        F.count("*").cast("long").alias("n_used"),
+        F.countDistinct("quad").cast("long").alias("n_quads"),
+        F.expr(f"CAST(sum({_NN_WQ_SQL}) AS BIGINT)").alias("sum_w"),
+        F.expr(f"CAST(sum({_NN_WZQ_SQL}) AS BIGINT)").alias("sum_wz"),
+    )
+    joined = px.join(agg, ["gx", "gy"], "left")
+    return joined.select(
+        "gx", "gy",
+        F.coalesce("n_used", F.lit(0)).cast("long").alias("n_used"),
+        F.coalesce("n_quads", F.lit(0)).cast("long").alias("n_quads"),
+        F.expr(
+            f"CASE WHEN n_used IS NULL THEN -9.999e3 ELSE {_NNQ_VALUE_SQL} END"
+        ).alias("idw_nnq"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Linear (Delaunay) grid interpolation — GDALGridLinear
 # (alg/gdalgrid.cpp GGA_Linear; triangulation alg/delaunay.c).  The
 # engine triangulates the scattered target set with the pure-numpy
