@@ -2323,6 +2323,92 @@ def q_pixel_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# gdal raster calc (apps/gdalalg_raster_calc.cpp, muparser dialect):
+# named multi-raster inputs, band-subscript expansion and the --flatten
+# aggregate expansion, ported string-for-string in operators/calc.py
+# (quirks pinned in tests/test_raster_calc.py).  Two expressions over
+# A = the 3-band source grid and B = a 1-band second raster:
+#   expr 1, flatten=False: "A + 2 * B"        -> 3 output bands,
+#     A[b] + 2*B[1] (the 1-band source broadcasts via
+#     nDefaultInBand = min(nBands, nOutBand), :420);
+#   expr 2, flatten=True:  "avg(A) + max(A) - B" -> 1 output band,
+#     aggregate args expand to the full band list (:422-424).
+# The ENGINE routes the user strings through expand_expression +
+# compile_to_sql; the ORACLE is the hand-expanded SQL — so the
+# preprocessor itself is under oracle test, not shared text.  Values
+# are integers except avg's /3 (one double division, identical op both
+# engines), rounded in-query.
+# --------------------------------------------------------------------------
+_CALC_B_VAL = "((px * 11 + py * 3) % 200)"
+
+_RASTER_CALC_ORACLE = f"""
+WITH g AS ({_SRC_GRID_CTE}),
+p AS (
+  SELECT px, py,
+         sum(CASE WHEN band = 1 THEN {_SRC_VAL} END) AS a_1,
+         sum(CASE WHEN band = 2 THEN {_SRC_VAL} END) AS a_2,
+         sum(CASE WHEN band = 3 THEN {_SRC_VAL} END) AS a_3
+  FROM g GROUP BY px, py
+),
+pb AS (SELECT px, py, a_1, a_2, a_3, {_CALC_B_VAL} AS b_1 FROM p),
+e1 AS (
+  SELECT 1 AS expr_id, band.b AS out_band, px, py,
+         round(CAST(CASE band.b WHEN 1 THEN a_1 + 2 * b_1
+                                WHEN 2 THEN a_2 + 2 * b_1
+                                ELSE a_3 + 2 * b_1 END AS DOUBLE), 6) AS val
+  FROM pb, (SELECT unnest([1, 2, 3]) AS b) band
+),
+e2 AS (
+  SELECT 2 AS expr_id, 1 AS out_band, px, py,
+         round(((a_1 + a_2 + a_3) / 3.0e0)
+               + greatest(a_1, a_2, a_3) - b_1, 6) AS val
+  FROM pb
+)
+SELECT expr_id, out_band, px, py, val FROM e1
+UNION ALL
+SELECT expr_id, out_band, px, py, val FROM e2
+"""
+
+
+@register("raster_calc", _RASTER_CALC_ORACLE)
+def q_raster_calc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.operators.calc import compile_to_sql, expand_expression
+    from gdal_spark.operators.raster import source_grid
+
+    p = (
+        source_grid(spark)
+        .groupBy("px", "py")
+        .pivot("band", [1, 2, 3])
+        .sum("value")
+        .withColumnsRenamed({"1": "a_1", "2": "a_2", "3": "a_3"})
+        .withColumn("b_1", F.expr(_CALC_B_VAL))
+    )
+    sources = {"A": 3, "B": 1}
+    outs = []
+    for expr_id, (text, flatten) in enumerate(
+        [("A + 2 * B", False), ("avg(A) + max(A) - B", True)], start=1
+    ):
+        for out_band, band_expr in enumerate(
+            expand_expression(text, sources, flatten=flatten), start=1
+        ):
+            outs.append(
+                p.select(
+                    F.lit(expr_id).alias("expr_id"),
+                    F.lit(out_band).alias("out_band"),
+                    "px",
+                    "py",
+                    F.expr(
+                        f"round(CAST({compile_to_sql(band_expr)} AS DOUBLE), 6)"
+                    ).alias("val"),
+                )
+            )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
+
+
+# --------------------------------------------------------------------------
 # Tile index (gdaltindex partition catalog) + θ-join + COUNT DISTINCT
 # --------------------------------------------------------------------------
 _TINDEX_ZOOM = 6
