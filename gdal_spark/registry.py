@@ -11545,6 +11545,102 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# fastText-style quality-classifier INFERENCE (Joulin et al. 2016,
+# arXiv:1607.01759) — the model-based curation gate of DCLM (Li et al.
+# 2024) and FineWeb-Edu: a linear classifier over hashed unigram +
+# bigram features (wordNgrams=2) scores every document; docs with
+# positive logit pass the filter.  The trained model is stood in by a
+# deterministic weight table w_milli[b] = ((b * 2654435761) % 2001) -
+# 1000 over 256 buckets — an inline EXPRESSION, not a join: per-feature
+# weights are exact BIGINT milli-units, so the per-doc sum is
+# order-proof and the keep decision (bias + mean weight > 0) clears
+# denominators into pure integer comparison 37*n_feats + sum_w > 0.
+# The logit is emitted in numerator form (logit_num_milli, n_feats) —
+# the grid_average (count, integer sum) precedent — so no float rides
+# the hash.  Plan: one feature explode + one groupBy(doc_id); weights
+# in whole-stage codegen; zero model shuffle (contrast: a real model
+# swaps the expression for a <=B-row broadcast dim, the dsir_weights
+# shape).  At 100 TB this is a map-side-combined single shuffle on
+# doc_id.  fastText divides by token count; we divide by feature count
+# (documented divergence — monotone-equivalent threshold family).
+# --------------------------------------------------------------------------
+_FT_B = 256
+_FT_BIAS_MILLI = 37
+_FT_BUCKET = "('0x' || substring(md5(gram), 1, 7))"  # oracle spelling
+_FT_W_MILLI = f"CAST(((b * 2654435761) % 2001) - 1000 AS BIGINT)"
+
+_FASTTEXT_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+g1 AS (SELECT doc_id, unnest(w) AS gram FROM w),
+g2 AS (
+  SELECT doc_id, array_to_string(list_slice(w, st, st + 1), ' ') AS gram
+  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS st
+        FROM w WHERE len(w) >= 2) sub
+),
+g AS (SELECT * FROM g1 UNION ALL SELECT * FROM g2),
+gb AS (
+  SELECT doc_id,
+         CAST({_FT_BUCKET}::BIGINT % {_FT_B} AS BIGINT) AS b
+  FROM g
+),
+dw AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+         CAST(sum({_FT_W_MILLI}) AS BIGINT) AS sum_w
+  FROM gb GROUP BY doc_id
+)
+SELECT doc_id, n_feats,
+       CAST({_FT_BIAS_MILLI} * n_feats + sum_w AS BIGINT) AS logit_num_milli,
+       CAST(CASE WHEN {_FT_BIAS_MILLI} * n_feats + sum_w > 0
+                 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM dw
+"""
+
+
+@register("fasttext_filter", _FASTTEXT_ORACLE)
+def q_fasttext_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    feats = d.select(
+        "doc_id",
+        F.explode(
+            # sequence(1, 0) DESCENDS in Spark (the bpe_train gotcha):
+            # single-token docs must take the empty-array branch
+            F.expr(
+                "concat(w, CASE WHEN size(w) >= 2 THEN"
+                " transform(sequence(1, size(w) - 1),"
+                " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
+                " ELSE array() END)"
+            )
+        ).alias("gram"),
+    )
+    gb = feats.select(
+        "doc_id",
+        F.expr(
+            f"CAST(conv(substring(md5(gram), 1, 7), 16, 10) AS BIGINT)"
+            f" % {_FT_B}"
+        ).alias("b"),
+    )
+    dw = gb.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_feats"),
+        F.expr(f"CAST(sum({_FT_W_MILLI}) AS BIGINT)").alias("sum_w"),
+    )
+    return dw.select(
+        "doc_id",
+        "n_feats",
+        F.expr(f"CAST({_FT_BIAS_MILLI} * n_feats + sum_w AS BIGINT)").alias(
+            "logit_num_milli"
+        ),
+        F.expr(
+            f"CAST(CASE WHEN {_FT_BIAS_MILLI} * n_feats + sum_w > 0"
+            " THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("keep"),
+    )
+
+
+# --------------------------------------------------------------------------
 # End-to-end pretraining-mix pipeline (the realistic 100 TB curation
 # job, composed as ONE Catalyst plan): exact-dedup keeper -> DSIR
 # importance scoring of the survivors -> per-source top-K selection
