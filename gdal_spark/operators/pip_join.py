@@ -228,6 +228,127 @@ def zone_cell_index_s2(
     return zones.mapInPandas(expand, out_schema)
 
 
+# ------------------------------------------------------------- hex index
+# The hexagonal pluggable encoder (the H3 half of the north-star "H3/S2
+# cell encoding", delivered as an honest axial hex grid rather than a
+# from-memory reproduction of H3's icosahedral base-cell tables): a
+# pointy-top hexagonal lattice of circumradius HEX_DEG degrees directly
+# on the lon/lat plane.  The point side is PURE whole-stage-codegen SQL
+# (fractional axial coords + cube rounding — no Python at all, one step
+# cheaper than S2's Arrow kernel); the zone side enumerates every hex
+# center inside the envelope expanded by 2*HEX_DEG, a proven superset:
+# cube-rounding assigns each point a hexagon containing it, whose center
+# is therefore within one circumradius of the point.  Like S2 (and
+# unlike mercator tiles) the grid covers the poles.  The refine stage is
+# shared, so the index is output-invisible — pip_join_hex registers
+# against the SAME oracle.
+HEX_DEG = 4.0  # hex circumradius in degrees, same class as zoom-6 cells
+_SQRT3 = 1.7320508075688772
+
+
+def with_point_cell_hex(points: DataFrame, size: float = HEX_DEG) -> DataFrame:
+    """Attach (hex_q, hex_r) axial hex coordinates — pure JVM math.
+
+    Fractional axial coords for a pointy-top hex grid, then standard
+    cube rounding (round each cube axis, recompute the axis with the
+    largest rounding error from the other two)."""
+    qf = f"(({_SQRT3!r} / 3.0e0 * lon - lat / 3.0e0) / {size!r})"
+    rf = f"(2.0e0 / 3.0e0 * lat / {size!r})"
+    pts = (
+        points.withColumn("_hx", F.expr(qf))
+        .withColumn("_hz", F.expr(rf))
+        .withColumn("_hy", F.expr("-_hx - _hz"))
+        .withColumn("_rx", F.expr("round(_hx)"))
+        .withColumn("_ry", F.expr("round(_hy)"))
+        .withColumn("_rz", F.expr("round(_hz)"))
+        .withColumn("_dx", F.expr("abs(_rx - _hx)"))
+        .withColumn("_dy", F.expr("abs(_ry - _hy)"))
+        .withColumn("_dz", F.expr("abs(_rz - _hz)"))
+    )
+    pts = pts.withColumn(
+        "hex_q",
+        F.expr(
+            "CAST(CASE WHEN _dx > _dy AND _dx > _dz THEN -_ry - _rz"
+            " ELSE _rx END AS BIGINT)"
+        ),
+    ).withColumn(
+        "hex_r",
+        F.expr(
+            "CAST(CASE WHEN _dx > _dy AND _dx > _dz THEN _rz"
+            " WHEN _dy > _dz THEN _rz"
+            " ELSE -_rx - _ry END AS BIGINT)"
+        ),
+    )
+    return pts.drop(
+        "_hx", "_hy", "_hz", "_rx", "_ry", "_rz", "_dx", "_dy", "_dz"
+    )
+
+
+def hex_cover_rect(
+    xmin: float, ymin: float, xmax: float, ymax: float, size: float = HEX_DEG
+):
+    """All (q, r) hexes whose CENTER lies in the envelope expanded by
+    2*size — a superset of every hex any contained point can round to
+    (the assigned hexagon contains the point, so its center is within
+    one circumradius; the second radius absorbs rounding slack)."""
+    m = 2.0 * size
+    step_y = 1.5 * size
+    step_x = _SQRT3 * size
+    r_lo = int(np.ceil((ymin - m) / step_y))
+    r_hi = int(np.floor((ymax + m) / step_y))
+    out = []
+    for r in range(r_lo, r_hi + 1):
+        q_lo = int(np.ceil((xmin - m) / step_x - r / 2.0))
+        q_hi = int(np.floor((xmax + m) / step_x - r / 2.0))
+        out.extend((q, r) for q in range(q_lo, q_hi + 1))
+    return out
+
+
+def zone_cell_index_hex(
+    zones: DataFrame,
+    size: float = HEX_DEG,
+    wkt_col: str = "geom_wkt",
+    with_rect_flag: bool = False,
+) -> DataFrame:
+    """One row per (zone, covering hex cell) — the hex twin of
+    :func:`zone_cell_index`."""
+    from pyspark.sql.types import DoubleType
+
+    in_schema = zones.schema
+    extra = [
+        StructField("hex_q", LongType()),
+        StructField("hex_r", LongType()),
+        StructField("env_xmin", DoubleType()),
+        StructField("env_ymin", DoubleType()),
+        StructField("env_xmax", DoubleType()),
+        StructField("env_ymax", DoubleType()),
+    ]
+    if with_rect_flag:
+        extra.append(StructField("is_rect", BooleanType()))
+    out_schema = StructType(list(in_schema.fields) + extra)
+    extra_names = [f.name for f in extra]
+
+    def expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for idx, wkt in enumerate(pdf[wkt_col]):
+                env = wkt_envelope(wkt)
+                tail = (wkt_is_rectangle(wkt),) if with_rect_flag else ()
+                for q, r in hex_cover_rect(*env, size=size):
+                    rows.append((idx, q, r, *env, *tail))
+            if not rows:
+                yield pd.DataFrame(columns=out_schema.names)
+                continue
+            expd = pd.DataFrame(rows, columns=["_i"] + extra_names)
+            base = pdf.reset_index(drop=True)
+            joined = base.iloc[expd["_i"]].reset_index(drop=True)
+            for c in extra_names:
+                joined[c] = expd[c].values
+            yield joined[out_schema.names]
+
+    return zones.mapInPandas(expand, out_schema)
+
+
 # executor-level parsed-geometry cache: the refine kernel reads the zone
 # WKT CARRIED THROUGH THE JOIN (no driver collect — a method layer that
 # doesn't fit the driver still works), parsing each distinct geometry at
@@ -340,6 +461,14 @@ def pip_join(
         cells = zone_cell_index_s2(zones, wkt_col=wkt_col, with_rect_flag=rect_fast)
         pts = with_point_cell_s2(points)
         keys = ["cell_s2"]
+    elif index == "hex":
+        if geom_format != "wkt":
+            raise ValueError("index='hex' supports geom_format='wkt'")
+        cells = zone_cell_index_hex(
+            zones, wkt_col=wkt_col, with_rect_flag=rect_fast
+        )
+        pts = with_point_cell_hex(points)
+        keys = ["hex_q", "hex_r"]
     elif index == "mercator":
         cells = zone_cell_index(
             zones, zoom, wkt_col, with_rect_flag=rect_fast, geom_format=geom_format

@@ -102,6 +102,26 @@ def q_pip_join_s2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Hex-indexed twin: the third pluggable encoder (the H3 half of the
+# north-star "H3/S2 cell encoding", as an honest axial hex lattice —
+# operators/pip_join.py HEX_DEG block).  The point side is PURE
+# whole-stage-codegen SQL (fractional axial coords + cube rounding, no
+# Python stage on the corpus at all — one step cheaper than S2's Arrow
+# kernel); zone side = proven-superset hex-center coverage of the
+# envelope; refine shared, so the hex index is output-invisible — same
+# oracle, bit-identical rows.  rect_fast=False exercises the hex
+# candidate set end-to-end through the ray-cast.
+@register("pip_join_hex", _PIP_ORACLE)
+def q_pip_join_hex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.operators.pip_join import pip_join
+
+    docs = corpus.load_docs(spark, sf_dir)
+    z = zones.rect_zones(spark).drop("zxmin", "zymin", "zxmax", "zymax")
+    return pip_join(docs, z, index="hex", rect_fast=False).select(
+        "doc_id", "zone_id"
+    )
+
+
 # STR-tree twin over the CONCAVE-WITH-HOLE rich layer — the north-star
 # "STR-tree per partition" candidate stage (geometry/strtree.py packed
 # R-tree, operators/strtree_join.py): zero-shuffle mapInPandas, tree
