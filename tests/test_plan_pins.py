@@ -252,3 +252,48 @@ class TestRound4dPlans:
         assert 1 <= plan.count("MapInPandas") <= 2, plan
         assert "BroadcastHashJoin" in plan, plan
         assert "SortMergeJoin" not in plan, plan
+
+
+class TestRound4fPlans:
+    """Plan pins for this session's additions (invdistnn family,
+    raster_calc, fasttext_filter, pip_join_hex)."""
+
+    def _q(self, spark, sf_dir, name):
+        import __spark_entry__ as entry_mod
+
+        spark.catalog.clearCache()
+        return _plan(entry_mod.queries()[name](spark, sf_dir))
+
+    def test_fasttext_filter_is_pure_jvm_one_shuffle(self, spark, sf_dir):
+        # the stand-in model is an inline expression: one doc_id shuffle
+        # (map-side combined), zero Python, zero joins
+        plan = self._q(spark, sf_dir, "fasttext_filter")
+        assert "Python" not in plan and "MapInPandas" not in plan, plan
+        assert "Join" not in plan, plan
+        assert _shuffles(plan) == 1, plan
+
+    def test_raster_calc_is_pure_jvm(self, spark, sf_dir):
+        # the compiled expressions are whole-stage codegen over one
+        # pivot; union branches reprint the shared pivot subtree
+        plan = self._q(spark, sf_dir, "raster_calc")
+        assert "Python" not in plan and "MapInPandas" not in plan, plan
+        assert "SortMergeJoin" not in plan, plan
+
+    def test_grid_invdistnn_single_python_stage(self, spark, sf_dir):
+        # radius_join's map-side kernel is the only Python stage; the
+        # pixel grid never shuffles before it (targets ride bucketed
+        # per executor)
+        plan = self._q(spark, sf_dir, "grid_invdistnn")
+        assert plan.count("MapInPandas") == 1, plan
+        assert "BatchEvalPython" not in plan, plan
+        assert "SortMergeJoin" not in plan, plan
+
+    def test_pip_join_hex_point_side_is_jvm(self, spark, sf_dir):
+        # hex assignment is pure codegen: the only Python prints are the
+        # zone-side cell cover (MapInPandas over the dim layer) and the
+        # shared Arrow refine; the join on (hex_q, hex_r) broadcasts
+        plan = self._q(spark, sf_dir, "pip_join_hex")
+        assert plan.count("MapInPandas") == 1, plan  # zone cover only
+        assert "ArrowEvalPython" in plan, plan  # the exact refine
+        assert "BroadcastHashJoin" in plan, plan
+        assert "SortMergeJoin" not in plan, plan
