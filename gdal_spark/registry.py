@@ -122,6 +122,129 @@ def q_pip_join_hex(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _corpus_snapshot_table(spark: SparkSession, sf_dir: str, tag: str,
+                           n_snapshots: int):
+    """Idempotently build a SnapshotTable of the doc corpus, committed in
+    ``n_snapshots`` appends split on doc_id % n, S2-clustered within each
+    commit (repartitionByRange on the cell key + in-partition sort), with
+    per-file lon/lat min/max recorded in the manifest."""
+    import hashlib
+    import os
+    import tempfile
+
+    from gdal_spark.operators.pip_join import with_point_cell_s2
+    from gdal_spark.table import SnapshotTable
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"gdal_spark_{tag}_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8],
+    )
+    t = SnapshotTable(spark, root, stats_cols=["lon", "lat"])
+    if t.current_snapshot_id() != n_snapshots:
+        docs = with_point_cell_s2(
+            corpus.load_docs(spark, sf_dir).select("doc_id", "lon", "lat")
+        )
+        for r in range(n_snapshots):
+            t.append(
+                docs.filter(F.col("doc_id") % n_snapshots == r)
+                .repartitionByRange(32, "cell_s2")
+                .sortWithinPartitions("cell_s2")
+            )
+    return t
+
+
+# Manifest-pruned spatial lookup — the flagship join composed with the
+# snapshot table's scan planning (table.py pruned_read): the corpus is
+# committed S2-CLUSTERED (Hilbert locality => per-file lon/lat ranges
+# are tight), so a selective zone lookup opens only the files whose
+# recorded [min, max] lon range can intersect the zone — metadata plus
+# a handful of files, never the table.  This is the 100 TB shape of
+# "query three zones out of the planet": the zone bbox prunes at the
+# MANIFEST level before any scan, then the residual strict-bbox filter
+# applies (pruning is sound: the strict range is a subset of the
+# inclusive pruned range).  The 3-row zone list is a driver-side dim
+# contract (the per-zone pruned scans are independent jobs).
+# tests/test_pip_pruned.py pins that files are actually skipped.
+_PRUNED_ZONE_IDS = (171, 229, 190)
+
+_PIP_PRUNED_ORACLE = f"""
+WITH docs AS ({_DOCS_CTE}), zones AS ({_ZONES_CTE})
+SELECT d.doc_id, z.zone_id
+FROM docs d JOIN zones z
+  ON d.lon > z.zxmin AND d.lon < z.zxmax
+ AND d.lat > z.zymin AND d.lat < z.zymax
+WHERE z.zone_id IN {_PRUNED_ZONE_IDS}
+"""
+
+
+@register("pip_join_pruned", _PIP_PRUNED_ORACLE)
+def q_pip_join_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _corpus_snapshot_table(spark, sf_dir, "pippruned", 1)
+    zrows = (
+        zones.rect_zones(spark)
+        .filter(F.col("zone_id").isin(*_PRUNED_ZONE_IDS))
+        .select("zone_id", "zxmin", "zymin", "zxmax", "zymax")
+        .collect()
+    )
+    outs = []
+    for zr in zrows:
+        scan = t.pruned_read("lon", zr.zxmin, zr.zxmax)
+        outs.append(
+            scan.filter(
+                (F.col("lon") > F.lit(zr.zxmin))
+                & (F.col("lon") < F.lit(zr.zxmax))
+                & (F.col("lat") > F.lit(zr.zymin))
+                & (F.col("lat") < F.lit(zr.zymax))
+            ).select(
+                "doc_id", F.lit(zr.zone_id).cast("long").alias("zone_id")
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+# Snapshot-incremental zonal stats — pip_join_agg maintained across
+# table commits (the snapshot_delta pattern applied to the SPATIAL
+# aggregate): zonal counts are distributive, so snapshot-2 state =
+# snapshot-1 partial state merged with the partial state of the
+# files-added-since delta (table.py incremental — at 100 TB the
+# maintenance job scans ONLY the appended files).  The oracle recomputes
+# from the full corpus; incremental == full is the certified property.
+_PIP_AGG_INC_ORACLE = f"""
+WITH docs AS ({_DOCS_CTE}), zones AS ({_ZONES_CTE})
+SELECT z.zone_id, count(*) AS n_docs
+FROM docs d JOIN zones z
+  ON d.lon > z.zxmin AND d.lon < z.zxmax
+ AND d.lat > z.zymin AND d.lat < z.zymax
+GROUP BY z.zone_id
+"""
+
+
+@register("pip_join_agg_incremental", _PIP_AGG_INC_ORACLE)
+def q_pip_join_agg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.operators.pip_join import pip_join
+
+    t = _corpus_snapshot_table(spark, sf_dir, "pipinc", 2)
+    z = zones.rect_zones(spark).drop("zxmin", "zymin", "zxmax", "zymax")
+
+    def zonal(docs):
+        return (
+            pip_join(docs, z)
+            .groupBy("zone_id")
+            .agg(F.count("*").alias("n_docs"))
+        )
+
+    state1 = zonal(t.read(1))
+    delta = zonal(t.incremental(1))
+    return (
+        state1.unionByName(delta)
+        .groupBy("zone_id")
+        .agg(F.sum("n_docs").cast("long").alias("n_docs"))
+    )
+
+
 # STR-tree twin over the CONCAVE-WITH-HOLE rich layer — the north-star
 # "STR-tree per partition" candidate stage (geometry/strtree.py packed
 # R-tree, operators/strtree_join.py): zero-shuffle mapInPandas, tree
