@@ -34,6 +34,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.types import LongType, StructField, StructType
 
+from pyspark.sql.types import DoubleType
+
 from gdal_spark.geometry.envelope import wkt_envelope
 from gdal_spark.geometry.pip import points_in_polygon
 from gdal_spark.geometry.strtree import STRTree
@@ -111,5 +113,100 @@ def pip_join_strtree(
             )
 
     return points.select(id_col, lon_col, lat_col).mapInPandas(
+        kernel, out_schema
+    )
+
+
+def _clip_tree_of(bc) -> tuple:
+    """Envelope-only tree for the clip candidate stage (no ring parse —
+    zone classification goes through overlay._classify_zone's own
+    executor cache at refine time)."""
+    key, ids, wkts = bc.value
+    got = _TREE_CACHE.get(key)
+    if got is None:
+        boxes = np.asarray([wkt_envelope(w) for w in wkts], dtype=np.float64)
+        _TREE_CACHE.clear()  # one live method layer per process is plenty
+        got = (STRTree(boxes), np.asarray(ids, dtype=np.int64), list(wkts))
+        _TREE_CACHE[key] = got
+    return got
+
+
+def clip_join_strtree(
+    polydocs: DataFrame,
+    zones: DataFrame,
+    zone_id_col: str = "zone_id",
+    wkt_col: str = "geom_wkt",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact intersection pieces (doc_id, zone_id, piece_area) with the
+    STR-tree candidate stage — the north-star "STR-tree per partition
+    for tile clipping" (the raster↔vector mapping role GEOS STRtree
+    plays behind OGRLayer::Intersection / Clip).
+
+    Same dim-layer contract as :func:`pip_join_strtree`; the corpus
+    side's envelopes query the tree in ONE mapInPandas (zero shuffle,
+    zero join operator, no zone-side cell fan-out).  Candidates resolve
+    through the SAME classified-zone kernels as overlay._clip_kernel —
+    rectangle zones via the identical IEEE min/max math, general
+    concave/holed/multipart zones via the fan-triangle
+    rects_polys_intersection_area — and the same AREA_EPS drop rule, so
+    output is BIT-IDENTICAL to intersection_join(emit_wkt=False)
+    (pinned in tests/test_strtree_join.py; same DuckDB oracle as
+    clip_general in the registry)."""
+    sc = polydocs.sparkSession.sparkContext
+    zpdf = zones.select(zone_id_col, wkt_col).toPandas()
+    _KEY_SEQ[0] += 1
+    key = f"{sc.applicationId}/{_KEY_SEQ[0]}/clip"
+    bc = sc.broadcast(
+        (key, zpdf[zone_id_col].to_numpy().tolist(), zpdf[wkt_col].tolist())
+    )
+
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField(zone_id_col, LongType()),
+            StructField("piece_area", DoubleType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from gdal_spark.geometry.boolean import rects_polys_intersection_area
+        from gdal_spark.operators.overlay import AREA_EPS, _classify_zone
+
+        tree, ids, wkts = _clip_tree_of(bc)
+        for pdf in batches:
+            x0 = pdf["xmin"].to_numpy(np.float64)
+            y0 = pdf["ymin"].to_numpy(np.float64)
+            x1 = pdf["xmax"].to_numpy(np.float64)
+            y1 = pdf["ymax"].to_numpy(np.float64)
+            qi, zi = tree.query_boxes(np.column_stack([x0, y0, x1, y1]))
+            areas = np.zeros(len(qi), dtype=np.float64)
+            for z in np.unique(zi):
+                m = zi == z
+                info = _classify_zone(wkts[z])
+                if info[0] == "rect":
+                    zx0, zy0, zx1, zy1 = info[1]
+                    ix0 = np.maximum(x0[qi[m]], zx0)
+                    iy0 = np.maximum(y0[qi[m]], zy0)
+                    ix1 = np.minimum(x1[qi[m]], zx1)
+                    iy1 = np.minimum(y1[qi[m]], zy1)
+                    nonempty = (ix0 < ix1) & (iy0 < iy1)
+                    areas[m] = np.where(
+                        nonempty, (ix1 - ix0) * (iy1 - iy0), 0.0
+                    )
+                else:
+                    tris, w = info[1]
+                    rects = np.c_[x0[qi[m]], y0[qi[m]], x1[qi[m]], y1[qi[m]]]
+                    areas[m] = rects_polys_intersection_area(rects, tris, w)
+            keep = areas > AREA_EPS
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy()[qi[keep]],
+                    zone_id_col: ids[zi[keep]],
+                    "piece_area": areas[keep],
+                }
+            )
+
+    return polydocs.select(id_col, "xmin", "ymin", "xmax", "ymax").mapInPandas(
         kernel, out_schema
     )

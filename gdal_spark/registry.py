@@ -3443,6 +3443,30 @@ def q_clip_general(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# STR-tree twin of the general clip — the north-star "STR-tree per
+# partition for TILE CLIPPING" (the role GEOS STRtree plays behind
+# OGRLayer::Intersection/Clip): zero-shuffle mapInPandas, packed R-tree
+# built once per executor over the broadcast method-layer envelopes,
+# every bbox candidate resolved by the SAME classified-zone area
+# kernels as intersection_join (rect IEEE min/max math + fan-triangle
+# general path), same AREA_EPS drop — bit-identical to clip_general
+# (same oracle; parity additionally pinned in tests/test_strtree_join.py).
+# Scale trade vs the cell join: no zone-side cell fan-out and no join
+# hashing (the pip_join_strtree finding — ~2x on dim-sized method
+# layers), at the cost of the dim-layer broadcast contract.
+@register("clip_strtree", _CLIP_GENERAL_ORACLE)
+def q_clip_strtree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.operators.strtree_join import clip_join_strtree
+
+    pd_docs = corpus.load_polydocs(spark, sf_dir)
+    out = clip_join_strtree(pd_docs, zones.rich_zones(spark))
+    return out.select(
+        "doc_id",
+        "zone_id",
+        F.round(F.col("piece_area") * 4.0e6).cast("long").alias("micro4_area"),
+    )
+
+
 # per-doc coordinate compression: cells from all clipped part edges,
 # covered cell = inside some zone's A/B part AND not inside that zone's
 # hole — exact union of an OVERLAPPING method layer

@@ -1,11 +1,12 @@
-"""pip_join_strtree (operators/strtree_join.py) must be bit-identical
-to the cell-join pip_join on the same layers — two independent
-candidate generators (packed STR R-tree vs mercator cell cover) feeding
-the same ray-cast refine."""
+"""pip_join_strtree / clip_join_strtree (operators/strtree_join.py)
+must be bit-identical to their cell-join twins on the same layers —
+two independent candidate generators (packed STR R-tree vs mercator
+cell cover) feeding the same exact refine kernels."""
 
 from gdal_spark import corpus, zones
+from gdal_spark.operators.overlay import intersection_join
 from gdal_spark.operators.pip_join import pip_join
-from gdal_spark.operators.strtree_join import pip_join_strtree
+from gdal_spark.operators.strtree_join import clip_join_strtree, pip_join_strtree
 
 
 def _pairs(df):
@@ -25,4 +26,33 @@ def test_parity_on_rich_concave_layer(spark, sf_dir):
     z = zones.rich_zones(spark)
     got = _pairs(pip_join_strtree(docs, z))
     want = _pairs(pip_join(docs, z))
+    assert got == want and len(got) > 0
+
+
+def _pieces(df):
+    # piece_area compared as raw float64 bits — the parity claim is
+    # BIT-identity of the two candidate stages feeding the same kernels
+    return sorted(
+        (r["doc_id"], r["zone_id"], r["piece_area"].hex())
+        for r in df.select("doc_id", "zone_id", "piece_area").collect()
+    )
+
+
+def test_clip_parity_on_rect_clip_layer(spark, sf_dir):
+    pdocs = corpus.load_polydocs(spark, sf_dir)
+    cz = zones.clip_zones(spark).drop("zxmin", "zymin", "zxmax", "zymax")
+    got = _pieces(clip_join_strtree(pdocs, cz))
+    want = _pieces(intersection_join(pdocs, cz, emit_wkt=False))
+    assert got == want and len(got) > 0
+
+
+def test_clip_parity_on_rich_concave_layer(spark, sf_dir):
+    # concave L-shapes with holes that overlap each other — the general
+    # fan-triangle kernel on both sides; candidate supersets differ
+    # (closed-box tree hits vs cell cover) but the exact kernel + the
+    # AREA_EPS drop rule make the outputs bit-equal
+    pdocs = corpus.load_polydocs(spark, sf_dir)
+    rz = zones.rich_zones(spark)
+    got = _pieces(clip_join_strtree(pdocs, rz))
+    want = _pieces(intersection_join(pdocs, rz, emit_wkt=False))
     assert got == want and len(got) > 0
