@@ -32,9 +32,7 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql.types import LongType, StructField, StructType
-
-from pyspark.sql.types import DoubleType
+from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
 from gdal_spark.geometry.envelope import wkt_envelope
 from gdal_spark.geometry.pip import points_in_polygon

@@ -82,6 +82,15 @@ class TestMapSideKernelsNeverShuffle:
         assert _shuffles(plan) == 0, plan
         assert "Join" not in plan, plan
 
+    def test_clip_strtree_zero_shuffle_zero_join(self, spark, sf_dir):
+        from gdal_spark.operators.strtree_join import clip_join_strtree
+
+        pdocs = corpus.load_polydocs(spark, sf_dir)
+        df = clip_join_strtree(pdocs, zones.rich_zones(spark, n=100))
+        plan = _plan(df)
+        assert _shuffles(plan) == 0, plan
+        assert "Join" not in plan, plan
+
     def test_ann_brute_zero_shuffle(self, spark, sf_dir):
         from gdal_spark.operators.similarity import brute_force_topk
 
