@@ -381,6 +381,16 @@ def main() -> None:
         rz = _z.rich_zones(spark)
         return intersection_join(pdocs, rz, emit_wkt=False).count()
 
+    def q_clip_strtree():
+        # STR-tree candidate stage on the same rich layer — measured
+        # ~2.8x the cell join on dim-sized method layers (BASELINE.md
+        # round-4g); benched so tree/kernel regressions surface here
+        from gdal_spark import zones as _z
+        from gdal_spark.operators.strtree_join import clip_join_strtree
+
+        pdocs = corpus.load_polydocs(spark, SF_DIR, replicate=CLIP_REPL)
+        return clip_join_strtree(pdocs, _z.rich_zones(spark)).count()
+
     def q_raster():
         from gdal_spark.operators.raster import tile_pyramid_checksums
 
@@ -423,6 +433,7 @@ def main() -> None:
     timed("tile_pyramid", q_pyramid)
     timed("clip", q_clip)
     timed("clip_general", q_clip_general)
+    timed("clip_strtree", q_clip_strtree)
     timed("raster_pyramid", q_raster)
     timed("minhash_md5", q_minhash)
     timed("ann_topk", q_ann)
