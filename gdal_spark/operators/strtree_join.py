@@ -208,3 +208,127 @@ def clip_join_strtree(
     return polydocs.select(id_col, "xmin", "ymin", "xmax", "ymax").mapInPandas(
         kernel, out_schema
     )
+
+
+def _knn_tree_of(bc) -> tuple:
+    key, ids, tlon, tlat = bc.value
+    got = _TREE_CACHE.get(key)
+    if got is None:
+        tlon_a = np.asarray(tlon, dtype=np.float64)
+        tlat_a = np.asarray(tlat, dtype=np.float64)
+        boxes = np.column_stack([tlon_a, tlat_a, tlon_a, tlat_a])
+        _TREE_CACHE.clear()
+        got = (STRTree(boxes), np.asarray(ids, dtype=np.int64), tlon_a, tlat_a)
+        _TREE_CACHE[key] = got
+    return got
+
+
+# a box radius covering the whole lon/lat extent: the candidate set is
+# provably complete at this radius, so the doubling loop must terminate
+_KNN_WORLD_R = 512.0
+
+
+def knn_join_strtree(
+    docs: DataFrame,
+    targets: DataFrame,
+    k: int = 5,
+    r0: float = 4.0,
+    id_col: str = "doc_id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """kNN twin backed by the per-executor STR tree (same dim-layer
+    contract and the same exact semantics as knn_join: squared
+    euclidean in degrees, ties by min target_id, rnk 1..k).
+
+    Radius-doubling candidate stage: each still-active query point asks
+    the tree for targets inside the closed box ±r; a point settles when
+    its k-th best candidate distance satisfies d2 <= r² — any target
+    OUTSIDE the box has |dx| > r or |dy| > r, hence d2 strictly > r²,
+    so the top-k is provably final (the tree analog of the cell-ring
+    stop rule in knn.py:107-118).  Bit-identical to knn_join (pinned in
+    tests/test_strtree_join.py; same DuckDB brute-force oracle)."""
+    sc = docs.sparkSession.sparkContext
+    tpd = targets.select("target_id", "tlon", "tlat").toPandas()
+    _KEY_SEQ[0] += 1
+    key = f"{sc.applicationId}/{_KEY_SEQ[0]}/knn"
+    bc = sc.broadcast(
+        (
+            key,
+            tpd["target_id"].to_numpy().tolist(),
+            tpd["tlon"].to_numpy().tolist(),
+            tpd["tlat"].to_numpy().tolist(),
+        )
+    )
+
+    from pyspark.sql.types import DoubleType, IntegerType
+
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("target_id", LongType()),
+            StructField("rnk", IntegerType()),
+            StructField("d2", DoubleType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tree, tid, tlon, tlat = _knn_tree_of(bc)
+        kk = min(k, len(tid))
+        if kk == 0:
+            return
+        for pdf in batches:
+            qx = pdf[lon_col].to_numpy(np.float64)
+            qy = pdf[lat_col].to_numpy(np.float64)
+            did = pdf[id_col].to_numpy(np.int64)
+            m = len(qx)
+            out_id = np.full((m, kk), -1, dtype=np.int64)
+            out_d2 = np.full((m, kk), np.inf)
+            active = np.arange(m, dtype=np.int64)
+            r = float(r0)
+            while active.size:
+                ax, ay = qx[active], qy[active]
+                qi, ti = tree.query_boxes(
+                    np.column_stack([ax - r, ay - r, ax + r, ay + r])
+                )
+                dx = ax[qi] - tlon[ti]
+                dy = ay[qi] - tlat[ti]
+                d2 = dx * dx + dy * dy
+                # per-query top-k by (d2, target_id): one lexsort over
+                # the candidate pairs, rank-within-group by cumcount
+                order = np.lexsort((tid[ti], d2, qi))
+                qi_s, ti_s, d2_s = qi[order], ti[order], d2[order]
+                starts = np.flatnonzero(np.r_[True, qi_s[1:] != qi_s[:-1]])
+                counts = np.diff(np.r_[starts, len(qi_s)])
+                ranks = np.arange(len(qi_s)) - np.repeat(starts, counts)
+                grp_of = np.repeat(np.arange(len(starts)), counts)
+                # settled: k candidates exist AND the kth is inside the
+                # provably-complete radius (or the box already covers
+                # the world extent)
+                kth_d2 = np.full(len(starts), np.inf)
+                has_k = counts >= kk
+                kth_idx = starts[has_k] + kk - 1
+                kth_d2[has_k] = d2_s[kth_idx]
+                settled_g = has_k & ((kth_d2 <= r * r) | (r >= _KNN_WORLD_R))
+                take = settled_g[grp_of] & (ranks < kk)
+                rows = active[qi_s[take]]
+                cols = ranks[take]
+                out_id[rows, cols] = ti_s[take]
+                out_d2[rows, cols] = d2_s[take]
+                done = np.zeros(active.size, dtype=bool)
+                done[qi_s[starts[settled_g]]] = True
+                active = active[~done]
+                r *= 2.0
+            valid = out_id >= 0
+            rows = np.broadcast_to(np.arange(m)[:, None], (m, kk))[valid]
+            rnks = np.broadcast_to(np.arange(1, kk + 1), (m, kk))[valid]
+            yield pd.DataFrame(
+                {
+                    id_col: did[rows],
+                    "target_id": tid[out_id[valid]],
+                    "rnk": rnks.astype(np.int32),
+                    "d2": out_d2[valid],
+                }
+            )
+
+    return docs.select(id_col, lon_col, lat_col).mapInPandas(kernel, out_schema)

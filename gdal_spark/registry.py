@@ -358,6 +358,22 @@ def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "target_id", "rnk")
 
 
+# STR-tree kNN twin — the third pluggable candidate stage for the kNN
+# family (cell-ring map-side / ring-band shuffle / R-tree): radius-
+# doubling closed-box tree queries with the provably-complete stop rule
+# (kth-best d2 <= r² ⇒ nothing outside the box can displace it), same
+# squared-euclidean metric and min-target_id ties, bit-identical to
+# knn_join (parity pinned in tests/test_strtree_join.py).
+@register("knn_strtree", _KNN_ORACLE)
+def q_knn_strtree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.operators.strtree_join import knn_join_strtree
+    from gdal_spark.operators.knn import knn_targets
+
+    docs = corpus.load_docs(spark, sf_dir).select("doc_id", "lon", "lat")
+    out = knn_join_strtree(docs, knn_targets(spark), k=_KNN_K)
+    return out.select("doc_id", "target_id", "rnk")
+
+
 @register("knn_shuffle", _KNN_ORACLE)
 def q_knn_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same kNN semantics via the SHUFFLE strategy (no driver collect,

@@ -91,6 +91,17 @@ class TestMapSideKernelsNeverShuffle:
         assert _shuffles(plan) == 0, plan
         assert "Join" not in plan, plan
 
+    def test_knn_strtree_zero_shuffle_zero_join(self, spark, docs):
+        from gdal_spark.operators.knn import knn_targets
+        from gdal_spark.operators.strtree_join import knn_join_strtree
+
+        df = knn_join_strtree(
+            docs.select("doc_id", "lon", "lat"), knn_targets(spark), k=5
+        )
+        plan = _plan(df)
+        assert _shuffles(plan) == 0, plan
+        assert "Join" not in plan, plan
+
     def test_ann_brute_zero_shuffle(self, spark, sf_dir):
         from gdal_spark.operators.similarity import brute_force_topk
 

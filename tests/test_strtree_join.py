@@ -46,6 +46,48 @@ def test_clip_parity_on_rect_clip_layer(spark, sf_dir):
     assert got == want and len(got) > 0
 
 
+def test_knn_parity(spark, sf_dir):
+    # tree radius-doubling vs cell-ring expansion: same metric, same
+    # tie rule, same d2 float ops — (doc, target, rnk, d2-bits) equal
+    from gdal_spark.operators.knn import knn_join, knn_targets
+    from gdal_spark.operators.strtree_join import knn_join_strtree
+
+    docs = corpus.load_docs(spark, sf_dir).select("doc_id", "lon", "lat")
+    t = knn_targets(spark)
+    cols = ["doc_id", "target_id", "rnk", "d2"]
+
+    def rows(df):
+        return sorted(
+            (r["doc_id"], r["target_id"], r["rnk"], r["d2"].hex())
+            for r in df.select(cols).collect()
+        )
+
+    got = rows(knn_join_strtree(docs, t, k=5))
+    want = rows(knn_join(docs, t, k=5))
+    assert got == want and len(got) > 0
+
+
+def test_knn_tree_tiny_radius_still_exact(spark, sf_dir):
+    # r0 far below target spacing forces many doubling rounds — the
+    # stop-rule proof, not the initial guess, must carry correctness
+    from gdal_spark.operators.knn import knn_join, knn_targets
+    from gdal_spark.operators.strtree_join import knn_join_strtree
+
+    docs = corpus.load_docs(spark, sf_dir).select("doc_id", "lon", "lat").limit(200)
+    t = knn_targets(spark)
+    got = sorted(
+        tuple(r)
+        for r in knn_join_strtree(docs, t, k=3, r0=0.01)
+        .select("doc_id", "target_id", "rnk")
+        .collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in knn_join(docs, t, k=3).select("doc_id", "target_id", "rnk").collect()
+    )
+    assert got == want and len(got) > 0
+
+
 def test_clip_parity_on_rich_concave_layer(spark, sf_dir):
     # concave L-shapes with holes that overlap each other — the general
     # fan-triangle kernel on both sides; candidate supersets differ
