@@ -189,6 +189,37 @@ def rasterize_counts(zones: DataFrame, zoom: int, **kw) -> DataFrame:
     return rasterize(zones, zoom, **kw).select("zoom", "tx", "ty", "n_burned")
 
 
+def rasterize_invert_counts(zones: DataFrame, zoom: int, **kw) -> DataFrame:
+    """gdal_rasterize -i (gdal_rasterize_lib.cpp ``bInverse``): burn the
+    value into every pixel NOT inside any polygon.  The reference
+    implements this by wrapping an envelope outer ring around the layer
+    and demoting every polygon ring to a hole (gdalrasterize.cpp
+    InvertGeometries); per tile that is exactly the complement of the
+    union burn mask, so the inverted count is ``65536 - covered``.
+
+    Tiles with no candidate zone burn completely — the output covers
+    the FULL zoom-``zoom`` grid (the target raster extent), built as a
+    generated range (no scan); the covered side is the existing
+    tile-parallel burn and the join key is (tx, ty)."""
+    spark = zones.sparkSession
+    n = 2**zoom
+    tiles = spark.range(n * n).select(
+        (F.col("id") % n).alias("tx"),
+        F.floor(F.col("id") / n).cast("long").alias("ty"),
+    )
+    covered = rasterize_counts(zones, zoom, **kw).select(
+        "tx", "ty", F.col("n_burned").alias("_cov")
+    )
+    return tiles.join(covered, ["tx", "ty"], "left").select(
+        F.lit(zoom).cast("int").alias("zoom"),
+        "tx",
+        "ty",
+        (F.lit(TILE * TILE) - F.coalesce(F.col("_cov"), F.lit(0)))
+        .cast("int")
+        .alias("n_burned"),
+    )
+
+
 _PIXEL_SCHEMA = StructType(
     [
         StructField("zoom", IntegerType()),

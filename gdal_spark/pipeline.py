@@ -189,6 +189,35 @@ def _compile_raster_steps(spec: str) -> list[tuple[str, object]]:
                     )
                 )
             )
+        elif name == "scale-exp":
+            # gdal_translate -scale -exponent p / `gdal raster scale
+            # --exponent` (non-linear power scaling,
+            # VRTComplexSource::RasterIO vrtsources.cpp:3623-3636): ratio
+            # (v-smin)/(smax-smin) CLIPPED to [0,1], raised to p, then
+            # affine to [dmin,dmax] — the output needs no clamp because
+            # r^p stays in [0,1].  p must be a small positive INTEGER
+            # here: libm pow() differs by 1 ulp across engines, so the
+            # compiler unrolls r^p as repeated multiplication of the
+            # identical subexpression — exact IEEE, bit-identical both
+            # sides; the half-up round + tie nudge then matches the
+            # linear scale step above.
+            smin, smax, dmin, dmax, p = (float(v) for v in args[0].split(","))
+            ip = int(p)
+            if ip != p or not (1 <= ip <= 8):
+                raise ValueError("scale-exp exponent must be an integer in 1..8")
+            r = (
+                f"least(greatest((CAST(value AS DOUBLE) - {_sd(smin)})"
+                f" / {_sd(smax - smin)}, 0.0e0), 1.0e0)"
+            )
+            powed = "(" + " * ".join([r] * ip) + ")"
+            ops.append(
+                proj(
+                    value=(
+                        f"CAST(floor({_sd(dmax - dmin)} * {powed}"
+                        f" + ({_sd(dmin)}) + 5.0e-1 + 1.0e-8) AS INT)"
+                    )
+                )
+            )
         elif name == "resize":
             k = int(args[0])
             h = k // 2

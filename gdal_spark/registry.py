@@ -5435,6 +5435,43 @@ def q_rasterize_touched(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter(F.col("n_burned") > 0)
 
 
+# Inverse rasterize (gdal_rasterize -i, gdal_rasterize_lib.cpp bInverse →
+# gdalrasterize.cpp InvertGeometries): burn everywhere NOT inside any
+# polygon — per tile the complement of the union mask over the FULL
+# zoom-grid (candidate-free tiles burn all 65536 pixels).  Oracle: the
+# same pixel-center hit set subtracted from the generated full grid.
+_RASTERIZE_I_ORACLE = f"""
+WITH z AS ({_ZONES_CTE}),
+t AS (SELECT a.tx, b.ty FROM range(0, {2**_RZOOM}) a(tx), range(0, {2**_RZOOM}) b(ty)),
+px AS (
+  SELECT t.tx, t.ty, i.ci, j.rj FROM t, range(0, 256) i(ci), range(0, 256) j(rj)
+),
+c AS (
+  SELECT tx, ty, ci, rj,
+         (((tx * 256 + ci + 5.0e-1) * {_R_RES} - {_R_OS}) / {_R_OS}) * 1.8e2 AS lon,
+         1.8e2 / pi() * (2.0e0 * atan(exp(((((ty * 256 + rj + 5.0e-1) * {_R_RES} - {_R_OS}) / {_R_OS}) * 1.8e2) * pi() / 1.8e2)) - pi() / 2.0e0) AS lat
+  FROM px
+),
+hit AS (
+  SELECT DISTINCT c.tx, c.ty, c.ci, c.rj
+  FROM c JOIN z
+    ON c.lon > z.zxmin AND c.lon < z.zxmax AND c.lat > z.zymin AND c.lat < z.zymax
+),
+hc AS (SELECT tx, ty, count(*) AS cov FROM hit GROUP BY tx, ty)
+SELECT CAST({_RZOOM} AS int) AS zoom, t.tx, t.ty,
+       CAST(65536 - COALESCE(hc.cov, 0) AS int) AS n_burned
+FROM t LEFT JOIN hc ON t.tx = hc.tx AND t.ty = hc.ty
+"""
+
+
+@register("rasterize_invert", _RASTERIZE_I_ORACLE)
+def q_rasterize_invert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.operators.rasterize import rasterize_invert_counts
+
+    z = zones.rect_zones(spark).drop("zxmin", "zymin", "zxmax", "zymax")
+    return rasterize_invert_counts(z.select("zone_id", "geom_wkt"), _RZOOM)
+
+
 # --------------------------------------------------------------------------
 # DEM gradient (gdaldem Horn stencil) — focal op with per-tile halo
 # exchange; integer dzdx/dzdy so the formula oracle is bit-exact.
@@ -10371,6 +10408,36 @@ def q_raster_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gdal_spark.pipeline import run_raster_pipeline
 
     return run_raster_pipeline(spark, _RP_SPEC)
+
+
+# Non-linear -exponent scaling (gdal_translate -scale -exponent /
+# `gdal raster scale --exponent`, VRTComplexSource power path,
+# vrtsources.cpp:3623-3636): ratio clipped to [0,1], ^p, affine to the
+# dst range.  Integer p unrolls to repeated multiplication in the
+# compiler — no libm pow(), so the engines stay bit-identical.
+# src values span 0..255, so smin=20/smax=235 makes BOTH clip branches
+# of the ratio (the reference's m_bClip) fire on real pixels
+_RP_EXP_SPEC = (
+    "read raster:source ! clip 40,20,240,120 ! select 1,3"
+    " ! scale-exp 20,235,10,240,2 ! resize 2 ! write stream"
+)
+
+
+def _raster_pipeline_exp_oracle() -> str:
+    from gdal_spark.pipeline import render_raster_pipeline_sql
+
+    src = (
+        f"SELECT band, px, py, CAST({_SRC_VAL} AS INT) AS value"
+        f" FROM ({_SRC_GRID_CTE}) s"
+    )
+    return render_raster_pipeline_sql(_RP_EXP_SPEC, src)
+
+
+@register("raster_pipeline_exp", _raster_pipeline_exp_oracle())
+def q_raster_pipeline_exp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.pipeline import run_raster_pipeline
+
+    return run_raster_pipeline(spark, _RP_EXP_SPEC)
 
 
 # --------------------------------------------------------------------------
