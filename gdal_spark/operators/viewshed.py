@@ -51,6 +51,27 @@ _OUT_SCHEMA = StructType(
 )
 
 
+# curvature quantizer: heights go to 2^20 micro-units so the corrected
+# blocking compare stays pure integer (the repo's quantize-before-compare
+# exactness pattern; the reference's float subtraction differs by < 1
+# micro-unit — documented formulation divergence, shared with the oracle)
+CURV_Q = 1 << 20
+
+
+def curved_z_sql(f_eff_sql: str, ox: int, oy: int, z_col: str = "z") -> str:
+    """Shared engine/oracle text for the curvature-adjusted quantized
+    height: z*2^20 - floor(f_eff * r2 * 2^20 + 0.5) with r2 the cell's
+    squared pixel distance from the observer (gdal_viewshed -cc,
+    viewshed_executor.cpp:295 ``h -= heightAdjFactor * r2``, factor =
+    curveCoeff/(2*semimajor) scaled by cell area,
+    viewshed_executor.cpp:150-171)."""
+    r2 = f"CAST((px - {ox}) * (px - {ox}) + (py - {oy}) * (py - {oy}) AS DOUBLE)"
+    return (
+        f"CAST({z_col} AS BIGINT) * {CURV_Q}"
+        f" - CAST(floor({f_eff_sql} * {r2} * 1.048576e6 + 5.0e-1) AS BIGINT)"
+    )
+
+
 def viewshed(
     dem: DataFrame,
     ox: int,
@@ -59,18 +80,37 @@ def viewshed(
     max_dist: int = 80,
     n_wedges: int = 16,
     core_r: int = 4,
+    curve_coeff: float = 0.0,
+    semimajor: float = 6378137.0,
+    cell_size: float = 1.0,
 ) -> DataFrame:
     """(px, py, visible) for every DEM pixel within ``max_dist`` of the
     observer (chebyshev-circular: (px-ox)^2+(py-oy)^2 <= max_dist^2).
 
     ``dem``: (px, py, z int).  ``obs_z``: observer elevation (terrain +
     mast).  A sample at angle-tangent >= the target's blocks it; the
-    observer's own pixel is always visible."""
+    observer's own pixel is always visible.
+
+    ``curve_coeff`` != 0 enables the earth-curvature correction
+    (gdal_viewshed -cc, default 0.85714 = 1 - 1/7 atmospheric
+    refraction): every cell's height drops by
+    curve_coeff * dist² / (2 * semimajor), dist in meters via
+    ``cell_size``.  Exactness is preserved by quantizing heights to
+    2^20 micro-units (curved_z_sql) so the blocking comparison stays
+    integer."""
     d2 = (F.col("px") - ox) * (F.col("px") - ox) + (F.col("py") - oy) * (
         F.col("py") - oy
     )
+    if curve_coeff:
+        from gdal_spark.geometry import mercator
+
+        f_eff = curve_coeff * cell_size * cell_size / (2.0 * semimajor)
+        zexpr = F.expr(curved_z_sql(mercator.sql_double(f_eff), ox, oy))
+        obs_z = obs_z * CURV_Q
+    else:
+        zexpr = F.col("z").cast("long")
     disc = dem.filter(d2 <= max_dist * max_dist).select(
-        "px", "py", F.col("z").cast("long").alias("z")
+        "px", "py", zexpr.alias("z")
     )
     two_pi = 2.0 * math.pi
     wedge_of = (

@@ -5656,6 +5656,51 @@ def q_dem_zt_deriv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# gdaldem slope -p (percent slope, slopeFormat=0): the OTHER branch of
+# GDALSlopeHornAlg / GDALSlopeZevenbergenThorneAlg (gdaldem_lib.cpp:1364,
+# 1382) — float(100 * (sqrt(dx²+dy²) / 8)) for Horn, divisor 2 for ZT;
+# same gradient machinery as the degree queries, same float cast point.
+# --------------------------------------------------------------------------
+_SLOPE_PCT_F = (
+    "CAST(1.0e2 * (sqrt(CAST(dzdx AS DOUBLE) * CAST(dzdx AS DOUBLE)"
+    " + CAST(dzdy AS DOUBLE) * CAST(dzdy AS DOUBLE)) / 8.0e0) AS FLOAT)"
+)
+_SLOPE_PCT_F_ZT = _SLOPE_PCT_F.replace("/ 8.0e0", "/ 2.0e0")
+
+_DEM_SLOPE_PCT_ORACLE = f"""
+WITH gh AS ({_GRAD_ORACLE}),
+h AS (SELECT px, py, {_SLOPE_PCT_F} AS sp FROM gh),
+gz AS ({_GRAD_ZT_ORACLE}),
+z AS (SELECT px, py, {_SLOPE_PCT_F_ZT} AS spz FROM gz)
+SELECT h.px, h.py, CAST(h.sp AS DOUBLE) AS slope_pct_horn,
+       CAST(z.spz AS DOUBLE) AS slope_pct_zt
+FROM h JOIN z ON h.px = z.px AND h.py = z.py
+"""
+
+
+@register("dem_slope_pct", _DEM_SLOPE_PCT_ORACLE)
+def q_dem_slope_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.operators.focal import dem_gradient
+    from gdal_spark.operators.raster import source_grid
+
+    band1 = source_grid(spark).filter(F.col("band") == 1).select("px", "py", "value")
+    h = (
+        dem_gradient(band1, SRC_W, SRC_H)
+        .selectExpr("px", "py", f"{_SLOPE_PCT_F} AS sp")
+    )
+    z = (
+        dem_gradient(band1, SRC_W, SRC_H, alg="zt")
+        .selectExpr("px", "py", f"{_SLOPE_PCT_F_ZT} AS spz")
+    )
+    return h.join(z, ["px", "py"]).selectExpr(
+        "px",
+        "py",
+        "CAST(sp AS DOUBLE) AS slope_pct_horn",
+        "CAST(spz AS DOUBLE) AS slope_pct_zt",
+    )
+
+
+# --------------------------------------------------------------------------
 # gdaldem hillshade -multidirectional (GDALHillshadeMultiDirectionalAlg,
 # apps/gdaldem_lib.cpp; USGS OF 92-422 four-azimuth weighting): Horn
 # gradient with GT=(1,-1) north-up, z=1, alt=45 → per-azimuth shade
@@ -6307,6 +6352,72 @@ def q_viewshed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("px", "py", F.col("value").alias("z"))
     )
     return viewshed(dem, _VS_OX, _VS_OY, _VS_Z0, max_dist=_VS_R)
+
+
+# --------------------------------------------------------------------------
+# Curvature-corrected viewshed (gdal_viewshed -cc, default 0.85714 =
+# 1 - 1/7 atmospheric refraction; viewshed_executor.cpp:295 subtracts
+# heightAdjFactor * r2 from every cell, factor = curveCoeff/(2*semimajor)
+# :150-171).  90 m cells make the drop ~3.5 height units at the rim
+# (r=80), so the correction flips real pixels vs the flat-earth query
+# (pinned non-vacuous in tests/test_viewshed_curved.py).  Heights
+# quantize to 2^20 micro-units (operators/viewshed.py curved_z_sql — the
+# SAME text both engines) so the blocking compare stays pure integer.
+# --------------------------------------------------------------------------
+from gdal_spark.operators.viewshed import CURV_Q, curved_z_sql  # noqa: E402
+
+_VSCURV_CC, _VSCURV_CELL = 0.85714, 90.0
+_VSCURV_F_SQL = mercator.sql_double(
+    _VSCURV_CC * _VSCURV_CELL * _VSCURV_CELL / (2.0 * 6378137.0)
+)
+_VSCURV_ZQ = curved_z_sql(
+    _VSCURV_F_SQL, _VS_OX, _VS_OY,
+    z_col="CAST((px * 7 + py * 13 + 29) % 256 AS BIGINT)",
+)
+
+_VIEWSHED_CURV_ORACLE = f"""
+WITH g AS (
+  SELECT CAST(px.i AS int) AS px, CAST(py.j AS int) AS py
+  FROM range(0, {SRC_W}) px(i), range(0, {SRC_H}) py(j)
+),
+v AS (SELECT px, py, {_VSCURV_ZQ} AS z FROM g),
+d AS (
+  SELECT px, py, z,
+         CAST(greatest(abs(px - {_VS_OX}), abs(py - {_VS_OY})) AS BIGINT) AS n
+  FROM v
+  WHERE (px - {_VS_OX}) * (px - {_VS_OX}) + (py - {_VS_OY}) * (py - {_VS_OY})
+        <= {_VS_R * _VS_R}
+),
+blocked AS (
+  SELECT DISTINCT t.px, t.py
+  FROM d t, range(1, {_VS_R}) kk(k), v s
+  WHERE kk.k < t.n
+    AND s.px = {_VS_OX} + CAST(floor(CAST(kk.k * (t.px - {_VS_OX}) AS DOUBLE)
+                                     / CAST(greatest(t.n, 1) AS DOUBLE) + 0.5) AS INT)
+    AND s.py = {_VS_OY} + CAST(floor(CAST(kk.k * (t.py - {_VS_OY}) AS DOUBLE)
+                                     / CAST(greatest(t.n, 1) AS DOUBLE) + 0.5) AS INT)
+    AND (s.z - {_VS_Z0 * CURV_Q}) * t.n >= (t.z - {_VS_Z0 * CURV_Q}) * kk.k
+)
+SELECT t.px, t.py,
+       CAST(CASE WHEN b.px IS NULL THEN 1 ELSE 0 END AS INT) AS visible
+FROM d t LEFT JOIN blocked b ON t.px = b.px AND t.py = b.py
+"""
+
+
+@register("viewshed_curved", _VIEWSHED_CURV_ORACLE)
+def q_viewshed_curved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.operators.raster import source_grid
+    from gdal_spark.operators.viewshed import viewshed
+
+    dem = (
+        source_grid(spark)
+        .filter(F.col("band") == 1)
+        .select("px", "py", F.col("value").alias("z"))
+    )
+    return viewshed(
+        dem, _VS_OX, _VS_OY, _VS_Z0, max_dist=_VS_R,
+        curve_coeff=_VSCURV_CC, cell_size=_VSCURV_CELL,
+    )
 
 
 # --------------------------------------------------------------------------
