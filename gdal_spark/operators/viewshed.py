@@ -40,7 +40,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import IntegerType, StructField, StructType
+from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 
 _OUT_SCHEMA = StructType(
     [
@@ -72,32 +72,22 @@ def curved_z_sql(f_eff_sql: str, ox: int, oy: int, z_col: str = "z") -> str:
     )
 
 
-def viewshed(
+def _wedge_rows(
     dem: DataFrame,
     ox: int,
     oy: int,
     obs_z: int,
-    max_dist: int = 80,
-    n_wedges: int = 16,
-    core_r: int = 4,
-    curve_coeff: float = 0.0,
-    semimajor: float = 6378137.0,
-    cell_size: float = 1.0,
-) -> DataFrame:
-    """(px, py, visible) for every DEM pixel within ``max_dist`` of the
-    observer (chebyshev-circular: (px-ox)^2+(py-oy)^2 <= max_dist^2).
-
-    ``dem``: (px, py, z int).  ``obs_z``: observer elevation (terrain +
-    mast).  A sample at angle-tangent >= the target's blocks it; the
-    observer's own pixel is always visible.
-
-    ``curve_coeff`` != 0 enables the earth-curvature correction
-    (gdal_viewshed -cc, default 0.85714 = 1 - 1/7 atmospheric
-    refraction): every cell's height drops by
-    curve_coeff * dist² / (2 * semimajor), dist in meters via
-    ``cell_size``.  Exactness is preserved by quantizing heights to
-    2^20 micro-units (curved_z_sql) so the blocking comparison stays
-    integer."""
+    max_dist: int,
+    n_wedges: int,
+    core_r: int,
+    curve_coeff: float,
+    semimajor: float,
+    cell_size: float,
+):
+    """Shared azimuth-wedge scatter for the viewshed kernels: returns
+    (rows, obs_z') where rows = targets ∪ (wedge±1 far samples) ∪
+    (every-wedge near core) and obs_z' is quantized when curvature is
+    on."""
     d2 = (F.col("px") - ox) * (F.col("px") - ox) + (F.col("py") - oy) * (
         F.col("py") - oy
     )
@@ -154,6 +144,39 @@ def viewshed(
     rows = targets.select("px", "py", "z", "wedge", "is_target").unionByName(
         far_samples
     ).unionByName(core_samples)
+    return rows, obs_z
+
+
+def viewshed(
+    dem: DataFrame,
+    ox: int,
+    oy: int,
+    obs_z: int,
+    max_dist: int = 80,
+    n_wedges: int = 16,
+    core_r: int = 4,
+    curve_coeff: float = 0.0,
+    semimajor: float = 6378137.0,
+    cell_size: float = 1.0,
+) -> DataFrame:
+    """(px, py, visible) for every DEM pixel within ``max_dist`` of the
+    observer (chebyshev-circular: (px-ox)^2+(py-oy)^2 <= max_dist^2).
+
+    ``dem``: (px, py, z int).  ``obs_z``: observer elevation (terrain +
+    mast).  A sample at angle-tangent >= the target's blocks it; the
+    observer's own pixel is always visible.
+
+    ``curve_coeff`` != 0 enables the earth-curvature correction
+    (gdal_viewshed -cc, default 0.85714 = 1 - 1/7 atmospheric
+    refraction): every cell's height drops by
+    curve_coeff * dist² / (2 * semimajor), dist in meters via
+    ``cell_size``.  Exactness is preserved by quantizing heights to
+    2^20 micro-units (curved_z_sql) so the blocking comparison stays
+    integer."""
+    rows, obs_z = _wedge_rows(
+        dem, ox, oy, obs_z, max_dist, n_wedges, core_r,
+        curve_coeff, semimajor, cell_size,
+    )
 
     def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
         sm = pdf[pdf["is_target"] == 0]
@@ -205,6 +228,112 @@ def viewshed(
         )
 
     return rows.groupBy("wedge").applyInPandas(kernel, _OUT_SCHEMA)
+
+
+_HEIGHTS_SCHEMA = StructType(
+    [
+        StructField("px", IntegerType()),
+        StructField("py", IntegerType()),
+        StructField("min_vis_mu", LongType()),
+        StructField("ground_mu", LongType()),
+    ]
+)
+
+# height-mode quantizer: min-observable heights are rationals
+# z0 + (zk-z0)*n/k; 2^20 micro-units keep every floor exact in both
+# engines (floor is monotone, so max-of-floors == floor-of-max)
+HQ = 1 << 20
+
+
+def viewshed_heights(
+    dem: DataFrame,
+    ox: int,
+    oy: int,
+    obs_z: int,
+    max_dist: int = 80,
+    n_wedges: int = 16,
+    core_r: int = 4,
+) -> DataFrame:
+    """gdal_viewshed -om DEM / -om GROUND (viewshed_executor.cpp
+    setOutput :179-191 — dfZ is the minimum observable height at the
+    cell; DEM mode emits it, GROUND mode emits max(0, dfZ - terrain)):
+
+      min_vis_mu = z0*HQ + max over DDA samples of
+                   floor((z_k - z0) * n * HQ / k)    (NULL if no samples)
+      ground_mu  = max(0, min_vis_mu - z_t*HQ)       (0 when unconstrained)
+
+    in 2^-20 micro-units, pure integer end-to-end (the DDA twin of the
+    reference's ring-interpolated float heights — same documented
+    sampling divergence as `viewshed`).  Consistency with the 0/1 mode
+    is exact: visible ⇔ min_vis_mu IS NULL OR min_vis_mu < z_t*HQ
+    (pinned in tests/test_viewshed_curved.py)."""
+    rows, obs_z = _wedge_rows(
+        dem, ox, oy, obs_z, max_dist, n_wedges, core_r, 0.0, 6378137.0, 1.0
+    )
+
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        sm = pdf[pdf["is_target"] == 0]
+        tg = pdf[pdf["is_target"] == 1]
+        if len(tg) == 0:
+            return pd.DataFrame(
+                {
+                    "px": pd.array([], dtype="int32"),
+                    "py": pd.array([], dtype="int32"),
+                    "min_vis_mu": pd.array([], dtype="Int64"),
+                    "ground_mu": pd.array([], dtype="int64"),
+                }
+            )
+        sx = sm["px"].to_numpy(np.int64)
+        sy = sm["py"].to_numpy(np.int64)
+        sz = sm["z"].to_numpy(np.int64)
+        x0, y0 = int(sx.min()), int(sy.min())
+        win = np.zeros((int(sy.max()) - y0 + 1, int(sx.max()) - x0 + 1), np.int64)
+        have = np.zeros_like(win, dtype=bool)
+        win[sy - y0, sx - x0] = sz
+        have[sy - y0, sx - x0] = True
+        tx = tg["px"].to_numpy(np.int64)
+        ty = tg["py"].to_numpy(np.int64)
+        tz = tg["z"].to_numpy(np.int64)
+        dx = tx - ox
+        dy = ty - oy
+        n = np.maximum(np.abs(dx), np.abs(dy))
+        kmax = int(n.max()) if len(n) else 0
+        mq = np.full(len(tg), np.iinfo(np.int64).min, dtype=np.int64)
+        if kmax > 1:
+            ks = np.arange(1, kmax, dtype=np.int64)[None, :]
+            nn = np.maximum(n, 1)[:, None]
+            cx = ox + np.floor(ks * dx[:, None] / nn + 0.5).astype(np.int64)
+            cy = oy + np.floor(ks * dy[:, None] / nn + 0.5).astype(np.int64)
+            valid = ks < n[:, None]
+            cxw = np.clip(cx - x0, 0, win.shape[1] - 1)
+            cyw = np.clip(cy - y0, 0, win.shape[0] - 1)
+            zk = win[cyw, cxw]
+            ok = have[cyw, cxw] & valid
+            # same double-division + floor text as the SQL oracle; every
+            # operand is exactly representable (|q| <= ~2.4e10 << 2^53)
+            q = ((zk - obs_z) * n[:, None] * HQ).astype(np.float64)
+            qd = np.floor(q / ks.astype(np.float64)).astype(np.int64)
+            qd[~ok] = np.iinfo(np.int64).min
+            has = ok.any(axis=1)
+            mq[has] = qd.max(axis=1)[has]
+        constrained = mq != np.iinfo(np.int64).min
+        safe_mq = np.where(constrained, mq, 0)
+        vals = safe_mq + obs_z * HQ
+        min_vis = pd.array(vals, dtype="Int64")
+        min_vis[~constrained] = pd.NA
+        ground = np.where(
+            constrained, np.maximum(0, vals - tz * HQ), 0
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "px": tx.astype(np.int32),
+                "py": ty.astype(np.int32),
+                "min_vis_mu": min_vis,
+                "ground_mu": ground,
+            }
+        )
+
+    return rows.groupBy("wedge").applyInPandas(kernel, _HEIGHTS_SCHEMA)
 
 
 # ---------------------------------------------------------------------------

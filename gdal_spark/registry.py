@@ -2702,6 +2702,35 @@ def q_grid_idw(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# invdist power knob (gdalgrid invdist:power=p, alg/gdalgrid.cpp
+# dfPowerDiv2 — weights 1/d^p): even p stays EXACT with no pow()/sqrt(),
+# since d^4 = (d2 * d2); same kNN candidate stage and shared formula
+# text as grid_idw.
+_IDW4_ORACLE = _IDW_ORACLE.replace(
+    "round(sum(tval / d2) / sum(1.0e0 / d2), 4)",
+    "round(sum(tval / (d2 * d2)) / sum(1.0e0 / (d2 * d2)), 4)",
+)
+
+
+@register("grid_idw_pow4", _IDW4_ORACLE)
+def q_grid_idw_pow4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.operators.knn import knn_join, knn_targets
+
+    px = spark.range(_GRID_W * _GRID_H).select(
+        (F.col("id") % _GRID_W).alias("gx"),
+        ((F.col("id") - (F.col("id") % _GRID_W)) / _GRID_W).cast("long").alias("gy"),
+    )
+    pc = px.select(
+        "gx", "gy", F.expr(_GLON_SQL).alias("lon"), F.expr(_GLAT_SQL).alias("lat")
+    )
+    kn = knn_join(pc, knn_targets(spark), k=_IDW_K)
+    kn = kn.withColumn("tval", F.expr(_TVAL_SQL))
+    d4 = F.col("d2") * F.col("d2")
+    return kn.groupBy("gx", "gy").agg(
+        F.round(F.sum(F.col("tval") / d4) / F.sum(F.lit(1.0) / d4), 4).alias("idw")
+    )
+
+
 # --------------------------------------------------------------------------
 # Grid interpolation modes beyond invdistnn (alg/gdalgrid.cpp):
 #   * nearest (GDALGridNearestNeighbor, :1038) — k=1 of the cell-ring kNN;
@@ -6352,6 +6381,65 @@ def q_viewshed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("px", "py", F.col("value").alias("z"))
     )
     return viewshed(dem, _VS_OX, _VS_OY, _VS_Z0, max_dist=_VS_R)
+
+
+# --------------------------------------------------------------------------
+# Viewshed height modes (gdal_viewshed -om DEM / -om GROUND;
+# viewshed_executor.cpp setOutput :179-191): per cell the MINIMUM
+# observable height (DEM) and the extra mast height needed above the
+# terrain (GROUND), in 2^-20 micro-units so the rational bound
+# z0 + (zk-z0)*n/k floors exactly in both engines (floor is monotone ⇒
+# max-of-floors == floor-of-max).  Same DDA sampling as `viewshed`.
+# --------------------------------------------------------------------------
+from gdal_spark.operators.viewshed import HQ as _VHQ  # noqa: E402
+
+_VH_FLOORDIV = (
+    f"CAST(floor(CAST((s.z - {_VS_Z0}) * t.n * {_VHQ} AS DOUBLE)"
+    f" / CAST(kk.k AS DOUBLE)) AS BIGINT)"
+)
+
+_VIEWSHED_HEIGHTS_ORACLE = f"""
+WITH g AS (
+  SELECT CAST(px.i AS int) AS px, CAST(py.j AS int) AS py
+  FROM range(0, {SRC_W}) px(i), range(0, {SRC_H}) py(j)
+),
+v AS (SELECT px, py, CAST((px * 7 + py * 13 + 29) % 256 AS BIGINT) AS z FROM g),
+d AS (
+  SELECT px, py, z,
+         CAST(greatest(abs(px - {_VS_OX}), abs(py - {_VS_OY})) AS BIGINT) AS n
+  FROM v
+  WHERE (px - {_VS_OX}) * (px - {_VS_OX}) + (py - {_VS_OY}) * (py - {_VS_OY})
+        <= {_VS_R * _VS_R}
+),
+bq AS (
+  SELECT t.px, t.py, max({_VH_FLOORDIV}) AS mq
+  FROM d t, range(1, {_VS_R}) kk(k), v s
+  WHERE kk.k < t.n
+    AND s.px = {_VS_OX} + CAST(floor(CAST(kk.k * (t.px - {_VS_OX}) AS DOUBLE)
+                                     / CAST(greatest(t.n, 1) AS DOUBLE) + 0.5) AS INT)
+    AND s.py = {_VS_OY} + CAST(floor(CAST(kk.k * (t.py - {_VS_OY}) AS DOUBLE)
+                                     / CAST(greatest(t.n, 1) AS DOUBLE) + 0.5) AS INT)
+  GROUP BY t.px, t.py
+)
+SELECT t.px, t.py,
+       CAST(bq.mq + {_VS_Z0 * _VHQ} AS BIGINT) AS min_vis_mu,
+       CAST(greatest(0, COALESCE(bq.mq + {_VS_Z0 * _VHQ} - t.z * {_VHQ}, 0))
+            AS BIGINT) AS ground_mu
+FROM d t LEFT JOIN bq ON t.px = bq.px AND t.py = bq.py
+"""
+
+
+@register("viewshed_heights", _VIEWSHED_HEIGHTS_ORACLE)
+def q_viewshed_heights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.operators.raster import source_grid
+    from gdal_spark.operators.viewshed import viewshed_heights
+
+    dem = (
+        source_grid(spark)
+        .filter(F.col("band") == 1)
+        .select("px", "py", F.col("value").alias("z"))
+    )
+    return viewshed_heights(dem, _VS_OX, _VS_OY, _VS_Z0, max_dist=_VS_R)
 
 
 # --------------------------------------------------------------------------

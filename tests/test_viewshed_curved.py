@@ -51,6 +51,30 @@ def test_cc_zero_is_the_flat_path(spark):
     assert a == b
 
 
+def test_heights_consistent_with_visibility(spark):
+    # exact identity between the two output modes: a target is visible
+    # iff it is unconstrained (no intermediate sample) or its own height
+    # strictly clears the micro-quantized minimum observable bound
+    from gdal_spark.operators.viewshed import HQ, viewshed_heights
+
+    dem = _dem(spark)
+    vis = _vis(viewshed(dem, OX, OY, Z0, max_dist=R))
+    z_of = {(r["px"], r["py"]): r["z"] for r in dem.collect()}
+    hrows = viewshed_heights(dem, OX, OY, Z0, max_dist=R).collect()
+    assert len(hrows) == len(vis)
+    n_constrained = 0
+    for r in hrows:
+        k = (r["px"], r["py"])
+        if r["min_vis_mu"] is None:
+            assert vis[k] == 1 and r["ground_mu"] == 0
+        else:
+            n_constrained += 1
+            expect = 1 if r["min_vis_mu"] < z_of[k] * HQ else 0
+            assert vis[k] == expect, k
+            assert r["ground_mu"] == max(0, r["min_vis_mu"] - z_of[k] * HQ)
+    assert n_constrained > len(hrows) // 2  # the bound actually binds
+
+
 def test_tiny_cell_size_converges_to_flat(spark):
     # 1 m cells: the max correction at r=80 is ~5e-7 height units —
     # three orders below the 2^-20 quantizer, so visibility matches flat
