@@ -88,6 +88,38 @@ def test_knn_tree_tiny_radius_still_exact(spark, sf_dir):
     assert got == want and len(got) > 0
 
 
+def test_knn_parity_clustered_targets(spark, sf_dir):
+    # the tree twin's documented advantage is nonuniform target density
+    # (no cell-size knob) — pin bit-parity on a pathological layout:
+    # 99% of targets inside one 0.5-degree blob, a handful of outliers
+    from pyspark.sql import functions as F
+
+    from gdal_spark.operators.knn import knn_join
+    from gdal_spark.operators.strtree_join import knn_join_strtree
+
+    t = spark.range(500).select(
+        F.col("id").alias("target_id"),
+        F.when(F.col("id") < 495, ((F.col("id") * 37) % 100) / 200.0 + 10.0)
+        .otherwise((F.col("id") - 495.0) * 60.0 - 150.0)
+        .alias("tlon"),
+        F.when(F.col("id") < 495, ((F.col("id") * 53) % 100) / 200.0 - 20.0)
+        .otherwise((F.col("id") - 495.0) * 25.0 - 50.0)
+        .alias("tlat"),
+    )
+    docs = corpus.load_docs(spark, sf_dir).select("doc_id", "lon", "lat").limit(400)
+    cols = ["doc_id", "target_id", "rnk", "d2"]
+
+    def rows(df):
+        return sorted(
+            (r["doc_id"], r["target_id"], r["rnk"], r["d2"].hex())
+            for r in df.select(cols).collect()
+        )
+
+    got = rows(knn_join_strtree(docs, t, k=7))
+    want = rows(knn_join(docs, t, k=7))
+    assert got == want and len(got) == 400 * 7
+
+
 def test_clip_parity_on_rich_concave_layer(spark, sf_dir):
     # concave L-shapes with holes that overlap each other — the general
     # fan-triangle kernel on both sides; candidate supersets differ
