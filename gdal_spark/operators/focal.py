@@ -330,12 +330,17 @@ _PROX_SCHEMA = StructType(
 
 
 def proximity(
-    pixels: DataFrame, target_value: int = 0, maxdist: int = 16
+    pixels: DataFrame,
+    target_value: int | list[int] | tuple[int, ...] = 0,
+    maxdist: int = 16,
 ) -> DataFrame:
     """Proximity raster (alg/gdalproximity.cpp): per pixel, the SQUARED
     euclidean distance to the nearest target-valued pixel, capped at
     maxdist² (the reference's MAXDIST option; squared keeps every value
     integer → bit-exact oracle, the sqrt is a display transform).
+    ``target_value`` may be a list — the reference's VALUES option
+    (gdalproximity.cpp panTargetValues: a pixel is a target when its
+    value is IN the list).
 
     Distributed shape: targets scatter to every GRID_TILE whose pixels
     could be within ``maxdist`` (a box-halo explode, duplication
@@ -343,7 +348,11 @@ def proximity(
     vectorized pixel x target distance min.  A target outside a tile's
     box-halo is farther than maxdist from all its pixels, so the cap
     makes the tile-local min globally exact."""
-    targets = pixels.filter(F.col("value") == target_value).select(
+    if isinstance(target_value, (list, tuple)):
+        tfilter = F.col("value").isin(*target_value)
+    else:
+        tfilter = F.col("value") == target_value
+    targets = pixels.filter(tfilter).select(
         F.col("px").alias("tpx"), F.col("py").alias("tpy")
     )
     t = (

@@ -5980,6 +5980,53 @@ def q_polygonize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return polygonize(px_df, _PG_W, _PG_H)
 
 
+# Masked polygonize (GDALPolygonize hMaskBand, alg/polygonize.cpp:558 —
+# masked pixels emit no feature AND break connectivity; gdal_polygonize
+# -mask / the default nodata mask).  Masking rows 10..14 of every block
+# splits each 50x40 block into a 10-row and a 25-row component, so the
+# oracle stays closed-form; labels are the raster-order min pixel id of
+# each part.
+_PGM_LO, _PGM_HI = 10, 14
+
+_POLYGONIZE_MASK_ORACLE = f"""
+WITH b AS (
+  SELECT bx.i AS bx, byy.j AS byy
+  FROM range(0, {_PG_W // _PG_BX}) bx(i), range(0, {_PG_H // _PG_BY}) byy(j)
+)
+SELECT CAST(byy * {_PG_BY} * {_PG_W} + bx * {_PG_BX} AS bigint) AS label,
+       CAST((bx + byy) % 4 AS bigint) AS value,
+       CAST({_PG_BX * _PGM_LO} AS bigint) AS n_pixels,
+       CAST(bx * {_PG_BX} AS int) AS pxmin,
+       CAST(byy * {_PG_BY} AS int) AS pymin,
+       CAST(bx * {_PG_BX} + {_PG_BX - 1} AS int) AS pxmax,
+       CAST(byy * {_PG_BY} + {_PGM_LO - 1} AS int) AS pymax
+FROM b
+UNION ALL
+SELECT CAST((byy * {_PG_BY} + {_PGM_HI + 1}) * {_PG_W} + bx * {_PG_BX} AS bigint),
+       CAST((bx + byy) % 4 AS bigint),
+       CAST({_PG_BX * (_PG_BY - _PGM_HI - 1)} AS bigint),
+       CAST(bx * {_PG_BX} AS int),
+       CAST(byy * {_PG_BY} + {_PGM_HI + 1} AS int),
+       CAST(bx * {_PG_BX} + {_PG_BX - 1} AS int),
+       CAST(byy * {_PG_BY} + {_PG_BY - 1} AS int)
+FROM b
+"""
+
+
+@register("polygonize_masked", _POLYGONIZE_MASK_ORACLE)
+def q_polygonize_masked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.operators.polygonize import polygonize
+
+    px_df = spark.range(_PG_W * _PG_H).select(
+        (F.col("id") % _PG_W).cast("int").alias("px"),
+        ((F.col("id") - (F.col("id") % _PG_W)) / _PG_W).cast("int").alias("py"),
+    )
+    px_df = px_df.withColumn("value", F.expr(_PG_VALUE_SQL).cast("long")).filter(
+        f"NOT ((py % {_PG_BY}) BETWEEN {_PGM_LO} AND {_PGM_HI})"
+    )
+    return polygonize(px_df, _PG_W, _PG_H)
+
+
 # --------------------------------------------------------------------------
 # Polygonize ring extraction (alg/polygonize.cpp:500 arc collection):
 # exact boundary WKT per component. Block fixture components are 50x40
@@ -6084,6 +6131,22 @@ def q_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     band1 = source_grid(spark).filter(F.col("band") == 1).select("px", "py", "value")
     return proximity(band1, target_value=0, maxdist=_PROX_CAP)
+
+
+# gdal_proximity -values v1,v2,... (gdalproximity.cpp panTargetValues):
+# the target set is a VALUE LIST; everything else identical.  Three
+# sparse values triple the target density, so the distance field
+# genuinely differs from the single-value query.
+_PROX_V_ORACLE = _PROX_ORACLE.replace("WHERE value = 0", "WHERE value IN (0, 17, 255)")
+
+
+@register("proximity_values", _PROX_V_ORACLE)
+def q_proximity_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.operators.focal import proximity
+    from gdal_spark.operators.raster import source_grid
+
+    band1 = source_grid(spark).filter(F.col("band") == 1).select("px", "py", "value")
+    return proximity(band1, target_value=[0, 17, 255], maxdist=_PROX_CAP)
 
 
 # --------------------------------------------------------------------------
