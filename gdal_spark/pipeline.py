@@ -159,13 +159,23 @@ def _compile_raster_steps(spec: str) -> list[tuple[str, object]]:
             ops.append(proj(px=f"CAST(px - {x0} AS INT)", py=f"CAST(py - {y0} AS INT)"))
         elif name == "select":
             bands = [int(b) for b in args[0].split(",")]
-            ops.append(("where", f"band IN ({', '.join(map(str, bands))})"))
-            case = (
-                "CAST(CASE "
-                + " ".join(f"WHEN band = {b} THEN {i + 1}" for i, b in enumerate(bands))
-                + " END AS INT)"
-            )
-            ops.append(proj(band=case))
+            if len(set(bands)) != len(bands):
+                # duplicate sources (gdal_translate -b 1 -b 1 -b 1, the
+                # gray→RGB expansion): one source band feeds several
+                # output bands, which the renumbering CASE cannot
+                # express — compile to a UNION ALL fan-out instead
+                # (one branch per OUTPUT band, same shape both engines)
+                ops.append(("expand", [(b, i + 1) for i, b in enumerate(bands)]))
+            else:
+                ops.append(("where", f"band IN ({', '.join(map(str, bands))})"))
+                case = (
+                    "CAST(CASE "
+                    + " ".join(
+                        f"WHEN band = {b} THEN {i + 1}" for i, b in enumerate(bands)
+                    )
+                    + " END AS INT)"
+                )
+                ops.append(proj(band=case))
         elif name == "unscale":
             s, o = (p.strip() for p in args[0].split(","))
             ops.append(proj(value=f"(CAST(value AS DOUBLE) * {s} + ({o}))"))
@@ -253,6 +263,16 @@ def run_raster_pipeline(spark: SparkSession, spec: str) -> DataFrame:
     for kind, payload in _compile_raster_steps(spec):
         if kind == "where":
             df = df.where(payload)
+        elif kind == "expand":
+            from functools import reduce
+
+            branches = [
+                df.where(f"band = {src}").selectExpr(
+                    f"CAST({out} AS INT) AS band", "px", "py", "value"
+                )
+                for src, out in payload
+            ]
+            df = reduce(lambda a, b: a.unionByName(b), branches)
         else:
             df = df.selectExpr(*[f"{e} AS {c}" for c, e in payload])
     return df
@@ -264,6 +284,12 @@ def render_raster_pipeline_sql(spec: str, src_select: str) -> str:
     for kind, payload in _compile_raster_steps(spec):
         if kind == "where":
             sql = f"SELECT * FROM ({sql}) q WHERE {payload}"
+        elif kind == "expand":
+            sql = " UNION ALL ".join(
+                f"SELECT CAST({out} AS INT) AS band, px, py, value"
+                f" FROM ({sql}) e{i} WHERE band = {src}"
+                for i, (src, out) in enumerate(payload)
+            )
         else:
             cols = ", ".join(f"{e} AS {c}" for c, e in payload)
             sql = f"SELECT {cols} FROM ({sql}) q"

@@ -10702,6 +10702,34 @@ def q_raster_pipeline_exp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_raster_pipeline(spark, _RP_EXP_SPEC)
 
 
+# Duplicate band selection (gdal_translate -b 3 -b 2 -b 2 — one source
+# band feeding several output bands, the gray→RGB expansion shape): the
+# renumbering CASE cannot express it, so the compiler emits a UNION ALL
+# fan-out (one branch per OUTPUT band) in both the runner and the SQL
+# renderer; a calc step after the expand proves the chain continues.
+_RP_BANDS_SPEC = (
+    "read raster:source ! clip 60,40,200,120 ! select 3,2,2"
+    " ! calc value * 3 % 251 ! write stream"
+)
+
+
+def _raster_pipeline_bands_oracle() -> str:
+    from gdal_spark.pipeline import render_raster_pipeline_sql
+
+    src = (
+        f"SELECT band, px, py, CAST({_SRC_VAL} AS INT) AS value"
+        f" FROM ({_SRC_GRID_CTE}) s"
+    )
+    return render_raster_pipeline_sql(_RP_BANDS_SPEC, src)
+
+
+@register("raster_pipeline_bands", _raster_pipeline_bands_oracle())
+def q_raster_pipeline_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.pipeline import run_raster_pipeline
+
+    return run_raster_pipeline(spark, _RP_BANDS_SPEC)
+
+
 # --------------------------------------------------------------------------
 # gdalbuildvrt heterogeneous-grid composite
 # (apps/gdalbuildvrt_lib.cpp): union extent across sources,
