@@ -971,12 +971,14 @@ def reclassify(
 
 
 def nearblack(
-    pixels: DataFrame, near_dist: int = 2, fill: int = 0
+    pixels: DataFrame, near_dist: int = 2, fill: int = 0, white: bool = False
 ) -> DataFrame:
     """Clean-collar / nearblack (apps/nearblack_lib.cpp ProcessLine with
     nMaxNonBlack=0): per scanline, the maximal prefix and suffix runs of
     near-black pixels (value <= near_dist from black) are collar and are
-    overwritten with ``fill``.
+    overwritten with ``fill``.  ``white=True`` is the tool's -white mode
+    (nearblack_lib.cpp bNearWhite: collar = value >= 255 - near_dist,
+    conventional fill 255).
 
     DOCUMENTED DIVERGENCE: only the reference's horizontal zero-
     tolerance case — no nMaxNonBlack allowance and no cross-line count
@@ -987,7 +989,10 @@ def nearblack(
     map-side combined) re-joined on the line key — both sides shuffle on
     py, AQE reuses the partitioning; rows that are entirely near-black
     aggregate to NULL and blank completely."""
-    valid = F.when(F.col("value") > near_dist, F.col("px"))
+    if white:
+        valid = F.when(F.col("value") < 255 - near_dist, F.col("px"))
+    else:
+        valid = F.when(F.col("value") > near_dist, F.col("px"))
     bounds = pixels.groupBy("py").agg(
         F.min(valid).alias("first_ok"), F.max(valid).alias("last_ok")
     )

@@ -9212,6 +9212,38 @@ def q_nearblack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nearblack(pix, near_dist=2)
 
 
+# nearblack -white (nearblack_lib.cpp bNearWhite): collar = near-WHITE
+# runs, filled with 255.  Fixture = the photometric inverse of the
+# black fixture (255 - v), so the white mode must trim exactly the
+# pixels the black mode trims on the original — the oracle is the
+# black oracle's collar decision applied to the inverted values.
+_NB_W_VAL = f"(255 - ({_NB_VAL}))"
+
+_NEARWHITE_ORACLE = f"""
+WITH g AS ({_SRC_GRID_CTE}),
+v AS (SELECT px, py, CAST({_NB_W_VAL} AS int) AS value FROM g WHERE band = 1),
+b AS (
+  SELECT py, min(CASE WHEN value < 253 THEN px END) AS first_ok,
+         max(CASE WHEN value < 253 THEN px END) AS last_ok
+  FROM v GROUP BY py
+)
+SELECT v.px, v.py,
+       CAST(CASE WHEN b.first_ok IS NULL OR v.px < b.first_ok
+                      OR v.px > b.last_ok
+                 THEN 255 ELSE v.value END AS int) AS value
+FROM v JOIN b ON v.py = b.py
+"""
+
+
+@register("nearblack_white", _NEARWHITE_ORACLE)
+def q_nearblack_white(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.operators.raster import nearblack, source_grid
+
+    g = source_grid(spark).filter(F.col("band") == 1)
+    pix = g.select("px", "py", F.expr(_NB_W_VAL).cast("int").alias("value"))
+    return nearblack(pix, near_dist=2, fill=255, white=True)
+
+
 # --------------------------------------------------------------------------
 # Median-cut palette (rgb2pct; alg/gdalmediancut.cpp + nearest-color
 # assignment).  Oracle case: the fixture has exactly 216 distinct
@@ -10830,6 +10862,71 @@ def q_buildvrt(spark: SparkSession, sf_dir: str) -> DataFrame:
             "left",
         ).drop(f"{name}_px", f"{name}_py")
     return d.selectExpr("opx", "opy", f"CAST({_BV_OUT} AS INT) AS v")
+
+
+# gdalbuildvrt -separate (gdalbuildvrt_lib.cpp bSeparate; rst: "Place
+# each input file into a separate band"): no compositing — band k is
+# source k's nearest-lookup on the union grid, NULL outside its extent
+# (srcnodata stays band METADATA in this mode, so s2's zeros survive);
+# same dest-grid/index-math/broadcast-join machinery as `buildvrt`.
+def _buildvrt_separate_oracle() -> str:
+    dst = (
+        f"SELECT CAST(x.i AS INT) AS opx, CAST(y.i AS INT) AS opy"
+        f" FROM range(0, {_BV_W}) x(i), range(0, {_BV_H}) y(i)"
+    )
+    sql = dst
+    for col, expr in _bv_dest_stages():
+        sql = f"SELECT *, {expr} AS {col} FROM ({sql})"
+    joins, withs = "", []
+    for name, _x0, _y1, _r, w, h, _coefs, _nd in _BV_SOURCES:
+        withs.append(f"{name} AS ({_bv_src_sql(name)})")
+        joins += (
+            f" LEFT JOIN {name} ON {name}.px = f.{name}x AND {name}.py = f.{name}y"
+        )
+    sel = ", ".join(f"{s[0]}.value AS v_{s[0]}" for s in _BV_SOURCES)
+    branches = " UNION ALL ".join(
+        f"SELECT CAST({i + 1} AS INT) AS band, opx, opy,"
+        f" CAST(v_{s[0]} AS INT) AS v FROM j"
+        for i, s in enumerate(_BV_SOURCES)
+    )
+    return f"""
+WITH {', '.join(withs)},
+f AS ({sql}),
+j AS (SELECT f.opx, f.opy, {sel} FROM f{joins})
+{branches}
+"""
+
+
+@register("buildvrt_separate", _buildvrt_separate_oracle())
+def q_buildvrt_separate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce as _reduce
+
+    d = spark.range(_BV_W * _BV_H).selectExpr(
+        f"CAST(id % {_BV_W} AS INT) AS opx",
+        f"CAST(id DIV {_BV_W} AS INT) AS opy",
+    )
+    for col, expr in _bv_dest_stages():
+        d = d.selectExpr("*", f"{expr} AS {col}")
+    for name, _x0, _y1, _r, w, h, (a, b, c), _nd in _BV_SOURCES:
+        s = spark.range(w * h).selectExpr(
+            f"CAST(id % {w} AS INT) AS {name}_px",
+            f"CAST(id DIV {w} AS INT) AS {name}_py",
+            f"CAST(((id % {w}) * {a} + (id DIV {w}) * {b} + {c}) % 256 AS INT)"
+            f" AS v_{name}",
+        )
+        d = d.join(
+            F.broadcast(s),
+            F.expr(f"{name}_px = {name}x AND {name}_py = {name}y"),
+            "left",
+        ).drop(f"{name}_px", f"{name}_py")
+    outs = [
+        d.selectExpr(
+            f"CAST({i + 1} AS INT) AS band", "opx", "opy",
+            f"CAST(v_{s[0]} AS INT) AS v",
+        )
+        for i, s in enumerate(_BV_SOURCES)
+    ]
+    return _reduce(DataFrame.unionByName, outs)
 
 
 # --------------------------------------------------------------------------
