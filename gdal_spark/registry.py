@@ -324,6 +324,49 @@ def q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# gdal2tiles tile-key conventions beyond raw TMS (tx, ty): the --xyz
+# flip (gdal2tiles.py --xyz: Google/OSM y grows DOWN, ty_xyz = 2^z-1-ty)
+# and the Microsoft QuadTree key (gdal2tiles.py:539-553 QuadTree
+# profile: digit i = tx bit + 2*xyz-y bit, z digits MSB-first).  Pure
+# JVM string program; bit tests spelled as floor-div/mod arithmetic so
+# one generated text serves both engines (no shiftright/>> dialect
+# split).  Python twin mercator.quadkey pinned on the Bing doc example
+# in tests/test_geometry.py.
+def _quadkey_sql(tx: str, gy: str, zoom: int) -> str:
+    digits = []
+    for i in range(zoom, 0, -1):
+        p = 2 ** (i - 1)
+        d = (
+            f"(CAST(floor({tx} / {p}.0) AS BIGINT) % 2"
+            f" + 2 * (CAST(floor({gy} / {p}.0) AS BIGINT) % 2))"
+        )
+        digits.append(f"CAST({d} AS STRING)")
+    return "concat(" + ", ".join(digits) + ")"
+
+
+_QK_ZOOM = 8
+_QK_TX = mercator.sql_tx("lon", str(_QK_ZOOM))
+_QK_GY = f"({2**_QK_ZOOM - 1} - {mercator.sql_ty('lat', str(_QK_ZOOM))})"
+
+_TILE_QUADKEY_ORACLE = f"""
+WITH docs AS ({_DOCS_CTE})
+SELECT doc_id, {_QK_TX} AS tx, {_QK_GY} AS ty_xyz,
+       {_quadkey_sql(_QK_TX, _QK_GY, _QK_ZOOM)} AS quadkey
+FROM docs
+"""
+
+
+@register("tile_quadkey", _TILE_QUADKEY_ORACLE)
+def q_tile_quadkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = corpus.load_docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        F.expr(_QK_TX).alias("tx"),
+        F.expr(_QK_GY).alias("ty_xyz"),
+        F.expr(_quadkey_sql(_QK_TX, _QK_GY, _QK_ZOOM)).alias("quadkey"),
+    )
+
+
 # --------------------------------------------------------------------------
 # kNN lookup (gdalgrid.cpp:241-330 quadtree radius search analog)
 # --------------------------------------------------------------------------
