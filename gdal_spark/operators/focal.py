@@ -622,3 +622,75 @@ def kernel_filter(
     return _with_halo_tiles(pixels).groupBy("gtx", "gty").applyInPandas(
         kernel, _KF_SCHEMA
     )
+
+
+def fill_nodata_smooth(
+    pixels: DataFrame,
+    width: int,
+    height: int,
+    maxdist: int = 8,
+    iterations: int = 2,
+) -> DataFrame:
+    """GDALFillNodata smoothing passes (gdal_fillnodata.py -si N;
+    alg/rasterfill.cpp GDALMultiFilter → GDALFilterLine): after the
+    quadrant-IDW fill, ``iterations`` passes of a 3x3 masked average —
+    only FILLED pixels update, every valid pixel (original or filled)
+    contributes including the center, window clipped at the raster
+    edge.  Values iterate in 1e-4 quantized units with floor(sum/count)
+    per pass — the engine's exactness-preserving formulation of the
+    reference's float32 line buffers (documented divergence, formula
+    shared with the oracle).
+
+    Distributed shape: per pass, valid pixels explode to their 9
+    neighbor slots (Generate, stays in codegen) and ONE map-side-
+    combined aggregation per pixel collects (sum, count); the update
+    joins back on the pixel key.  Output: (px, py, v4) per originally-
+    nodata pixel (NULL = unfilled, never smoothed)."""
+    filled = fill_nodata(pixels, width, height, maxdist=maxdist)
+    base = pixels.filter(F.col("value").isNotNull()).select(
+        "px",
+        "py",
+        (F.col("value").cast("long") * 10000).alias("vmu"),
+        F.lit(False).alias("filled"),
+    )
+    st = base.unionByName(
+        filled.select(
+            "px", "py", F.col("v4").alias("vmu"), F.lit(True).alias("filled")
+        )
+    )
+    for _ in range(iterations):
+        contrib = (
+            st.filter(F.col("vmu").isNotNull())
+            .select(
+                "px", "py", "vmu",
+                F.explode(F.expr("sequence(-1, 1)")).alias("dx"),
+            )
+            .select(
+                "px", "py", "vmu", "dx",
+                F.explode(F.expr("sequence(-1, 1)")).alias("dy"),
+            )
+            .select(
+                (F.col("px") + F.col("dx")).alias("px"),
+                (F.col("py") + F.col("dy")).alias("py"),
+                "vmu",
+            )
+        )
+        agg = contrib.groupBy("px", "py").agg(
+            F.sum("vmu").alias("s"), F.count("vmu").alias("c")
+        )
+        st = st.join(agg, ["px", "py"], "left").select(
+            "px",
+            "py",
+            F.when(
+                F.col("filled") & F.col("vmu").isNotNull(),
+                F.expr(
+                    "CAST(floor(CAST(s AS DOUBLE) / CAST(c AS DOUBLE)) AS BIGINT)"
+                ),
+            )
+            .otherwise(F.col("vmu"))
+            .alias("vmu"),
+            "filled",
+        )
+    return st.filter(F.col("filled")).select(
+        "px", "py", F.col("vmu").alias("v4")
+    )

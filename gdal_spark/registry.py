@@ -8692,6 +8692,63 @@ def q_fillnodata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fill_nodata(pixels, SRC_W, SRC_H, maxdist=_FILL_R)
 
 
+# gdal_fillnodata -si N (GDALMultiFilter → GDALFilterLine,
+# alg/rasterfill.cpp:120-340): N passes of a 3x3 masked average after
+# the fill — only FILLED pixels update, every valid pixel (original or
+# filled) contributes incl. the center, window clipped at the edge.
+# Quantized-iteration formulation (floor(sum/count) in 1e-4 units)
+# shared with the engine; the reference's float32 buffers are the
+# documented divergence.
+def _fill_smooth_it(prev: str) -> str:
+    return f"""
+  SELECT s.px, s.py,
+         CASE WHEN s.filled AND s.vmu IS NOT NULL
+              THEN CAST(floor(CAST(sum(c.vmu) AS DOUBLE)
+                              / CAST(count(c.vmu) AS DOUBLE)) AS BIGINT)
+              ELSE s.vmu END AS vmu,
+         s.filled AS filled
+  FROM {prev} s LEFT JOIN {prev} c
+    ON c.px BETWEEN s.px - 1 AND s.px + 1
+   AND c.py BETWEEN s.py - 1 AND s.py + 1
+   AND c.vmu IS NOT NULL
+  GROUP BY s.px, s.py, s.vmu, s.filled
+"""
+
+
+_FILL_SMOOTH_ORACLE = f"""
+WITH fr AS ({_FILL_ORACLE}),
+g AS ({_SRC_GRID_CTE}),
+v0 AS (SELECT px, py, CAST({_SRC_VAL} AS int) AS value FROM g WHERE band = 1),
+m AS (SELECT px, py, CASE WHEN {_FILL_MASK} THEN NULL ELSE value END AS value
+      FROM v0),
+s0 AS (
+  SELECT px, py, CAST(value AS BIGINT) * 10000 AS vmu, FALSE AS filled
+  FROM m WHERE value IS NOT NULL
+  UNION ALL
+  SELECT px, py, v4 AS vmu, TRUE AS filled FROM fr
+),
+it1 AS ({_fill_smooth_it('s0')}),
+it2 AS ({_fill_smooth_it('it1')})
+SELECT px, py, vmu AS v4 FROM it2 WHERE filled
+"""
+
+
+@register("fillnodata_smooth", _FILL_SMOOTH_ORACLE)
+def q_fillnodata_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.operators.focal import fill_nodata_smooth
+    from gdal_spark.operators.raster import SRC_H, SRC_W, source_grid
+
+    g = source_grid(spark).filter(F.col("band") == 1)
+    pixels = g.select(
+        "px",
+        "py",
+        F.when(F.expr(_FILL_MASK), F.lit(None)).otherwise(F.col("value"))
+        .cast("int")
+        .alias("value"),
+    )
+    return fill_nodata_smooth(pixels, SRC_W, SRC_H, maxdist=_FILL_R, iterations=2)
+
+
 # --------------------------------------------------------------------------
 # GCP polynomial transformer (alg/gdal_crs.cpp GDALCreateGCPTransformer,
 # order 2 = [1, p, l, p², p·l, l²] per gdal_crs.cpp:751).  The fixture's
