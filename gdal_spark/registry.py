@@ -5878,6 +5878,93 @@ def q_hillshade_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v.selectExpr("px", "py", _HSM_OUT)
 
 
+# gdaldem hillshade -z 2 -alt 60 -az 225 (the parameter knobs of
+# GDALCreateHillshadeData, gdaldem_lib.cpp:1171-1194): z folds into
+# z_factor = z/8 inside the cos_alt/square_z constants; the shade is
+# cang254 = (254·sin(alt) − (hy·cosaz·cosalt·zf·254 − hx·sinaz·cosalt·
+# zf·254)) / sqrt(1 + zf²·(hx²+hy²)), then the Byte convention
+# float(<=0 ? 1 : 1 + cang254) (GDALHillshadeAlg :879-893 portable
+# a/sqrt(b) path).  Every constant one shared trig text.
+_HSP_ZF = "2.5e-1"  # z=2, Horn divisor 8
+_HSP_SINALT254 = f"(2.54e2 * sin(6.0e1 * {_HSM_K}))"
+_HSP_CAM = f"(cos(6.0e1 * {_HSM_K}) * {_HSP_ZF})"
+_HSP_COSAZC = f"(2.54e2 * cos(2.25e2 * {_HSM_K}) * {_HSP_CAM})"
+_HSP_SINAZC = f"(2.54e2 * sin(2.25e2 * {_HSM_K}) * {_HSP_CAM})"
+_HSP_NUM = f"({_HSP_SINALT254} - (hy * {_HSP_COSAZC} - hx * {_HSP_SINAZC}))"
+_HSP_C254 = (
+    f"({_HSP_NUM} / sqrt(1.0e0 + {_HSP_ZF} * {_HSP_ZF} * (hx * hx + hy * hy)))"
+)
+_HSP_OUT = (
+    f"CAST(CAST(CASE WHEN {_HSP_C254} <= 0.0e0 THEN 1.0e0"
+    f" ELSE 1.0e0 + {_HSP_C254} END AS FLOAT) AS DOUBLE) AS hs_params"
+)
+
+_HSP_ORACLE = f"""
+WITH grad AS ({_GRAD_ORACLE}),
+xy AS (SELECT px, py, {", ".join(_HSM_XY)} FROM grad)
+SELECT px, py, {_HSP_OUT} FROM xy
+"""
+
+
+@register("hillshade_params", _HSP_ORACLE)
+def q_hillshade_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.operators.focal import dem_gradient
+    from gdal_spark.operators.raster import source_grid
+
+    band1 = source_grid(spark).filter(F.col("band") == 1).select("px", "py", "value")
+    g = dem_gradient(band1, SRC_W, SRC_H)
+    xy = g.selectExpr("px", "py", *_HSM_XY)
+    return xy.selectExpr("px", "py", _HSP_OUT)
+
+
+# gdaldem hillshade -igor (GDALHillshadeIgorAlg, gdaldem_lib.cpp:
+# 944-1000): shadowness = 1 − (slopeDeg/90)·(1 − aspectDiff/π) with
+# slopeDeg = atan(sqrt(key)·z/8)·180/π on the SCALED Horn gradient,
+# aspect = atan2(dy, −dx) on the UNSCALED gradient (dx = east−west =
+# −hx, dy = south−north = −hy ⇒ atan2(−hy, hx)), aspectDiff the
+# circular distance to 3π/2 − az; output float(255·shadowness) — NO
+# 1+254 Byte shift in this alg.  z=1/az=315; NormalizeAngle's fmod
+# reduces to CASE arithmetic because aspect ∈ (−π,π] and the target
+# constant 3π/2 − 7π/4 = −π/4 normalizes to 7π/4 — no fmod dialect
+# split.
+_HIG_SLOPE = "(atan(sqrt(hx * hx + hy * hy) * 1.25e-1) * (1.8e2 / pi()))"
+_HIG_TGT = f"(2.0e0 * pi() + (pi() * 3.0e0 / 2.0e0 - 3.15e2 * {_HSM_K}))"
+_HIG_ASPECT = "atan2(0.0e0 - hy, hx)"
+# NormalizeAngle(aspect, 2π): aspect + 2π when negative
+_HIG_ANORM = (
+    f"(CASE WHEN {_HIG_ASPECT} < 0.0e0"
+    f" THEN 2.0e0 * pi() + {_HIG_ASPECT} ELSE {_HIG_ASPECT} END)"
+)
+_HIG_DIFF0 = f"abs({_HIG_ANORM} - {_HIG_TGT})"
+_HIG_DIFF = (
+    f"(CASE WHEN {_HIG_DIFF0} > pi() THEN 2.0e0 * pi() - {_HIG_DIFF0}"
+    f" ELSE {_HIG_DIFF0} END)"
+)
+_HIG_SHADE = (
+    f"(1.0e0 - ({_HIG_SLOPE} / 9.0e1) * (1.0e0 - {_HIG_DIFF} / pi()))"
+)
+_HIG_OUT = (
+    f"CAST(CAST(2.55e2 * {_HIG_SHADE} AS FLOAT) AS DOUBLE) AS hs_igor"
+)
+
+_HIG_ORACLE = f"""
+WITH grad AS ({_GRAD_ORACLE}),
+xy AS (SELECT px, py, {", ".join(_HSM_XY)} FROM grad)
+SELECT px, py, {_HIG_OUT} FROM xy
+"""
+
+
+@register("hillshade_igor", _HIG_ORACLE)
+def q_hillshade_igor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.operators.focal import dem_gradient
+    from gdal_spark.operators.raster import source_grid
+
+    band1 = source_grid(spark).filter(F.col("band") == 1).select("px", "py", "value")
+    g = dem_gradient(band1, SRC_W, SRC_H)
+    xy = g.selectExpr("px", "py", *_HSM_XY)
+    return xy.selectExpr("px", "py", _HIG_OUT)
+
+
 # --------------------------------------------------------------------------
 # gdaldem TRI / TPI / roughness (apps/gdaldem_lib.cpp:2351-2417) — same
 # halo-focal shape as the gradient; integer-exact forms (x8 / squared)
