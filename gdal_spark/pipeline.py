@@ -42,6 +42,7 @@ freely composable.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from gdal_spark import corpus
 
@@ -228,6 +229,14 @@ def _compile_raster_steps(spec: str) -> list[tuple[str, object]]:
                     )
                 )
             )
+        elif name == "resize-avg":
+            # gdal_translate -outsize 1/k -r average: k x k block mean,
+            # floor(mean + 0.5) (the proven overview-average rounding,
+            # gcore/overview.cpp GDALResampleChunk32R_Average); partial
+            # edge blocks average their ACTUAL contributors (count, not
+            # k²) like the reference.  An aggregating op — the only
+            # non-projection step kind.
+            ops.append(("agg-resize", int(args[0])))
         elif name == "resize":
             k = int(args[0])
             h = k // 2
@@ -263,6 +272,22 @@ def run_raster_pipeline(spark: SparkSession, spec: str) -> DataFrame:
     for kind, payload in _compile_raster_steps(spec):
         if kind == "where":
             df = df.where(payload)
+        elif kind == "agg-resize":
+            k = payload
+            df = (
+                df.groupBy(
+                    F.col("band"),
+                    F.expr(f"CAST(floor(px / {k}.0e0) AS INT)").alias("px"),
+                    F.expr(f"CAST(floor(py / {k}.0e0) AS INT)").alias("py"),
+                )
+                .agg(
+                    F.expr(
+                        "CAST(floor(CAST(sum(value) AS DOUBLE)"
+                        " / CAST(count(value) AS DOUBLE) + 5.0e-1) AS INT)"
+                    ).alias("value")
+                )
+                .select("band", "px", "py", "value")
+            )
         elif kind == "expand":
             from functools import reduce
 
@@ -284,6 +309,15 @@ def render_raster_pipeline_sql(spec: str, src_select: str) -> str:
     for kind, payload in _compile_raster_steps(spec):
         if kind == "where":
             sql = f"SELECT * FROM ({sql}) q WHERE {payload}"
+        elif kind == "agg-resize":
+            k = payload
+            sql = (
+                f"SELECT band, CAST(floor(px / {k}.0e0) AS INT) AS px,"
+                f" CAST(floor(py / {k}.0e0) AS INT) AS py,"
+                f" CAST(floor(CAST(sum(value) AS DOUBLE)"
+                f" / CAST(count(value) AS DOUBLE) + 5.0e-1) AS INT) AS value"
+                f" FROM ({sql}) q GROUP BY 1, 2, 3"
+            )
         elif kind == "expand":
             sql = " UNION ALL ".join(
                 f"SELECT CAST({out} AS INT) AS band, px, py, value"

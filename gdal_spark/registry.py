@@ -10949,6 +10949,35 @@ def q_raster_pipeline_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_raster_pipeline(spark, _RP_BANDS_SPEC)
 
 
+# -r average resize (gdal_translate -outsize 50% -r average; the proven
+# overview floor(mean+0.5) rounding, partial edge blocks averaging
+# their ACTUAL contributors): the compiler's one aggregating step.  The
+# odd 201x101 clip makes the right/bottom partial-block (count < k²)
+# path run for real; a calc step after proves the chain continues past
+# the aggregation.
+_RP_AVG_SPEC = (
+    "read raster:source ! clip 40,20,241,121 ! select 2"
+    " ! resize-avg 2 ! calc value * 5 % 247 ! write stream"
+)
+
+
+def _raster_pipeline_avg_oracle() -> str:
+    from gdal_spark.pipeline import render_raster_pipeline_sql
+
+    src = (
+        f"SELECT band, px, py, CAST({_SRC_VAL} AS INT) AS value"
+        f" FROM ({_SRC_GRID_CTE}) s"
+    )
+    return render_raster_pipeline_sql(_RP_AVG_SPEC, src)
+
+
+@register("raster_pipeline_avg", _raster_pipeline_avg_oracle())
+def q_raster_pipeline_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.pipeline import run_raster_pipeline
+
+    return run_raster_pipeline(spark, _RP_AVG_SPEC)
+
+
 # --------------------------------------------------------------------------
 # gdalbuildvrt heterogeneous-grid composite
 # (apps/gdalbuildvrt_lib.cpp): union extent across sources,
