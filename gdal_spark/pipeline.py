@@ -138,6 +138,43 @@ def _reproject(df: DataFrame, args: list[str]) -> DataFrame:
 # program the engine runs.
 
 
+# GDALCopyWord float->integer conversion (gcore/gdal_priv_templates.hpp):
+# NaN -> 0; signed targets shift half AWAY from zero (double->short :660,
+# double->int :694 — int uses >= where short uses >, identical at v=0),
+# unsigned targets shift +0.5 unconditionally (generic clamp form :465);
+# then GDALClampValue to the type limits and a truncating static_cast
+# (toward zero — floor for the non-negative clamped values, ceil for
+# negative).  All branches are IEEE-exact shared SQL text, so the Spark
+# engine and the DuckDB oracle compute identical bits.
+#   name -> (lo_sql, hi_sql, signed, half_cmp)
+GDAL_INT_LIMITS = {
+    "byte": ("0.0e0", "2.55e2", False, None),
+    "uint16": ("0.0e0", "6.5535e4", False, None),
+    "int16": ("-3.2768e4", "3.2767e4", True, ">"),
+    "int32": ("-2.147483648e9", "2.147483647e9", True, ">="),
+}
+
+
+def gdal_copyword_sql(v: str, t: str) -> str:
+    """Shared-text SQL for GDALCopyWord(double -> integer type ``t``)."""
+    lo, hi, signed, half_cmp = GDAL_INT_LIMITS[t]
+    dv = f"CAST({v} AS DOUBLE)"
+    if signed:
+        w = (
+            f"(CASE WHEN {dv} {half_cmp} 0.0e0 THEN {dv} + 5.0e-1"
+            f" ELSE {dv} - 5.0e-1 END)"
+        )
+    else:
+        w = f"({dv} + 5.0e-1)"
+    c = f"least(greatest({w}, {lo}), {hi})"
+    trunc = (
+        f"(CASE WHEN {c} >= 0.0e0 THEN floor({c}) ELSE ceil({c}) END)"
+        if signed
+        else f"floor({c})"
+    )
+    return f"CAST(CASE WHEN isnan({dv}) THEN 0 ELSE {trunc} END AS BIGINT)"
+
+
 def _compile_raster_steps(spec: str) -> list[tuple[str, object]]:
     from gdal_spark.geometry import mercator
 
@@ -253,9 +290,17 @@ def _compile_raster_steps(spec: str) -> list[tuple[str, object]]:
             # shared verbatim with the oracle
             ops.append(proj(value=f"({' '.join(args)})"))
         elif name == "set-type":
-            # gdal raster set-type (gdalalg_raster_set_type.cpp): cast
-            # the band type; integer targets truncate like GDALCopyWords
-            ops.append(proj(value=f"CAST(value AS {args[0].upper()})"))
+            # gdal raster set-type (gdalalg_raster_set_type.cpp — a
+            # GDALTranslate -ot VRT): GDAL type names route through the
+            # faithful GDALCopyWord float->int program (round half away
+            # from zero + clamp + NaN->0, gcore/gdal_priv_templates.hpp);
+            # the legacy raw-SQL-type spelling stays a plain CAST (used
+            # by specs whose value is already integral).
+            t = args[0].lower()
+            if t in GDAL_INT_LIMITS:
+                ops.append(proj(value=gdal_copyword_sql("value", t)))
+            else:
+                ops.append(proj(value=f"CAST(value AS {args[0].upper()})"))
         elif name == "write":
             if args[0] != "stream":
                 raise ValueError("raster pipeline terminal is 'write stream'")

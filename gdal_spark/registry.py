@@ -14387,3 +14387,328 @@ def q_set_geom_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return multi_xy.unionByName(mls_skip)
+
+
+# --------------------------------------------------------------------------
+# gdal raster set-type — the faithful GDALCopyWord conversion matrix
+# (gdalalg_raster_set_type.cpp routes through GDALTranslate -ot; the
+# per-word rule lives in gcore/gdal_priv_templates.hpp): NaN -> 0
+# (:443-450), signed targets shift half AWAY from zero (double->short
+# :660 uses `> 0`, double->int :694 uses `>= 0` — identical at v=0),
+# unsigned targets shift +0.5 unconditionally (:465), then clamp to the
+# type limits and truncate toward zero; integer->integer narrowing
+# clamps WITHOUT the half shift (the generic non-float template).  The
+# fixture plants every branch: NaN rows (doc_id%23), x.5 halves
+# ((doc_id%4)*0.25), negatives (away-from-zero rounding), and a x100
+# scale band (doc_id%17) that trips the int16/byte clamps on both ends.
+# One shared SQL text — all arithmetic IEEE-exact (quarter-unit lattice),
+# zero shuffle, pure whole-stage codegen.
+# --------------------------------------------------------------------------
+from gdal_spark.pipeline import gdal_copyword_sql  # noqa: E402
+
+_STT_V = (
+    "(CASE WHEN doc_id % 23 = 0 THEN CAST('NaN' AS DOUBLE) "
+    "ELSE ((doc_id * 53) % 1300 - 400 + (doc_id % 4) * 2.5e-1) "
+    "* (CASE WHEN doc_id % 17 = 0 THEN 1.0e2 ELSE 1.0e0 END) END)"
+)
+_STT_IV = "((doc_id * 53) % 1300 - 400)"
+
+_SET_TYPE_SQL = f"""
+WITH v AS (SELECT doc_id, {_STT_V} AS x, {_STT_IV} AS ix FROM documents)
+SELECT doc_id,
+       {gdal_copyword_sql('x', 'byte')} AS as_byte,
+       {gdal_copyword_sql('x', 'uint16')} AS as_uint16,
+       {gdal_copyword_sql('x', 'int16')} AS as_int16,
+       {gdal_copyword_sql('x', 'int32')} AS as_int32,
+       CAST(least(greatest(ix, 0), 255) AS BIGINT) AS as_byte_from_int
+FROM v
+"""
+
+
+@register("raster_set_type", _SET_TYPE_SQL)
+def q_raster_set_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d.createOrReplaceTempView("documents")
+    return spark.sql(_SET_TYPE_SQL)
+
+
+# The same conversion as a pipeline step: unscale leaves fractional
+# doubles in [-20, 43.75], so `set-type byte` exercises the clamp-at-0
+# and half-up branches through the step compiler (one op list feeds both
+# the Spark runner and the DuckDB renderer — shared program).
+_RP_STT_SPEC = (
+    "read raster:source ! clip 0,0,120,80 ! unscale 2.5e-1,-2.0e1"
+    " ! set-type byte ! write stream"
+)
+
+
+def _raster_pipeline_settype_oracle() -> str:
+    from gdal_spark.pipeline import render_raster_pipeline_sql
+
+    src = (
+        f"SELECT band, px, py, CAST({_SRC_VAL} AS INT) AS value"
+        f" FROM ({_SRC_GRID_CTE}) s"
+    )
+    return render_raster_pipeline_sql(_RP_STT_SPEC, src)
+
+
+@register("raster_pipeline_settype", _raster_pipeline_settype_oracle())
+def q_raster_pipeline_settype(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.pipeline import run_raster_pipeline
+
+    return run_raster_pipeline(spark, _RP_STT_SPEC)
+
+
+# --------------------------------------------------------------------------
+# Paragraph-level exact dedup (the Dolma/CCNet dedupe unit — Soldaini et
+# al. 2024 run exact dedup per PARAGRAPH, between doc-level and
+# substring-level): documents chunk into fixed 10-word paragraphs, and a
+# paragraph instance survives only if it is the FIRST occurrence corpus-
+# wide (min doc_id, then min chunk index within that doc — same
+# canonical keeper rule as `dedup_exact`/`substring_dedup`).  A shared
+# 10-word boilerplate paragraph is planted on ~28% of docs (doc_id%7<2)
+# so cross-doc paragraph duplication is dense.  Scale shape: one
+# paragraph-key shuffle (MIN + COUNT fold map-side — the hot boilerplate
+# key partial-aggregates before the exchange), the keeper join carries
+# ONE build row per paragraph key (no pair blow-up on hot keys), one
+# doc-key reduce.  The rebuilt text uses each engine's ordered string
+# aggregate (DuckDB string_agg ORDER BY vs Spark listagg WITHIN GROUP) —
+# deliberately different formulations of the same spec, both ignoring
+# the NULLed removed paragraphs.
+# --------------------------------------------------------------------------
+_PD_P = 10
+_PD_BOILER = "the quick brown fox jumps over the lazy dog again"
+
+
+def _para_dedup_sql(split_fn: str, len_fn: str, slice_sql: str,
+                    gen_sql: str, agg_sql: str) -> str:
+    return f"""
+WITH s AS (
+  SELECT doc_id,
+         {split_fn}(CASE WHEN doc_id % 7 < 2
+                         THEN '{_PD_BOILER} ' || text ELSE text END, ' ') AS w
+  FROM documents
+),
+c AS (SELECT doc_id, w, {len_fn}(w) AS nw FROM s),
+g AS (
+  SELECT doc_id, k, {slice_sql} AS para
+  FROM (SELECT doc_id, w, {gen_sql} AS k FROM c)
+),
+m AS (SELECT para, MIN(doc_id) AS kd FROM g GROUP BY para),
+m2 AS (
+  SELECT g.para AS para, g.doc_id AS doc_id, MIN(g.k) AS kk
+  FROM g JOIN m ON g.para = m.para AND g.doc_id = m.kd
+  GROUP BY g.para, g.doc_id
+),
+f AS (
+  SELECT g.doc_id, g.k, g.para,
+         CASE WHEN m2.para IS NOT NULL THEN 1 ELSE 0 END AS kept
+  FROM g LEFT JOIN m2
+    ON g.para = m2.para AND g.doc_id = m2.doc_id AND g.k = m2.kk
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_paras,
+       CAST(SUM(kept) AS BIGINT) AS n_kept,
+       {agg_sql} AS kept_text
+FROM f GROUP BY doc_id
+"""
+
+
+_PD_NP = "CAST(((nw + 9) - ((nw + 9) % 10)) / 10 AS BIGINT)"
+
+_PARA_DEDUP_ORACLE = _para_dedup_sql(
+    "string_split", "len",
+    f"array_to_string(list_slice(w, k * {_PD_P} + 1, k * {_PD_P} + {_PD_P}), ' ')",
+    f"unnest(generate_series(0, {_PD_NP} - 1))",
+    "string_agg(CASE WHEN kept = 1 THEN para END, ' ' ORDER BY k)",
+)
+
+
+@register("paragraph_dedup", _PARA_DEDUP_ORACLE)
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d.createOrReplaceTempView("documents")
+    return spark.sql(_para_dedup_sql(
+        "split", "size",
+        f"array_join(slice(w, CAST(k * {_PD_P} + 1 AS INT), {_PD_P}), ' ')",
+        f"explode(sequence(0, {_PD_NP} - 1))",
+        "listagg(CASE WHEN kept = 1 THEN para END, ' ')"
+        " WITHIN GROUP (ORDER BY k)",
+    ))
+
+
+# --------------------------------------------------------------------------
+# UniMax language sampling (Chung et al. 2023, arXiv:2304.09151): given a
+# character budget and a per-language epoch cap, allocate the budget as
+# uniformly as possible across languages — each language capped at
+# cap_l = epochs * chars_l, the remainder water-filled evenly.  The
+# sequential greedy of the paper (ascending by capacity, each language
+# takes min(cap, remaining/remaining_langs)) has the classic closed
+# form: languages below the water line take their full capacity, the
+# rest split the leftover evenly — computed here with window functions
+# over the LANGUAGE DIM (5 rows; the corpus folds to it in one map-side-
+# combined reduce, so the OVER () windows never see corpus-sized input).
+# Budget = floor(1.25 * total_chars) with epoch cap 1.6 (capacity =
+# floor(1.6 * chars_l)), which puts the binding threshold strictly
+# inside the lang set at the test corpus's language mix (small langs
+# capped at capacity, big langs water-filled — both CASE arms pinned in
+# tests/test_round4h.py).  All arithmetic exact BIGINT; divisions use
+# the (x - x%y)/y exact-quotient form.
+# --------------------------------------------------------------------------
+_UNIMAX_SQL = """
+WITH ls AS (
+  SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS s FROM documents GROUP BY lang
+),
+tot AS (SELECT CAST(SUM(s) AS BIGINT) AS ts, CAST(COUNT(*) AS BIGINT) AS nl
+        FROM ls),
+r AS (
+  SELECT lang, s,
+         CAST(((s * 8) - ((s * 8) % 5)) / 5 AS BIGINT) AS c,
+         CAST(ROW_NUMBER() OVER (
+              ORDER BY ((s * 8) - ((s * 8) % 5)) / 5, lang) AS BIGINT) AS i,
+         CAST(SUM(((s * 8) - ((s * 8) % 5)) / 5) OVER (
+              ORDER BY ((s * 8) - ((s * 8) % 5)) / 5, lang
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pc
+  FROM ls
+),
+b AS (
+  SELECT r.lang, r.s, r.c, r.i, r.pc, t.nl,
+         CAST(((t.ts * 5) - ((t.ts * 5) % 4)) / 4 AS BIGINT) AS bud
+  FROM r, tot t
+),
+w AS (
+  SELECT b.*,
+         MIN(CASE WHEN c * (nl - i + 1) > bud - (pc - c) THEN i END)
+           OVER () AS istar
+  FROM b
+),
+w2 AS (
+  SELECT w.*, MAX(CASE WHEN i = istar THEN pc - c END) OVER () AS prevsum
+  FROM w
+),
+a AS (
+  SELECT lang, s, c,
+         CASE WHEN istar IS NULL OR i < istar THEN c
+              ELSE CAST(((bud - prevsum) - ((bud - prevsum)
+                         % (nl - istar + 1))) / (nl - istar + 1) AS BIGINT)
+         END AS alloc
+  FROM w2
+)
+SELECT lang, s AS n_chars, CAST(c AS BIGINT) AS capacity,
+       CAST(alloc AS BIGINT) AS alloc_chars,
+       CAST(((alloc * 10000) - ((alloc * 10000) % s)) / s AS BIGINT)
+         AS epochs_bp
+FROM a
+"""
+
+
+@register("unimax_sample", _UNIMAX_SQL)
+def q_unimax_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d.createOrReplaceTempView("documents")
+    return spark.sql(_UNIMAX_SQL)
+
+
+# --------------------------------------------------------------------------
+# Temperature-scaled language mixing (mT5 / XLM-R style, Xue et al. 2021
+# §3.1): sampling weight ∝ p_l^(1/T) with T = 2, i.e. sqrt(p_l) — sqrt
+# and division are IEEE-correctly-rounded, so both engines compute the
+# SAME double before the single floor-quantization to micro-units; the
+# normalization then runs in exact BIGINT (floor division via the
+# (x - x%y)/y form).  Corpus folds map-side to the 5-row lang dim;
+# everything after is dim-sized.
+# --------------------------------------------------------------------------
+_TEMP_MIX_SQL = """
+WITH ls AS (
+  SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS s FROM documents GROUP BY lang
+),
+tot AS (SELECT CAST(SUM(s) AS BIGINT) AS ts FROM ls),
+w AS (
+  SELECT lang, s,
+         CAST(floor(1.0e6 * sqrt(CAST(s AS DOUBLE) / CAST(t.ts AS DOUBLE)))
+              AS BIGINT) AS w_micro
+  FROM ls, tot t
+),
+d AS (SELECT CAST(SUM(w_micro) AS BIGINT) AS dw FROM w)
+SELECT lang, s AS n_chars, w_micro,
+       CAST(((w_micro * 1000000) - ((w_micro * 1000000) % d.dw)) / d.dw
+            AS BIGINT) AS weight_ppm
+FROM w, d
+"""
+
+
+@register("temperature_mix", _TEMP_MIX_SQL)
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d.createOrReplaceTempView("documents")
+    return spark.sql(_TEMP_MIX_SQL)
+
+
+# --------------------------------------------------------------------------
+# URL canonicalization + dedup (the CCNet/Dolma crawl-dedup key): each
+# doc carries a synthesized URL variant (8 variants per logical site,
+# keyed doc_id%8) and canonicalization must merge exactly the
+# equivalent ones — lowercase scheme+authority ONLY (path case is
+# significant and preserved: '/D/'), strip the scheme's DEFAULT port
+# (:80 http / :443 https — the non-default :8080 variant must survive
+# as its own URL), strip fragments, strip utm_* tracking params (the
+# '?id=7' real param survives), strip one trailing slash.  All string
+# ops are shared text: anchored single-occurrence regexes (no global-
+# flag divergence), LIKE + substr for the port (no backreference
+# dialect), one groupBy(canon_url) with map-side MIN/COUNT.
+# --------------------------------------------------------------------------
+_URL_DEDUP_SQL = """
+WITH u AS (
+  SELECT doc_id,
+         CAST((doc_id - (doc_id % 8)) / 8 AS BIGINT) AS gid,
+         CAST(doc_id % 8 AS BIGINT) AS v
+  FROM documents
+),
+raw AS (
+  SELECT doc_id,
+    (CASE WHEN v < 4 THEN (CASE WHEN v % 2 = 0 THEN 'http' ELSE 'HTTP' END)
+          ELSE (CASE WHEN v % 2 = 0 THEN 'https' ELSE 'HTTPS' END) END)
+    || '://'
+    || (CASE WHEN v % 3 = 0 THEN 'Site' ELSE 'site' END)
+    || CAST(gid AS STRING)
+    || (CASE WHEN v % 2 = 1 THEN '.Example.com' ELSE '.example.com' END)
+    || (CASE WHEN v = 1 THEN ':80' WHEN v = 5 THEN ':443'
+             WHEN v = 3 THEN ':8080' ELSE '' END)
+    || '/D/' || CAST(gid AS STRING)
+    || (CASE WHEN v = 2 THEN '/' ELSE '' END)
+    || (CASE WHEN v = 6 THEN '?utm_source=feed'
+             WHEN v = 7 THEN '?id=7' ELSE '' END)
+    || (CASE WHEN v = 4 THEN '#frag' ELSE '' END) AS url
+  FROM u
+),
+c1 AS (
+  SELECT doc_id, url,
+         regexp_extract(url, '^[A-Za-z]+://[^/]+', 0) AS auth0
+  FROM raw
+),
+c2 AS (
+  SELECT doc_id,
+    (CASE WHEN lower(auth0) LIKE 'http://%:80'
+          THEN substr(lower(auth0), 1, length(auth0) - 3)
+          WHEN lower(auth0) LIKE 'https://%:443'
+          THEN substr(lower(auth0), 1, length(auth0) - 4)
+          ELSE lower(auth0) END)
+    || regexp_replace(regexp_replace(regexp_replace(
+         substr(url, length(auth0) + 1),
+         '#[A-Za-z]*$', ''),
+         '[?]utm_[a-z]+=[a-z]+$', ''),
+         '/$', '') AS canon_url
+  FROM c1
+)
+SELECT canon_url,
+       CAST(COUNT(*) AS BIGINT) AS n_variants,
+       CAST(MIN(doc_id) AS BIGINT) AS keeper_doc
+FROM c2 GROUP BY canon_url
+"""
+
+
+@register("url_dedup", _URL_DEDUP_SQL)
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d.createOrReplaceTempView("documents")
+    return spark.sql(_URL_DEDUP_SQL)

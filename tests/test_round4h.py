@@ -1,0 +1,272 @@
+"""Round-4h additions: independent cross-implementation pins.
+
+Spark == DuckDB parity for every query here is covered by the
+auto-parametrized tests/test_driver_contract.py; these tests add a THIRD
+implementation (plain Python / numpy ports of the reference semantics)
+against the DuckDB oracle, plus branch-non-vacuity pins so none of the
+fixture branches can silently go dead.  Pure-Python + DuckDB only — no
+Spark session, so the file stays cheap.
+"""
+
+import math
+from fractions import Fraction
+
+import duckdb
+import pytest
+
+from gdal_spark import registry
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    c.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    return c
+
+
+def _docs(con):
+    return con.execute(
+        "SELECT doc_id, text, lang, source, n_chars FROM documents"
+    ).fetchall()
+
+
+# ------------------------------------------------------------- set-type
+def _copyword(v, lo, hi, signed, half_ge):
+    """Direct port of sGDALCopyWord<double, T>
+    (gcore/gdal_priv_templates.hpp:443-710)."""
+    if math.isnan(v):
+        return 0
+    if signed:
+        w = v + 0.5 if (v >= 0.0 if half_ge else v > 0.0) else v - 0.5
+    else:
+        w = v + 0.5
+    c = min(max(w, lo), hi)
+    return int(c)  # C truncating cast (toward zero)
+
+
+def _stt_value(doc_id):
+    if doc_id % 23 == 0:
+        return float("nan")
+    base = (doc_id * 53) % 1300 - 400 + (doc_id % 4) * 0.25
+    return base * (100.0 if doc_id % 17 == 0 else 1.0)
+
+
+class TestSetType:
+    def test_matches_numpy_port(self, con):
+        got = {
+            r[0]: r[1:]
+            for r in con.execute(registry.ORACLES["raster_set_type"]).fetchall()
+        }
+        for (doc_id, *_rest) in _docs(con):
+            v = _stt_value(doc_id)
+            iv = (doc_id * 53) % 1300 - 400
+            exp = (
+                _copyword(v, 0.0, 255.0, False, False),
+                _copyword(v, 0.0, 65535.0, False, False),
+                _copyword(v, -32768.0, 32767.0, True, False),
+                _copyword(v, -2147483648.0, 2147483647.0, True, True),
+                min(max(iv, 0), 255),
+            )
+            assert got[doc_id] == exp, doc_id
+
+    def test_branches_fire(self, con):
+        vals = [_stt_value(d) for (d, *_r) in _docs(con)]
+        assert any(math.isnan(v) for v in vals)  # NaN -> 0
+        assert any(v > 255 for v in vals if not math.isnan(v))  # byte clamp hi
+        assert any(v < 0 for v in vals if not math.isnan(v))  # byte clamp lo
+        assert any(v > 32767 for v in vals if not math.isnan(v))  # i16 hi
+        assert any(v < -32768 for v in vals if not math.isnan(v))  # i16 lo
+        # exact .5 halves (the away-from-zero branch does real work)
+        assert any(
+            not math.isnan(v) and abs(v - math.floor(v) - 0.5) < 1e-12
+            for v in vals
+        )
+        assert any(
+            not math.isnan(v) and v < 0 and abs(v - math.floor(v) - 0.5) < 1e-12
+            for v in vals
+        )
+
+    def test_pipeline_settype_clamps(self, con):
+        rows = con.execute(
+            registry.ORACLES["raster_pipeline_settype"]
+        ).fetchall()
+        vals = [r[3] for r in rows]
+        # unscale leaves [-20, 43.75]: clamp-at-0 and round-up both fire
+        assert min(vals) == 0 and max(vals) == 44
+        assert sum(1 for v in vals if v == 0) > 1000
+
+
+# ------------------------------------------------------ paragraph dedup
+class TestParagraphDedup:
+    def test_matches_python(self, con):
+        got = {
+            r[0]: r[1:]
+            for r in con.execute(registry.ORACLES["paragraph_dedup"]).fetchall()
+        }
+        seen = set()
+        exp = {}
+        for doc_id, text, *_r in sorted(_docs(con)):
+            if doc_id % 7 < 2:
+                text = registry._PD_BOILER + " " + text
+            w = text.split(" ")
+            paras = [
+                " ".join(w[k : k + registry._PD_P])
+                for k in range(0, len(w), registry._PD_P)
+            ]
+            kept = []
+            for p in paras:
+                if p not in seen:
+                    seen.add(p)
+                    kept.append(p)
+            exp[doc_id] = (
+                len(paras),
+                len(kept),
+                " ".join(kept) if kept else None,
+            )
+        assert got == exp
+
+    def test_boilerplate_dedups(self, con):
+        rows = con.execute(registry.ORACLES["paragraph_dedup"]).fetchall()
+        planted = [r for r in rows if r[0] % 7 < 2]
+        assert len(planted) > 100
+        # exactly ONE planted doc keeps the boilerplate paragraph
+        removed = [r for r in planted if r[2] < r[1]]
+        assert len(removed) == len(planted) - 1
+
+
+# ----------------------------------------------------- language sampling
+def _lang_sizes(con):
+    return dict(
+        con.execute(
+            "SELECT lang, SUM(n_chars) FROM documents GROUP BY lang"
+        ).fetchall()
+    )
+
+
+class TestUniMax:
+    def test_matches_greedy(self, con):
+        sizes = _lang_sizes(con)
+        caps = {l: (s * 8) // 5 for l, s in sizes.items()}
+        budget = sum(sizes.values()) * 5 // 4
+        # the paper's sequential greedy, exact rational arithmetic
+        order = sorted(caps, key=lambda l: (caps[l], l))
+        rem, n = Fraction(budget), len(order)
+        alloc = {}
+        for i, lang in enumerate(order):
+            share = rem / (n - i)
+            a = min(Fraction(caps[lang]), share)
+            alloc[lang] = a
+            rem -= a
+        got = {
+            r[0]: r[1:]
+            for r in con.execute(registry.ORACLES["unimax_sample"]).fetchall()
+        }
+        for lang, s in sizes.items():
+            n_chars, cap, ac, bp = got[lang]
+            assert n_chars == s and cap == caps[lang]
+            assert ac == math.floor(alloc[lang])
+            assert bp == (ac * 10000) // s
+
+    def test_both_branches(self, con):
+        rows = con.execute(registry.ORACLES["unimax_sample"]).fetchall()
+        capped = [r for r in rows if r[3] == r[2]]
+        watered = [r for r in rows if r[3] < r[2]]
+        assert capped and watered
+        # every watered language gets the identical share
+        assert len({r[3] for r in watered}) == 1
+        # budget-exhausting: total allocation never exceeds the budget
+        total = sum(r[1] for r in rows)
+        assert sum(r[3] for r in rows) <= total * 5 // 4
+
+
+class TestTemperatureMix:
+    def test_matches_python(self, con):
+        sizes = _lang_sizes(con)
+        ts = sum(sizes.values())
+        w = {l: math.floor(1e6 * math.sqrt(s / ts)) for l, s in sizes.items()}
+        dw = sum(w.values())
+        got = {
+            r[0]: r[1:]
+            for r in con.execute(registry.ORACLES["temperature_mix"]).fetchall()
+        }
+        for lang, s in sizes.items():
+            assert got[lang] == (s, w[lang], (w[lang] * 1000000) // dw)
+
+    def test_flattens_distribution(self, con):
+        rows = con.execute(registry.ORACLES["temperature_mix"]).fetchall()
+        tot = sum(r[1] for r in rows)
+        for lang, s, _w, ppm in rows:
+            p = s / tot
+            # T=2 pulls every weight toward uniform: big langs shrink,
+            # small langs grow
+            if p > 1 / len(rows):
+                assert ppm / 1e6 < p
+            else:
+                assert ppm / 1e6 > p
+
+
+# ------------------------------------------------------------ url dedup
+def _canon(doc_id):
+    gid, v = doc_id // 8, doc_id % 8
+    scheme = ("http" if v % 2 == 0 else "HTTP") if v < 4 else (
+        "https" if v % 2 == 0 else "HTTPS"
+    )
+    host = ("Site" if v % 3 == 0 else "site") + str(gid) + (
+        ".Example.com" if v % 2 == 1 else ".example.com"
+    )
+    port = {1: ":80", 5: ":443", 3: ":8080"}.get(v, "")
+    rest = "/D/" + str(gid)
+    if v == 2:
+        rest += "/"
+    rest += {6: "?utm_source=feed", 7: "?id=7"}.get(v, "")
+    if v == 4:
+        rest += "#frag"
+    # canonicalize: lower authority, strip default port / fragment /
+    # utm params / trailing slash — an independent non-regex program
+    auth = (scheme + "://" + host + port).lower()
+    if auth.startswith("http://") and auth.endswith(":80"):
+        auth = auth[:-3]
+    elif auth.startswith("https://") and auth.endswith(":443"):
+        auth = auth[:-4]
+    if "#" in rest:
+        rest = rest[: rest.index("#")]
+    if "?utm_" in rest:
+        rest = rest[: rest.index("?utm_")]
+    if rest.endswith("/"):
+        rest = rest[:-1]
+    return auth + rest
+
+
+class TestUrlDedup:
+    def test_matches_python(self, con):
+        groups = {}
+        for (doc_id, *_r) in _docs(con):
+            groups.setdefault(_canon(doc_id), []).append(doc_id)
+        exp = {
+            c: (len(ids), min(ids)) for c, ids in groups.items()
+        }
+        got = {
+            r[0]: r[1:]
+            for r in con.execute(registry.ORACLES["url_dedup"]).fetchall()
+        }
+        assert got == exp
+
+    def test_merge_structure(self, con):
+        rows = con.execute(registry.ORACLES["url_dedup"]).fetchall()
+        # full 8-variant sites merge 3+3+1+1: the default-port / fragment
+        # / utm / trailing-slash variants collapse, the non-default :8080
+        # and the real ?id=7 param survive alone
+        merged = [r for r in rows if r[1] == 3]
+        singles = [r for r in rows if r[1] == 1]
+        assert merged and singles
+        assert any(":8080" in r[0] for r in singles)
+        assert any("?id=7" in r[0] for r in singles)
+        assert not any("#" in r[0] or "utm_" in r[0] for r in rows)
+        # path case preserved, authority lowered
+        assert all("/D/" in r[0] for r in rows)
+        assert not any("Site" in r[0] or "Example" in r[0] for r in rows)
