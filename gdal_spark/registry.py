@@ -14712,3 +14712,77 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     d.createOrReplaceTempView("documents")
     return spark.sql(_URL_DEDUP_SQL)
+
+
+# --------------------------------------------------------------------------
+# DoReMi domain reweighting (Xie et al. 2023, arXiv:2305.10429,
+# Algorithm 1 — one multiplicative-weights step): per training domain
+# (the `source` column), excess loss λ_d = max(proxy_loss_d − ref_loss_d,
+# 0), update α'_d ∝ α_d · exp(η·λ_d) from the token-share prior, then
+# smooth with the uniform distribution (c = 1/100).  Losses are
+# synthesized deterministically: the proxy loss is the per-domain MEAN
+# of a per-doc hash formula (so domains genuinely differ), the reference
+# loss a per-domain literal formula off the source's numeric suffix —
+# both arms of the max() fire.  exp() is libm (1-ulp cross-engine risk),
+# so it is computed ONCE per domain (20-row dim) and floor-quantized to
+# BIGINT micro-units with a knife-edge grid audit in tests/test_round4h
+# (the dsir_weights ln pattern); everything downstream — the α·e product,
+# both normalizations, the 99:1 smoothing — is exact integer arithmetic
+# via the (x − x%y)/y floor-division form.  Corpus folds map-side to the
+# source dim; the OVER () windows only ever see 20 rows.
+# --------------------------------------------------------------------------
+_DOREMI_SQL = """
+WITH d AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS toks,
+         CAST(SUM((doc_id * 2654435761 + 7) % 1000) AS BIGINT) AS losssum
+  FROM documents GROUP BY source
+),
+t AS (SELECT CAST(SUM(toks) AS BIGINT) AS tt FROM d),
+e AS (
+  SELECT source, n_docs, toks,
+         CAST(floor(1.0e6 * (CAST(losssum AS DOUBLE) / CAST(n_docs AS DOUBLE)
+                             / 1.0e3 + 2.0e0)) AS BIGINT) AS proxy_micro,
+         CAST(floor(1.0e6 * (2.2e0 + (CAST(substr(source, 4) AS BIGINT) % 7)
+                             * 5.0e-2)) AS BIGINT) AS ref_micro
+  FROM d
+),
+x AS (
+  SELECT source, n_docs, toks, proxy_micro, ref_micro,
+         greatest(proxy_micro - ref_micro, 0) AS excess_micro
+  FROM e
+),
+u AS (
+  SELECT x.*, t.tt,
+         CAST(floor(1.0e6 * exp(CAST(excess_micro AS DOUBLE) / 1.0e6))
+              AS BIGINT) AS emul_micro,
+         CAST(floor(1.0e6 * CAST(toks AS DOUBLE) / CAST(t.tt AS DOUBLE))
+              AS BIGINT) AS alpha_micro
+  FROM x, t
+),
+n AS (
+  SELECT u.*, alpha_micro * emul_micro AS num,
+         CAST(SUM(alpha_micro * emul_micro) OVER () AS BIGINT) AS den,
+         CAST(COUNT(*) OVER () AS BIGINT) AS nd
+  FROM u
+),
+w AS (
+  SELECT source, n_docs, proxy_micro, excess_micro, nd,
+         CAST(((num * 1000000) - ((num * 1000000) % den)) / den AS BIGINT)
+           AS w_ppm
+  FROM n
+)
+SELECT source, n_docs, proxy_micro, excess_micro, w_ppm,
+       CAST(((w_ppm * 99 + ((1000000 - (1000000 % nd)) / nd))
+             - ((w_ppm * 99 + ((1000000 - (1000000 % nd)) / nd)) % 100))
+            / 100 AS BIGINT) AS smoothed_ppm
+FROM w
+"""
+
+
+@register("doremi_weights", _DOREMI_SQL)
+def q_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d.createOrReplaceTempView("documents")
+    return spark.sql(_DOREMI_SQL)

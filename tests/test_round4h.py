@@ -270,3 +270,72 @@ class TestUrlDedup:
         # path case preserved, authority lowered
         assert all("/D/" in r[0] for r in rows)
         assert not any("Site" in r[0] or "Example" in r[0] for r in rows)
+
+
+# --------------------------------------------------------------- doremi
+class TestDoReMi:
+    def test_matches_python(self, con):
+        import collections
+        docs = con.execute(
+            "SELECT doc_id, source, n_chars FROM documents"
+        ).fetchall()
+        agg = collections.defaultdict(lambda: [0, 0, 0])
+        for doc_id, src, n_chars in docs:
+            a = agg[src]
+            a[0] += 1
+            a[1] += n_chars
+            a[2] += (doc_id * 2654435761 + 7) % 1000
+        tt = sum(a[1] for a in agg.values())
+        rows = {}
+        for src, (n, toks, ls) in agg.items():
+            proxy = math.floor(1e6 * (ls / n / 1e3 + 2.0))
+            ref = math.floor(1e6 * (2.2 + (int(src[3:]) % 7) * 5.0e-2))
+            exc = max(proxy - ref, 0)
+            emul = math.floor(1e6 * math.exp(exc / 1e6))
+            alpha = math.floor(1e6 * toks / tt)
+            rows[src] = (n, proxy, exc, alpha * emul)
+        den = sum(v[3] for v in rows.values())
+        nd = len(rows)
+        got = {
+            r[0]: r[1:]
+            for r in con.execute(registry.ORACLES["doremi_weights"]).fetchall()
+        }
+        u_ppm = 1000000 // nd
+        for src, (n, proxy, exc, num) in rows.items():
+            w_ppm = (num * 1000000) // den
+            sm = (w_ppm * 99 + u_ppm) // 100
+            assert got[src] == (n, proxy, exc, w_ppm, sm), src
+
+    @pytest.mark.parametrize("sf", ["sf0.001", "sf0.01", "sf0.1"])
+    def test_grid_margin_all_sfs(self, sf):
+        c = duckdb.connect()
+        c.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('/root/testdata/{sf}/documents.parquet')"
+        )
+        for (exc,) in c.execute(
+            "SELECT excess_micro FROM ("
+            + registry.ORACLES["doremi_weights"]
+            + ") WHERE excess_micro > 0"
+        ).fetchall():
+            v = 1e6 * math.exp(exc / 1e6)
+            dist = min(v - math.floor(v), math.ceil(v) - v)
+            assert dist > 1e-3, (sf, exc, dist)
+
+    def test_branches_and_grid_margin(self, con):
+        rows = con.execute(registry.ORACLES["doremi_weights"]).fetchall()
+        assert len(rows) == 20
+        assert any(r[3] == 0 for r in rows)  # clamped excess arm
+        assert any(r[3] > 0 for r in rows)  # live excess arm
+        # knife-edge audit for the one libm call: 1e6*exp(x) must sit
+        # far from the floor grid relative to a 1-ulp engine divergence
+        for _s, _n, _p, exc, _w, _sm in rows:
+            if exc == 0:
+                continue  # exp(0) == 1.0 exactly in every libm — no ulp risk
+            v = 1e6 * math.exp(exc / 1e6)
+            dist = min(v - math.floor(v), math.ceil(v) - v)
+            assert dist > 1e-3, (exc, dist)
+        # reweighting favors high-excess domains: top excess domain gets
+        # more than the uniform share after smoothing
+        top = max(rows, key=lambda r: r[3])
+        assert top[5] > 1000000 // len(rows)
