@@ -14786,3 +14786,64 @@ def q_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     d.createOrReplaceTempView("documents")
     return spark.sql(_DOREMI_SQL)
+
+
+# --------------------------------------------------------------------------
+# Write-audit-publish on the snapshot table (gdal_spark/table.py refs —
+# the Iceberg "Snapshot References" branch/tag model): the production
+# pattern for a 100 TB curation pipeline where unaudited data must
+# never reach readers.  Staged appends land on an `audit` BRANCH (main
+# readers cannot see them), an in-code audit validates the branch read
+# (non-empty, no NULL keys), a TAG pins the pre-publish state, and
+# fast_forward atomically publishes the branch to main (ancestry-
+# checked, so a diverged main can never be silently clobbered).  The
+# query emits BOTH refs' reads — published main (base + the two audited
+# batches) and the immutable pre-publish tag (base only); the oracle
+# reconstructs both from the source table, certifying that publish
+# moved exactly the audited rows and that the tag still reads the
+# original snapshot afterward.
+# --------------------------------------------------------------------------
+_TABLE_WAP_ORACLE = f"""
+SELECT 'main' AS ref, o_orderkey, {_TABLE_INC_PRICE} AS price_c
+FROM orders WHERE o_orderkey % 4 IN (0, 1, 2)
+UNION ALL
+SELECT 'pre_publish' AS ref, o_orderkey, {_TABLE_INC_PRICE} AS price_c
+FROM orders WHERE o_orderkey % 4 = 0
+"""
+
+
+@register("table_wap", _TABLE_WAP_ORACLE)
+def q_table_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    from gdal_spark.table import SnapshotTable
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "gdal_spark_wap_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8],
+    )
+    t = SnapshotTable(spark, root)
+    if t.current_snapshot_id() != 3:  # idempotent build, reused across runs
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderkey", F.expr(_TABLE_INC_PRICE).alias("price_c")
+        )
+        t.append(o.filter("o_orderkey % 4 = 0"))        # sid 1 (main)
+        t.create_branch("audit")
+        t.create_tag("pre_publish")
+        t.append_to(o.filter("o_orderkey % 4 = 1"), "audit")  # sid 2
+        t.append_to(o.filter("o_orderkey % 4 = 2"), "audit")  # sid 3
+        # audit gate: the branch read must be non-empty with no NULL keys
+        staged = t.read_ref("audit")
+        assert staged.filter("o_orderkey IS NULL").count() == 0
+        assert staged.count() > 0
+        t.fast_forward("audit")  # publish
+    return (
+        t.read().select(F.lit("main").alias("ref"), "o_orderkey", "price_c")
+        .unionByName(
+            t.read_ref("pre_publish").select(
+                F.lit("pre_publish").alias("ref"), "o_orderkey", "price_c"
+            )
+        )
+    )

@@ -167,6 +167,127 @@ class SnapshotTable:
     def _manifest(self, sid: int) -> dict:
         return _read_json(self._manifest_path(sid))
 
+    # ------------------------------------------------------ refs (WAP)
+    # Named refs (the Iceberg branch/tag model, spec §"Snapshot
+    # References"): a BRANCH is a mutable, independently-writable head;
+    # a TAG is an immutable pointer.  "main" is implicit (the version
+    # hint).  Refs enable write-audit-publish: stage commits on an audit
+    # branch, validate them, then fast-forward main — readers of main
+    # never see unaudited data.
+    def _refs_path(self) -> str:
+        return os.path.join(self._meta, "refs.json")
+
+    def _refs(self) -> dict:
+        try:
+            return _read_json(self._refs_path())
+        except FileNotFoundError:
+            return {}
+
+    def _write_refs(self, refs: dict, expected: dict) -> None:
+        """Optimistic swap of the refs file — first writer wins, same
+        rule as the version hint."""
+        if self._refs() != expected:
+            raise CommitConflict(f"{self.root}: refs moved concurrently")
+        tmp = self._refs_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(refs, f, indent=1)
+        os.replace(tmp, self._refs_path())
+
+    def _max_sid(self) -> int:
+        sids = [
+            int(n[5:-5])
+            for n in os.listdir(self._meta)
+            if n.startswith("snap-") and n.endswith(".json")
+        ]
+        return max(sids, default=0)
+
+    def ref_head(self, name: str) -> int | None:
+        if name == "main":
+            return self.current_snapshot_id()
+        ref = self._refs().get(name)
+        if ref is None:
+            raise ValueError(f"{self.root}: no ref {name!r}")
+        return ref["snapshot_id"]
+
+    def create_branch(self, name: str, at: int | None = None) -> int:
+        """Branch from the given snapshot (default: current main)."""
+        return self._create_ref(name, "branch", at)
+
+    def create_tag(self, name: str, at: int | None = None) -> int:
+        """Immutable tag at the given snapshot (default: current main)."""
+        return self._create_ref(name, "tag", at)
+
+    def _create_ref(self, name: str, kind: str, at: int | None) -> int:
+        if name == "main":
+            raise ValueError("'main' is the implicit branch")
+        sid = self._resolve(at)
+        refs = self._refs()
+        if name in refs:
+            raise ValueError(f"{self.root}: ref {name!r} exists")
+        self._write_refs(
+            {**refs, name: {"type": kind, "snapshot_id": sid}}, refs
+        )
+        return sid
+
+    def drop_ref(self, name: str) -> None:
+        refs = self._refs()
+        if name not in refs:
+            raise ValueError(f"{self.root}: no ref {name!r}")
+        self._write_refs(
+            {k: v for k, v in refs.items() if k != name}, refs
+        )
+
+    def read_ref(self, name: str) -> DataFrame:
+        return self.read(snapshot_id=self.ref_head(name))
+
+    def refs(self) -> DataFrame:
+        rows = [("main", "branch", self.current_snapshot_id())] + [
+            (n, r["type"], r["snapshot_id"])
+            for n, r in sorted(self._refs().items())
+        ]
+        return self.spark.createDataFrame(
+            rows, "name string, type string, snapshot_id int"
+        )
+
+    def is_ancestor(self, ancestor: int, descendant: int) -> bool:
+        sid: int | None = descendant
+        while sid is not None:
+            if sid == ancestor:
+                return True
+            if not os.path.exists(self._manifest_path(sid)):
+                return False
+            sid = self._manifest(sid)["parent_id"]
+        return False
+
+    def append_to(self, df: DataFrame, branch: str) -> int:
+        """Append committed to a BRANCH head; main readers see nothing
+        until :meth:`fast_forward` publishes the branch."""
+        ref = self._refs().get(branch)
+        if ref is None or ref["type"] != "branch":
+            raise ValueError(f"{self.root}: no branch {branch!r}")
+        return self._commit(df, "append", ref=branch)
+
+    def fast_forward(self, branch: str) -> int:
+        """The WAP publish: advance main to the branch head.  Requires
+        main's current snapshot to be an ancestor of the branch head
+        (otherwise histories diverged and a fast-forward would silently
+        drop main commits — the same rule as Iceberg's
+        fast_forward procedure)."""
+        head = self.ref_head(branch)
+        cur = self.current_snapshot_id()
+        if head is None:
+            raise ValueError(f"{self.root}: branch {branch!r} has no head")
+        if cur is not None and not self.is_ancestor(cur, head):
+            raise CommitConflict(
+                f"{self.root}: main {cur} is not an ancestor of "
+                f"{branch!r} head {head} — cannot fast-forward"
+            )
+        tmp = self._hint_path() + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(head))
+        os.replace(tmp, self._hint_path())
+        return head
+
     def _resolve(self, snapshot_id: int | None) -> int:
         sid = self.current_snapshot_id() if snapshot_id is None else snapshot_id
         if sid is None:
@@ -222,12 +343,21 @@ class SnapshotTable:
         batch_id: int | None = None,
         delete_key_cols: list[str] | None = None,
         delete_df: DataFrame | None = None,
+        ref: str = "main",
     ) -> int:
         """One snapshot commit carrying data files (``df``), an
         equality-delete file (``delete_df`` of ``delete_key_cols``), or
-        BOTH (merge/upsert)."""
-        parent = self.current_snapshot_id()
-        sid = (parent or 0) + 1
+        BOTH (merge/upsert).  ``ref`` selects the branch the commit
+        advances ("main" = the version hint)."""
+        parent = self.ref_head(ref)
+        # snapshot ids are parent+1 on a ref-free table (the pinned
+        # rollback/orphan semantics); once ANY ref exists, ids allocate
+        # globally so a main commit can never overwrite a manifest that
+        # a branch/tag history still reaches (and vice versa)
+        if self._refs():
+            sid = max(self._max_sid(), parent or 0) + 1
+        else:
+            sid = (parent or 0) + 1
         # sweep leftovers from a crashed attempt at this id (invisible to
         # readers: nothing references them until a manifest + hint commit)
         staging = os.path.join(self.root, f"tmp-commit-{sid}")
@@ -329,7 +459,7 @@ class SnapshotTable:
             json.dump(manifest, f, indent=1)
 
         # optimistic check THEN atomic swap — first writer wins
-        if self.current_snapshot_id() != parent:
+        if self.ref_head(ref) != parent:
             os.remove(tmp_m)
             for p in [q for q, _ in new_files] + del_files:
                 os.remove(p)
@@ -337,10 +467,16 @@ class SnapshotTable:
                 f"{self.root}: parent moved past snapshot {parent}"
             )
         os.replace(tmp_m, mpath)
-        tmp_h = self._hint_path() + ".tmp"
-        with open(tmp_h, "w") as f:
-            f.write(str(sid))
-        os.replace(tmp_h, self._hint_path())
+        if ref == "main":
+            tmp_h = self._hint_path() + ".tmp"
+            with open(tmp_h, "w") as f:
+                f.write(str(sid))
+            os.replace(tmp_h, self._hint_path())
+        else:
+            refs = self._refs()
+            self._write_refs(
+                {**refs, ref: {**refs[ref], "snapshot_id": sid}}, refs
+            )
         return sid
 
     def append(self, df: DataFrame) -> int:
@@ -627,6 +763,15 @@ class SnapshotTable:
             chain.append(sid)
             sid = self._manifest(sid)["parent_id"]
         keep = set(chain[: max(keep_last, 1)])
+        # every snapshot reachable from a named ref stays readable —
+        # branches and tags protect their full history from expiry
+        for name in self._refs():
+            sid = self.ref_head(name)
+            while sid is not None and os.path.exists(
+                self._manifest_path(sid)
+            ):
+                keep.add(sid)
+                sid = self._manifest(sid)["parent_id"]
         # snapshots past the current hint (e.g. after rollback) are
         # unreferenced by definition
         all_sids = {
