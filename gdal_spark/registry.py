@@ -14065,8 +14065,10 @@ _BPE_MERGES_VALUES = ", ".join(
     ])
 )
 
-_BPE_ORACLE = f"""
-WITH RECURSIVE
+# The merges/vocab/rec/term/tok chain is shared by bpe_encode and
+# token_fertility (one formula text, composed — the _dsir_oracle_ctes
+# pattern).
+_BPE_TOK_CTES = f"""WITH RECURSIVE
 merges(rank, l, r) AS (SELECT * FROM (VALUES {_BPE_MERGES_VALUES})),
 vocab AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS word FROM documents),
 rec(word, toks) AS (
@@ -14098,7 +14100,9 @@ term AS (
 ),
 tok AS (SELECT word, CAST(len(toks) AS BIGINT) AS n_toks,
                array_to_string(toks, '|') AS toks_pipe
-        FROM term),
+        FROM term)"""
+
+_BPE_ORACLE = f"""{_BPE_TOK_CTES},
 occ AS (SELECT doc_id, string_split(text, ' ')[1] AS w0,
                unnest(string_split(text, ' ')) AS word
         FROM documents),
@@ -14846,4 +14850,67 @@ def q_table_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit("pre_publish").alias("ref"), "o_orderkey", "price_c"
             )
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# Tokenizer fertility per language (the standard multilingual-tokenizer
+# diagnostic — tokens per word and bytes per token under the frozen BPE
+# merge table; high fertility = the tokenizer fragments that language,
+# the signal behind vocabulary-budget decisions in mT5/BLOOM-style
+# practice — and the metric reported as "fertility" in tokenizer
+# papers, e.g. Rust et al. 2021, arXiv:2012.15613).  Composes the
+# SHARED BPE tok chain (_BPE_TOK_CTES — the bpe_encode program, one
+# formula text) with a per-lang rollup: word occurrences join the
+# distinct-word token dim (broadcast; Python only inside the word-dim
+# mapInPandas), then ONE map-side-combined groupBy(lang).  Ratios are
+# exact integer micro-units via the (x - x%y)/y floor-division form.
+# --------------------------------------------------------------------------
+_FERT_TAIL = """,
+occ AS ({occ_sql}),
+agg AS (
+  SELECT o.lang,
+         CAST(COUNT(*) AS BIGINT) AS n_words,
+         CAST(SUM(t.n_toks) AS BIGINT) AS n_tokens,
+         CAST(SUM(length(o.word)) AS BIGINT) AS n_word_chars
+  FROM occ o JOIN tok t {using_sql}
+  GROUP BY o.lang
+)
+SELECT lang, n_words, n_tokens, n_word_chars,
+       CAST(((n_tokens * 1000000) - ((n_tokens * 1000000) % n_words))
+            / n_words AS BIGINT) AS fertility_ppm,
+       CAST(((n_word_chars * 1000) - ((n_word_chars * 1000) % n_tokens))
+            / n_tokens AS BIGINT) AS chars_per_token_milli
+FROM agg
+"""
+
+_FERT_ORACLE = _BPE_TOK_CTES + _FERT_TAIL.format(
+    occ_sql="SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word"
+            " FROM documents",
+    using_sql="USING (word)",
+)
+
+
+@register("token_fertility", _FERT_ORACLE)
+def q_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.operators.bpe import encode_vocab
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    occ = d.select("lang", F.explode(F.split("text", " ")).alias("word"))
+    tok = encode_vocab(occ.select("word").distinct())
+    agg = (
+        occ.join(F.broadcast(tok), "word")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+            F.sum(F.length("word")).cast("long").alias("n_word_chars"),
+        )
+    )
+    return agg.selectExpr(
+        "lang", "n_words", "n_tokens", "n_word_chars",
+        "CAST(((n_tokens * 1000000) - ((n_tokens * 1000000) % n_words))"
+        " / n_words AS BIGINT) AS fertility_ppm",
+        "CAST(((n_word_chars * 1000) - ((n_word_chars * 1000) % n_tokens))"
+        " / n_tokens AS BIGINT) AS chars_per_token_milli",
     )
