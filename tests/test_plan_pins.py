@@ -317,3 +317,49 @@ class TestRound4fPlans:
         assert "ArrowEvalPython" in plan, plan  # the exact refine
         assert "BroadcastHashJoin" in plan, plan
         assert "SortMergeJoin" not in plan, plan
+
+
+class TestRound4hPlans:
+    """Plan pins for the round-4h additions (set-type matrix, curation
+    sampling family, paragraph/url dedup, tokenizer fertility)."""
+
+    def _q(self, spark, sf_dir, name):
+        import __spark_entry__ as entry_mod
+
+        spark.catalog.clearCache()
+        return _plan(entry_mod.queries()[name](spark, sf_dir))
+
+    def test_raster_set_type_zero_shuffle_jvm(self, spark, sf_dir):
+        # the whole conversion matrix is one codegen projection
+        plan = self._q(spark, sf_dir, "raster_set_type")
+        assert _shuffles(plan) == 0, plan
+        assert "Python" not in plan and "Join" not in plan, plan
+
+    def test_url_dedup_single_shuffle_jvm(self, spark, sf_dir):
+        # canonicalization is pure string codegen; one canon-key reduce
+        plan = self._q(spark, sf_dir, "url_dedup")
+        assert _shuffles(plan) == 1, plan
+        assert "Python" not in plan and "Join" not in plan, plan
+
+    def test_paragraph_dedup_jvm_no_blowup(self, spark, sf_dir):
+        # paragraph chunking/joins stay JVM; keeper join must hash-join
+        # (one build row per para key), never nested-loop
+        plan = self._q(spark, sf_dir, "paragraph_dedup")
+        assert "Python" not in plan, plan
+        assert "NestedLoop" not in plan, plan
+
+    def test_sampling_dims_fold_map_side(self, spark, sf_dir):
+        # unimax/temperature/doremi: the ONLY corpus-sized work is the
+        # partial aggregate before the first exchange; windows run on
+        # the lang/source dim
+        for name in ("unimax_sample", "temperature_mix", "doremi_weights"):
+            plan = self._q(spark, sf_dir, name)
+            assert "Python" not in plan, (name, plan)
+            assert "partial" in plan, (name, plan)  # map-side combine
+            assert "CartesianProduct" not in plan, (name, plan)
+
+    def test_token_fertility_python_only_on_vocab_dim(self, spark, sf_dir):
+        plan = self._q(spark, sf_dir, "token_fertility")
+        assert plan.count("MapInPandas") == 1, plan
+        assert "BroadcastHashJoin" in plan, plan
+        assert "SortMergeJoin" not in plan, plan
