@@ -180,3 +180,53 @@ def min_label_components(edges: DataFrame, max_rounds: int = 30) -> DataFrame:
             f"in {max_rounds} rounds; raise max_rounds"
         )
     return lab
+
+
+def pagerank_integer(
+    edges: DataFrame,
+    rounds: int = 10,
+    scale: int = 10**10,
+    damp_num: int = 85,
+    damp_den: int = 100,
+) -> DataFrame:
+    """K power-iteration rounds of PageRank in EXACT integer fixed-point.
+
+    Classic float PageRank sums partition-ordered doubles — not
+    reproducible across cluster sizes.  This variant keeps every rank in
+    integer units of ``1/scale``: the per-edge contribution is the exact
+    floor division (rank·d) // (den·deg) and the teleport term
+    (den−d)·scale // den, so every aggregate is an integer SUM —
+    associative, hence bit-identical at any parallelism.  The floor
+    leaks ≤ deg ulps of mass per node per round (deterministic).
+
+    ``edges``: (src, dst) directed; every node must have out-degree ≥ 1
+    (no dangling handling — the caller's graph is strongly connected).
+    Each round ends in an eager localCheckpoint (the repo's iterative-
+    lineage rule)."""
+    e = edges.select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+    )
+    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    ed = e.join(deg, "src")
+    teleport = ((damp_den - damp_num) * scale) // damp_den
+    r = (
+        deg.select(F.col("src").alias("node_id"))
+        .withColumn("rank", F.lit(scale).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        contrib = r.join(ed, r.node_id == ed.src).select(
+            F.col("dst").alias("node_id"),
+            F.expr(
+                f"CAST((rank * {damp_num}"
+                f" - ((rank * {damp_num}) % ({damp_den} * deg)))"
+                f" / ({damp_den} * deg) AS LONG)"
+            ).alias("c"),
+        )
+        r = (
+            contrib.groupBy("node_id")
+            .agg((F.lit(teleport) + F.sum("c")).cast("long").alias("rank"))
+            .localCheckpoint(eager=True)
+        )
+    return r

@@ -14914,3 +14914,76 @@ def q_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(((n_word_chars * 1000) - ((n_word_chars * 1000) % n_tokens))"
         " / n_tokens AS BIGINT) AS chars_per_token_milli",
     )
+
+
+# --------------------------------------------------------------------------
+# PageRank over the GNM road network (gnm/gnmgraph.cpp holds the graph;
+# PageRank itself is the canonical iterative-linear-algebra workload a
+# Spark graph engine must run — Page et al. 1999, d = 0.85).  Exact
+# INTEGER fixed-point power iteration (operators/graph.py
+# pagerank_integer): per-edge contribution (rank·85) // (100·deg) and
+# teleport 15·scale // 100 are exact floor divisions, so every round's
+# aggregate is an integer SUM — associative, hence bit-identical at any
+# cluster size (classic float PageRank is partition-order-dependent;
+# the ≤deg-ulp/round floor leak is the documented, deterministic
+# trade).  Engine = 10 DataFrame rounds with eager localCheckpoint (the
+# iterative-lineage rule); oracle = the SAME integer program unrolled
+# as 10 MATERIALIZED CTE rounds; a plain-Python port pins the values in
+# tests/test_round4h.py.  Scale shape per round: one co-keyed join +
+# one map-side-combined reduce — the standard Pregel superstep.
+# --------------------------------------------------------------------------
+_PR_ROUNDS = 10
+_PR_SCALE = 10**10
+
+
+def _pagerank_oracle() -> str:
+    t = ((100 - 85) * _PR_SCALE) // 100
+    ctes = [
+        f"rc AS (SELECT CAST(t.i AS BIGINT) % {_GNM_N} AS c,"
+        f" CAST((t.i - t.i % {_GNM_N}) / {_GNM_N} AS BIGINT) AS r"
+        f" FROM range(0, {_GNM_N * _GNM_N}) t(i))",
+        f"fwd AS ({_GNM_EDGES})",
+        "edges AS (SELECT u AS src, v AS dst FROM fwd"
+        " UNION ALL SELECT v AS src, u AS dst FROM fwd)",
+        "deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg"
+        " FROM edges GROUP BY src)",
+        "ed AS (SELECT e.src, e.dst, d.deg FROM edges e"
+        " JOIN deg d ON e.src = d.src)",
+        f"r0 AS (SELECT src AS node_id, CAST({_PR_SCALE} AS BIGINT) AS rank"
+        " FROM deg)",
+    ]
+    for i in range(1, _PR_ROUNDS + 1):
+        ctes.append(
+            f"r{i} AS MATERIALIZED ("
+            f"SELECT ed.dst AS node_id, CAST({t} + SUM("
+            f"(r.rank * 85 - ((r.rank * 85) % (100 * ed.deg)))"
+            f" / (100 * ed.deg)) AS BIGINT) AS rank"
+            f" FROM r{i - 1} r JOIN ed ON r.node_id = ed.src"
+            f" GROUP BY ed.dst)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node_id, rank FROM r{_PR_ROUNDS}"
+    )
+
+
+@register("gnm_pagerank", _pagerank_oracle())
+def q_gnm_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.operators.graph import pagerank_integer
+
+    n = _GNM_N
+    rc = spark.range(n * n).selectExpr(
+        f"id % {n} AS c", f"CAST((id - id % {n}) / {n} AS BIGINT) AS r"
+    )
+    rc.createOrReplaceTempView("rc")
+    fwd = spark.sql(f"SELECT u, v, {_GNM_W} AS w FROM (" + f"""
+        SELECT r * {n} + c AS u, r * {n} + c + 1 AS v FROM rc WHERE c + 1 < {n}
+        UNION ALL
+        SELECT r * {n} + c AS u, (r + 1) * {n} + c AS v FROM rc WHERE r + 1 < {n}
+    """ + ") fwd")
+    edges = fwd.selectExpr("u AS src", "v AS dst").unionByName(
+        fwd.selectExpr("v AS src", "u AS dst")
+    )
+    return pagerank_integer(
+        edges, rounds=_PR_ROUNDS, scale=_PR_SCALE
+    )

@@ -339,3 +339,49 @@ class TestDoReMi:
         # more than the uniform share after smoothing
         top = max(rows, key=lambda r: r[3])
         assert top[5] > 1000000 // len(rows)
+
+
+# ------------------------------------------------------------- pagerank
+class TestPageRank:
+    def _python_pagerank(self):
+        n = registry._GNM_N
+        edges = []
+        for r in range(n):
+            for c in range(n):
+                u = r * n + c
+                if c + 1 < n:
+                    edges += [(u, u + 1), (u + 1, u)]
+                if r + 1 < n:
+                    edges += [(u, u + n), (u + n, u)]
+        deg = {}
+        for s, _d in edges:
+            deg[s] = deg.get(s, 0) + 1
+        scale = registry._PR_SCALE
+        t = (15 * scale) // 100
+        rank = {u: scale for u in deg}
+        for _ in range(registry._PR_ROUNDS):
+            new = {u: t for u in deg}
+            for s, d in edges:
+                new[d] += (rank[s] * 85) // (100 * deg[s])
+            rank = new
+        return rank, deg
+
+    def test_matches_python(self):
+        rank, _deg = self._python_pagerank()
+        con = duckdb.connect()
+        got = dict(con.execute(registry.ORACLES["gnm_pagerank"]).fetchall())
+        assert got == rank
+
+    def test_structure(self):
+        rank, deg = self._python_pagerank()
+        n = registry._GNM_N
+        # symmetric grid: the four corner-adjacent interior nodes share
+        # the max; corners (deg 2) sit at the minimum
+        corners = [0, n - 1, n * (n - 1), n * n - 1]
+        assert min(rank, key=rank.get) in corners
+        assert all(deg[c] == 2 for c in corners)
+        # mass approximately conserved (floor leak only): within
+        # rounds * nodes * max_deg ulps of the initial mass
+        total0 = n * n * registry._PR_SCALE
+        leak_bound = registry._PR_ROUNDS * 4 * n * n
+        assert total0 - leak_bound <= sum(rank.values()) <= total0
