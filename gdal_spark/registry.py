@@ -14987,3 +14987,65 @@ def q_gnm_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_integer(
         edges, rounds=_PR_ROUNDS, scale=_PR_SCALE
     )
+
+
+# --------------------------------------------------------------------------
+# Triangle counting over the road network + cell diagonals (the GNM
+# graph again; triangle counting is the canonical one-round distributed
+# graph-join workload — Suri & Vassilvitskii 2011 / Cohen 2009).  The
+# pure grid is bipartite (zero triangles), so the fixture adds the
+# (r,c)->(r+1,c+1) diagonal per cell: exactly 2 triangles per cell =
+# 2·11·11 = 242.  Algorithm = DEGREE-ORDERED ORIENTATION, the published
+# skew bound: each undirected edge orients from the (degree, id)-lesser
+# endpoint, so every triangle is counted exactly once at its minimum
+# node and the wedge join's fan-out is bounded by the ORIENTED
+# out-degree (<= sqrt(2m) on any graph — the reason this survives
+# power-law degree skew at 100 TB, where the naive all-wedges join
+# explodes on hubs).  Two self-equi-joins + one map-side-combined
+# reduce, pure JVM, shared text both engines.
+# --------------------------------------------------------------------------
+_TRI_SQL = f"""
+WITH rc AS (
+  SELECT CAST(t.i AS BIGINT) % {_GNM_N} AS c,
+         CAST((t.i - t.i % {_GNM_N}) / {_GNM_N} AS BIGINT) AS r
+  FROM range(0, {_GNM_N * _GNM_N}) t(i)
+),
+und AS (
+  SELECT r * {_GNM_N} + c AS u, r * {_GNM_N} + c + 1 AS v
+  FROM rc WHERE c + 1 < {_GNM_N}
+  UNION ALL
+  SELECT r * {_GNM_N} + c AS u, (r + 1) * {_GNM_N} + c AS v
+  FROM rc WHERE r + 1 < {_GNM_N}
+  UNION ALL
+  SELECT r * {_GNM_N} + c AS u, (r + 1) * {_GNM_N} + c + 1 AS v
+  FROM rc WHERE r + 1 < {_GNM_N} AND c + 1 < {_GNM_N}
+),
+sym AS (
+  SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und
+),
+deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY u),
+ork AS (SELECT u, d * 1000 + u AS k FROM deg),
+ore AS (
+  SELECT s.u AS src, s.v AS dst, ku.k AS ks, kv.k AS kd
+  FROM sym s JOIN ork ku ON s.u = ku.u JOIN ork kv ON s.v = kv.u
+  WHERE ku.k < kv.k
+),
+tri AS (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM ore e1
+  JOIN ore e2 ON e1.src = e2.src AND e1.kd < e2.kd
+  JOIN ore e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+),
+mem AS (
+  SELECT a AS node_id FROM tri
+  UNION ALL SELECT b AS node_id FROM tri
+  UNION ALL SELECT c AS node_id FROM tri
+)
+SELECT node_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM mem GROUP BY node_id
+"""
+
+
+@register("gnm_triangles", _TRI_SQL)
+def q_gnm_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(_TRI_SQL)

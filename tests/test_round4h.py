@@ -385,3 +385,40 @@ class TestPageRank:
         total0 = n * n * registry._PR_SCALE
         leak_bound = registry._PR_ROUNDS * 4 * n * n
         assert total0 - leak_bound <= sum(rank.values()) <= total0
+
+
+# ------------------------------------------------------------ triangles
+class TestTriangles:
+    def test_matches_bruteforce(self):
+        n = registry._GNM_N
+        adj = {u: set() for u in range(n * n)}
+
+        def add(a, b):
+            adj[a].add(b)
+            adj[b].add(a)
+
+        for r in range(n):
+            for c in range(n):
+                u = r * n + c
+                if c + 1 < n:
+                    add(u, u + 1)
+                if r + 1 < n:
+                    add(u, u + n)
+                if r + 1 < n and c + 1 < n:
+                    add(u, u + n + 1)
+        member = {u: 0 for u in adj}
+        total = 0
+        for a in adj:
+            for b in adj[a]:
+                if b <= a:
+                    continue
+                for c in adj[a] & adj[b]:
+                    if c <= b:
+                        continue
+                    total += 1
+                    for x in (a, b, c):
+                        member[x] += 1
+        assert total == 2 * (n - 1) * (n - 1)  # closed form: 2 per cell
+        con = duckdb.connect()
+        got = dict(con.execute(registry.ORACLES["gnm_triangles"]).fetchall())
+        assert got == {u: m for u, m in member.items() if m > 0}
