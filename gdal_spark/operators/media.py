@@ -56,6 +56,20 @@ def _fake_decode(ref: str, n_bytes: int = 256) -> bytes:
     return (seed * reps)[:n_bytes]
 
 
+def _fake_decode_rich(ref: str, n_bytes: int = 256) -> bytes:
+    """STUB variant with NON-PERIODIC bytes: per-16-byte block b the
+    digest is md5(f"{ref}:{b}"), so block statistics differ across the
+    whole payload (the repeated-digest stub above collapses any
+    block-grid fingerprint to a handful of values).  Used by operators
+    whose semantics depend on payload variety (perceptual hashing)."""
+    out = b""
+    b = 0
+    while len(out) < n_bytes:
+        out += hashlib.md5(f"{ref}:{b}".encode()).digest()
+        b += 1
+    return out[:n_bytes]
+
+
 def media_refs(docs: DataFrame) -> DataFrame:
     """Extract (doc_id, media_ref) rows from the span sequence without
     disturbing it (spans stay intact on the source table)."""
@@ -78,12 +92,15 @@ _FETCH_SCHEMA = StructType(
 )
 
 
-def fetch_media(refs: DataFrame) -> DataFrame:
-    """media_ref -> binary payload + typed metadata (Arrow-batched)."""
+def fetch_media(refs: DataFrame, rich: bool = False) -> DataFrame:
+    """media_ref -> binary payload + typed metadata (Arrow-batched).
+    ``rich`` selects the non-periodic stub payload (see
+    :func:`_fake_decode_rich`)."""
+    decode = _fake_decode_rich if rich else _fake_decode
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = [_fake_decode(r) for r in pdf["media_ref"]]
+            payloads = [decode(r) for r in pdf["media_ref"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -157,3 +174,46 @@ def frame_sample(media: DataFrame, every_k: int = 4, frame_bytes: int = 32) -> D
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(kernel, _FRAME_SCHEMA)
+
+
+_PHASH_SCHEMA = StructType(
+    [
+        StructField("media_ref", StringType()),
+        StructField("phash", LongType()),
+    ]
+)
+
+# dHash grid: 7 rows x 9 cols of 4-byte block sums over the first 252
+# payload bytes; bit (r,c) set iff cell > right neighbor -> 7*8 = 56
+# bits (a positive BIGINT).  Comparing 4-byte SUMS == comparing means
+# (equal block sizes), so the hash is exact integer end to end.
+PHASH_ROWS, PHASH_COLS, PHASH_BLOCK = 7, 9, 4
+
+
+def perceptual_hash(media: DataFrame) -> DataFrame:
+    """payload -> 56-bit dHash (difference hash — the standard
+    perceptual image fingerprint; Krawetz 2013 "Kind of Like That").
+    On real decoders the grid comes from a grayscale resize; the stub
+    payload stands in, same batch shape and bit layout."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n_cells = PHASH_ROWS * PHASH_COLS
+        for pdf in batches:
+            hashes = []
+            for p in pdf["payload"]:
+                arr = np.frombuffer(p, dtype=np.uint8)[: n_cells * PHASH_BLOCK]
+                cells = arr.reshape(n_cells, PHASH_BLOCK).sum(
+                    axis=1, dtype=np.int64
+                ).reshape(PHASH_ROWS, PHASH_COLS)
+                bits = cells[:, :-1] > cells[:, 1:]  # (7, 8)
+                h = 0
+                for r in range(PHASH_ROWS):
+                    for c in range(PHASH_COLS - 1):
+                        if bits[r, c]:
+                            h |= 1 << (r * 8 + c)
+                hashes.append(h)
+            yield pd.DataFrame(
+                {"media_ref": pdf["media_ref"], "phash": np.int64(hashes)}
+            )
+
+    return media.mapInPandas(kernel, _PHASH_SCHEMA)

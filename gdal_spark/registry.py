@@ -15049,3 +15049,160 @@ FROM mem GROUP BY node_id
 @register("gnm_triangles", _TRI_SQL)
 def q_gnm_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_TRI_SQL)
+
+
+# --------------------------------------------------------------------------
+# Exact per-source percentiles (nearest-rank definition) — Spark's
+# percentile_approx is a sketch; curation thresholds (length caps,
+# quality cutoffs) want EXACT order statistics.  p50/p90/p99 of n_chars
+# per source via rank selection: one window rank per (source) partition
+# + the per-source count dim, target rank = ceil(p·n/100) (the
+# classical nearest-rank spec), pivoted to columns with MAX(CASE).
+# Everything integer; ceil via (x + 99 - ((x + 99) % 100)) / 100.
+# Scale note: the window partitions by source (bounded partitions at
+# any corpus size — the 20-source dim), and rank selection reads each
+# partition once; for a single GLOBAL percentile the distributed-rank
+# pattern (corpus_shuffle/quality_buckets) replaces the window.
+# --------------------------------------------------------------------------
+_PCTL_SQL = """
+WITH r AS (
+  SELECT source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM documents
+),
+t AS (
+  SELECT source, n_chars, rn, n,
+         CAST(((n * 50 + 99) - ((n * 50 + 99) % 100)) / 100 AS BIGINT) AS k50,
+         CAST(((n * 90 + 99) - ((n * 90 + 99) % 100)) / 100 AS BIGINT) AS k90,
+         CAST(((n * 99 + 99) - ((n * 99 + 99) % 100)) / 100 AS BIGINT) AS k99
+  FROM r
+)
+SELECT source,
+       CAST(MIN(n) AS BIGINT) AS n_docs,
+       CAST(MAX(CASE WHEN rn = k50 THEN n_chars END) AS BIGINT) AS p50,
+       CAST(MAX(CASE WHEN rn = k90 THEN n_chars END) AS BIGINT) AS p90,
+       CAST(MAX(CASE WHEN rn = k99 THEN n_chars END) AS BIGINT) AS p99
+FROM t GROUP BY source
+"""
+
+
+@register("exact_percentiles", _PCTL_SQL)
+def q_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d.createOrReplaceTempView("documents")
+    return spark.sql(_PCTL_SQL)
+
+
+# --------------------------------------------------------------------------
+# Perceptual-hash image near-dup (the multimodal dedup stage: dHash —
+# Krawetz 2013 — + banded hamming LSH, the image analog of
+# simhash_pairs): doc media refs are grouped doc_id−doc_id%5 so five
+# docs share each asset (planted exact-dup clusters); the 56-bit dHash
+# is computed ONCE per DISTINCT ref in one Arrow mapInPandas over the
+# asset dim (payloads never transit the driver — the media plumbing
+# contract), broadcast back, then banded 4x14-bit LSH self-join +
+# JVM bit_count(xor) <= 6 verify.  The oracle reproduces every hash
+# arithmetically: the rich stub payload is md5(ref||':'||block) per
+# 16-byte block (non-periodic by construction), so DuckDB
+# rebuilds the byte grid from per-block md5 HEX (instr nibble decode),
+# the block sums, the 56 comparison bits, the banding and the hamming
+# — a genuinely independent second implementation of the whole
+# pipeline.  Scale: candidate pairs bounded by LSH bucket occupancy,
+# never all-pairs; hash dim is |distinct assets|, not |docs|.
+# --------------------------------------------------------------------------
+_PH_REF = "'media://' || CAST(doc_id - (doc_id % 5) AS STRING) || '/2'"
+_PH_HEXB = (
+    "((instr('0123456789abcdef', substr(hx, 2 * ({j}) + 1, 1)) - 1) * 16"
+    " + (instr('0123456789abcdef', substr(hx, 2 * ({j}) + 2, 1)) - 1))"
+)
+
+_MEDIA_PHASH_ORACLE = f"""
+WITH docs AS (SELECT doc_id, {_PH_REF} AS ref FROM documents),
+h AS (SELECT DISTINCT ref FROM docs),
+blocks AS (
+  SELECT ref, bb.b AS b, md5(ref || ':' || CAST(bb.b AS STRING)) AS hx
+  FROM h, range(0, 16) bb(b)
+),
+cells AS (
+  SELECT g.ref, g.i AS i, SUM({_PH_HEXB.format(j="g.gb % 16")}) AS cv
+  FROM (
+    SELECT h.ref, ci.i, 4 * ci.i + kk.k AS gb
+    FROM h, range(0, 63) ci(i), range(0, 4) kk(k)
+  ) g
+  JOIN blocks bl
+    ON g.ref = bl.ref AND bl.b = (g.gb - (g.gb % 16)) / 16
+  GROUP BY g.ref, g.i
+),
+bits AS (
+  SELECT a.ref, CAST((a.i // 9) * 8 + (a.i % 9) AS INT) AS p
+  FROM cells a JOIN cells b ON a.ref = b.ref AND b.i = a.i + 1
+  WHERE a.i % 9 < 8 AND a.cv > b.cv
+),
+ph AS (
+  SELECT h.ref,
+         COALESCE(SUM(CAST(1 AS BIGINT) << b.p), 0) AS phash
+  FROM h LEFT JOIN bits b ON h.ref = b.ref
+  GROUP BY h.ref
+),
+dph AS (SELECT d.doc_id, p.phash FROM docs d JOIN ph p ON d.ref = p.ref),
+bnd AS (
+  SELECT doc_id, phash, bb.band AS band,
+         CAST((phash // (CAST(1 AS BIGINT) << CAST(14 * bb.band AS INT)))
+              % 16384 AS INT) AS bits
+  FROM dph, range(0, 4) bb(band)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+  FROM bnd a JOIN bnd b2
+    ON a.band = b2.band AND a.bits = b2.bits AND a.doc_id < b2.doc_id
+)
+SELECT c.id_a, c.id_b,
+       CAST(bit_count(xor(pa.phash, pb.phash)) AS INT) AS hamming
+FROM cand c
+JOIN dph pa ON c.id_a = pa.doc_id
+JOIN dph pb ON c.id_b = pb.doc_id
+WHERE bit_count(xor(pa.phash, pb.phash)) <= 6
+"""
+
+
+@register("media_phash", _MEDIA_PHASH_ORACLE)
+def q_media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.operators.media import fetch_media, perceptual_hash
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = d.selectExpr("doc_id", f"{_PH_REF} AS ref")
+    assets = docs.selectExpr(
+        "CAST(0 AS LONG) AS doc_id", "ref AS media_ref"
+    ).distinct()
+    ph = perceptual_hash(fetch_media(assets, rich=True)).selectExpr(
+        "media_ref AS ref", "phash"
+    )
+    dph = docs.join(F.broadcast(ph), "ref").select("doc_id", "phash")
+    bnd = dph.select(
+        "doc_id", "phash",
+        F.explode(F.expr("sequence(0, 3)")).alias("band"),
+    ).selectExpr(
+        "doc_id", "phash", "band",
+        "CAST((phash DIV shiftleft(CAST(1 AS BIGINT), 14 * band)) % 16384"
+        " AS INT) AS bits",
+    )
+    cand = (
+        bnd.alias("a")
+        .join(
+            bnd.alias("b"),
+            F.expr("a.band = b.band AND a.bits = b.bits"
+                   " AND a.doc_id < b.doc_id"),
+        )
+        .selectExpr("a.doc_id AS id_a", "b.doc_id AS id_b")
+        .distinct()
+    )
+    pa = dph.selectExpr("doc_id AS id_a", "phash AS ph_a")
+    pb = dph.selectExpr("doc_id AS id_b", "phash AS ph_b")
+    return (
+        cand.join(pa, "id_a").join(pb, "id_b")
+        .withColumn("hamming", F.expr("CAST(bit_count(ph_a ^ ph_b) AS INT)"))
+        .filter("hamming <= 6")
+        .select("id_a", "id_b", "hamming")
+    )

@@ -422,3 +422,68 @@ class TestTriangles:
         con = duckdb.connect()
         got = dict(con.execute(registry.ORACLES["gnm_triangles"]).fetchall())
         assert got == {u: m for u, m in member.items() if m > 0}
+
+
+# ---------------------------------------------------------- percentiles
+class TestExactPercentiles:
+    def test_matches_python(self, con):
+        import collections
+        groups = collections.defaultdict(list)
+        for doc_id, _t, _l, src, n_chars in _docs(con):
+            groups[src].append((n_chars, doc_id))
+        got = {
+            r[0]: r[1:]
+            for r in con.execute(
+                registry.ORACLES["exact_percentiles"]
+            ).fetchall()
+        }
+        for src, vals in groups.items():
+            vals.sort()
+            n = len(vals)
+            exp = tuple(
+                vals[-(-n * p // 100) - 1][0] for p in (50, 90, 99)
+            )  # nearest-rank: ceil(p*n/100), 1-indexed
+            assert got[src] == (n,) + exp, src
+
+
+# ------------------------------------------------------------ media phash
+class TestMediaPhash:
+    def _python_phash(self, ref):
+        import hashlib
+        out = b""
+        b = 0
+        while len(out) < 256:
+            out += hashlib.md5(f"{ref}:{b}".encode()).digest()
+            b += 1
+        arr = list(out[:252])
+        cells = [sum(arr[4 * i : 4 * i + 4]) for i in range(63)]
+        h = 0
+        for i in range(63):
+            if i % 9 < 8 and cells[i] > cells[i + 1]:
+                h |= 1 << ((i // 9) * 8 + (i % 9))
+        return h
+
+    def test_matches_python(self, con):
+        # third implementation: pure-Python dHash per distinct asset,
+        # pair enumeration per the planted 5-doc clusters
+        doc_ids = [d for (d, *_r) in _docs(con)]
+        groups = {}
+        for d in doc_ids:
+            groups.setdefault(d - d % 5, []).append(d)
+        hashes = {
+            gid: self._python_phash(f"media://{gid}/2") for gid in groups
+        }
+        exp = set()
+        for gid, ids in groups.items():
+            ids.sort()
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    exp.add((ids[i], ids[j], 0))
+        # accidental cross-cluster survivors would need hamming <= 6 on
+        # 56 pseudo-random bits — assert none at this sf, and that the
+        # hash space is genuinely wide (all cluster hashes distinct)
+        assert len(set(hashes.values())) == len(hashes)
+        got = set(
+            con.execute(registry.ORACLES["media_phash"]).fetchall()
+        )
+        assert got == exp
