@@ -217,3 +217,76 @@ def perceptual_hash(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(kernel, _PHASH_SCHEMA)
+
+
+_ENERGY_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("win", IntegerType()),
+        StructField("energy", LongType()),
+    ]
+)
+
+AUDIO_WIN = 32  # samples per energy window
+
+
+def audio_energy(media: DataFrame) -> DataFrame:
+    """payload as centered 8-bit PCM -> per-window sum-of-squares energy
+    (the silence-detection primitive).  Exact integers; one Arrow stage;
+    a real decoder replaces the payload, not the kernel shape."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "win": [], "energy": []}
+            for did, p in zip(pdf["doc_id"], pdf["payload"]):
+                s = np.frombuffer(p, dtype=np.uint8).astype(np.int64) - 128
+                n_win = s.size // AUDIO_WIN
+                e = (
+                    (s[: n_win * AUDIO_WIN] ** 2)
+                    .reshape(n_win, AUDIO_WIN)
+                    .sum(axis=1)
+                )
+                rows["doc_id"] += [did] * n_win
+                rows["win"] += list(range(n_win))
+                rows["energy"] += e.tolist()
+            out = pd.DataFrame(rows)
+            out["win"] = out["win"].astype("int32")
+            out["energy"] = out["energy"].astype("int64")
+            yield out
+
+    return media.mapInPandas(kernel, _ENERGY_SCHEMA)
+
+
+_SCENE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("l1_diff", LongType()),
+    ]
+)
+
+SCENE_FRAME_BYTES = 32
+
+
+def scene_diffs(media: DataFrame) -> DataFrame:
+    """payload as fixed-size frames -> per-frame L1 distance to the
+    previous frame (the scene-cut detection primitive; frame 0 has no
+    predecessor and emits nothing)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "frame_idx": [], "l1_diff": []}
+            for did, p in zip(pdf["doc_id"], pdf["payload"]):
+                a = np.frombuffer(p, dtype=np.uint8).astype(np.int64)
+                n_f = a.size // SCENE_FRAME_BYTES
+                f = a[: n_f * SCENE_FRAME_BYTES].reshape(n_f, SCENE_FRAME_BYTES)
+                d = np.abs(f[1:] - f[:-1]).sum(axis=1)
+                rows["doc_id"] += [did] * (n_f - 1)
+                rows["frame_idx"] += list(range(1, n_f))
+                rows["l1_diff"] += d.tolist()
+            out = pd.DataFrame(rows)
+            out["frame_idx"] = out["frame_idx"].astype("int32")
+            out["l1_diff"] = out["l1_diff"].astype("int64")
+            yield out
+
+    return media.mapInPandas(kernel, _SCENE_SCHEMA)

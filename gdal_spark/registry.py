@@ -15206,3 +15206,98 @@ def q_media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter("hamming <= 6")
         .select("id_a", "id_b", "hamming")
     )
+
+
+# --------------------------------------------------------------------------
+# Audio + video span analysis (the remaining two modalities of the
+# interleaved-payload contract, same plumbing rules as media_phash:
+# Arrow kernels over payloads that never transit the driver, oracle
+# rebuilding every byte from the per-block md5 arithmetic).
+#   media_audio_energy — payload as centered 8-bit PCM, per-32-sample
+#     window sum-of-squares energy + silence flag (the VAD primitive);
+#     refs come from the SPAN SEQUENCE (media_refs over kind='media'),
+#     so the query also exercises span extraction.
+#   media_scene_cuts — payload as 8 fixed 32-byte frames, per-frame L1
+#     distance to the previous frame + cut flag (shot-boundary
+#     primitive).  Exact integers end to end; one Arrow stage each.
+# --------------------------------------------------------------------------
+_MA_REF = "'media://' || CAST(doc_id AS STRING) || '/2'"
+_MA_BYTES = f"""
+h AS (SELECT doc_id, {_MA_REF} AS ref FROM documents),
+blocks AS (
+  SELECT doc_id, bb.b AS b, md5(ref || ':' || CAST(bb.b AS STRING)) AS hx
+  FROM h, range(0, 16) bb(b)
+),
+bytes AS (
+  SELECT g.doc_id, g.g AS g,
+         {_PH_HEXB.format(j="g.g % 16")} AS bv
+  FROM (SELECT doc_id, gg.g FROM h, range(0, 256) gg(g)) g
+  JOIN blocks bl
+    ON g.doc_id = bl.doc_id AND bl.b = (g.g - (g.g % 16)) / 16
+)
+"""
+
+_AUDIO_SILENCE_T = 170000
+
+_MEDIA_AUDIO_ORACLE = f"""
+WITH {_MA_BYTES}
+SELECT doc_id,
+       CAST((g - (g % 32)) / 32 AS INT) AS win,
+       CAST(SUM((bv - 128) * (bv - 128)) AS BIGINT) AS energy,
+       CAST(CASE WHEN SUM((bv - 128) * (bv - 128)) < {_AUDIO_SILENCE_T}
+                 THEN 1 ELSE 0 END AS INT) AS is_silence
+FROM bytes
+GROUP BY doc_id, (g - (g % 32)) / 32
+"""
+
+
+@register("media_audio_energy", _MEDIA_AUDIO_ORACLE)
+def q_media_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.operators.media import (
+        audio_energy,
+        fetch_media,
+        media_refs,
+    )
+
+    docs = corpus.load_docs(spark, sf_dir)
+    refs = media_refs(docs)
+    e = audio_energy(fetch_media(refs, rich=True))
+    return e.selectExpr(
+        "doc_id", "win", "energy",
+        f"CAST(CASE WHEN energy < {_AUDIO_SILENCE_T} THEN 1 ELSE 0 END"
+        " AS INT) AS is_silence",
+    )
+
+
+_SCENE_CUT_T = 2730
+
+_MEDIA_SCENE_ORACLE = f"""
+WITH {_MA_BYTES}
+SELECT a.doc_id,
+       CAST((a.g - (a.g % 32)) / 32 AS INT) AS frame_idx,
+       CAST(SUM(CASE WHEN a.bv > p.bv THEN a.bv - p.bv ELSE p.bv - a.bv END)
+            AS BIGINT) AS l1_diff,
+       CAST(CASE WHEN SUM(CASE WHEN a.bv > p.bv THEN a.bv - p.bv
+                              ELSE p.bv - a.bv END) > {_SCENE_CUT_T}
+                 THEN 1 ELSE 0 END AS INT) AS is_cut
+FROM bytes a JOIN bytes p ON a.doc_id = p.doc_id AND p.g = a.g - 32
+GROUP BY a.doc_id, (a.g - (a.g % 32)) / 32
+"""
+
+
+@register("media_scene_cuts", _MEDIA_SCENE_ORACLE)
+def q_media_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.operators.media import (
+        fetch_media,
+        media_refs,
+        scene_diffs,
+    )
+
+    docs = corpus.load_docs(spark, sf_dir)
+    refs = media_refs(docs)
+    d = scene_diffs(fetch_media(refs, rich=True))
+    return d.selectExpr(
+        "doc_id", "frame_idx", "l1_diff",
+        f"CAST(CASE WHEN l1_diff > {_SCENE_CUT_T} THEN 1 ELSE 0 END"
+        " AS INT) AS is_cut",
+    )

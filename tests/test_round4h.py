@@ -487,3 +487,43 @@ class TestMediaPhash:
             con.execute(registry.ORACLES["media_phash"]).fetchall()
         )
         assert got == exp
+
+
+# ----------------------------------------------------- audio/scene media
+def _rich_payload(ref):
+    import hashlib
+    out = b""
+    b = 0
+    while len(out) < 256:
+        out += hashlib.md5(f"{ref}:{b}".encode()).digest()
+        b += 1
+    return out[:256]
+
+
+class TestMediaAudioScene:
+    def test_audio_matches_python(self, con):
+        got = {}
+        for r in con.execute(
+            registry.ORACLES["media_audio_energy"]
+        ).fetchall():
+            got[(r[0], r[1])] = (r[2], r[3])
+        for (doc_id, *_r) in _docs(con):
+            p = _rich_payload(f"media://{doc_id}/2")
+            for w in range(8):
+                e = sum(
+                    (b - 128) ** 2 for b in p[32 * w : 32 * w + 32]
+                )
+                assert got[(doc_id, w)] == (e, int(e < 170000)), (doc_id, w)
+
+    def test_scene_matches_python(self, con):
+        got = {}
+        for r in con.execute(registry.ORACLES["media_scene_cuts"]).fetchall():
+            got[(r[0], r[1])] = (r[2], r[3])
+        for (doc_id, *_r) in _docs(con):
+            p = _rich_payload(f"media://{doc_id}/2")
+            frames = [p[32 * f : 32 * f + 32] for f in range(8)]
+            for f in range(1, 8):
+                d = sum(
+                    abs(a - b) for a, b in zip(frames[f], frames[f - 1])
+                )
+                assert got[(doc_id, f)] == (d, int(d > 2730)), (doc_id, f)
