@@ -197,23 +197,33 @@ def perceptual_hash(media: DataFrame) -> DataFrame:
     payload stands in, same batch shape and bit layout."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        n_cells = PHASH_ROWS * PHASH_COLS
+        n_bytes = PHASH_ROWS * PHASH_COLS * PHASH_BLOCK
+        # bit p = 8r + c for cell (r, c) vs its right neighbor
+        pow2 = (
+            np.int64(1)
+            << (
+                8 * np.arange(PHASH_ROWS, dtype=np.int64)[:, None]
+                + np.arange(PHASH_COLS - 1, dtype=np.int64)[None, :]
+            )
+        )
         for pdf in batches:
-            hashes = []
-            for p in pdf["payload"]:
-                arr = np.frombuffer(p, dtype=np.uint8)[: n_cells * PHASH_BLOCK]
-                cells = arr.reshape(n_cells, PHASH_BLOCK).sum(
-                    axis=1, dtype=np.int64
-                ).reshape(PHASH_ROWS, PHASH_COLS)
-                bits = cells[:, :-1] > cells[:, 1:]  # (7, 8)
-                h = 0
-                for r in range(PHASH_ROWS):
-                    for c in range(PHASH_COLS - 1):
-                        if bits[r, c]:
-                            h |= 1 << (r * 8 + c)
-                hashes.append(h)
+            if len(pdf) == 0:
+                continue
+            # whole-batch vectorization (no per-row bit loops): stack the
+            # payload prefixes into one (B, 252) matrix
+            mat = np.stack(
+                [
+                    np.frombuffer(p, dtype=np.uint8)[:n_bytes]
+                    for p in pdf["payload"]
+                ]
+            ).astype(np.int64)
+            cells = mat.reshape(-1, PHASH_ROWS, PHASH_COLS, PHASH_BLOCK).sum(
+                axis=3
+            )
+            bits = cells[:, :, :-1] > cells[:, :, 1:]  # (B, 7, 8)
+            hashes = (bits * pow2).sum(axis=(1, 2))
             yield pd.DataFrame(
-                {"media_ref": pdf["media_ref"], "phash": np.int64(hashes)}
+                {"media_ref": pdf["media_ref"], "phash": hashes}
             )
 
     return media.mapInPandas(kernel, _PHASH_SCHEMA)

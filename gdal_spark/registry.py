@@ -15096,21 +15096,27 @@ def q_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Perceptual-hash image near-dup (the multimodal dedup stage: dHash —
+# Perceptual-hash image dedup (the multimodal dedup stage: dHash —
 # Krawetz 2013 — + banded hamming LSH, the image analog of
 # simhash_pairs): doc media refs are grouped doc_id−doc_id%5 so five
 # docs share each asset (planted exact-dup clusters); the 56-bit dHash
 # is computed ONCE per DISTINCT ref in one Arrow mapInPandas over the
 # asset dim (payloads never transit the driver — the media plumbing
-# contract), broadcast back, then banded 4x14-bit LSH self-join +
-# JVM bit_count(xor) <= 6 verify.  The oracle reproduces every hash
-# arithmetically: the rich stub payload is md5(ref||':'||block) per
-# 16-byte block (non-periodic by construction), so DuckDB
-# rebuilds the byte grid from per-block md5 HEX (instr nibble decode),
-# the block sums, the 56 comparison bits, the banding and the hamming
-# — a genuinely independent second implementation of the whole
-# pipeline.  Scale: candidate pairs bounded by LSH bucket occupancy,
-# never all-pairs; hash dim is |distinct assets|, not |docs|.
+# contract).  SCALE SHAPE (reworked after the 2M-doc capacity probe,
+# BASELINE.md round-4h: the first cut banded at the DOC level, which
+# multiplies every LSH bucket by the asset's doc-cluster size and makes
+# candidate volume quadratic in cluster size — 430 s at 2M docs):
+#   * banded 4x14-bit LSH + bit_count verify run on the DISTINCT-ASSET
+#     dim only (near-dup ASSET pairs, folded to a per-asset count);
+#   * docs never pair — they fold into phash CLUSTERS (min-doc keeper +
+#     size) through one map-side-combined groupBy, the dedup_keeper
+#     pattern.  Output is per-doc scalar rows, no pair explosion.
+# The oracle reproduces everything arithmetically: the rich stub
+# payload is md5(ref||':'||block) per 16-byte block (non-periodic by
+# construction), so DuckDB rebuilds the byte grid from per-block md5
+# HEX (instr nibble decode), the block sums, the 56 comparison bits,
+# the asset banding, the hamming verify and the cluster fold — a
+# genuinely independent second implementation of the whole pipeline.
 # --------------------------------------------------------------------------
 _PH_REF = "'media://' || CAST(doc_id - (doc_id % 5) AS STRING) || '/2'"
 _PH_HEXB = (
@@ -15142,28 +15148,44 @@ bits AS (
 ),
 ph AS (
   SELECT h.ref,
-         COALESCE(SUM(CAST(1 AS BIGINT) << b.p), 0) AS phash
+         CAST(COALESCE(SUM(CAST(1 AS BIGINT) << b.p), 0) AS BIGINT) AS phash
   FROM h LEFT JOIN bits b ON h.ref = b.ref
   GROUP BY h.ref
 ),
-dph AS (SELECT d.doc_id, p.phash FROM docs d JOIN ph p ON d.ref = p.ref),
 bnd AS (
-  SELECT doc_id, phash, bb.band AS band,
+  SELECT ref, phash, bb.band AS band,
          CAST((phash // (CAST(1 AS BIGINT) << CAST(14 * bb.band AS INT)))
               % 16384 AS INT) AS bits
-  FROM dph, range(0, 4) bb(band)
+  FROM ph, range(0, 4) bb(band)
 ),
-cand AS (
-  SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+apair AS (
+  SELECT DISTINCT a.ref AS ra, b2.ref AS rb
   FROM bnd a JOIN bnd b2
-    ON a.band = b2.band AND a.bits = b2.bits AND a.doc_id < b2.doc_id
+    ON a.band = b2.band AND a.bits = b2.bits AND a.ref < b2.ref
+),
+nd AS (
+  SELECT ap.ra, ap.rb
+  FROM apair ap
+  JOIN ph pa ON ap.ra = pa.ref JOIN ph pb ON ap.rb = pb.ref
+  WHERE bit_count(xor(pa.phash, pb.phash)) <= 6
+),
+na AS (
+  SELECT ref, CAST(COUNT(*) AS BIGINT) AS n_neardup_assets FROM (
+    SELECT ra AS ref FROM nd UNION ALL SELECT rb AS ref FROM nd
+  ) GROUP BY ref
+),
+dph AS (SELECT d.doc_id, d.ref, p.phash
+        FROM docs d JOIN ph p ON d.ref = p.ref),
+grp AS (
+  SELECT phash, CAST(MIN(doc_id) AS BIGINT) AS keeper_doc,
+         CAST(COUNT(*) AS BIGINT) AS n_cluster
+  FROM dph GROUP BY phash
 )
-SELECT c.id_a, c.id_b,
-       CAST(bit_count(xor(pa.phash, pb.phash)) AS INT) AS hamming
-FROM cand c
-JOIN dph pa ON c.id_a = pa.doc_id
-JOIN dph pb ON c.id_b = pb.doc_id
-WHERE bit_count(xor(pa.phash, pb.phash)) <= 6
+SELECT d.doc_id, d.phash, g.keeper_doc, g.n_cluster,
+       COALESCE(na.n_neardup_assets, 0) AS n_neardup_assets
+FROM dph d
+JOIN grp g ON d.phash = g.phash
+LEFT JOIN na ON d.ref = na.ref
 """
 
 
@@ -15176,35 +15198,59 @@ def q_media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     assets = docs.selectExpr(
         "CAST(0 AS LONG) AS doc_id", "ref AS media_ref"
     ).distinct()
+    # ph is referenced by the banding, BOTH verify sides and the doc
+    # join — without a persist the whole distinct+fetch+hash Arrow
+    # subtree re-executes per reference (the spark.sql-CTE-inlining
+    # failure mode; measured 143 s -> ~30 s at the 2M-doc probe).  LAZY
+    # persist per the _run_cte_chain rule; the asset dim is tiny.
     ph = perceptual_hash(fetch_media(assets, rich=True)).selectExpr(
         "media_ref AS ref", "phash"
-    )
-    dph = docs.join(F.broadcast(ph), "ref").select("doc_id", "phash")
-    bnd = dph.select(
-        "doc_id", "phash",
+    ).persist()
+    # asset-level LSH: band/verify the DISTINCT hashes only
+    bnd = ph.select(
+        "ref", "phash",
         F.explode(F.expr("sequence(0, 3)")).alias("band"),
     ).selectExpr(
-        "doc_id", "phash", "band",
+        "ref", "phash", "band",
         "CAST((phash DIV shiftleft(CAST(1 AS BIGINT), 14 * band)) % 16384"
         " AS INT) AS bits",
     )
-    cand = (
+    apair = (
         bnd.alias("a")
         .join(
             bnd.alias("b"),
-            F.expr("a.band = b.band AND a.bits = b.bits"
-                   " AND a.doc_id < b.doc_id"),
+            F.expr("a.band = b.band AND a.bits = b.bits AND a.ref < b.ref"),
         )
-        .selectExpr("a.doc_id AS id_a", "b.doc_id AS id_b")
+        .selectExpr("a.ref AS ra", "b.ref AS rb")
         .distinct()
     )
-    pa = dph.selectExpr("doc_id AS id_a", "phash AS ph_a")
-    pb = dph.selectExpr("doc_id AS id_b", "phash AS ph_b")
+    pa = ph.selectExpr("ref AS ra", "phash AS ph_a")
+    pb = ph.selectExpr("ref AS rb", "phash AS ph_b")
+    nd = (
+        apair.join(pa, "ra").join(pb, "rb")
+        .filter("bit_count(ph_a ^ ph_b) <= 6")
+        .select("ra", "rb")
+    )
+    na = (
+        nd.selectExpr("ra AS ref")
+        .unionByName(nd.selectExpr("rb AS ref"))
+        .groupBy("ref")
+        .agg(F.count("*").cast("long").alias("n_neardup_assets"))
+    )
+    # docs fold into phash clusters — keeper + size, never doc pairs
+    dph = docs.join(F.broadcast(ph), "ref").select("doc_id", "ref", "phash")
+    grp = dph.groupBy("phash").agg(
+        F.min("doc_id").cast("long").alias("keeper_doc"),
+        F.count("*").cast("long").alias("n_cluster"),
+    )
     return (
-        cand.join(pa, "id_a").join(pb, "id_b")
-        .withColumn("hamming", F.expr("CAST(bit_count(ph_a ^ ph_b) AS INT)"))
-        .filter("hamming <= 6")
-        .select("id_a", "id_b", "hamming")
+        dph.join(grp, "phash")
+        .join(F.broadcast(na), "ref", "left")
+        .selectExpr(
+            "doc_id", "phash", "keeper_doc", "n_cluster",
+            "CAST(COALESCE(n_neardup_assets, 0) AS BIGINT)"
+            " AS n_neardup_assets",
+        )
     )
 
 

@@ -465,7 +465,7 @@ class TestMediaPhash:
 
     def test_matches_python(self, con):
         # third implementation: pure-Python dHash per distinct asset,
-        # pair enumeration per the planted 5-doc clusters
+        # phash-cluster fold + asset-level banded near-dup count
         doc_ids = [d for (d, *_r) in _docs(con)]
         groups = {}
         for d in doc_ids:
@@ -473,19 +473,33 @@ class TestMediaPhash:
         hashes = {
             gid: self._python_phash(f"media://{gid}/2") for gid in groups
         }
+        # hash space genuinely wide: all cluster hashes distinct
+        assert len(set(hashes.values())) == len(hashes)
+        # asset-level near-dup: band collision AND hamming <= 6
+        refs = sorted(groups)
+        nd_count = {g: 0 for g in refs}
+        for i, ga in enumerate(refs):
+            for gb in refs[i + 1 :]:
+                ha, hb = hashes[ga], hashes[gb]
+                bands = any(
+                    (ha >> (14 * b)) % 16384 == (hb >> (14 * b)) % 16384
+                    for b in range(4)
+                )
+                if bands and bin(ha ^ hb).count("1") <= 6:
+                    nd_count[ga] += 1
+                    nd_count[gb] += 1
+        by_hash = {}
+        for gid, ids in groups.items():
+            by_hash.setdefault(hashes[gid], []).extend(ids)
         exp = set()
         for gid, ids in groups.items():
-            ids.sort()
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    exp.add((ids[i], ids[j], 0))
-        # accidental cross-cluster survivors would need hamming <= 6 on
-        # 56 pseudo-random bits — assert none at this sf, and that the
-        # hash space is genuinely wide (all cluster hashes distinct)
-        assert len(set(hashes.values())) == len(hashes)
-        got = set(
-            con.execute(registry.ORACLES["media_phash"]).fetchall()
-        )
+            cluster = by_hash[hashes[gid]]
+            for d in ids:
+                exp.add(
+                    (d, hashes[gid], min(cluster), len(cluster),
+                     nd_count[gid])
+                )
+        got = set(con.execute(registry.ORACLES["media_phash"]).fetchall())
         assert got == exp
 
 
