@@ -230,3 +230,37 @@ def pagerank_integer(
             .localCheckpoint(eager=True)
         )
     return r
+
+
+def k_core(edges: DataFrame, k: int, max_rounds: int = 30) -> DataFrame:
+    """Nodes of the k-core: the maximal subgraph where every node has
+    degree >= k, by iterative peeling (Seidman 1983; the standard
+    distributed formulation — each round drops nodes whose CURRENT
+    degree < k, which lowers neighbors' degrees, until fixpoint).
+
+    ``edges``: (src, dst) directed, both directions present for an
+    undirected graph.  Exact integer degrees; each round is one
+    semi-join + one map-side-combined degree reduce, ended by an eager
+    localCheckpoint (the iterative-lineage rule).  Raises if the
+    fixpoint needs more than ``max_rounds`` (peeling removes >= 1 node
+    per non-final round, so rounds are bounded by |V|)."""
+    e = edges.select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+    ).localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("src")
+        new_e = (
+            e.join(keep, "src")
+            .join(keep.withColumnRenamed("src", "dst"), "dst")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+        if new_e.count() == e.count():
+            surv = new_e.groupBy("src").agg(
+                F.count("*").cast("long").alias("core_deg")
+            )
+            return surv.selectExpr("src AS node_id", "core_deg")
+        e = new_e
+    raise RuntimeError(f"k_core: no fixpoint within {max_rounds} rounds")

@@ -15347,3 +15347,80 @@ def q_media_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CAST(CASE WHEN l1_diff > {_SCENE_CUT_T} THEN 1 ELSE 0 END"
         " AS INT) AS is_cut",
     )
+
+
+# --------------------------------------------------------------------------
+# k-core decomposition over the road network (Seidman 1983 — the last
+# classic of the distributed-graph family next to SSSP/CC/PageRank/
+# triangles): iteratively peel nodes of degree < k until fixpoint.
+# Fixture = the diagonal grid with ANTI-diagonals added in the central
+# 6x6 block, so k=4 peeling cascades inward for 10 rounds from the
+# corners yet the reinforced 45-node center survives (both the cascade
+# and the non-empty fixpoint are structurally non-trivial — plain
+# k=4 dissolves the whole graph, k=3 stops after 2 rounds).  Engine =
+# operators/graph.py k_core: per round one semi-join + one map-side-
+# combined degree reduce, eager localCheckpoint, fixpoint by edge-count
+# equality.  Oracle = 12 UNROLLED MATERIALIZED CTE rounds (each round
+# references the previous THREE times — AS MATERIALIZED prevents the
+# 3^12 inlining blow-up, the SQL flavor of the lineage rule); rounds
+# past the fixpoint are no-ops.  Python peeling recompute pins.
+# --------------------------------------------------------------------------
+_KC_K = 4
+_KC_ROUNDS = 12
+_KC_EDGES_UND = f"""
+  SELECT r * {_GNM_N} + c AS u, r * {_GNM_N} + c + 1 AS v
+  FROM rc WHERE c + 1 < {_GNM_N}
+  UNION ALL
+  SELECT r * {_GNM_N} + c AS u, (r + 1) * {_GNM_N} + c AS v
+  FROM rc WHERE r + 1 < {_GNM_N}
+  UNION ALL
+  SELECT r * {_GNM_N} + c AS u, (r + 1) * {_GNM_N} + c + 1 AS v
+  FROM rc WHERE r + 1 < {_GNM_N} AND c + 1 < {_GNM_N}
+  UNION ALL
+  SELECT r * {_GNM_N} + c + 1 AS u, (r + 1) * {_GNM_N} + c AS v
+  FROM rc WHERE r + 1 < {_GNM_N} AND c + 1 < {_GNM_N}
+   AND r >= 3 AND r < 9 AND c >= 3 AND c < 9
+"""
+
+
+def _kcore_oracle() -> str:
+    ctes = [
+        f"rc AS (SELECT CAST(t.i AS BIGINT) % {_GNM_N} AS c,"
+        f" CAST((t.i - t.i % {_GNM_N}) / {_GNM_N} AS BIGINT) AS r"
+        f" FROM range(0, {_GNM_N * _GNM_N}) t(i))",
+        f"und AS ({_KC_EDGES_UND})",
+        "e0 AS MATERIALIZED (SELECT u AS src, v AS dst FROM und"
+        " UNION ALL SELECT v AS src, u AS dst FROM und)",
+    ]
+    for i in range(1, _KC_ROUNDS + 1):
+        ctes.append(
+            f"k{i} AS MATERIALIZED (SELECT src FROM ("
+            f"SELECT src, COUNT(*) AS c FROM e{i - 1} GROUP BY src)"
+            f" WHERE c >= {_KC_K})"
+        )
+        ctes.append(
+            f"e{i} AS MATERIALIZED (SELECT s.src, s.dst FROM e{i - 1} s"
+            f" JOIN k{i} ka ON s.src = ka.src"
+            f" JOIN k{i} kb ON s.dst = kb.src)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT src AS node_id, CAST(COUNT(*) AS BIGINT) AS core_deg"
+        f" FROM e{_KC_ROUNDS} GROUP BY src"
+    )
+
+
+@register("gnm_kcore", _kcore_oracle())
+def q_gnm_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.operators.graph import k_core
+
+    n = _GNM_N
+    rc = spark.range(n * n).selectExpr(
+        f"id % {n} AS c", f"CAST((id - id % {n}) / {n} AS BIGINT) AS r"
+    )
+    rc.createOrReplaceTempView("rc")
+    und = spark.sql("SELECT u, v FROM (" + _KC_EDGES_UND + ") und")
+    edges = und.selectExpr("u AS src", "v AS dst").unionByName(
+        und.selectExpr("v AS src", "u AS dst")
+    )
+    return k_core(edges, k=_KC_K, max_rounds=_KC_ROUNDS + 2)

@@ -541,3 +541,47 @@ class TestMediaAudioScene:
                     abs(a - b) for a, b in zip(frames[f], frames[f - 1])
                 )
                 assert got[(doc_id, f)] == (d, int(d > 2730)), (doc_id, f)
+
+
+# --------------------------------------------------------------- k-core
+class TestKCore:
+    def test_matches_python(self):
+        n = registry._GNM_N
+        edges = set()
+
+        def add(a, b):
+            edges.add((a, b))
+            edges.add((b, a))
+
+        for r in range(n):
+            for c in range(n):
+                u = r * n + c
+                if c + 1 < n:
+                    add(u, u + 1)
+                if r + 1 < n:
+                    add(u, u + n)
+                if r + 1 < n and c + 1 < n:
+                    add(u, u + n + 1)
+                    if 3 <= r < 9 and 3 <= c < 9:
+                        add(u + 1, u + n)
+        e = set(edges)
+        rounds = 0
+        while True:
+            deg = {}
+            for s, _d in e:
+                deg[s] = deg.get(s, 0) + 1
+            keep = {u for u, d in deg.items() if d >= registry._KC_K}
+            ne = {(s, d) for s, d in e if s in keep and d in keep}
+            rounds += 1
+            if len(ne) == len(e):
+                break
+            e = ne
+        exp = {}
+        for s, _d in e:
+            exp[s] = exp.get(s, 0) + 1
+        # the fixture exercises a REAL cascade within the round budget
+        assert 2 < rounds <= registry._KC_ROUNDS
+        assert exp and all(d >= registry._KC_K for d in exp.values())
+        con = duckdb.connect()
+        got = dict(con.execute(registry.ORACLES["gnm_kcore"]).fetchall())
+        assert got == exp
