@@ -47,6 +47,23 @@ from gdal_spark.geometry.wkt import parse_wkt
 _TREE_CACHE: dict[str, tuple] = {}
 _KEY_SEQ = [0]
 
+# dim-layer contract, ENFORCED: the method layer is driver-materialized
+# (toPandas) then broadcast, so a corpus-sized layer here would OOM the
+# driver silently.  The guard counts at most MAX_DIM_ROWS+1 rows (a
+# bounded limit().count(), never a full scan) and fails loudly with a
+# pointer to the cell-join twin that handles the beyond-driver case.
+MAX_DIM_ROWS = 1_000_000
+
+
+def _dim_guard(df: DataFrame, what: str, twin: str, limit: int) -> None:
+    n = df.limit(limit + 1).count()
+    if n > limit:
+        raise ValueError(
+            f"strtree_join: {what} has more than {limit:,} rows — it no "
+            f"longer fits the driver-materialized dim-layer contract. "
+            f"Use the {twin} twin, which never collects the method layer."
+        )
+
 
 def _tree_of(bc) -> tuple:
     key, ids, wkts = bc.value
@@ -71,12 +88,15 @@ def pip_join_strtree(
     id_col: str = "doc_id",
     lon_col: str = "lon",
     lat_col: str = "lat",
+    max_dim_rows: int = MAX_DIM_ROWS,
 ) -> DataFrame:
     """(doc_id, zone_id) pairs where the point lies inside the zone
     polygon (pip_join's exact containment semantics — same ray-cast
     kernel, same half-open rule)."""
     sc = points.sparkSession.sparkContext
-    zpdf = zones.select(zone_id_col, wkt_col).toPandas()
+    zsel = zones.select(zone_id_col, wkt_col)
+    _dim_guard(zsel, "zone layer", "pip_join (cell join)", max_dim_rows)
+    zpdf = zsel.toPandas()
     _KEY_SEQ[0] += 1
     # driver-unique token: applicationId x per-process sequence number
     key = f"{sc.applicationId}/{_KEY_SEQ[0]}"
@@ -135,6 +155,7 @@ def clip_join_strtree(
     zone_id_col: str = "zone_id",
     wkt_col: str = "geom_wkt",
     id_col: str = "doc_id",
+    max_dim_rows: int = MAX_DIM_ROWS,
 ) -> DataFrame:
     """Exact intersection pieces (doc_id, zone_id, piece_area) with the
     STR-tree candidate stage — the north-star "STR-tree per partition
@@ -152,7 +173,11 @@ def clip_join_strtree(
     (pinned in tests/test_strtree_join.py; same DuckDB oracle as
     clip_general in the registry)."""
     sc = polydocs.sparkSession.sparkContext
-    zpdf = zones.select(zone_id_col, wkt_col).toPandas()
+    zsel = zones.select(zone_id_col, wkt_col)
+    _dim_guard(
+        zsel, "zone layer", "intersection_join (cell join)", max_dim_rows
+    )
+    zpdf = zsel.toPandas()
     _KEY_SEQ[0] += 1
     key = f"{sc.applicationId}/{_KEY_SEQ[0]}/clip"
     bc = sc.broadcast(
@@ -236,6 +261,7 @@ def knn_join_strtree(
     id_col: str = "doc_id",
     lon_col: str = "lon",
     lat_col: str = "lat",
+    max_dim_rows: int = MAX_DIM_ROWS,
 ) -> DataFrame:
     """kNN twin backed by the per-executor STR tree (same dim-layer
     contract and the same exact semantics as knn_join: squared
@@ -249,7 +275,11 @@ def knn_join_strtree(
     stop rule in knn.py:107-118).  Bit-identical to knn_join (pinned in
     tests/test_strtree_join.py; same DuckDB brute-force oracle)."""
     sc = docs.sparkSession.sparkContext
-    tpd = targets.select("target_id", "tlon", "tlat").toPandas()
+    tsel = targets.select("target_id", "tlon", "tlat")
+    _dim_guard(
+        tsel, "target layer", "knn_join (cell-ring join)", max_dim_rows
+    )
+    tpd = tsel.toPandas()
     _KEY_SEQ[0] += 1
     key = f"{sc.applicationId}/{_KEY_SEQ[0]}/knn"
     bc = sc.broadcast(

@@ -11581,6 +11581,11 @@ def q_table_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t = SnapshotTable(spark, root)
     if t.current_snapshot_id() != 3:  # idempotent build, reused across runs
+        if t.current_snapshot_id() is not None:  # crashed partial build
+            import shutil
+
+            shutil.rmtree(root, ignore_errors=True)
+            t = SnapshotTable(spark, root)
         o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
             "o_orderkey", F.expr(_TABLE_INC_PRICE).alias("price_c")
         )
@@ -11623,6 +11628,13 @@ def q_table_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, root, partition_spec=[("doc_id", "bucket[8]")]
     )
     if t.current_snapshot_id() != 2:  # idempotent build, reused across runs
+        if t.current_snapshot_id() is not None:  # crashed partial build
+            import shutil
+
+            shutil.rmtree(root, ignore_errors=True)
+            t = SnapshotTable(
+                spark, root, partition_spec=[("doc_id", "bucket[8]")]
+            )
         d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
             "doc_id", F.col("n_chars").cast("long").alias("n_chars")
         )
@@ -14830,6 +14842,15 @@ def q_table_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t = SnapshotTable(spark, root)
     if t.current_snapshot_id() != 3:  # idempotent build, reused across runs
+        # crash recovery: a partial table (crashed mid-build, e.g. after
+        # create_branch but before sid 3 committed) would otherwise make
+        # every rerun fail with "ref exists" — rebuild from scratch
+        # instead of assuming the root is fresh
+        if t.current_snapshot_id() is not None or t._refs():
+            import shutil
+
+            shutil.rmtree(root, ignore_errors=True)
+            t = SnapshotTable(spark, root)
         o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
             "o_orderkey", F.expr(_TABLE_INC_PRICE).alias("price_c")
         )

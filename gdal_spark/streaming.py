@@ -123,7 +123,7 @@ def stream_dedup(
     caller attaches sink + trigger (Trigger.AvailableNow in tests).
     """
     import pandas as pd
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.streaming.state import GroupStateTimeout
     from pyspark.sql.types import (
         LongType,
         StringType,
@@ -143,7 +143,10 @@ def stream_dedup(
     )
     state_schema = StructType([StructField("seen", StringType())])
 
-    def dedup_fn(key, pdfs, state: GroupState):
+    # hint-free signature: applyInPandasWithState does no hint-based
+    # dispatch, and a PARTIAL annotation set (state only) trips pandas
+    # eval-type inference into a "Cannot infer the eval type" warning
+    def dedup_fn(key, pdfs, state):
         seen = set()
         if state.exists:
             (blob,) = state.get
@@ -230,7 +233,7 @@ def stream_neardup(
     applies it).
     """
     import pandas as pd
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.streaming.state import GroupStateTimeout
     from pyspark.sql.types import (
         IntegerType,
         LongType,
@@ -283,7 +286,8 @@ def stream_neardup(
     )
     state_schema = StructType([StructField("seen", StringType())])
 
-    def neardup_fn(key, pdfs, state: GroupState):
+    # hint-free signature — see dedup_fn's note on eval-type inference
+    def neardup_fn(key, pdfs, state):
         band = int(key[0])
         seen: list[tuple[int, str]] = []
         if state.exists:

@@ -285,6 +285,14 @@ class SnapshotTable:
         tmp = self._hint_path() + ".tmp"
         with open(tmp, "w") as f:
             f.write(str(head))
+        # re-validate immediately before the swap: a main commit landing
+        # between the ancestry check and here would otherwise be
+        # silently discarded — exactly what the guard exists to prevent
+        if self.current_snapshot_id() != cur:
+            os.remove(tmp)
+            raise CommitConflict(
+                f"{self.root}: main moved past {cur} during fast-forward"
+            )
         os.replace(tmp, self._hint_path())
         return head
 
@@ -353,7 +361,14 @@ class SnapshotTable:
         # snapshot ids are parent+1 on a ref-free table (the pinned
         # rollback/orphan semantics); once ANY ref exists, ids allocate
         # globally so a main commit can never overwrite a manifest that
-        # a branch/tag history still reaches (and vice versa)
+        # a branch/tag history still reaches (and vice versa).  This sid
+        # is PROVISIONAL (it only names staging dirs and data files,
+        # which carry a per-attempt nonce anyway): the authoritative
+        # allocation happens at publish time, where the manifest file is
+        # created with O_CREAT|O_EXCL so two racing writers — e.g. a
+        # main commit and a branch commit, each passing its own ref's
+        # optimistic check — can never both claim the same snapshot id
+        # and silently clobber each other's manifest
         if self._refs():
             sid = max(self._max_sid(), parent or 0) + 1
         else:
@@ -453,30 +468,89 @@ class SnapshotTable:
                 for p in del_files
             ],
         }
-        mpath = self._manifest_path(sid)
-        tmp_m = mpath + ".tmp"
-        with open(tmp_m, "w") as f:
-            json.dump(manifest, f, indent=1)
-
-        # optimistic check THEN atomic swap — first writer wins
-        if self.ref_head(ref) != parent:
-            os.remove(tmp_m)
+        def _abandon(msg: str, mpath: str | None = None):
+            if mpath is not None and os.path.exists(mpath):
+                os.remove(mpath)
             for p in [q for q, _ in new_files] + del_files:
-                os.remove(p)
-            raise CommitConflict(
-                f"{self.root}: parent moved past snapshot {parent}"
-            )
-        os.replace(tmp_m, mpath)
+                if os.path.exists(p):
+                    os.remove(p)
+            raise CommitConflict(f"{self.root}: {msg}")
+
+        # optimistic per-ref check — first writer wins on each ref
+        if self.ref_head(ref) != parent:
+            _abandon(f"parent moved past snapshot {parent}")
+
+        def _finalize_sid(s: int) -> None:
+            manifest["snapshot_id"] = s
+            for e in manifest["added_files"]:
+                e["added_sid"] = s
+            for d in manifest["delete_files"]:
+                if d["path"] in del_files:
+                    d["sid"] = s
+
+        if self._refs():
+            # refs exist → sid allocation is itself the contention
+            # point: create the manifest O_CREAT|O_EXCL and re-allocate
+            # on EEXIST, so concurrent commits to DIFFERENT refs (which
+            # both pass their own ref's optimistic check) serialize on
+            # the id instead of os.replace-ing over each other
+            while True:
+                sid = max(self._max_sid(), parent or 0) + 1
+                mpath = self._manifest_path(sid)
+                try:
+                    fd = os.open(
+                        mpath, os.O_CREAT | os.O_EXCL | os.O_WRONLY
+                    )
+                except FileExistsError:
+                    continue
+                _finalize_sid(sid)
+                with os.fdopen(fd, "w") as f:
+                    json.dump(manifest, f, indent=1)
+                break
+        else:
+            # ref-free: sid = parent+1 with os.replace (the pinned
+            # rollback/orphan semantics — a post-rollback commit is
+            # ALLOWED to overwrite the orphaned manifest at this id)
+            mpath = self._manifest_path(sid)
+            _finalize_sid(sid)
+            tmp_m = mpath + ".tmp"
+            with open(tmp_m, "w") as f:
+                json.dump(manifest, f, indent=1)
+            if self.ref_head(ref) != parent:
+                os.remove(tmp_m)
+                _abandon(f"parent moved past snapshot {parent}")
+            os.replace(tmp_m, mpath)
+
         if ref == "main":
+            # re-validate immediately before the swap (the manifest is
+            # unreferenced until the hint commits, so abandoning here
+            # leaves the table untouched)
+            if self.ref_head(ref) != parent:
+                _abandon(
+                    f"parent moved past snapshot {parent}", mpath
+                )
             tmp_h = self._hint_path() + ".tmp"
             with open(tmp_h, "w") as f:
                 f.write(str(sid))
             os.replace(tmp_h, self._hint_path())
         else:
-            refs = self._refs()
-            self._write_refs(
-                {**refs, ref: {**refs[ref], "snapshot_id": sid}}, refs
-            )
+            try:
+                refs = self._refs()
+                if ref not in refs or refs[ref]["snapshot_id"] != parent:
+                    _abandon(
+                        f"ref {ref!r} moved past snapshot {parent}",
+                        mpath,
+                    )
+                self._write_refs(
+                    {**refs, ref: {**refs[ref], "snapshot_id": sid}},
+                    refs,
+                )
+            except CommitConflict:
+                # the refs CAS lost (e.g. a tag created concurrently):
+                # unpublish the manifest + data files so the commit is
+                # all-or-nothing, matching the main-path conflict handler
+                _abandon(f"refs moved — commit to {ref!r} rolled back",
+                         mpath)
         return sid
 
     def append(self, df: DataFrame) -> int:

@@ -105,3 +105,96 @@ def test_drop_ref(spark, root):
     t.drop_ref("tmp")
     with pytest.raises(ValueError):
         t.read_ref("tmp")
+
+
+def test_sid_allocation_never_clobbers_existing_manifest(spark, root):
+    """Two writers racing different refs can both pass their own ref's
+    optimistic check; sid allocation itself must then be the contention
+    point.  Simulate the losing side of that race by planting a
+    manifest at the id the commit would pick: the commit must allocate
+    PAST it (O_CREAT|O_EXCL retry), never os.replace over it."""
+    import json
+    import os
+
+    t = SnapshotTable(spark, root)
+    t.append(_batch(spark, 0, 4))  # sid 1
+    t.create_branch("b")
+    # a "concurrent winner" already holds snap-2.json
+    planted = os.path.join(root, "metadata", "snap-2.json")
+    sentinel = {"snapshot_id": 2, "parent_id": 1, "operation": "append",
+                "files": [], "added_files": [], "delete_files": [],
+                "schema": None, "batch_id": None, "last_batch_id": -1,
+                "sentinel": True}
+    with open(planted, "w") as f:
+        json.dump(sentinel, f)
+    sid = t.append(_batch(spark, 4, 7))
+    assert sid == 3  # allocated past the planted manifest
+    with open(planted) as f:
+        assert json.load(f).get("sentinel") is True  # untouched
+    assert t.read().count() == 7
+
+
+def test_fast_forward_detects_concurrent_main_commit(spark, root):
+    """A main commit landing between fast_forward's ancestry check and
+    its hint swap must not be silently discarded."""
+    t = SnapshotTable(spark, root)
+    t.append(_batch(spark, 0, 5))
+    t.create_branch("audit")
+    t.append_to(_batch(spark, 5, 8), "audit")
+
+    real_is_ancestor = t.is_ancestor
+
+    def racing_is_ancestor(a, d):
+        ok = real_is_ancestor(a, d)
+        # a concurrent writer advances main mid-fast-forward
+        t2 = SnapshotTable(spark, root)
+        t2.append(_batch(spark, 100, 102))
+        return ok
+
+    t.is_ancestor = racing_is_ancestor
+    with pytest.raises(CommitConflict):
+        t.fast_forward("audit")
+    # the concurrent main commit survived
+    assert t.read().count() == 7  # 5 + 2
+
+
+def test_branch_commit_refs_conflict_rolls_back_manifest(spark, root):
+    """If the refs CAS loses (e.g. a tag created concurrently), the
+    branch commit must unpublish its manifest + data files — no
+    half-applied commit."""
+    import json
+    import os
+
+    t = SnapshotTable(spark, root)
+    t.append(_batch(spark, 0, 5))
+    t.create_branch("audit")
+
+    real_write_refs = t._write_refs
+
+    def racing_write_refs(refs, expected):
+        # a concurrent tag lands first, moving the refs file
+        path = os.path.join(root, "metadata", "refs.json")
+        with open(path) as f:
+            cur = json.load(f)
+        cur["surprise_tag"] = {"type": "tag", "snapshot_id": 1}
+        with open(path, "w") as f:
+            json.dump(cur, f)
+        return real_write_refs(refs, expected)
+
+    t._write_refs = racing_write_refs
+    before_manifests = set(os.listdir(os.path.join(root, "metadata")))
+    before_data = set(os.listdir(os.path.join(root, "data")))
+    with pytest.raises(CommitConflict):
+        t.append_to(_batch(spark, 5, 8), "audit")
+    t._write_refs = real_write_refs
+    # nothing half-applied: no new manifest, no new data files
+    after_manifests = {
+        n for n in os.listdir(os.path.join(root, "metadata"))
+        if n.startswith("snap-")
+    }
+    assert after_manifests == {
+        n for n in before_manifests if n.startswith("snap-")
+    }
+    assert set(os.listdir(os.path.join(root, "data"))) == before_data
+    # branch still readable at its old head
+    assert t.read_ref("audit").count() == 5
