@@ -15445,3 +15445,314 @@ def q_gnm_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         und.selectExpr("v AS src", "u AS dst")
     )
     return k_core(edges, k=_KC_K, max_rounds=_KC_ROUNDS + 2)
+
+
+# --------------------------------------------------------------------------
+# OGR SQL STRING front-end (gdal_spark/sqlfrontend.py — the swq dialect
+# of GDALDataset::ExecuteSQL(sql, ..., "OGRSQL"), ogr/swq_parser.y +
+# ogr/ogrsf_frmts/generic/ogr_gensql.cpp).  Every Spark side below is
+# PRODUCED BY THE PARSER from an OGR SQL string — no hand-built
+# DataFrame program — while the oracle is an independent hand-written
+# ANSI rendering of the same semantics (incl. the dialect quirks:
+# case-insensitive string compares, LIKE-sensitive/ILIKE-insensitive,
+# div-by-zero INT_MAX, non-Kleene OR nulls, truncating CAST,
+# first-match joins).  tests/test_ogrsql.py pins the quirk matrix on
+# hand-derived fixtures.
+# --------------------------------------------------------------------------
+
+
+def _ogrsql_layers(spark: SparkSession, sf_dir: str) -> dict:
+    from gdal_spark.sqlfrontend import OgrLayer
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").withColumn(
+        # the secondary layer's FID (first-match join order): a unique
+        # int64 fold of (linenumber, partkey, suppkey, price-cents) —
+        # the synthetic lineitem is NOT unique on (orderkey, linenumber)
+        # alone, and the reference's "first" is the layer's FID order,
+        # so the FID must be collision-free within an orderkey.
+        # Bit budget: 4 + 15 + 10 + 26 = 55 bits < 63
+        "_lifid",
+        F.expr(
+            "((l_linenumber * 32768 + l_partkey) * 1024 + l_suppkey)"
+            " * 67108864 + CAST(round(l_extendedprice * 1.0e2) AS BIGINT)"
+        ),
+    )
+    return {
+        "orders": OgrLayer(
+            spark.read.parquet(f"{sf_dir}/orders.parquet"), fid="o_orderkey"
+        ),
+        "customer": OgrLayer(
+            spark.read.parquet(f"{sf_dir}/customer.parquet"), fid="c_custkey"
+        ),
+        "supplier": OgrLayer(
+            spark.read.parquet(f"{sf_dir}/supplier.parquet"), fid="s_suppkey"
+        ),
+        "lineitem": OgrLayer(li, fid="_lifid"),
+    }
+
+
+_OGRSQL_SELECT = """
+SELECT o_orderkey AS k, CAST(o_totalprice AS integer) AS price_int,
+       SUBSTR(o_orderpriority, 3) AS prio_txt,
+       o_orderkey % 7 AS b7,
+       o_orderkey / (o_orderkey % 5) AS d5,
+       CONCAT(o_orderstatus, '/', o_orderpriority) AS tag
+FROM orders
+WHERE (o_orderpriority = '1-urgent' OR o_orderkey % 3 = 1)
+      AND o_orderdate < '1999-01-01'
+ORDER BY k LIMIT 500 OFFSET 20
+"""
+
+# independent ANSI rendering: lower() for the strcasecmp '=', trunc()
+# for the C float->int cast (DuckDB's bare CAST rounds), the
+# (x - x%y)/y exact integer division idiom, INT_MAX on %5 == 0
+_OGRSQL_SELECT_ORACLE = """
+WITH f AS (
+  SELECT * FROM orders
+  WHERE (lower(o_orderpriority) = '1-urgent' OR o_orderkey % 3 = 1)
+    AND CAST(o_orderdate AS VARCHAR) < '1999-01-01'
+)
+SELECT o_orderkey AS k,
+       CAST(trunc(o_totalprice) AS INTEGER) AS price_int,
+       substr(o_orderpriority, 3) AS prio_txt,
+       o_orderkey % 7 AS b7,
+       CASE WHEN o_orderkey % 5 = 0 THEN CAST(2147483647 AS BIGINT)
+            ELSE CAST((o_orderkey - (o_orderkey % (o_orderkey % 5)))
+                      / (o_orderkey % 5) AS BIGINT) END AS d5,
+       o_orderstatus || '/' || o_orderpriority AS tag
+FROM f
+ORDER BY k LIMIT 500 OFFSET 20
+"""
+
+
+@register("ogrsql_select", _OGRSQL_SELECT_ORACLE)
+def q_ogrsql_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + CAST + SUBSTR + CONCAT + arithmetic (div-by-zero ->
+    INT_MAX, swq_op_general.cpp:678-706) + case-insensitive '='
+    (:955) + string-date compare (ogr_swq.h:90-92) + ORDER/LIMIT/OFFSET,
+    all parsed from one OGR SQL string."""
+    from gdal_spark.sqlfrontend import execute_sql
+
+    return execute_sql(spark, _OGRSQL_SELECT, _ogrsql_layers(spark, sf_dir))
+
+
+_OGRSQL_JOIN = """
+SELECT o_orderkey AS k, o_totalprice AS price,
+       l_linenumber AS ln, l_quantity AS qty
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey % 4 = 1
+"""
+
+_OGRSQL_JOIN_ORACLE = """
+WITH j AS (
+  SELECT o.o_orderkey AS k, o.o_totalprice AS price,
+         l.l_linenumber, l.l_quantity,
+         row_number() OVER (
+           PARTITION BY o.o_orderkey
+           ORDER BY ((l.l_linenumber * 32768 + l.l_partkey) * 1024
+                     + l.l_suppkey) * 67108864
+                    + CAST(round(l.l_extendedprice * 1.0e2) AS BIGINT)
+                    NULLS LAST
+         ) AS rn
+  FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderkey % 4 = 1
+)
+SELECT k, price, l_linenumber AS ln, l_quantity AS qty FROM j WHERE rn = 1
+"""
+
+
+@register("ogrsql_join", _OGRSQL_JOIN_ORACLE)
+def q_ogrsql_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-match LEFT JOIN from a parsed JOIN ... ON string
+    (ogr_gensql.cpp:1497-1527): lineitem has many rows per orderkey —
+    exactly one (the min-FID one) survives per order."""
+    from gdal_spark.sqlfrontend import execute_sql
+
+    return execute_sql(spark, _OGRSQL_JOIN, _ogrsql_layers(spark, sf_dir))
+
+
+_OGRSQL_SUMMARY = """
+SELECT COUNT(*) AS n, COUNT(DISTINCT o_custkey) AS n_cust,
+       MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx,
+       SUM(o_orderkey) AS sk, AVG(o_custkey) AS ac,
+       MIN(o_orderpriority) AS mp
+FROM orders WHERE o_orderstatus = 'o'
+"""
+
+# COUNT casts to BIGINT both sides; SUM(BIGINT) folded back from
+# DuckDB's HUGEINT (the repo's oracle type contract); the WHERE is the
+# strcasecmp '=' ('o' matches status 'O'); MIN on a string column uses
+# BYTE order (swq.cpp:437-466 strcmp — not strcasecmp)
+_OGRSQL_SUMMARY_ORACLE = """
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+       min(o_totalprice) AS mn, max(o_totalprice) AS mx,
+       CAST(sum(o_orderkey) AS BIGINT) AS sk,
+       avg(o_custkey) AS ac,
+       min(o_orderpriority) AS mp
+FROM orders WHERE lower(o_orderstatus) = 'o'
+"""
+
+
+@register("ogrsql_summary", _OGRSQL_SUMMARY_ORACLE)
+def q_ogrsql_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Summary mode (SWQM_SUMMARY_RECORD, ogr_swq.h:320) from a parsed
+    string: one aggregate row, COUNT skips nulls, AVG(int) is the exact
+    sum/count double."""
+    from gdal_spark.sqlfrontend import execute_sql
+
+    return execute_sql(spark, _OGRSQL_SUMMARY, _ogrsql_layers(spark, sf_dir))
+
+
+_OGRSQL_DISTINCT = "SELECT DISTINCT c_mktsegment FROM customer"
+
+
+@register("ogrsql_distinct", _OGRSQL_DISTINCT)
+def q_ogrsql_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT mode (SWQM_DISTINCT_LIST, ogr_swq.h:322) from a parsed
+    string."""
+    from gdal_spark.sqlfrontend import execute_sql
+
+    return execute_sql(
+        spark, _OGRSQL_DISTINCT, _ogrsql_layers(spark, sf_dir)
+    )
+
+
+_OGRSQL_UNION = """
+SELECT c_custkey AS k, c_name AS nm FROM customer WHERE c_custkey % 50 = 0
+UNION ALL
+SELECT s_suppkey AS k, s_name AS nm FROM supplier WHERE s_suppkey % 2 = 1
+"""
+
+_OGRSQL_UNION_ORACLE = """
+SELECT c_custkey AS k, c_name AS nm FROM customer WHERE c_custkey % 50 = 0
+UNION ALL
+SELECT s_suppkey AS k, s_name AS nm FROM supplier WHERE s_suppkey % 2 = 1
+"""
+
+
+@register("ogrsql_union", _OGRSQL_UNION_ORACLE)
+def q_ogrsql_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL statement chaining (gcore/gdaldataset.cpp:7131-7177)
+    from a parsed string."""
+    from gdal_spark.sqlfrontend import execute_sql
+
+    return execute_sql(spark, _OGRSQL_UNION, _ogrsql_layers(spark, sf_dir))
+
+
+def _ogrsql_docs_layer(spark: SparkSession, sf_dir: str) -> dict:
+    from gdal_spark.sqlfrontend import OgrLayer
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").selectExpr(
+        "doc_id",
+        "lang",
+        # an hstore-formatted props column present on every third doc —
+        # the NULL rows drive the OR-null quirk below
+        "CASE WHEN doc_id % 3 = 0 THEN 'x=>' || CAST(doc_id % 5 AS STRING)"
+        " END AS props",
+    )
+    return {"docs": OgrLayer(d, fid="doc_id")}
+
+
+_OGRSQL_QUIRKS = """
+SELECT doc_id FROM docs
+WHERE HSTORE_GET_VALUE(props, 'x') = '1' OR doc_id % 2 = 0
+"""
+
+# the INDEPENDENT encoding of OGR's non-Kleene OR
+# (swq_op_general.cpp:551-556): a NULL operand makes the whole OR null
+# regardless of the other side, and a null WHERE rejects — so every
+# props-less doc (doc_id % 3 <> 0) drops even when doc_id is even,
+# which ANSI OR would keep
+_OGRSQL_QUIRKS_ORACLE = """
+SELECT doc_id FROM documents
+WHERE doc_id % 3 = 0 AND (doc_id % 5 = 1 OR doc_id % 2 = 0)
+"""
+
+
+@register("ogrsql_quirks", _OGRSQL_QUIRKS_ORACLE)
+def q_ogrsql_quirks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OR-null semantics quirk, parsed from a string and checked
+    against an oracle that reconstructs the accepted set from the
+    fixture arithmetic (no shared text)."""
+    from gdal_spark.sqlfrontend import execute_sql
+
+    return execute_sql(
+        spark, _OGRSQL_QUIRKS, _ogrsql_docs_layer(spark, sf_dir)
+    )
+
+
+_OGRSQL_CI = """
+SELECT doc_id, lang FROM docs
+WHERE lang BETWEEN 'DE' AND 'ES' AND lang NOT LIKE '%E%'
+      AND lang ILIKE '%E%'
+"""
+
+# BETWEEN folds case (strcasecmp, swq_op_general.cpp:1080): the
+# UPPERCASE bounds still catch the lowercase langs de/en/es; LIKE is
+# case-SENSITIVE so NOT LIKE '%E%' keeps them all; ILIKE '%E%' then
+# requires a literal e — de/en/es qualify, zh/fr drop
+_OGRSQL_CI_ORACLE = """
+SELECT doc_id, lang FROM documents
+WHERE lang >= 'de' AND lang <= 'es'
+  AND lang NOT LIKE '%E%' AND lower(lang) LIKE '%e%'
+"""
+
+
+@register("ogrsql_like_ci", _OGRSQL_CI_ORACLE)
+def q_ogrsql_like_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-folding matrix from one parsed string: BETWEEN folds
+    (strcasecmp), LIKE does not (OGR_SQL_LIKE_AS_ILIKE default FALSE),
+    ILIKE does."""
+    from gdal_spark.sqlfrontend import execute_sql
+
+    return execute_sql(spark, _OGRSQL_CI, _ogrsql_docs_layer(spark, sf_dir))
+
+
+_OGRSQL_SPECIAL = """
+SELECT FID, OGR_GEOM_AREA AS area FROM polydocs
+WHERE FID % 9 = 0 ORDER BY FID LIMIT 200
+"""
+
+_OGRSQL_SPECIAL_ORACLE = f"""
+WITH docs AS ({{polydocs}})
+SELECT doc_id AS FID, (xmax - xmin) * (ymax - ymin) AS area
+FROM docs WHERE doc_id % 9 = 0 ORDER BY doc_id LIMIT 200
+"""
+
+
+@register("ogrsql_special", _OGRSQL_SPECIAL_ORACLE.format(polydocs=_POLYDOCS_CTE))
+def q_ogrsql_special(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Special fields FID / OGR_GEOM_AREA (ogr_gensql.cpp:824-826)
+    resolved from the layer binding by the parser."""
+    from gdal_spark.sqlfrontend import OgrLayer, execute_sql
+
+    pd_docs = corpus.load_polydocs(spark, sf_dir)
+    layer = OgrLayer(
+        pd_docs,
+        fid="doc_id",
+        geom_area="(xmax - xmin) * (ymax - ymin)",
+    )
+    return execute_sql(spark, _OGRSQL_SPECIAL, {"polydocs": layer})
+
+
+_OGRSQL_EXCEPT = """
+SELECT * EXCEPT (o_orderdate, o_totalprice, o_orderpriority) FROM orders
+WHERE o_orderkey % 101 = 7
+"""
+
+_OGRSQL_EXCEPT_ORACLE = """
+SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+WHERE o_orderkey % 101 = 7
+"""
+
+
+@register("ogrsql_except", _OGRSQL_EXCEPT_ORACLE)
+def q_ogrsql_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT * EXCEPT (...) projection exclusion
+    (swq_parser.y:890-903) from a parsed string."""
+    from gdal_spark.sqlfrontend import execute_sql
+
+    return execute_sql(
+        spark, _OGRSQL_EXCEPT, _ogrsql_layers(spark, sf_dir)
+    )
