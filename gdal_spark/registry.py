@@ -15756,3 +15756,57 @@ def q_ogrsql_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return execute_sql(
         spark, _OGRSQL_EXCEPT, _ogrsql_layers(spark, sf_dir)
     )
+
+
+# --------------------------------------------------------------------------
+# Encoded tile sink (operators/tile_encode.py): the END of the tiling
+# pipeline — actual PNG bytes per tile (gdal2tiles.py:1283-1345 writes
+# base tiles through the PNG driver; ours is a from-scratch
+# stored-deflate writer, so the byte stream is a pure function of the
+# pixels).  The oracle reconstructs the two byte-stream invariants in
+# closed form from the generated pixel grid: total encoded length
+# (format arithmetic) and the zlib Adler-32 of the filtered scanline
+# data (position-weighted integer sums — RFC 1950's A/B accumulators
+# unrolled into SQL).  tests/test_tile_encode.py round-trips the bytes
+# (zlib.decompress + filter strip), cross-checks the table-driven CRC32
+# against zlib's, and commits the tiles through table.py WAP.
+# --------------------------------------------------------------------------
+_TE_T = 64
+_TE_N = _TE_T * (_TE_T + 1)  # filter byte + row bytes per scanline
+_TE_BYTES = 8 + 25 + 12 + (2 + 5 + _TE_N + 4) + 12
+
+_TILE_ENCODE_ORACLE = f"""
+WITH g AS ({_SRC_GRID_CTE}),
+v AS (SELECT px, py, {_SRC_VAL} AS value FROM g WHERE band = 1),
+p AS (
+  SELECT CAST((px - px % {_TE_T}) / {_TE_T} AS BIGINT) AS tx,
+         CAST((py - py % {_TE_T}) / {_TE_T} AS BIGINT) AS ty,
+         px % {_TE_T} AS c, py % {_TE_T} AS r, value
+  FROM v
+),
+a AS (
+  SELECT tx, ty, SUM(value) AS s,
+         SUM(value * ({_TE_N} - (r * {_TE_T + 1} + c + 1))) AS wsum
+  FROM p GROUP BY tx, ty
+)
+SELECT tx, ty, CAST({_TE_BYTES} AS INT) AS n_bytes,
+       CAST((({_TE_N} + wsum) % 65521) * 65536
+            + ((1 + s) % 65521) AS BIGINT) AS adler
+FROM a
+"""
+
+
+@register("tile_encode", _TILE_ENCODE_ORACLE)
+def q_tile_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.operators.raster import source_grid
+    from gdal_spark.operators.tile_encode import encode_png_tiles
+
+    t = _TE_T
+    g = source_grid(spark).filter("band = 1").selectExpr(
+        f"CAST((px - px % {t}) / {t} AS BIGINT) AS tx",
+        f"CAST((py - py % {t}) / {t} AS BIGINT) AS ty",
+        f"px % {t} AS c",
+        f"py % {t} AS r",
+        "value",
+    )
+    return encode_png_tiles(g, tile=t).select("tx", "ty", "n_bytes", "adler")
