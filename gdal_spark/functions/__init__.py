@@ -32,6 +32,7 @@ from pyspark.sql.types import (
     BinaryType,
     BooleanType,
     DoubleType,
+    LongType,
     StringType,
 )
 
@@ -1068,3 +1069,53 @@ def register_sql_functions(spark: SparkSession) -> None:
     spark.udf.register("st_difference", _st_difference_udf)
     spark.udf.register("st_union", _st_union2_udf)
     spark.udf.register("st_symdifference", _st_symdifference_udf)
+
+
+# ---------------------------------------------------------------------------
+# Lower-dimension intersection emit (KEEP_LOWER_DIMENSION_GEOMETRIES,
+# ogr/ogrsf_frmts/generic/ogrlayer.cpp:3345-3580): the shared-boundary
+# LINESTRING pieces GEOS yields when two polygons touch without interior
+# overlap — geometry/polybool.py shared_boundary_chains (opposite-
+# direction collinear sub-edges under the interior-left convention).
+# Corner (point) touches are not emitted — documented divergence.
+# ---------------------------------------------------------------------------
+
+
+def _lowdim_wkt(aw: str, bw: str) -> str:
+    from gdal_spark.geometry.polybool import shared_boundary_wkt
+
+    return shared_boundary_wkt(_as_polys(aw), _as_polys(bw))
+
+
+def _lowdim_len_micro(aw: str, bw: str) -> int:
+    import math
+
+    from gdal_spark.geometry.polybool import (
+        chains_length,
+        shared_boundary_chains,
+    )
+
+    return int(
+        math.floor(
+            chains_length(shared_boundary_chains(_as_polys(aw), _as_polys(bw)))
+            * 1.0e6
+        )
+    )
+
+
+_st_intersection_lowdim_udf = F.pandas_udf(
+    _pairwise(_lowdim_wkt, object), StringType()
+)
+_st_lowdim_len_udf = F.pandas_udf(_pairwise(_lowdim_len_micro, np.int64), LongType())
+
+
+def st_intersection_lowdim(a, b) -> Column:
+    """Shared-boundary LINESTRING/MULTILINESTRING of a touching pair
+    ('LINESTRING EMPTY' when the touch has no 1-D part)."""
+    return _st_intersection_lowdim_udf(a, b)
+
+
+def st_lowdim_len_micro(a, b) -> Column:
+    """floor(1e6 x total length) of the shared boundary — the exact
+    integer the oracle can pin."""
+    return _st_lowdim_len_udf(a, b)

@@ -251,3 +251,117 @@ def general_setop_wkt(polys_a: list, polys_b: list, op: str) -> str:
     """Canonical WKT of the general boolean (POLYGON EMPTY when the
     areal result is empty)."""
     return polys_wkt_q(general_bool_op(polys_a, polys_b, op))
+
+
+# --------------------------------------------------------------------------
+# Lower-dimension intersection results (the linework GEOS emits when two
+# polygons TOUCH without interior overlap — OGRLayer::Intersection keeps
+# or drops them per KEEP_LOWER_DIMENSION_GEOMETRIES,
+# ogr/ogrsf_frmts/generic/ogrlayer.cpp:3345-3580).  With the
+# interior-left canonical orientation, a collinear shared sub-edge whose
+# two directed edges run OPPOSITE ways has the interiors on opposite
+# sides — an exterior touch, exactly the lower-dimension boundary.
+# Same-direction shared sub-edges belong to the AREAL result's boundary
+# and are not lower-dimensional.  Documented divergence: corner
+# (point) touches are not emitted (GEOS yields POINT there).
+# --------------------------------------------------------------------------
+
+
+def shared_boundary_chains(polys_a: list, polys_b: list) -> list:
+    """Maximal polyline chains (quantized vertex lists) of the shared
+    boundary where the interiors are on opposite sides."""
+    A = canon_orient(polys_a)
+    B = canon_orient(polys_b)
+    ea = ring_edges(A)
+    eb = ring_edges(B)
+    ea = ea[((ea[:, 1] - ea[:, 0]) ** 2).sum(axis=1) > _EPS * _EPS]
+    eb = eb[((eb[:, 1] - eb[:, 0]) ** 2).sum(axis=1) > _EPS * _EPS]
+    segs = set()
+    for a, b, m in _split_subedges(ea, eb):
+        dist, odir = _nearest_edge(m, eb)
+        if dist < _EPS_B:
+            d = b - a
+            same = float(d[0] * odir[0] + d[1] * odir[1]) > 0
+            if not same:
+                qa = (quantize(a[0]), quantize(a[1]))
+                qb = (quantize(b[0]), quantize(b[1]))
+                if qa != qb:
+                    segs.add((min(qa, qb), max(qa, qb)))
+    if not segs:
+        return []
+    # chain maximal paths through the undirected segment graph,
+    # splitting at branch points (degree != 2)
+    from collections import defaultdict
+
+    adj: dict = defaultdict(list)
+    for p, q in segs:
+        adj[p].append(q)
+        adj[q].append(p)
+    visited: set = set()
+
+    def walk(start, nxt):
+        chain = [start, nxt]
+        visited.add((min(start, nxt), max(start, nxt)))
+        while True:
+            cur, prev = chain[-1], chain[-2]
+            if len(adj[cur]) != 2:
+                break
+            nbrs = [
+                x
+                for x in adj[cur]
+                if (min(cur, x), max(cur, x)) not in visited
+            ]
+            if not nbrs:
+                break
+            x = nbrs[0]
+            visited.add((min(cur, x), max(cur, x)))
+            chain.append(x)
+        return chain
+
+    chains = []
+    for p in sorted(adj):
+        if len(adj[p]) != 2:
+            for q in sorted(adj[p]):
+                if (min(p, q), max(p, q)) not in visited:
+                    chains.append(walk(p, q))
+    for p in sorted(adj):  # leftover pure loops
+        for q in sorted(adj[p]):
+            if (min(p, q), max(p, q)) not in visited:
+                chains.append(walk(p, q))
+    out = []
+    for ch in chains:
+        if ch[-1] < ch[0]:
+            ch = ch[::-1]
+        out.append(ch)
+    return sorted(out)
+
+
+def lines_wkt_q(chains: list) -> str:
+    """Canonical quantized WKT of shared-boundary chains
+    ('LINESTRING EMPTY' when none)."""
+    if not chains:
+        return "LINESTRING EMPTY"
+
+    def txt(ch):
+        return (
+            "(" + ",".join(f"{fmt_q(x)} {fmt_q(y)}" for x, y in ch) + ")"
+        )
+
+    if len(chains) == 1:
+        return "LINESTRING " + txt(chains[0])
+    return "MULTILINESTRING (" + ",".join(txt(c) for c in chains) + ")"
+
+
+def chains_length(chains: list) -> float:
+    """Total euclidean length of the chains on the q-grid."""
+    total = 0.0
+    for ch in chains:
+        for (x0, y0), (x1, y1) in zip(ch, ch[1:]):
+            dx = (x1 - x0) / QSCALE
+            dy = (y1 - y0) / QSCALE
+            total += float(np.hypot(dx, dy))
+    return total
+
+
+def shared_boundary_wkt(polys_a: list, polys_b: list) -> str:
+    return lines_wkt_q(shared_boundary_chains(polys_a, polys_b))

@@ -241,6 +241,42 @@ def _clip_kernel(
     return kernel
 
 
+def _lowdim_kernel(zone_wkt_col: str, doc_wkt_col: str | None):
+    """mapInPandas kernel replacing piece_wkt with the shared-boundary
+    LINESTRING of a TOUCHING pair (geometry/polybool.py
+    shared_boundary_wkt).  Runs only on the zero-area candidate residue
+    — pairs whose envelopes overlap but interiors don't — a
+    boundary-measure subset, so the per-pair loop is dim-sized, not
+    corpus-sized."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from gdal_spark.geometry.polybool import shared_boundary_wkt
+
+        zcache: dict[str, list] = {}
+        for pdf in batches:
+            out = []
+            for i in range(len(pdf)):
+                zw = pdf[zone_wkt_col].iat[i]
+                zpolys = zcache.get(zw)
+                if zpolys is None:
+                    typ, payload = parse_wkt(zw)
+                    zpolys = payload if typ == "MULTIPOLYGON" else [payload]
+                    zcache[zw] = zpolys
+                if doc_wkt_col is not None:
+                    typ, payload = parse_wkt(pdf[doc_wkt_col].iat[i])
+                    dpolys = payload if typ == "MULTIPOLYGON" else [payload]
+                else:
+                    x0, y0 = pdf["xmin"].iat[i], pdf["ymin"].iat[i]
+                    x1, y1 = pdf["xmax"].iat[i], pdf["ymax"].iat[i]
+                    dpolys = [[[(x0, y0), (x1, y0), (x1, y1), (x0, y1)]]]
+                out.append(shared_boundary_wkt(dpolys, zpolys))
+            res = pdf.copy()
+            res["piece_wkt"] = out
+            yield res
+
+    return kernel
+
+
 def intersection_join(
     polydocs: DataFrame,
     zones: DataFrame,
@@ -249,6 +285,7 @@ def intersection_join(
     emit_wkt: bool = True,
     wkt_col: str = "geom_wkt",
     geom_format: str = "wkt",
+    keep_lower_dim: bool = False,
 ) -> DataFrame:
     """OGRLayer::Intersection: one row per overlapping (doc, zone) pair
     with the exact intersection piece area (and piece_wkt on the
@@ -306,9 +343,25 @@ def intersection_join(
         pieces = cand.mapInPandas(
             _clip_kernel(wkt_col, doc_wkt_col, emit_wkt, geom_format), schema
         )
-    return pieces.filter(F.col("piece_area") > AREA_EPS).drop(
-        "env_xmin", "env_ymin", "env_xmax", "env_ymax"
-    )
+    out = pieces.filter(F.col("piece_area") > AREA_EPS)
+    if keep_lower_dim:
+        # KEEP_LOWER_DIMENSION_GEOMETRIES=YES (ogrlayer.cpp:3345-3580):
+        # zero-area candidates re-resolve through the shared-boundary
+        # kernel; pairs with a 1-D touch survive with the LINESTRING in
+        # piece_wkt and piece_area = 0.  Off (the default) == the
+        # previous drop-empties behavior exactly.
+        if not emit_wkt or geom_format != "wkt":
+            raise ValueError(
+                "keep_lower_dim requires emit_wkt=True and WKT zones "
+                "(the reference's option lives on the WKT-emitting "
+                "Intersection method)"
+            )
+        touching = pieces.filter(F.col("piece_area") <= AREA_EPS)
+        lines = touching.mapInPandas(
+            _lowdim_kernel(wkt_col, doc_wkt_col), touching.schema
+        ).filter(F.col("piece_wkt") != "LINESTRING EMPTY")
+        out = out.unionByName(lines)
+    return out.drop("env_xmin", "env_ymin", "env_xmax", "env_ymax")
 
 
 def erase_from_pieces(polydocs: DataFrame, pieces: DataFrame) -> DataFrame:

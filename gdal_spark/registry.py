@@ -15810,3 +15810,105 @@ def q_tile_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
     )
     return encode_png_tiles(g, tile=t).select("tx", "ty", "n_bytes", "adler")
+
+
+# --------------------------------------------------------------------------
+# Lower-dimension overlay emit (KEEP_LOWER_DIMENSION_GEOMETRIES,
+# ogrlayer.cpp:3345-3580): pairs that TOUCH without interior overlap
+# yield the shared-boundary LINESTRING instead of POLYGON EMPTY.
+# Fixture: touching rectilinear pairs (full edge / partial edge /
+# two-chain multipart / areal overlap / corner touch) evaluated BOTH
+# unrotated and through the 3-4-5 rotation so every row also routes the
+# arbitrary-angle path.  Expected literals are INDEPENDENT of the
+# arrangement kernel: the shared spans of each pair are hand-derived
+# axis intervals, rotated/quantized/serialized by the same helpers the
+# areal general fixture uses; the length column is the exact
+# floor(1e6 x length) integer.  Documented divergence pinned by gid 5:
+# a corner (point) touch emits EMPTY where GEOS yields POINT.
+# --------------------------------------------------------------------------
+_LD_FIXTURE = [
+    (1, "POLYGON ((0 0,4 0,4 4,0 4,0 0))",
+     "POLYGON ((4 0,8 0,8 4,4 4,4 0))",
+     [[(4.0, 0.0), (4.0, 4.0)]]),
+    (2, "POLYGON ((0 0,4 0,4 4,0 4,0 0))",
+     "POLYGON ((4 2,8 2,8 10,4 10,4 2))",
+     [[(4.0, 2.0), (4.0, 4.0)]]),
+    (3, "POLYGON ((0 0,4 0,4 4,0 4,0 0))",
+     "MULTIPOLYGON (((4 0,6 0,6 1,4 1,4 0)),((4 3,6 3,6 4,4 4,4 3)))",
+     [[(4.0, 0.0), (4.0, 1.0)], [(4.0, 3.0), (4.0, 4.0)]]),
+    (4, "POLYGON ((0 0,4 0,4 4,0 4,0 0))",
+     "POLYGON ((2 0,6 0,6 4,2 4,2 0))", []),
+    (5, "POLYGON ((0 0,4 0,4 4,0 4,0 0))",
+     "POLYGON ((4 4,8 4,8 8,4 8,4 4))", []),
+    (6, "POLYGON ((0 0,4 0,4 4,0 4,0 0))",
+     "POLYGON ((0 4,4 4,4 8,0 8,0 4))",
+     [[(0.0, 4.0), (4.0, 4.0)]]),
+]
+
+
+def _lowdim_rows() -> list[tuple]:
+    import math
+
+    from gdal_spark.geometry.ringchain import QSCALE, fmt_q, quantize
+
+    rows = []
+    for gid, wa, wb, spans in _LD_FIXTURE:
+        for rot in (False, True):
+            if rot:
+                a_txt, b_txt = _rot_wkt_full(wa), _rot_wkt_full(wb)
+                pts = [[_rot345(x, y) for x, y in ch] for ch in spans]
+            else:
+                a_txt, b_txt = wa, wb
+                pts = spans
+            chains = []
+            for ch in pts:
+                q = [(quantize(x), quantize(y)) for x, y in ch]
+                if q[-1] < q[0]:
+                    q = q[::-1]
+                chains.append(q)
+            chains.sort()
+            if not chains:
+                lw = "LINESTRING EMPTY"
+            else:
+                parts = [
+                    "(" + ",".join(f"{fmt_q(x)} {fmt_q(y)}" for x, y in c)
+                    + ")"
+                    for c in chains
+                ]
+                lw = (
+                    "LINESTRING " + parts[0]
+                    if len(parts) == 1
+                    else "MULTILINESTRING (" + ",".join(parts) + ")"
+                )
+            total = 0.0
+            for c in chains:
+                for (x0, y0), (x1, y1) in zip(c, c[1:]):
+                    total += math.hypot(
+                        (x1 - x0) / QSCALE, (y1 - y0) / QSCALE
+                    )
+            rows.append(
+                (gid * 10 + (1 if rot else 0), a_txt, b_txt, lw,
+                 int(math.floor(total * 1.0e6)))
+            )
+    return rows
+
+
+_LD_ROWS = _lowdim_rows()
+
+_LOWDIM_ORACLE = "SELECT * FROM (VALUES " + ", ".join(
+    f"({rid}, '{lw}', {ln})" for rid, _, _, lw, ln in _LD_ROWS
+) + ") t(rid, lowdim, len_micro)"
+
+
+@register("st_setops_lowdim", _LOWDIM_ORACLE)
+def q_st_setops_lowdim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.functions import st_intersection_lowdim, st_lowdim_len_micro
+
+    return spark.createDataFrame(
+        [(rid, a, b) for rid, a, b, *_ in _LD_ROWS],
+        "rid int, wa string, wb string",
+    ).select(
+        "rid",
+        st_intersection_lowdim("wa", "wb").alias("lowdim"),
+        st_lowdim_len_micro("wa", "wb").alias("len_micro"),
+    )

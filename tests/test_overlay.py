@@ -96,3 +96,48 @@ class TestTranslateLifecycle:
             # spans survived the copy; mercator cols present
             assert "spans" in got.columns and "mx" in got.columns
             assert n1 > 0
+
+
+class TestKeepLowerDim:
+    """KEEP_LOWER_DIMENSION_GEOMETRIES wired through intersection_join
+    (ogrlayer.cpp:3345-3580): option ON emits the shared-boundary
+    LINESTRING for touching pairs, OFF is bit-identical to the previous
+    behavior."""
+
+    @pytest.fixture()
+    def touch_layers(self, spark):
+        docs = spark.createDataFrame(
+            [(1, 0.0, 0.0, 4.0, 4.0),  # touches zone 10 along x=4
+             (2, 10.0, 10.0, 12.0, 12.0)],  # interior overlap with 11
+            "doc_id bigint, xmin double, ymin double, "
+            "xmax double, ymax double",
+        )
+        z = spark.createDataFrame(
+            [(10, "POLYGON ((4 1,8 1,8 3,4 3,4 1))"),
+             (11, "POLYGON ((11 11,14 11,14 14,11 14,11 11))")],
+            "zone_id bigint, geom_wkt string",
+        )
+        return docs, z
+
+    def test_option_on_emits_linestring(self, spark, touch_layers):
+        docs, z = touch_layers
+        out = intersection_join(docs, z, keep_lower_dim=True)
+        got = {(r["doc_id"], r["zone_id"]): (r["piece_area"], r["piece_wkt"])
+               for r in out.collect()}
+        assert got[(1, 10)][0] <= 1e-12
+        assert got[(1, 10)][1] == "LINESTRING (4 1,4 3)"
+        assert got[(2, 11)][0] == pytest.approx(1.0)
+
+    def test_option_off_matches_previous(self, spark, touch_layers):
+        docs, z = touch_layers
+        off = intersection_join(docs, z, keep_lower_dim=False)
+        assert {(r["doc_id"], r["zone_id"]) for r in off.collect()} == {
+            (2, 11)
+        }
+
+    def test_option_requires_wkt_emit(self, spark, touch_layers):
+        docs, z = touch_layers
+        with pytest.raises(ValueError, match="keep_lower_dim"):
+            intersection_join(
+                docs, z, emit_wkt=False, keep_lower_dim=True
+            ).collect()
