@@ -179,30 +179,40 @@ WHERE z.zone_id IN {_PRUNED_ZONE_IDS}
 
 @register("pip_join_pruned", _PIP_PRUNED_ORACLE)
 def q_pip_join_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-driven scan planning: the zone layer's bboxes JOIN the
+    manifest's per-file lon stats (one metadata-sized broadcast join,
+    no driver loop over zones), the matched file set opens in ONE scan
+    (table.read_subset), and the strict bbox residual resolves as one
+    broadcast range join against the zone dim.  Plan size is
+    independent of zone count — a 100x larger zone list changes only
+    the data flowing through the same three operators (the round-4
+    shape built one pruned scan PER zone on the driver)."""
     t = _corpus_snapshot_table(spark, sf_dir, "pippruned", 1)
-    zrows = (
+    zdim = (
         zones.rect_zones(spark)
         .filter(F.col("zone_id").isin(*_PRUNED_ZONE_IDS))
         .select("zone_id", "zxmin", "zymin", "zxmax", "zymax")
-        .collect()
     )
-    outs = []
-    for zr in zrows:
-        scan = t.pruned_read("lon", zr.zxmin, zr.zxmax)
-        outs.append(
-            scan.filter(
-                (F.col("lon") > F.lit(zr.zxmin))
-                & (F.col("lon") < F.lit(zr.zxmax))
-                & (F.col("lat") > F.lit(zr.zymin))
-                & (F.col("lat") < F.lit(zr.zymax))
-            ).select(
-                "doc_id", F.lit(zr.zone_id).cast("long").alias("zone_id")
-            )
-        )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out
+    stats = spark.createDataFrame(
+        t.stats_rows("lon"), "path string, lo double, hi double"
+    )
+    # manifest x zones: keep files whose recorded lon range can touch
+    # ANY zone (stats-less files kept — pruning is never unsound)
+    matched = stats.join(
+        F.broadcast(zdim),
+        F.col("lo").isNull()
+        | ((F.col("lo") <= F.col("zxmax")) & (F.col("hi") >= F.col("zxmin"))),
+        "left_semi",
+    )
+    paths = [r["path"] for r in matched.select("path").distinct().collect()]
+    scan = t.read_subset(paths)
+    return scan.join(
+        F.broadcast(zdim),
+        (F.col("lon") > F.col("zxmin"))
+        & (F.col("lon") < F.col("zxmax"))
+        & (F.col("lat") > F.col("zymin"))
+        & (F.col("lat") < F.col("zymax")),
+    ).select("doc_id", "zone_id")
 
 
 # Snapshot-incremental zonal stats — pip_join_agg maintained across

@@ -653,6 +653,40 @@ class SnapshotTable:
                 keep.append(f)
         return keep
 
+    def stats_rows(
+        self, col: str, snapshot_id: int | None = None
+    ) -> list[tuple[str, object, object]]:
+        """(path, min, max) per data file from the manifest — the raw
+        material for DATA-DRIVEN scan planning: hand these to a Spark
+        join against a predicate table (e.g. a zone layer's bboxes) and
+        the matched-file set comes out of ONE metadata-sized join
+        instead of a driver loop over predicates.  Files without
+        recorded stats carry (None, None) and must be KEPT by any
+        pruning join (soundness)."""
+        m = self._manifest(self._resolve(snapshot_id))
+        out = []
+        for f in m["files"]:
+            s = f.get("stats", {}).get(col)
+            if s is None or s[0] is None:
+                out.append((f["path"], None, None))
+            else:
+                out.append((f["path"], s[0], s[1]))
+        return out
+
+    def read_subset(
+        self, paths: list[str], snapshot_id: int | None = None
+    ) -> DataFrame:
+        """Scan exactly the given manifest data files (equality deletes
+        still applied) — the second half of data-driven scan planning:
+        a planner picks paths from :meth:`stats_rows`, this opens them
+        in ONE scan."""
+        m = self._manifest(self._resolve(snapshot_id))
+        want = set(paths)
+        files = [f for f in m["files"] if f["path"] in want]
+        if not files:
+            return self.read(snapshot_id).limit(0)
+        return self._scan(m, files)
+
     def pruned_read(
         self,
         col: str,

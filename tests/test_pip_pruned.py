@@ -92,3 +92,50 @@ class TestIncrementalZonal:
             for r in q_pip_join_agg_incremental(spark, sf_dir).collect()
         }
         assert full == inc and len(full) > 0
+
+
+class TestManifestJoinPlanning:
+    """Round-5 rework: pruning is a manifest-stats JOIN, not a driver
+    loop — plan size must not grow with zone count, and the matched
+    file set must still skip most of the table."""
+
+    def test_matched_files_skip_most_of_table(self, spark, table):
+        from gdal_spark import zones
+
+        m = table._manifest(table._resolve(None))
+        total = len(m["files"])
+        zdim = (
+            zones.rect_zones(spark)
+            .filter(F.col("zone_id").isin(*_PRUNED_ZONE_IDS))
+            .select("zxmin", "zxmax")
+        )
+        stats = spark.createDataFrame(
+            table.stats_rows("lon"), "path string, lo double, hi double"
+        )
+        matched = stats.join(
+            F.broadcast(zdim),
+            F.col("lo").isNull()
+            | ((F.col("lo") <= F.col("zxmax"))
+               & (F.col("hi") >= F.col("zxmin"))),
+            "left_semi",
+        )
+        n = matched.select("path").distinct().count()
+        assert 0 < n < total, (n, total)
+
+    def test_plan_has_one_scan_and_no_zone_growth(self, spark, sf_dir):
+        """The physical plan contains exactly ONE parquet scan of the
+        corpus table regardless of zone count (the round-4 driver loop
+        unioned one scan per zone)."""
+        from gdal_spark.registry import q_pip_join_pruned
+
+        plan = q_pip_join_pruned(spark, sf_dir)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert plan.count("Scan parquet") == 1, plan
+
+    def test_read_subset_applies_to_committed_paths(self, spark, table):
+        rows = table.stats_rows("lon")
+        some = [p for p, lo, hi in rows[:3]]
+        n = table.read_subset(some).count()
+        full = table.read().count()
+        assert 0 < n < full
+        assert table.read_subset([]).count() == 0
