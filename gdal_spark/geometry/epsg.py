@@ -39,7 +39,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from gdal_spark.geometry import conic, geocentric, mercator, polar, tmerc
+from gdal_spark.geometry import conic, geocentric, laea, mercator, polar, tmerc
 
 _d = mercator.sql_double
 
@@ -73,6 +73,10 @@ _FIXED = {
     4326: CRS(4326, "geographic", "WGS84"),
     4277: CRS(4277, "geographic", "OSGB36"),
     3857: CRS(3857, "webmerc", "WGS84"),
+    # web mercator aliases (deprecated codes still in the wild: the
+    # ESRI 102100/google 900913 lineage and EPSG:3785)
+    3785: CRS(3785, "webmerc", "WGS84"),
+    900913: CRS(900913, "webmerc", "WGS84"),
     27700: CRS(27700, "tmerc", "OSGB36", OSGB_GRID),
     2154: CRS(2154, "lcc", "WGS84", conic.LAMBERT93),
     5070: CRS(5070, "albers", "WGS84", conic.ALBERS_CONUS),
@@ -83,6 +87,29 @@ _FIXED = {
         "WGS84",
         polar.PolarStereo(north=False, lat_ts=-71.0, lon0=0.0, fe=0.0, fn=0.0),
     ),
+    # ETRS89 pan-European set (ETRS89 treated as coincident with WGS84,
+    # the same null datum step PROJ applies absent a specific
+    # transformation; GRS80 axis difference < 1 mm, conic.py note)
+    3035: CRS(3035, "laea", "WGS84", laea.LAEA_EUROPE),
+    3034: CRS(3034, "lcc", "WGS84", conic.LCC(
+        lat1=35.0, lat2=65.0, lat0=52.0, lon0=10.0,
+        fe=4000000.0, fn=2800000.0)),
+    3416: CRS(3416, "lcc", "WGS84", conic.LCC(
+        lat1=49.0, lat2=46.0, lat0=47.5, lon0=13.0 + 1.0 / 3.0,
+        fe=400000.0, fn=400000.0)),
+    # NAD83 state-plane sampler (NAD83 ~ WGS84 null datum step): LCC
+    # states (NY Long Island, Maryland) + the TM state with the
+    # tightest k0 (Rhode Island) + a NAD83 UTM zone
+    32118: CRS(32118, "lcc", "WGS84", conic.LCC(
+        lat1=41.0 + 2.0 / 60.0, lat2=40.0 + 40.0 / 60.0,
+        lat0=40.0 + 10.0 / 60.0, lon0=-74.0, fe=300000.0, fn=0.0)),
+    26985: CRS(26985, "lcc", "WGS84", conic.LCC(
+        lat1=39.45, lat2=38.3, lat0=37.0 + 40.0 / 60.0, lon0=-77.0,
+        fe=400000.0, fn=0.0)),
+    32130: CRS(32130, "tmerc", "WGS84", tmerc.TM(
+        geocentric.WGS84_A, geocentric.WGS84_F, 0.99999375,
+        -71.5, 41.0 + 5.0 / 60.0, 100000.0, 0.0)),
+    26918: CRS(26918, "tmerc", "WGS84", tmerc._wgs84_utm(18)),
 }
 
 
@@ -135,6 +162,9 @@ def _to_geographic(crs: CRS, x: str, y: str) -> tuple[list[tuple[str, str]], str
     if crs.kind == "ps":
         st = polar.sql_ps_inverse_stages(x, y, crs.params, prefix="i_")
         return st, "i_lat", "i_lon"
+    if crs.kind == "laea":
+        st = laea.sql_laea_inverse_stages(x, y, crs.params, prefix="i_")
+        return st, "i_lat", "i_lon"
     raise KeyError(f"unknown CRS kind {crs.kind}")  # pragma: no cover
 
 
@@ -185,6 +215,11 @@ def _from_geographic(crs: CRS, lat: str, lon: str) -> list[tuple[str, str]]:
             ("ox", polar.sql_ps_easting(lat, lon, crs.params)),
             ("oy", polar.sql_ps_northing(lat, lon, crs.params)),
         ]
+    if crs.kind == "laea":
+        return [
+            ("ox", laea.sql_laea_easting(lat, lon, crs.params)),
+            ("oy", laea.sql_laea_northing(lat, lon, crs.params)),
+        ]
     raise KeyError(f"unknown CRS kind {crs.kind}")
 
 
@@ -225,6 +260,8 @@ def transform(x, y, src_code: int, dst_code: int):
         lat, lon = conic.albers_inverse(x, y, src.params)
     elif src.kind == "ps":
         lat, lon = polar.ps_inverse(x, y, src.params)
+    elif src.kind == "laea":
+        lat, lon = laea.laea_inverse(x, y, src.params)
     else:  # pragma: no cover
         raise KeyError(src.kind)
     if src.datum != dst.datum:
@@ -250,6 +287,8 @@ def transform(x, y, src_code: int, dst_code: int):
         e, n = conic.albers_forward(lat, lon, dst.params)
     elif dst.kind == "ps":
         e, n = polar.ps_forward(lat, lon, dst.params)
+    elif dst.kind == "laea":
+        e, n = laea.laea_forward(lat, lon, dst.params)
     else:  # pragma: no cover
         raise KeyError(dst.kind)
     return e, n

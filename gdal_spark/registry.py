@@ -3927,6 +3927,19 @@ _EPSG_PAIRS = [
     (2154, 4326, "(6.6e5 + lon * 1.2e3)", "(6.7e6 + lat * 2.0e3)"),
     (5070, 3857, "(lon * 8.0e3)", "(1.5e6 + lat * 8.0e3)"),
     (3413, 4326, "(3.7e4 + lon * 9.0e3)", "(-2.0e6 + lat * 9.0e3)"),
+    # round-5 registry broadening: ETRS89 pan-European set (LAEA — the
+    # new kernel family — both directions, LCC Europe, Austria Lambert),
+    # the NAD83 state-plane sampler (LCC NY-LI / MD, TM Rhode Island,
+    # UTM 18N on NAD83), and a web-mercator alias code
+    (4326, 3035, "(1.0e1 + lon / 9.0e0)", "(5.2e1 + lat / 8.5e0)"),
+    (3035, 4326, "(4.32e6 + lon * 4.0e3)", "(3.2e6 + lat * 4.0e3)"),
+    (4326, 3034, "(1.0e1 + lon / 9.0e0)", "(5.2e1 + lat / 8.5e0)"),
+    (4326, 3416, "(1.3e1 + lon / 6.0e1)", "(4.75e1 + lat / 9.0e1)"),
+    (4326, 32118, "(-7.4e1 + lon / 1.8e2)", "(4.07e1 + lat / 1.8e2)"),
+    (4326, 26985, "(-7.7e1 + lon / 1.8e2)", "(3.88e1 + lat / 1.8e2)"),
+    (4326, 32130, "(-7.15e1 + lon / 1.8e2)", "(4.15e1 + lat / 1.8e2)"),
+    (4326, 26918, "(-7.5e1 + lon / 6.0e1)", "(4.0e1 + lat / 1.7e1)"),
+    (3785, 4326, "(lon * 1.0e5)", "(lat * 1.0e5)"),
 ]
 
 

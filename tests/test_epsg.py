@@ -115,3 +115,62 @@ class TestRoundtrip:
         lon2, lat2 = epsg.transform([-0.1], [51.5], 4277, 4326)
         assert abs(lat2[0] - float(lat)) < 1e-12
         assert abs(lon2[0] - float(lon)) < 1e-12
+
+
+class TestRound5Registry:
+    def test_laea_epsg_worked_example(self):
+        """EPSG Guidance Note 7-2 method 9820 worked example
+        (ETRS89 / LAEA Europe, EPSG:3035): 50°N 5°E ->
+        E 3962799.45 N 2999718.85."""
+        from gdal_spark.geometry.laea import laea_forward, laea_inverse
+
+        e, n = laea_forward(50.0, 5.0)
+        assert abs(float(e) - 3962799.45) < 2e-2  # GRS80 vs WGS84 < 1mm
+        assert abs(float(n) - 2999718.85) < 2e-2
+        lat, lon = laea_inverse(e, n)
+        assert abs(float(lat) - 50.0) < 1e-9
+        assert abs(float(lon) - 5.0) < 1e-9
+
+    @pytest.mark.parametrize(
+        "code,lon,lat",
+        [
+            (3035, 14.0, 47.0),
+            (3034, 14.0, 47.0),
+            (3416, 14.5, 47.5),
+            (32118, -73.8, 40.8),
+            (26985, -76.7, 39.0),
+            (32130, -71.4, 41.7),
+            (26918, -74.2, 41.5),
+            (3785, 14.0, 47.0),
+            (900913, 14.0, 47.0),
+        ],
+    )
+    def test_new_codes_sql_matches_numpy(self, code, lon, lat):
+        """Every round-5 code: SQL stage chain == numpy twin, both
+        directions, on an in-domain point."""
+        e, n = epsg.transform([lon], [lat], 4326, code)
+        se, sn = _run_sql(4326, code, lon, lat)
+        assert abs(se - float(e[0])) < 1e-6
+        assert abs(sn - float(n[0])) < 1e-6
+        lo2, la2 = epsg.transform(e, n, code, 4326)
+        assert abs(float(lo2[0]) - lon) < 1e-8
+        assert abs(float(la2[0]) - lat) < 1e-8
+        so, sa = _run_sql(code, 4326, float(e[0]), float(n[0]))
+        assert abs(so - lon) < 1e-8
+        assert abs(sa - lat) < 1e-8
+
+    def test_webmerc_aliases_identical(self):
+        e1, n1 = epsg.transform([31.0], [41.0], 4326, 3857)
+        for alias in (3785, 900913):
+            e2, n2 = epsg.transform([31.0], [41.0], 4326, alias)
+            assert float(e1[0]) == float(e2[0])
+            assert float(n1[0]) == float(n2[0])
+
+    def test_registry_breadth(self):
+        """>= 12 fixed codes, covering every kernel family."""
+        kinds = {c.kind for c in epsg._FIXED.values()}
+        assert kinds == {
+            "geographic", "tmerc", "webmerc", "lcc", "albers", "ps",
+            "laea",
+        }
+        assert len(epsg._FIXED) >= 12
