@@ -15935,3 +15935,64 @@ def q_st_setops_lowdim(spark: SparkSession, sf_dir: str) -> DataFrame:
         st_intersection_lowdim("wa", "wb").alias("lowdim"),
         st_lowdim_len_micro("wa", "wb").alias("len_micro"),
     )
+
+
+# --------------------------------------------------------------------------
+# NTv2 grid-shift datum step (geometry/ntv2.py) — the accurate path
+# PROJ uses when a shift grid exists for a datum pair (ogr/ogrct.cpp;
+# grids in autotest/proj_grids/), composed into the 27700 pipeline:
+# BNG easting/northing -> tmerc inverse on Airy 1830 (the SAME shared
+# stages epsg_transform uses) -> bilinear grid shift.  ENGINE: the grid
+# is a broadcast DIM (cell-corner table), one equi-join on the cell key,
+# bilinear + the NTv2 positive-west longitude sign in codegen.  ORACLE:
+# corner values evaluated INLINE from the node closed form — no table,
+# no join — an independent second formulation of the same semantics.
+# Divergence documented in ntv2.py: node VALUES are synthetic (no .gsb
+# reader in the sandbox); machinery is the real NTv2 path.
+# --------------------------------------------------------------------------
+
+
+def _ntv2_oracle() -> str:
+    from gdal_spark.geometry import ntv2 as _ntv2
+    from gdal_spark.geometry import tmerc as _tm
+
+    sql = (
+        "SELECT doc_id, (4.0e5 + lon * 5.0e2) AS x,"
+        " (4.0e5 + lat * 2.0e3) AS y FROM docs"
+    )
+    stages = _tm.sql_tm_inverse_stages("x", "y", epsg.OSGB_GRID, prefix="i_")
+    stages += _ntv2.oracle_shift_stages("i_lat", "i_lon")
+    for col, expr in stages:
+        sql = f"SELECT *, {expr} AS {col} FROM ({sql})"
+    return (
+        f"WITH docs AS ({_DOCS_CTE})\n"
+        f"SELECT doc_id, CAST(floor(glat * 1.0e9) AS BIGINT) AS glat_q,"
+        f" CAST(floor(glon * 1.0e9) AS BIGINT) AS glon_q FROM ({sql})"
+    )
+
+
+@register("ntv2_transform", _ntv2_oracle())
+def q_ntv2_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.geometry import ntv2 as _ntv2
+    from gdal_spark.geometry import tmerc as _tm
+
+    docs = corpus.load_docs(spark, sf_dir).select("doc_id", "lon", "lat")
+    df = docs.selectExpr(
+        "*", "(4.0e5 + lon * 5.0e2) AS x", "(4.0e5 + lat * 2.0e3) AS y"
+    )
+    for col, expr in _tm.sql_tm_inverse_stages(
+        "x", "y", epsg.OSGB_GRID, prefix="i_"
+    ):
+        df = df.selectExpr("*", f"{expr} AS {col}")
+    # lineage cut before the dim join (the spark-iterative-lineage
+    # invariant): feeding the Newton-chain expressions straight into
+    # join keys sends Catalyst's constraint inference into the deep
+    # trees and analysis hangs; a narrow (doc_id, lat, lon)
+    # materialization makes the join keys leaf columns
+    df = df.select("doc_id", "i_lat", "i_lon").localCheckpoint(eager=True)
+    df = _ntv2.apply_grid_shift(df, spark, "i_lat", "i_lon")
+    return df.selectExpr(
+        "doc_id",
+        "CAST(floor(glat * 1.0e9) AS BIGINT) AS glat_q",
+        "CAST(floor(glon * 1.0e9) AS BIGINT) AS glon_q",
+    )
