@@ -1,0 +1,137 @@
+"""MVT (Mapbox Vector Tile) encoded sink — the vector half of the
+encoded-tile story next to the PNG raster sink (tile_encode.py).
+
+The reference ships a full MVT driver (ogr/ogrsf_frmts/mvt/ —
+mvtutils.cpp layer/feature encoding, vector_tile.proto); here the
+protobuf wire format (public: protobuf encoding spec + the MVT 2.1
+spec) is hand-assembled so the byte stream is a PURE FUNCTION of the
+features — every varint length and byte value is closed-form integer
+arithmetic, which lets the registry's ``mvt_encode`` query carry an
+exact DuckDB oracle over the ENCODED BYTES (total length + byte sum),
+the same checksum-oracle role GDALChecksumImage plays for rasters.
+
+Scope: one layer of POINT features per tile, no attributes (keys/values
+empty) — the minimal conformant tile.  Canonical field order (fixed so
+the bytes are deterministic): Layer.name (1), Layer.features (2, sorted
+by feature id), Layer.extent (5), Layer.version (15); Feature.id (1),
+Feature.type (3, POINT=1), Feature.geometry (4, packed: MoveTo command
+9 = (id 1 | count 1 << 3) + zigzag x + zigzag y).
+
+Scale shape: one shuffle keys features to their tile, one Arrow stage
+per tile assembles bytes — identical partitioning to the PNG sink and
+the pyramid builders.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+EXTENT = 4096
+LAYER_NAME = b"points"
+
+
+def _varint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _zigzag(v: int) -> int:
+    return (v << 1) ^ (v >> 63)
+
+
+def _feature(fid: int, px: int, py: int) -> bytes:
+    geom = _varint(9) + _varint(_zigzag(px)) + _varint(_zigzag(py))
+    body = (
+        b"\x08" + _varint(fid)          # id (field 1, varint)
+        + b"\x18\x01"                    # type (field 3) = POINT
+        + b"\x22" + _varint(len(geom)) + geom  # geometry (field 4)
+    )
+    return b"\x12" + _varint(len(body)) + body  # Layer.features framing
+
+
+def mvt_point_tile(features: list[tuple[int, int, int]]) -> bytes:
+    """One Tile message with one point layer; ``features`` =
+    (id, px, py) with 0 <= px, py < EXTENT, sorted by id here for
+    determinism."""
+    layer = b"\x0a" + _varint(len(LAYER_NAME)) + LAYER_NAME
+    for fid, px, py in sorted(features):
+        layer += _feature(fid, px, py)
+    layer += b"\x28" + _varint(EXTENT)   # extent (field 5)
+    layer += b"\x78\x02"                 # version (field 15) = 2
+    return b"\x1a" + _varint(len(layer)) + layer  # Tile.layers framing
+
+
+def encode_mvt_tiles(points: DataFrame) -> DataFrame:
+    """(tx, ty, fid, px, py) -> one MVT tile per (tx, ty):
+    (tx, ty, mvt, n_bytes, byte_sum)."""
+    schema = StructType(
+        [
+            StructField("tx", LongType()),
+            StructField("ty", LongType()),
+            StructField("mvt", BinaryType()),
+            StructField("n_bytes", IntegerType()),
+            StructField("byte_sum", LongType()),
+        ]
+    )
+
+    def enc(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        feats = list(
+            zip(
+                pdf["fid"].astype(int),
+                pdf["px"].astype(int),
+                pdf["py"].astype(int),
+            )
+        )
+        blob = mvt_point_tile(feats)
+        arr = np.frombuffer(blob, dtype=np.uint8)
+        return pd.DataFrame(
+            {
+                "tx": [key[0]],
+                "ty": [key[1]],
+                "mvt": [blob],
+                "n_bytes": [len(blob)],
+                "byte_sum": [int(arr.astype(np.int64).sum())],
+            }
+        )
+
+    return points.groupBy("tx", "ty").applyInPandas(enc, schema)
+
+
+# ------------------------------------------------------------ SQL oracle
+# Closed-form varint accounting shared with the DuckDB oracle: length
+# and byte-sum of varint(n) from base-128 digits (continuation bit adds
+# 128 per non-final byte).
+
+
+def sql_varint_len(n: str) -> str:
+    return (
+        f"(CASE WHEN ({n}) < 128 THEN 1 WHEN ({n}) < 16384 THEN 2 "
+        f"WHEN ({n}) < 2097152 THEN 3 WHEN ({n}) < 268435456 THEN 4 "
+        f"ELSE 5 END)"
+    )
+
+
+def sql_varint_bytesum(n: str) -> str:
+    digits = (
+        f"(({n}) % 128 + (CAST((({n}) - ({n}) % 128) / 128 AS BIGINT)) % 128"
+        f" + (CAST((({n}) - ({n}) % 16384) / 16384 AS BIGINT)) % 128"
+        f" + (CAST((({n}) - ({n}) % 2097152) / 2097152 AS BIGINT)) % 128"
+        f" + (CAST((({n}) - ({n}) % 268435456) / 268435456 AS BIGINT)) % 128)"
+    )
+    return f"({digits} + 128 * ({sql_varint_len(n)} - 1))"

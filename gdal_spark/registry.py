@@ -15996,3 +15996,78 @@ def q_ntv2_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(floor(glat * 1.0e9) AS BIGINT) AS glat_q",
         "CAST(floor(glon * 1.0e9) AS BIGINT) AS glon_q",
     )
+
+
+# --------------------------------------------------------------------------
+# MVT vector-tile sink (operators/mvt.py — the vector half of the
+# encoded-tile story; reference driver ogr/ogrsf_frmts/mvt/,
+# mvtutils.cpp feature encoding).  Docs assign to a 4x2 geographic tile
+# grid (shared floor arithmetic both engines), each tile encodes its
+# points as ONE protobuf Tile message with canonical field order.  The
+# oracle reconstructs the byte stream's two invariants in CLOSED FORM —
+# total length and byte sum — from per-feature varint accounting
+# (base-128 digit sums + continuation bits), aggregated per tile.
+# tests/test_mvt.py decodes the bytes with an independent minimal
+# protobuf reader.
+# --------------------------------------------------------------------------
+from gdal_spark.operators.mvt import (  # noqa: E402
+    sql_varint_bytesum as _mvt_vsum,
+    sql_varint_len as _mvt_vlen,
+)
+
+_MVT_TX = "least(CAST(floor((lon + 1.8e2) / 9.0e1) AS BIGINT), 3)"
+_MVT_TY = "least(CAST(floor((9.0e1 - lat) / 9.0e1) AS BIGINT), 1)"
+_MVT_PX = (
+    f"least(CAST(floor((lon + 1.8e2 - {_MVT_TX} * 9.0e1)"
+    " / 9.0e1 * 4.096e3) AS BIGINT), 4095)"
+)
+_MVT_PY = (
+    f"least(CAST(floor((9.0e1 - lat - {_MVT_TY} * 9.0e1)"
+    " / 9.0e1 * 4.096e3) AS BIGINT), 4095)"
+)
+
+
+def _mvt_oracle() -> str:
+    lid, lx, ly = _mvt_vlen("doc_id"), _mvt_vlen("2 * px"), _mvt_vlen("2 * py")
+    isum = _mvt_vsum("doc_id")
+    xsum, ysum = _mvt_vsum("2 * px"), _mvt_vsum("2 * py")
+    return f"""
+WITH docs AS ({_DOCS_CTE}),
+p AS (
+  SELECT doc_id, {_MVT_TX} AS tx, {_MVT_TY} AS ty,
+         {_MVT_PX} AS px, {_MVT_PY} AS py
+  FROM docs
+),
+f AS (
+  SELECT tx, ty,
+         2 + 6 + {lid} + {lx} + {ly} AS framed_len,
+         18 + (6 + {lid} + {lx} + {ly})
+            + 8 + {isum} + 24 + 1 + 34 + (1 + {lx} + {ly})
+            + 9 + {xsum} + {ysum} AS framed_sum
+  FROM p
+),
+a AS (
+  SELECT tx, ty, CAST(SUM(framed_len) AS BIGINT) AS fl,
+         CAST(SUM(framed_sum) AS BIGINT) AS fs
+  FROM f GROUP BY tx, ty
+),
+l AS (SELECT tx, ty, 13 + fl AS layer_len, 1007 + fs AS layer_sum FROM a)
+SELECT tx, ty,
+       CAST(1 + {_mvt_vlen("layer_len")} + layer_len AS INTEGER) AS n_bytes,
+       CAST(26 + {_mvt_vsum("layer_len")} + layer_sum AS BIGINT) AS byte_sum
+FROM l
+"""
+
+
+@register("mvt_encode", _mvt_oracle())
+def q_mvt_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.operators.mvt import encode_mvt_tiles
+
+    docs = corpus.load_docs(spark, sf_dir).selectExpr(
+        "doc_id AS fid",
+        f"{_MVT_TX} AS tx",
+        f"{_MVT_TY} AS ty",
+        f"{_MVT_PX} AS px",
+        f"{_MVT_PY} AS py",
+    )
+    return encode_mvt_tiles(docs).select("tx", "ty", "n_bytes", "byte_sum")

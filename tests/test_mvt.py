@@ -1,0 +1,124 @@
+"""MVT sink (operators/mvt.py): bytes decoded back with an independent
+minimal protobuf reader; varint SQL accounting cross-checked against
+the Python encoder."""
+
+import duckdb
+import pytest
+
+from gdal_spark.operators.mvt import (
+    EXTENT,
+    _varint,
+    _zigzag,
+    encode_mvt_tiles,
+    mvt_point_tile,
+    sql_varint_bytesum,
+    sql_varint_len,
+)
+
+
+def _read_varint(b, pos):
+    shift, val = 0, 0
+    while True:
+        x = b[pos]
+        pos += 1
+        val |= (x & 0x7F) << shift
+        if not (x & 0x80):
+            return val, pos
+        shift += 7
+
+
+def decode_point_tile(blob: bytes):
+    """Independent decoder: parse Tile -> Layer -> features."""
+    tag, pos = _read_varint(blob, 0)
+    assert tag == (3 << 3) | 2  # Tile.layers
+    llen, pos = _read_varint(blob, pos)
+    layer = blob[pos:pos + llen]
+    assert pos + llen == len(blob)
+    p = 0
+    name = None
+    extent = None
+    version = None
+    feats = []
+    while p < len(layer):
+        tag, p = _read_varint(layer, p)
+        field, wt = tag >> 3, tag & 7
+        if wt == 2:
+            ln, p = _read_varint(layer, p)
+            payload = layer[p:p + ln]
+            p += ln
+            if field == 1:
+                name = payload.decode()
+            elif field == 2:
+                q = 0
+                fid = typ = None
+                geom = []
+                while q < len(payload):
+                    t2, q = _read_varint(payload, q)
+                    f2, w2 = t2 >> 3, t2 & 7
+                    if w2 == 0:
+                        v, q = _read_varint(payload, q)
+                        if f2 == 1:
+                            fid = v
+                        elif f2 == 3:
+                            typ = v
+                    else:
+                        gl, q = _read_varint(payload, q)
+                        end = q + gl
+                        while q < end:
+                            v, q = _read_varint(payload, q)
+                            geom.append(v)
+                assert typ == 1
+                assert geom[0] == 9  # MoveTo, count 1
+                zx, zy = geom[1], geom[2]
+                feats.append((fid, zx >> 1, zy >> 1))
+        else:
+            v, p = _read_varint(layer, p)
+            if field == 5:
+                extent = v
+            elif field == 15:
+                version = v
+    assert (name, extent, version) == ("points", EXTENT, 2)
+    return feats
+
+
+class TestEncoder:
+    def test_round_trip(self):
+        feats = [(5, 100, 4095), (1, 0, 0), (300000, 63, 64)]
+        blob = mvt_point_tile(feats)
+        assert decode_point_tile(blob) == sorted(feats)
+
+    def test_varint_sql_accounting(self):
+        con = duckdb.connect()
+        for n in (0, 1, 127, 128, 5000, 16383, 16384, 2097151, 2097152,
+                  268435455, 268435456, 10**12):
+            ln = con.execute(
+                f"SELECT {sql_varint_len(str(n))}"
+            ).fetchone()[0]
+            bs = con.execute(
+                f"SELECT {sql_varint_bytesum(str(n))}"
+            ).fetchone()[0]
+            raw = _varint(n)
+            if n < 2 ** 35:  # the 5-byte CASE arm covers this range
+                assert ln == len(raw), n
+                assert bs == sum(raw), n
+
+    def test_zigzag(self):
+        assert _zigzag(0) == 0
+        assert _zigzag(1) == 2
+        assert _zigzag(4095) == 8190
+
+
+class TestSpark:
+    def test_spark_matches_local(self, spark):
+        pts = spark.createDataFrame(
+            [(0, 0, 7, 10, 20), (0, 0, 3, 4000, 1), (1, 0, 9, 0, 0)],
+            "tx bigint, ty bigint, fid bigint, px bigint, py bigint",
+        )
+        out = {
+            (r["tx"], r["ty"]): bytes(r["mvt"])
+            for r in encode_mvt_tiles(pts).collect()
+        }
+        assert out[(0, 0)] == mvt_point_tile([(7, 10, 20), (3, 4000, 1)])
+        assert decode_point_tile(out[(1, 0)]) == [(9, 0, 0)]
+        blob = out[(0, 0)]
+        assert decode_point_tile(blob) == [(3, 4000, 1), (7, 10, 20)]
