@@ -166,7 +166,7 @@ def _band_edges(
     levels = list(levels)
     n_bands = len(levels) + 1
 
-    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         gtx, gty = int(key[0]), int(key[1])
         x0 = gtx * GRID_TILE - 1
         y0 = gty * GRID_TILE - 1
@@ -338,7 +338,7 @@ def contour_polygons(
     CW, canonical ring starts, collinear vertices collapsed)."""
     levels = [float(v) for v in levels]
 
-    def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def assemble(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         band = int(key[0])
         lo = levels[band - 1] if band > 0 else None
         hi = levels[band] if band < len(levels) else None

@@ -59,7 +59,7 @@ def zone_coverage(pieces: DataFrame, zones: DataFrame) -> DataFrame:
         ]
     )
 
-    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         rects = pdf[["pxmin", "pymin", "pxmax", "pymax"]].to_numpy(np.float64)
         return pd.DataFrame(
             {"zone_id": [key[0]], "covered_area": [rect_union_area(rects)]}

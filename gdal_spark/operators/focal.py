@@ -68,7 +68,7 @@ def dem_gradient(
     differences the reference's ZT slope/aspect consume (its aspect
     uses afWin[5]-afWin[3] = e-w directly)."""
 
-    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         gtx, gty = int(key[0]), int(key[1])
         spx = pdf["px"].to_numpy(np.int64)
         spy = pdf["py"].to_numpy(np.int64)
@@ -149,7 +149,7 @@ def dem_tpi_tri(pixels: DataFrame, width: int, height: int) -> DataFrame:
     Keeping the pre-float integer forms makes the DuckDB oracle bit-exact
     (the /8, sqrt are display transforms, same policy as dem_gradient)."""
 
-    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         gtx, gty = int(key[0]), int(key[1])
         spx = pdf["px"].to_numpy(np.int64)
         spy = pdf["py"].to_numpy(np.int64)
@@ -233,7 +233,7 @@ def contour_segments(
     (the non-connected choice; the reference resolves saddles by the
     cell-center average — documented divergence)."""
 
-    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         gtx, gty = int(key[0]), int(key[1])
         x0 = gtx * GRID_TILE - 1
         y0 = gty * GRID_TILE - 1
@@ -387,7 +387,7 @@ def proximity(
     )
     cap2 = maxdist * maxdist
 
-    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         kindv = pdf["kind"].to_numpy()
         bx = pdf["px"].to_numpy(np.int64)[kindv == 0]
         by = pdf["py"].to_numpy(np.int64)[kindv == 0]
@@ -480,7 +480,7 @@ def fill_nodata(
     )
     r2 = maxdist * maxdist
 
-    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         kindv = pdf["kind"].to_numpy()
         npx = pdf["px"].to_numpy(np.int64)[kindv == 0]
         npy = pdf["py"].to_numpy(np.int64)[kindv == 0]
@@ -567,7 +567,7 @@ def kernel_filter(
     stencils; global border pixels are interior-only like the rest of
     the focal family."""
 
-    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         gtx, gty = int(key[0]), int(key[1])
         spx = pdf["px"].to_numpy(np.int64)
         spy = pdf["py"].to_numpy(np.int64)

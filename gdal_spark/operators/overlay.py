@@ -512,7 +512,7 @@ def union_area_by_key(rects: DataFrame, key: str) -> DataFrame:
         [StructField(key, LongType()), StructField("union_area", DoubleType())]
     )
 
-    def kernel(k, pdf: pd.DataFrame) -> pd.DataFrame:
+    def kernel(k: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         r = pdf[["rxmin", "rymin", "rxmax", "rymax"]].to_numpy(np.float64)
         return pd.DataFrame({key: [k[0]], "union_area": [rect_union_area(r)]})
 

@@ -99,7 +99,7 @@ def _tile_labels(
 ) -> DataFrame:
     """Tile-local labels + border flags."""
 
-    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         gtx, gty = int(key[0]), int(key[1])
         gx0, gy0 = gtx * TILE, gty * TILE
         w = min(TILE, width - gx0)
@@ -325,7 +325,7 @@ def component_rings(
         ]
     )
 
-    def edge_kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def edge_kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         gtx, gty = int(key[0]), int(key[1])
         x0 = gtx * GRID_TILE - 1
         y0 = gty * GRID_TILE - 1
@@ -375,7 +375,7 @@ def component_rings(
         .applyInPandas(edge_kernel, edge_schema)
     )
 
-    def ring_kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def ring_kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         segs = pdf[["x1", "y1", "x2", "y2"]].to_numpy(np.int64)
         rings = _chain_rings(segs)
         # outer ring = max |area|; holes follow in traced order

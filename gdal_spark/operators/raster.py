@@ -258,7 +258,7 @@ def base_tiles(
 
     res = mercator.resolution(zoom)
 
-    def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def assemble(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         band, tx, ty = int(key[0]), int(key[1]), int(key[2])
         spx = pdf["px"].to_numpy(np.int64)
         spy = pdf["py"].to_numpy(np.int64)
@@ -318,7 +318,7 @@ def overview_tiles(tiles: DataFrame, method: str = "average") -> DataFrame:
         samples the 512x512 mosaic at continuous coords (2c+1, 2r+1) —
         the center of its 2x2 source quad — with edge-clamped taps."""
 
-    def reduce4(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def reduce4(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         band, zoom, ptx, pty = int(key[0]), int(key[1]), int(key[2]), int(key[3])
         mosaic = np.zeros((2 * TILE, 2 * TILE), dtype=np.float64)
         for _, row in pdf.iterrows():
@@ -1400,7 +1400,7 @@ def _pyramid_checksums_fused(
             ["data"] if carry_floor else []
         )
 
-        def subpyramid(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        def subpyramid(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
             band = int(key[0])
             cur = {
                 (int(tx), int(ty)): np.frombuffer(d, dtype=np.uint8).reshape(

@@ -126,7 +126,7 @@ def rasterize(
     collect of the method layer."""
     cells = zone_cell_index(zones.select(zone_id_col, wkt_col), zoom, wkt_col)
 
-    def burn_tile(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def burn_tile(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         tx, ty = int(key[0]), int(key[1])
         lon, lat = _pixel_centers(tx, ty, zoom)
         if all_touched:
@@ -247,7 +247,7 @@ def rasterize_values(
     convention as the rasterize_counts oracle."""
     cells = zone_cell_index(zones.select(zone_id_col, wkt_col), zoom, wkt_col)
 
-    def burn_tile(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def burn_tile(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         tx, ty = int(key[0]), int(key[1])
         lon, lat = _pixel_centers(tx, ty, zoom)
         img = np.zeros((TILE, TILE), dtype=np.int64)  # TMS rows (south-up)

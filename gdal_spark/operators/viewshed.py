@@ -178,7 +178,7 @@ def viewshed(
         curve_coeff, semimajor, cell_size,
     )
 
-    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         sm = pdf[pdf["is_target"] == 0]
         tg = pdf[pdf["is_target"] == 1]
         if len(tg) == 0:
@@ -271,7 +271,7 @@ def viewshed_heights(
         dem, ox, oy, obs_z, max_dist, n_wedges, core_r, 0.0, 6378137.0, 1.0
     )
 
-    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         sm = pdf[pdf["is_target"] == 0]
         tg = pdf[pdf["is_target"] == 1]
         if len(tg) == 0:
