@@ -93,7 +93,7 @@ def probe_triangles(spark, e):
     }
 
 
-def probe_kcore(spark, e, k=8):
+def probe_kcore(spark, e, k=30):
     from gdal_spark.operators.graph import k_core
 
     und = e.selectExpr("src", "dst").unionAll(
@@ -108,11 +108,12 @@ def probe_kcore(spark, e, k=8):
 def probe_components(spark, e):
     from gdal_spark.operators.graph import min_label_components
 
-    t0 = time.time()
-    comp = min_label_components(
-        e.selectExpr("src", "dst"), max_rounds=40
+    und = e.selectExpr("src", "dst").unionAll(
+        e.selectExpr("dst AS src", "src AS dst")
     )
-    n = comp.select("label").distinct().count()
+    t0 = time.time()
+    comp = min_label_components(und, max_rounds=40)
+    n = comp.select("component").distinct().count()
     return time.time() - t0, {"components": n}
 
 
