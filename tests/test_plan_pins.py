@@ -363,3 +363,68 @@ class TestRound4hPlans:
         assert plan.count("MapInPandas") == 1, plan
         assert "BroadcastHashJoin" in plan, plan
         assert "SortMergeJoin" not in plan, plan
+
+
+class TestRound5Plans:
+    """Positive pins for the round-5 additions: the OGR SQL front-end
+    lowers onto the same broadcast/codegen shapes as its hand-written
+    twins; the encoded-tile sinks are one-shuffle jobs; the NTv2 step
+    is one broadcast dim join."""
+
+    def test_ogrsql_select_is_pure_jvm(self, spark, sf_dir):
+        from gdal_spark.registry import QUERIES
+
+        plan = _plan(QUERIES["ogrsql_select"](spark, sf_dir))
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert "MapInPandas" not in plan
+        # ORDER+LIMIT+OFFSET lowers to the distributed top-k
+        assert "TakeOrderedAndProject" in plan
+
+    def test_ogrsql_join_broadcasts_first_match(self, spark, sf_dir):
+        from gdal_spark.registry import QUERIES
+
+        plan = _plan(QUERIES["ogrsql_join"](spark, sf_dir))
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        # one shuffle for the first-match window partition at most
+        assert _shuffles(plan) <= 1, plan
+
+    def test_ogrsql_summary_single_aggregate(self, spark, sf_dir):
+        from gdal_spark.registry import QUERIES
+
+        plan = _plan(QUERIES["ogrsql_summary"](spark, sf_dir))
+        assert "BatchEvalPython" not in plan
+        assert "MapInPandas" not in plan
+
+    def test_tile_encode_single_shuffle(self, spark, sf_dir):
+        from gdal_spark.registry import QUERIES
+
+        plan = _plan(QUERIES["tile_encode"](spark, sf_dir))
+        # one shuffle keys pixels to tiles; one Arrow stage encodes
+        assert _shuffles(plan) == 1, plan
+        assert plan.count("FlatMapGroupsInPandas") == 1
+
+    def test_mvt_encode_single_shuffle(self, spark, sf_dir):
+        from gdal_spark.registry import QUERIES
+
+        plan = _plan(QUERIES["mvt_encode"](spark, sf_dir))
+        assert _shuffles(plan) == 1, plan
+        assert plan.count("FlatMapGroupsInPandas") == 1
+
+    def test_ntv2_broadcast_dim_join(self, spark, sf_dir):
+        from gdal_spark.registry import QUERIES
+
+        plan = _plan(QUERIES["ntv2_transform"](spark, sf_dir))
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        # the corpus side never shuffles: the only exchanges are the
+        # dim-side cell-table build
+        assert "BatchEvalPython" not in plan
+
+    def test_pip_join_pruned_one_scan(self, spark, sf_dir):
+        from gdal_spark.registry import QUERIES
+
+        plan = _plan(QUERIES["pip_join_pruned"](spark, sf_dir))
+        assert plan.count("Scan parquet") == 1, plan
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
