@@ -135,3 +135,88 @@ def sql_varint_bytesum(n: str) -> str:
         f" + (CAST((({n}) - ({n}) % 268435456) / 268435456 AS BIGINT)) % 128)"
     )
     return f"({digits} + 128 * ({sql_varint_len(n)} - 1))"
+
+
+# ------------------------------------------------------------- polygons
+# Polygon features (the MVT driver's main payload — mvtutils.cpp ring
+# encoding): MoveTo(first vertex) + LineTo(n-1 vertices) + ClosePath,
+# coordinates as zigzag DELTAS from the running cursor (cursor is
+# per-feature).  Exterior rings wind clockwise in screen coordinates
+# (positive shoelace area under y-down), per MVT 2.1 §4.3.3.2.
+
+
+def _ring_geom(ring: list[tuple[int, int]]) -> bytes:
+    """Command stream for one ring (vertices WITHOUT the closing
+    repeat)."""
+    out = _varint((1) | (1 << 3))  # MoveTo, count 1
+    cx, cy = 0, 0
+    x, y = ring[0]
+    out += _varint(_zigzag(x - cx)) + _varint(_zigzag(y - cy))
+    cx, cy = x, y
+    out += _varint((2) | ((len(ring) - 1) << 3))  # LineTo, count n-1
+    for x, y in ring[1:]:
+        out += _varint(_zigzag(x - cx)) + _varint(_zigzag(y - cy))
+        cx, cy = x, y
+    out += _varint((7) | (1 << 3))  # ClosePath
+    return out
+
+
+def _feature_polygon(fid: int, ring: list[tuple[int, int]]) -> bytes:
+    geom = _ring_geom(ring)
+    body = (
+        b"\x08" + _varint(fid)
+        + b"\x18\x03"                       # type = POLYGON
+        + b"\x22" + _varint(len(geom)) + geom
+    )
+    return b"\x12" + _varint(len(body)) + body
+
+
+def mvt_rect_tile(features: list[tuple[int, int, int, int, int]]) -> bytes:
+    """One Tile with one polygon layer of axis-aligned rectangles
+    (fid, x0, y0, x1, y1) in tile pixels, y down; ring wound CW in
+    screen space: (x0,y0) -> (x1,y0) -> (x1,y1) -> (x0,y1)."""
+    layer = b"\x0a" + _varint(len(LAYER_NAME)) + LAYER_NAME
+    for fid, x0, y0, x1, y1 in sorted(features):
+        ring = [(x0, y0), (x1, y0), (x1, y1), (x0, y1)]
+        layer += _feature_polygon(fid, ring)
+    layer += b"\x28" + _varint(EXTENT)
+    layer += b"\x78\x02"
+    return b"\x1a" + _varint(layer_len := len(layer)) + layer
+
+
+def encode_mvt_rect_tiles(rects: DataFrame) -> DataFrame:
+    """(tx, ty, fid, x0, y0, x1, y1) -> one MVT polygon tile per
+    (tx, ty): (tx, ty, mvt, n_bytes, byte_sum)."""
+    schema = StructType(
+        [
+            StructField("tx", LongType()),
+            StructField("ty", LongType()),
+            StructField("mvt", BinaryType()),
+            StructField("n_bytes", IntegerType()),
+            StructField("byte_sum", LongType()),
+        ]
+    )
+
+    def enc(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        feats = list(
+            zip(
+                pdf["fid"].astype(int),
+                pdf["x0"].astype(int),
+                pdf["y0"].astype(int),
+                pdf["x1"].astype(int),
+                pdf["y1"].astype(int),
+            )
+        )
+        blob = mvt_rect_tile(feats)
+        arr = np.frombuffer(blob, dtype=np.uint8)
+        return pd.DataFrame(
+            {
+                "tx": [key[0]],
+                "ty": [key[1]],
+                "mvt": [blob],
+                "n_bytes": [len(blob)],
+                "byte_sum": [int(arr.astype(np.int64).sum())],
+            }
+        )
+
+    return rects.groupBy("tx", "ty").applyInPandas(enc, schema)

@@ -16071,3 +16071,95 @@ def q_mvt_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{_MVT_PY} AS py",
     )
     return encode_mvt_tiles(docs).select("tx", "ty", "n_bytes", "byte_sum")
+
+
+# --------------------------------------------------------------------------
+# MVT POLYGON tiles (operators/mvt.py rect ring encoder — the MVT
+# driver's main payload, ogr/ogrsf_frmts/mvt/mvtutils.cpp ring
+# commands): each polydoc rectangle lands in the tile of its center,
+# clamped into tile pixel space, and encodes as MoveTo + LineTo(3) +
+# ClosePath with zigzag DELTA coordinates.  The oracle extends the
+# point-tile varint accounting with the delta terms (incl. the negative
+# -dx delta's zigzag 2dx-1) — byte length and byte sum both closed-form.
+# --------------------------------------------------------------------------
+_MVP_CX = "((xmin + xmax) / 2.0e0)"
+_MVP_CY = "((ymin + ymax) / 2.0e0)"
+_MVP_TX = f"least(CAST(floor(({_MVP_CX} + 1.8e2) / 9.0e1) AS BIGINT), 3)"
+_MVP_TY = f"least(CAST(floor((9.0e1 - {_MVP_CY}) / 9.0e1) AS BIGINT), 1)"
+
+
+def _mvp_px(col: str) -> str:
+    return (
+        f"greatest(least(CAST(floor((({col}) + 1.8e2 - {_MVP_TX} * 9.0e1)"
+        " / 9.0e1 * 4.096e3) AS BIGINT), 4095), 0)"
+    )
+
+
+def _mvp_py(col: str) -> str:
+    return (
+        f"greatest(least(CAST(floor((9.0e1 - {_MVP_TY} * 9.0e1 - ({col}))"
+        " / 9.0e1 * 4.096e3) AS BIGINT), 4095), 0)"
+    )
+
+
+def _mvt_poly_oracle() -> str:
+    L, S = _mvt_vlen, _mvt_vsum
+    # fixed geometry bytes: MoveTo cmd (9) + LineTo cmd (26) +
+    # ClosePath (15) + THREE zero deltas = 6 bytes
+    geom_len = (
+        f"6 + {L('2 * x0')} + {L('2 * y0')} + {L('2 * dx')}"
+        f" + {L('2 * dy')} + {L('2 * dx - 1')}"
+    )
+    geom_sum = (
+        f"50 + {S('2 * x0')} + {S('2 * y0')} + {S('2 * dx')}"
+        f" + {S('2 * dy')} + {S('2 * dx - 1')}"
+    )
+    return f"""
+WITH docs AS ({_POLYDOCS_CTE}),
+p AS (
+  SELECT doc_id, {_MVP_TX} AS tx, {_MVP_TY} AS ty,
+         {_mvp_px("xmin")} AS x0, {_mvp_px("xmax")} AS x1,
+         {_mvp_py("ymax")} AS y0, {_mvp_py("ymin")} AS y1
+  FROM docs
+),
+r AS (
+  SELECT doc_id, tx, ty, x0, y0, x1 - x0 AS dx, y1 - y0 AS dy
+  FROM p WHERE x1 > x0 AND y1 > y0
+),
+f AS (
+  SELECT tx, ty,
+         2 + 5 + {_mvt_vlen("doc_id")} + ({geom_len}) AS framed_len,
+         18 + (5 + {_mvt_vlen("doc_id")} + ({geom_len}))
+            + 8 + {_mvt_vsum("doc_id")} + 24 + 3 + 34 + ({geom_len})
+            + ({geom_sum}) AS framed_sum
+  FROM r
+),
+a AS (
+  SELECT tx, ty, CAST(SUM(framed_len) AS BIGINT) AS fl,
+         CAST(SUM(framed_sum) AS BIGINT) AS fs
+  FROM f GROUP BY tx, ty
+),
+l AS (SELECT tx, ty, 13 + fl AS layer_len, 1007 + fs AS layer_sum FROM a)
+SELECT tx, ty,
+       CAST(1 + {_mvt_vlen("layer_len")} + layer_len AS INTEGER) AS n_bytes,
+       CAST(26 + {_mvt_vsum("layer_len")} + layer_sum AS BIGINT) AS byte_sum
+FROM l
+"""
+
+
+@register("mvt_encode_poly", _mvt_poly_oracle())
+def q_mvt_encode_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.operators.mvt import encode_mvt_rect_tiles
+
+    rects = corpus.load_polydocs(spark, sf_dir).selectExpr(
+        "doc_id AS fid",
+        f"{_MVP_TX} AS tx",
+        f"{_MVP_TY} AS ty",
+        f"{_mvp_px('xmin')} AS x0",
+        f"{_mvp_px('xmax')} AS x1",
+        f"{_mvp_py('ymax')} AS y0",
+        f"{_mvp_py('ymin')} AS y1",
+    ).filter("x1 > x0 AND y1 > y0")
+    return encode_mvt_rect_tiles(rects).select(
+        "tx", "ty", "n_bytes", "byte_sum"
+    )

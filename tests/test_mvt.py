@@ -122,3 +122,97 @@ class TestSpark:
         assert decode_point_tile(out[(1, 0)]) == [(9, 0, 0)]
         blob = out[(0, 0)]
         assert decode_point_tile(blob) == [(3, 4000, 1), (7, 10, 20)]
+
+
+def decode_rect_tile(blob: bytes):
+    """Independent polygon decoder: returns (fid, ring-vertex list)."""
+    tag, pos = _read_varint(blob, 0)
+    llen, pos = _read_varint(blob, pos)
+    layer = blob[pos:pos + llen]
+    p = 0
+    feats = []
+    while p < len(layer):
+        tag, p = _read_varint(layer, p)
+        field, wt = tag >> 3, tag & 7
+        if wt == 2:
+            ln, p = _read_varint(layer, p)
+            payload = layer[p:p + ln]
+            p += ln
+            if field == 2:
+                q = 0
+                fid = typ = None
+                geom = []
+                while q < len(payload):
+                    t2, q = _read_varint(payload, q)
+                    f2, w2 = t2 >> 3, t2 & 7
+                    if w2 == 0:
+                        v, q = _read_varint(payload, q)
+                        if f2 == 1:
+                            fid = v
+                        elif f2 == 3:
+                            typ = v
+                    else:
+                        gl, q = _read_varint(payload, q)
+                        end = q + gl
+                        while q < end:
+                            v, q = _read_varint(payload, q)
+                            geom.append(v)
+                assert typ == 3
+                # replay commands
+                i, cx, cy = 0, 0, 0
+                ring = []
+                while i < len(geom):
+                    cmd, cnt = geom[i] & 7, geom[i] >> 3
+                    i += 1
+                    if cmd in (1, 2):
+                        for _ in range(cnt):
+                            zx, zy = geom[i], geom[i + 1]
+                            i += 2
+                            cx += (zx >> 1) ^ -(zx & 1)
+                            cy += (zy >> 1) ^ -(zy & 1)
+                            ring.append((cx, cy))
+                    else:
+                        assert cmd == 7
+                feats.append((fid, ring))
+        else:
+            _, p = _read_varint(layer, p)
+    return feats
+
+
+class TestPolygons:
+    def test_rect_round_trip(self):
+        from gdal_spark.operators.mvt import mvt_rect_tile
+
+        blob = mvt_rect_tile([(42, 10, 20, 300, 4000)])
+        feats = decode_rect_tile(blob)
+        assert feats == [
+            (42, [(10, 20), (300, 20), (300, 4000), (10, 4000)])
+        ]
+
+    def test_rect_winding_screen_cw(self):
+        from gdal_spark.operators.mvt import mvt_rect_tile
+
+        (fid, ring), = decode_rect_tile(mvt_rect_tile([(1, 0, 0, 10, 10)]))
+        # shoelace in y-down screen coords must be positive (exterior)
+        area2 = sum(
+            ring[i][0] * ring[(i + 1) % 4][1]
+            - ring[(i + 1) % 4][0] * ring[i][1]
+            for i in range(4)
+        )
+        assert area2 > 0
+
+    def test_spark_rect_matches_local(self, spark):
+        from gdal_spark.operators.mvt import (
+            encode_mvt_rect_tiles,
+            mvt_rect_tile,
+        )
+
+        rects = spark.createDataFrame(
+            [(0, 0, 5, 1, 2, 30, 40), (0, 0, 2, 100, 5, 200, 90)],
+            "tx bigint, ty bigint, fid bigint, x0 bigint, y0 bigint, "
+            "x1 bigint, y1 bigint",
+        )
+        out = encode_mvt_rect_tiles(rects).collect()[0]
+        assert bytes(out["mvt"]) == mvt_rect_tile(
+            [(5, 1, 2, 30, 40), (2, 100, 5, 200, 90)]
+        )
