@@ -174,3 +174,67 @@ def test_stream_neardup_matches_batch(spark, sf_dir):
             ).collect()
         }
     assert got == batch
+
+
+def test_stream_tile_sink_exactly_once(spark):
+    """Streaming TILE pipeline: an arriving point corpus encodes to MVT
+    tiles per micro-batch and publishes through the snapshot table's
+    exactly-once foreachBatch sink (one snapshot per batch, replays
+    deduplicated) — gdal2tiles --resume (gdal2tiles.py:1497-1500)
+    lifted to the streaming path."""
+    import tempfile
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from gdal_spark.operators.mvt import encode_mvt_tiles, mvt_point_tile
+    from gdal_spark.table import SnapshotTable
+
+    schema = StructType(
+        [
+            StructField("fid", LongType()),
+            StructField("tx", LongType()),
+            StructField("ty", LongType()),
+            StructField("px", LongType()),
+            StructField("py", LongType()),
+        ]
+    )
+    rows1 = [(i, 0, 0, i % 4096, (i * 7) % 4096) for i in range(50)]
+    rows2 = [(i, 1, 0, i % 4096, (i * 3) % 4096) for i in range(50, 80)]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(
+            f"{d}/in"
+        )
+        spark.createDataFrame(rows2, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(f"{d}/in")
+        t = SnapshotTable(spark, f"{d}/tiles")
+
+        def run():
+            src = spark.readStream.schema(schema).parquet(f"{d}/in")
+
+            def sink(batch_df, batch_id):
+                t.append_batch(encode_mvt_tiles(batch_df), batch_id)
+
+            q = (
+                src.writeStream.foreachBatch(sink)
+                .option("checkpointLocation", f"{d}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        run()
+        n_snapshots = t.snapshots().count()
+        tiles = {
+            (r["tx"], r["ty"]): bytes(r["mvt"]) for r in t.read().collect()
+        }
+        # every arrived tile present, bytes exactly the local encoding
+        assert set(tiles) == {(0, 0), (1, 0)}
+        assert tiles[(0, 0)] == mvt_point_tile(
+            [(i, i % 4096, (i * 7) % 4096) for i in range(50)]
+        )
+        # resume from the same checkpoint: nothing new arrives, no new
+        # snapshot commits (exactly-once under replay)
+        run()
+        assert t.snapshots().count() == n_snapshots
+        assert t.read().count() == 2
