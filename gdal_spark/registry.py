@@ -16163,3 +16163,101 @@ def q_mvt_encode_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return encode_mvt_rect_tiles(rects).select(
         "tx", "ty", "n_bytes", "byte_sum"
     )
+
+
+# --------------------------------------------------------------------------
+# Pyramid -> PNG composition: the END of the raster tiling pipeline in
+# actual bytes — the overview tiles the fused pyramid computes
+# (raster_pyramid's own l1/l0 levels, SAME pixel CTEs reused verbatim)
+# encode through the stored-deflate PNG writer, and the oracle pins the
+# encoded byte stream (closed-form length + Adler-32 position-weighted
+# sums) per overview tile.  gdal2tiles writes exactly these files
+# (create_overview_tile, gdal2tiles.py:1471-1560).
+# --------------------------------------------------------------------------
+_PYR_PNG_N = 256 * 257  # filter byte + row bytes per 256-px scanline
+
+
+def _pyramid_png_oracle() -> str:
+    from gdal_spark.operators.tile_encode import png_bytes_expected
+
+    prefix = _PYRCS_ORACLE.split("all_l AS")[0].rstrip().rstrip(",")
+    nb = png_bytes_expected(256, 256)
+    return f"""{prefix},
+pix AS (
+  SELECT 1 AS zoom, 2 AS n, gx, gy, v FROM l1 WHERE band = 2
+  UNION ALL SELECT 0 AS zoom, 1 AS n, gx, gy, v FROM l0 WHERE band = 2
+),
+t AS (
+  SELECT zoom, CAST((gx - (gx % 256)) / 256 AS BIGINT) AS tx,
+         CAST(n - 1 - (gy - (gy % 256)) / 256 AS BIGINT) AS ty,
+         CAST(v AS BIGINT) AS v, gy % 256 AS r, gx % 256 AS c
+  FROM pix
+),
+a AS (
+  SELECT zoom, tx, ty, CAST(SUM(v) AS BIGINT) AS s,
+         CAST(SUM(v * ({_PYR_PNG_N} - r * 257 - c - 1)) AS BIGINT) AS wsum
+  FROM t GROUP BY 1, 2, 3
+)
+SELECT CAST(zoom AS INT) AS zoom, tx, ty,
+       CAST({nb} AS INTEGER) AS n_bytes,
+       CAST((({_PYR_PNG_N} + wsum) % 65521) * 65536
+            + ((1 + s) % 65521) AS BIGINT) AS adler
+FROM a
+"""
+
+
+@register("pyramid_png", _pyramid_png_oracle())
+def q_pyramid_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator as _Iter
+
+    import numpy as _np
+    import pandas as _pd
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from gdal_spark.operators.raster import (
+        TILE,
+        base_tiles,
+        overview_tiles,
+        source_grid,
+    )
+    from gdal_spark.operators.tile_encode import adler32, png_gray
+
+    base = base_tiles(spark, source_grid(spark), 2).localCheckpoint(
+        eager=True
+    )
+    l1 = overview_tiles(base)
+    l0 = overview_tiles(l1)
+    tiles = l1.unionByName(l0).filter("band = 2")
+    schema = StructType(
+        [
+            StructField("zoom", IntegerType()),
+            StructField("tx", LongType()),
+            StructField("ty", LongType()),
+            StructField("n_bytes", IntegerType()),
+            StructField("adler", LongType()),
+        ]
+    )
+
+    def enc(batches: _Iter[_pd.DataFrame]) -> _Iter[_pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            nb, ad = [], []
+            for d in pdf["data"]:
+                img = _np.frombuffer(d, dtype=_np.uint8).reshape(TILE, TILE)
+                png = png_gray(img)
+                raw = _np.zeros((TILE, TILE + 1), dtype=_np.uint8)
+                raw[:, 1:] = img
+                nb.append(len(png))
+                ad.append(adler32(raw.reshape(-1)))
+            out = pdf[["zoom", "tx", "ty"]].copy()
+            out["n_bytes"] = _np.asarray(nb, dtype=_np.int32)
+            out["adler"] = _np.asarray(ad, dtype=_np.int64)
+            yield out
+
+    return tiles.mapInPandas(enc, schema)
