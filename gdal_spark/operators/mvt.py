@@ -91,14 +91,11 @@ def encode_mvt_tiles(points: DataFrame) -> DataFrame:
     )
 
     def enc(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        feats = list(
-            zip(
-                pdf["fid"].astype(int),
-                pdf["px"].astype(int),
-                pdf["py"].astype(int),
-            )
+        blob = mvt_point_tile_np(
+            pdf["fid"].to_numpy(np.int64),
+            pdf["px"].to_numpy(np.int64),
+            pdf["py"].to_numpy(np.int64),
         )
-        blob = mvt_point_tile(feats)
         arr = np.frombuffer(blob, dtype=np.uint8)
         return pd.DataFrame(
             {
@@ -220,3 +217,73 @@ def encode_mvt_rect_tiles(rects: DataFrame) -> DataFrame:
         )
 
     return rects.groupBy("tx", "ty").applyInPandas(enc, schema)
+
+
+# ---------------------------------------------------------- numpy writer
+# The scalar encoders above are the readable spec; dense tiles (a busy
+# zoom level can put 10^5-10^6 points in one tile) need the repo's
+# no-per-row-Python rule, so the Spark kernel assembles the feature
+# bytes VECTORIZED: per-feature lengths by varint-digit counting,
+# one cumsum for segment offsets, and constant/digit scatters into a
+# single uint8 buffer.  Parity with the scalar writer is pinned in
+# tests/test_mvt.py.
+
+
+def _varint_lens_np(vals: np.ndarray) -> np.ndarray:
+    v = vals.astype(np.int64)
+    return (
+        1
+        + (v >= 128).astype(np.int64)
+        + (v >= 16384).astype(np.int64)
+        + (v >= 2097152).astype(np.int64)
+        + (v >= 268435456).astype(np.int64)
+    )
+
+
+def _scatter_varints(buf: np.ndarray, starts: np.ndarray,
+                     vals: np.ndarray, lens: np.ndarray) -> None:
+    """Write varint(vals[i]) at buf[starts[i] : starts[i]+lens[i]]."""
+    v = vals.astype(np.int64)
+    maxlen = int(lens.max()) if lens.size else 0
+    for k in range(maxlen):
+        m = lens > k
+        byte = (v[m] >> (7 * k)) & 0x7F
+        cont = (lens[m] - 1) > k
+        buf[starts[m] + k] = byte | (cont.astype(np.int64) << 7)
+
+
+def mvt_point_tile_np(fids: np.ndarray, pxs: np.ndarray,
+                      pys: np.ndarray) -> bytes:
+    """Vectorized twin of :func:`mvt_point_tile` — identical bytes."""
+    order = np.lexsort((pys, pxs, fids))
+    fid = fids[order].astype(np.int64)
+    zx = (pxs[order].astype(np.int64)) << 1  # coords are non-negative
+    zy = (pys[order].astype(np.int64)) << 1
+    lid = _varint_lens_np(fid)
+    lx = _varint_lens_np(zx)
+    ly = _varint_lens_np(zy)
+    framed = 2 + 6 + lid + lx + ly
+    starts = np.zeros(fid.size, dtype=np.int64)
+    np.cumsum(framed[:-1], out=starts[1:]) if fid.size > 1 else None
+    total = int(framed.sum())
+    buf = np.zeros(total, dtype=np.uint8)
+    body_len = 6 + lid + lx + ly
+    buf[starts] = 0x12
+    buf[starts + 1] = body_len
+    buf[starts + 2] = 0x08
+    _scatter_varints(buf, starts + 3, fid, lid)
+    p = starts + 3 + lid
+    buf[p] = 0x18
+    buf[p + 1] = 0x01
+    buf[p + 2] = 0x22
+    buf[p + 3] = 1 + lx + ly  # geom_len, single byte
+    buf[p + 4] = 0x09
+    _scatter_varints(buf, p + 5, zx, lx)
+    _scatter_varints(buf, p + 5 + lx, zy, ly)
+    layer = (
+        b"\x0a" + _varint(len(LAYER_NAME)) + LAYER_NAME
+        + buf.tobytes()
+        + b"\x28" + _varint(EXTENT)
+        + b"\x78\x02"
+    )
+    return b"\x1a" + _varint(len(layer)) + layer

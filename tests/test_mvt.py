@@ -216,3 +216,20 @@ class TestPolygons:
         assert bytes(out["mvt"]) == mvt_rect_tile(
             [(5, 1, 2, 30, 40), (2, 100, 5, 200, 90)]
         )
+
+
+def test_numpy_writer_parity():
+    """The vectorized kernel writer must emit BYTE-IDENTICAL tiles to
+    the scalar spec writer, across varint length classes."""
+    import numpy as np
+
+    from gdal_spark.operators.mvt import mvt_point_tile, mvt_point_tile_np
+
+    rng = np.random.RandomState(11)
+    for n in (0, 1, 7, 1000):
+        f = rng.randint(0, 3_000_000_000, n).astype(np.int64)
+        x = rng.randint(0, 4096, n).astype(np.int64)
+        y = rng.randint(0, 4096, n).astype(np.int64)
+        a = mvt_point_tile(list(zip(f.tolist(), x.tolist(), y.tolist())))
+        b = mvt_point_tile_np(f, x, y)
+        assert a == b, n
