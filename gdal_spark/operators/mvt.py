@@ -195,16 +195,13 @@ def encode_mvt_rect_tiles(rects: DataFrame) -> DataFrame:
     )
 
     def enc(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        feats = list(
-            zip(
-                pdf["fid"].astype(int),
-                pdf["x0"].astype(int),
-                pdf["y0"].astype(int),
-                pdf["x1"].astype(int),
-                pdf["y1"].astype(int),
-            )
+        blob = mvt_rect_tile_np(
+            pdf["fid"].to_numpy(np.int64),
+            pdf["x0"].to_numpy(np.int64),
+            pdf["y0"].to_numpy(np.int64),
+            pdf["x1"].to_numpy(np.int64),
+            pdf["y1"].to_numpy(np.int64),
         )
-        blob = mvt_rect_tile(feats)
         arr = np.frombuffer(blob, dtype=np.uint8)
         return pd.DataFrame(
             {
@@ -280,6 +277,66 @@ def mvt_point_tile_np(fids: np.ndarray, pxs: np.ndarray,
     buf[p + 4] = 0x09
     _scatter_varints(buf, p + 5, zx, lx)
     _scatter_varints(buf, p + 5 + lx, zy, ly)
+    layer = (
+        b"\x0a" + _varint(len(LAYER_NAME)) + LAYER_NAME
+        + buf.tobytes()
+        + b"\x28" + _varint(EXTENT)
+        + b"\x78\x02"
+    )
+    return b"\x1a" + _varint(len(layer)) + layer
+
+
+def mvt_rect_tile_np(fids: np.ndarray, x0: np.ndarray, y0: np.ndarray,
+                     x1: np.ndarray, y1: np.ndarray) -> bytes:
+    """Vectorized twin of :func:`mvt_rect_tile` — identical bytes."""
+    order = np.lexsort((y1, x1, y0, x0, fids))
+    fid = fids[order].astype(np.int64)
+    ax0 = x0[order].astype(np.int64)
+    ay0 = y0[order].astype(np.int64)
+    dx = x1[order].astype(np.int64) - ax0
+    dy = y1[order].astype(np.int64) - ay0
+    zx0, zy0 = ax0 << 1, ay0 << 1
+    zdx, zdy = dx << 1, dy << 1
+    zndx = (dx << 1) - 1  # zigzag(-dx) for dx > 0
+    lid = _varint_lens_np(fid)
+    lx0 = _varint_lens_np(zx0)
+    ly0 = _varint_lens_np(zy0)
+    ldx = _varint_lens_np(zdx)
+    ldy = _varint_lens_np(zdy)
+    lnd = _varint_lens_np(zndx)
+    geom_len = 6 + lx0 + ly0 + ldx + ldy + lnd
+    body_len = 5 + lid + geom_len
+    framed = 2 + body_len
+    starts = np.zeros(fid.size, dtype=np.int64)
+    if fid.size > 1:
+        np.cumsum(framed[:-1], out=starts[1:])
+    buf = np.zeros(int(framed.sum()), dtype=np.uint8)
+    buf[starts] = 0x12
+    buf[starts + 1] = body_len
+    buf[starts + 2] = 0x08
+    _scatter_varints(buf, starts + 3, fid, lid)
+    p = starts + 3 + lid
+    buf[p] = 0x18
+    buf[p + 1] = 0x03
+    buf[p + 2] = 0x22
+    buf[p + 3] = geom_len
+    buf[p + 4] = 0x09
+    q = p + 5
+    _scatter_varints(buf, q, zx0, lx0)
+    q = q + lx0
+    _scatter_varints(buf, q, zy0, ly0)
+    q = q + ly0
+    buf[q] = 0x1A  # LineTo, count 3
+    _scatter_varints(buf, q + 1, zdx, ldx)
+    q = q + 1 + ldx
+    buf[q] = 0x00
+    buf[q + 1] = 0x00
+    _scatter_varints(buf, q + 2, zdy, ldy)
+    q = q + 2 + ldy
+    _scatter_varints(buf, q, zndx, lnd)
+    q = q + lnd
+    buf[q] = 0x00
+    buf[q + 1] = 0x0F  # ClosePath
     layer = (
         b"\x0a" + _varint(len(LAYER_NAME)) + LAYER_NAME
         + buf.tobytes()

@@ -233,3 +233,23 @@ def test_numpy_writer_parity():
         a = mvt_point_tile(list(zip(f.tolist(), x.tolist(), y.tolist())))
         b = mvt_point_tile_np(f, x, y)
         assert a == b, n
+
+
+def test_numpy_rect_writer_parity():
+    import numpy as np
+
+    from gdal_spark.operators.mvt import mvt_rect_tile, mvt_rect_tile_np
+
+    rng = np.random.RandomState(13)
+    for n in (0, 1, 500):
+        x0 = rng.randint(0, 2000, n).astype(np.int64)
+        y0 = rng.randint(0, 2000, n).astype(np.int64)
+        x1 = x0 + rng.randint(1, 2000, n)
+        y1 = y0 + rng.randint(1, 2000, n)
+        f = rng.randint(0, 3_000_000_000, n).astype(np.int64)
+        a = mvt_rect_tile(
+            list(zip(f.tolist(), x0.tolist(), y0.tolist(),
+                     x1.tolist(), y1.tolist()))
+        )
+        b = mvt_rect_tile_np(f, x0, y0, x1, y1)
+        assert a == b, n
