@@ -61,6 +61,9 @@ for _i in range(256):
 
 
 def crc32(data: bytes, crc: int = 0) -> int:
+    """Table-driven CRC-32 (PNG spec annex D) — the INDEPENDENT
+    implementation the tests cross-check against zlib's; the encoder
+    hot path uses zlib.crc32 (C speed) below."""
     c = np.uint32(crc ^ 0xFFFFFFFF)
     tab = _CRC_TABLE
     for b in np.frombuffer(data, dtype=np.uint8):
@@ -80,11 +83,13 @@ def adler32(data: np.ndarray) -> int:
 
 
 def _chunk(ctype: bytes, payload: bytes) -> bytes:
+    import zlib
+
     return (
         struct.pack(">I", len(payload))
         + ctype
         + payload
-        + struct.pack(">I", crc32(ctype + payload))
+        + struct.pack(">I", zlib.crc32(ctype + payload))
     )
 
 

@@ -12,6 +12,7 @@ import pytest
 from gdal_spark.operators.tile_encode import (
     adler32,
     crc32,
+    crc32 as tile_crc32,
     encode_png_tiles,
     png_bytes_expected,
     png_gray,
@@ -30,6 +31,8 @@ def _decode_png_gray(png: bytes) -> np.ndarray:
         payload = png[pos + 8:pos + 8 + ln]
         crc = struct.unpack(">I", png[pos + 8 + ln:pos + 12 + ln])[0]
         assert crc == zlib.crc32(ctype + payload), "chunk CRC"
+        # independent second implementation (table-driven PNG-spec CRC)
+        assert crc == tile_crc32(ctype + payload), "chunk CRC (table)"
         if ctype == b"IHDR":
             w, h, depth, ctyp = struct.unpack(">IIBB", payload[:10])
             assert (depth, ctyp) == (8, 0)
