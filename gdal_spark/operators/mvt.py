@@ -344,3 +344,124 @@ def mvt_rect_tile_np(fids: np.ndarray, x0: np.ndarray, y0: np.ndarray,
         + b"\x78\x02"
     )
     return b"\x1a" + _varint(len(layer)) + layer
+
+
+# ----------------------------------------------------------- attributes
+# Feature attributes (MVT 2.1 §4.4: layer-level keys/values string
+# tables, per-feature tags as [key_idx, value_idx] pairs — the model
+# mvtutils.cpp populates from OGR fields).  One string attribute here
+# ("lang"-style): keys = [ATTR_KEY], values = the tile's DISTINCT
+# attribute strings SORTED (deterministic), tags = [0, value_idx].
+
+ATTR_KEY = b"lang"
+
+
+def mvt_attr_point_tile(
+    features: list[tuple[int, int, int, str]]
+) -> bytes:
+    """(fid, px, py, attr) -> Tile bytes with a tagged point layer."""
+    vals = sorted({a for _, _, _, a in features})
+    vidx = {a: i for i, a in enumerate(vals)}
+    layer = b"\x0a" + _varint(len(LAYER_NAME)) + LAYER_NAME
+    for fid, px, py, a in sorted(features):
+        geom = _varint(9) + _varint(_zigzag(px)) + _varint(_zigzag(py))
+        body = (
+            b"\x08" + _varint(fid)
+            + b"\x12\x02\x00" + _varint(vidx[a])     # tags [0, vi]
+            + b"\x18\x01"
+            + b"\x22" + _varint(len(geom)) + geom
+        )
+        layer += b"\x12" + _varint(len(body)) + body
+    layer += b"\x1a" + _varint(len(ATTR_KEY)) + ATTR_KEY  # keys (3)
+    for v in vals:                                        # values (4)
+        vb = v.encode()
+        msg = b"\x0a" + _varint(len(vb)) + vb
+        layer += b"\x22" + _varint(len(msg)) + msg
+    layer += b"\x28" + _varint(EXTENT)
+    layer += b"\x78\x02"
+    return b"\x1a" + _varint(len(layer)) + layer
+
+
+def mvt_attr_point_tile_np(
+    fids: np.ndarray, pxs: np.ndarray, pys: np.ndarray, attrs
+) -> bytes:
+    """Vectorized twin of :func:`mvt_attr_point_tile`."""
+    attrs = np.asarray(attrs, dtype=object)
+    order = np.lexsort((pys, pxs, fids))
+    fid = fids[order].astype(np.int64)
+    zx = (pxs[order].astype(np.int64)) << 1
+    zy = (pys[order].astype(np.int64)) << 1
+    a = attrs[order]
+    vals = sorted(set(a.tolist()))
+    vmap = {v: i for i, v in enumerate(vals)}
+    vi = np.array([vmap[x] for x in a], dtype=np.int64)
+    lid = _varint_lens_np(fid)
+    lx = _varint_lens_np(zx)
+    ly = _varint_lens_np(zy)
+    lvi = _varint_lens_np(vi)
+    framed = 2 + 6 + lid + lx + ly + 3 + lvi
+    starts = np.zeros(fid.size, dtype=np.int64)
+    if fid.size > 1:
+        np.cumsum(framed[:-1], out=starts[1:])
+    buf = np.zeros(int(framed.sum()), dtype=np.uint8)
+    buf[starts] = 0x12
+    buf[starts + 1] = framed - 2
+    buf[starts + 2] = 0x08
+    _scatter_varints(buf, starts + 3, fid, lid)
+    p = starts + 3 + lid
+    buf[p] = 0x12
+    buf[p + 1] = 1 + lvi  # tags payload length: varint(0) + varint(vi)
+    buf[p + 2] = 0x00
+    _scatter_varints(buf, p + 3, vi, lvi)
+    p = p + 3 + lvi
+    buf[p] = 0x18
+    buf[p + 1] = 0x01
+    buf[p + 2] = 0x22
+    buf[p + 3] = 1 + lx + ly
+    buf[p + 4] = 0x09
+    _scatter_varints(buf, p + 5, zx, lx)
+    _scatter_varints(buf, p + 5 + lx, zy, ly)
+    layer = (
+        b"\x0a" + _varint(len(LAYER_NAME)) + LAYER_NAME
+        + buf.tobytes()
+        + b"\x1a" + _varint(len(ATTR_KEY)) + ATTR_KEY
+    )
+    for v in vals:
+        vb = v.encode()
+        msg = b"\x0a" + _varint(len(vb)) + vb
+        layer += b"\x22" + _varint(len(msg)) + msg
+    layer += b"\x28" + _varint(EXTENT) + b"\x78\x02"
+    return b"\x1a" + _varint(len(layer)) + layer
+
+
+def encode_mvt_attr_tiles(points: DataFrame) -> DataFrame:
+    """(tx, ty, fid, px, py, attr) -> tagged MVT tiles."""
+    schema = StructType(
+        [
+            StructField("tx", LongType()),
+            StructField("ty", LongType()),
+            StructField("mvt", BinaryType()),
+            StructField("n_bytes", IntegerType()),
+            StructField("byte_sum", LongType()),
+        ]
+    )
+
+    def enc(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        blob = mvt_attr_point_tile_np(
+            pdf["fid"].to_numpy(np.int64),
+            pdf["px"].to_numpy(np.int64),
+            pdf["py"].to_numpy(np.int64),
+            pdf["attr"].to_numpy(object),
+        )
+        arr = np.frombuffer(blob, dtype=np.uint8)
+        return pd.DataFrame(
+            {
+                "tx": [key[0]],
+                "ty": [key[1]],
+                "mvt": [blob],
+                "n_bytes": [len(blob)],
+                "byte_sum": [int(arr.astype(np.int64).sum())],
+            }
+        )
+
+    return points.groupBy("tx", "ty").applyInPandas(enc, schema)

@@ -16261,3 +16261,83 @@ def q_pyramid_png(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield out
 
     return tiles.mapInPandas(enc, schema)
+
+
+# --------------------------------------------------------------------------
+# MVT tiles WITH feature attributes (MVT 2.1 §4.4 keys/values/tags —
+# the part of the model mvtutils.cpp fills from OGR fields): each point
+# carries its lang as a tagged attribute; the layer's value table is
+# the tile's DISTINCT langs sorted, value indexes are dense ranks, and
+# the oracle extends the varint accounting with the tags section and
+# the per-tile keys/values tables (string byte sums via ascii()).
+# --------------------------------------------------------------------------
+
+
+def _mvt_attr_oracle() -> str:
+    L, S = _mvt_vlen, _mvt_vsum
+    body_len = (
+        f"9 + {L('doc_id')} + {L('2 * px')} + {L('2 * py')} + {L('vi')}"
+    )
+    body_sum = (
+        f"8 + {S('doc_id')} + 18 + (1 + {L('vi')}) + {S('vi')}"
+        f" + 24 + 1 + 34 + (1 + {L('2 * px')} + {L('2 * py')})"
+        f" + 9 + {S('2 * px')} + {S('2 * py')}"
+    )
+    return f"""
+WITH docs AS ({_DOCS_CTE}),
+p AS (
+  SELECT doc_id, lang, {_MVT_TX} AS tx, {_MVT_TY} AS ty,
+         {_MVT_PX} AS px, {_MVT_PY} AS py
+  FROM docs
+),
+r AS (
+  SELECT *, dense_rank() OVER (PARTITION BY tx, ty ORDER BY lang) - 1
+         AS vi
+  FROM p
+),
+f AS (
+  SELECT tx, ty, 2 + ({body_len}) AS framed_len,
+         18 + ({body_len}) + ({body_sum}) AS framed_sum
+  FROM r
+),
+fa AS (
+  SELECT tx, ty, CAST(SUM(framed_len) AS BIGINT) AS fl,
+         CAST(SUM(framed_sum) AS BIGINT) AS fs
+  FROM f GROUP BY tx, ty
+),
+v AS (SELECT DISTINCT tx, ty, lang FROM p),
+va AS (
+  SELECT tx, ty,
+         CAST(SUM(4 + length(lang)) AS BIGINT) AS vl,
+         CAST(SUM(46 + 2 * length(lang)
+                  + ascii(substr(lang, 1, 1))
+                  + ascii(substr(lang, 2, 1))) AS BIGINT) AS vs
+  FROM v GROUP BY tx, ty
+),
+l AS (
+  SELECT fa.tx, fa.ty, 19 + fl + vl AS layer_len,
+         1455 + fs + vs AS layer_sum
+  FROM fa JOIN va ON fa.tx = va.tx AND fa.ty = va.ty
+)
+SELECT tx, ty,
+       CAST(1 + {_mvt_vlen("layer_len")} + layer_len AS INTEGER) AS n_bytes,
+       CAST(26 + {_mvt_vsum("layer_len")} + layer_sum AS BIGINT) AS byte_sum
+FROM l
+"""
+
+
+@register("mvt_encode_attr", _mvt_attr_oracle())
+def q_mvt_encode_attr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.operators.mvt import encode_mvt_attr_tiles
+
+    pts = corpus.load_docs(spark, sf_dir).selectExpr(
+        "doc_id AS fid",
+        "lang AS attr",
+        f"{_MVT_TX} AS tx",
+        f"{_MVT_TY} AS ty",
+        f"{_MVT_PX} AS px",
+        f"{_MVT_PY} AS py",
+    )
+    return encode_mvt_attr_tiles(pts).select(
+        "tx", "ty", "n_bytes", "byte_sum"
+    )

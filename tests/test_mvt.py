@@ -253,3 +253,59 @@ def test_numpy_rect_writer_parity():
         )
         b = mvt_rect_tile_np(f, x0, y0, x1, y1)
         assert a == b, n
+
+
+class TestAttributes:
+    def test_attr_round_trip_and_parity(self):
+        import numpy as np
+
+        from gdal_spark.operators.mvt import (
+            mvt_attr_point_tile,
+            mvt_attr_point_tile_np,
+        )
+
+        feats = [(5, 10, 20, "en"), (1, 0, 0, "de"), (9, 63, 64, "en")]
+        blob = mvt_attr_point_tile(feats)
+        b2 = mvt_attr_point_tile_np(
+            np.array([5, 1, 9]), np.array([10, 0, 63]),
+            np.array([20, 0, 64]), np.array(["en", "de", "en"]),
+        )
+        assert blob == b2
+        # decode: keys/values/tags honored
+        tag, pos = _read_varint(blob, 0)
+        llen, pos = _read_varint(blob, pos)
+        layer = blob[pos:pos + llen]
+        p = 0
+        keys, vals, tags = [], [], []
+        while p < len(layer):
+            t, p = _read_varint(layer, p)
+            field, wt = t >> 3, t & 7
+            if wt == 2:
+                ln, p = _read_varint(layer, p)
+                payload = layer[p:p + ln]
+                p += ln
+                if field == 3:
+                    keys.append(payload.decode())
+                elif field == 4:
+                    # Value{string_value=1}
+                    assert payload[0] == 0x0A
+                    vals.append(payload[2:2 + payload[1]].decode())
+                elif field == 2:
+                    q = 0
+                    while q < len(payload):
+                        t2, q = _read_varint(payload, q)
+                        f2, w2 = t2 >> 3, t2 & 7
+                        if w2 == 2:
+                            gl, q = _read_varint(payload, q)
+                            if f2 == 2:  # tags
+                                ki, q2 = _read_varint(payload, q)
+                                vi, _ = _read_varint(payload, q2)
+                                tags.append((ki, vi))
+                            q += gl
+                        else:
+                            _, q = _read_varint(payload, q)
+            else:
+                _, p = _read_varint(layer, p)
+        assert keys == ["lang"]
+        assert vals == ["de", "en"]  # sorted distinct
+        assert tags == [(0, 0), (0, 1), (0, 1)]  # fid order 1(de),5(en),9(en)
